@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Tuned SparkSession factory for the graft engine.
+  *
+  * Settings are chosen for the driver's local[32] harness but documented for
+  * cluster scale: AQE handles runtime partition coalescing and skew joins, the
+  * broadcast threshold covers all dimension tables of the star schema, and
+  * shuffle parallelism tracks core count (cluster deployments should set
+  * `spark.sql.shuffle.partitions` ~ 2-3x total executor cores instead).
+  */
+object GraftSession {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  def builder(appName: String): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+
+  /** Local session for tests and ad-hoc runs. */
+  def local(appName: String = "graft"): SparkSession = {
+    val spark = builder(appName).master(s"local[$cpus]").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet loaders for the harness tables (TPC-H-ish star schema plus an
+  * event stream and an LLM corpus). All operators read through here so that
+  * column pruning / filter pushdown reach the parquet scans (the loaders
+  * return lazy plans; nothing is cached).
+  *
+  * Mapping to the reference's data model (see SURVEY.md §3): `lineitem` and
+  * `orders` stand in for the WFP price observations, `part` for commodities,
+  * `supplier` for markets, `nation`/`region` for localities/countries,
+  * `events` for the enrichment-API cadence, and `documents`/`embeddings` for
+  * the added LLM-pipeline corpus.
+  */
+object Tables {
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
+}

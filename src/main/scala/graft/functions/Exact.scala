@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Bit-deterministic aggregation helpers.
+  *
+  * Floating-point sums depend on partition/merge order, so a double-summing
+  * plan is not reproducible across runs, partition counts, or engines. All
+  * graft measures are therefore summed in DECIMAL (exact, associative — the
+  * map-side partial aggregate is still used) and only *derived* quantities
+  * (averages, slopes, correlations) are computed in doubles, from the exact
+  * sums, with formulas kept textually identical to the DuckDB oracle SQL so
+  * both engines perform the same IEEE-754 operations.
+  *
+  * This is also the 100 TB answer: decimal partial aggregation shuffles one
+  * row per (group, column), and determinism means a re-run of a failed stage
+  * cannot produce a different result (Spark task retries are safe).
+  */
+object Exact {
+  /** Cast a nominally 2-decimal double measure to exact decimal. */
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Cast to exact decimal with 4-decimal scale (derived products). */
+  def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** Exact decimal sum surfaced as DOUBLE (decimal -> nearest double is
+    * deterministic and identical in Spark and DuckDB). */
+  def sumd2(c: Column): Column = sum(dec2(c)).cast(DoubleType)
+
+  def sumd4(c: Column): Column = sum(dec4(c)).cast(DoubleType)
+
+  /** count(*) as BIGINT (Spark's native count type; oracle casts to match). */
+  def cnt: Column = count(lit(1))
+
+  /** Derived mean from an exact sum and a count. */
+  def meanOf(sumDouble: Column, n: Column): Column =
+    sumDouble / n.cast(DoubleType)
+}

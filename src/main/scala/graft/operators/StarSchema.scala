@@ -1,0 +1,216 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Exact._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Star-schema construction and consumption: dimension extraction with
+  * surrogate keys, dedup-with-merge, calendar dims, the fact build, and the
+  * denormalized ML extract.
+  *
+  * Reference: `dbt/models/staging/stg_countries.sql`, `stg_commodities.sql`,
+  * `dbt/models/analytics/dim_date.sql`, `fact_transaction.sql`, and the ML
+  * extract in `dags/prophet/dag_prophet_output.py:16-47`.
+  *
+  * Scale notes: surrogate keys via a global `row_number()` window are used
+  * ONLY on dimension-cardinality inputs (distinct names — thousands of rows
+  * at 100 TB fact scale); a fact-scale id would use a content hash instead,
+  * never a global sort. All dims are broadcast into the fact joins, so the
+  * fact table is never shuffled for a join — only for its own final rollup.
+  */
+object StarSchema {
+
+  /** Country-name style text canonicalization (stg_countries.sql:6-12):
+    * strip non [a-zA-Z0-9 space ' - ( )], collapse whitespace, trim. */
+  def canonName(c: Column): Column =
+    trim(regexp_replace(regexp_replace(c, "[^a-zA-Z0-9 '()-]", ""), "\\s+", " "))
+
+  /** q_dim_build — locality dim from nation x region with row_number
+    * surrogate ids, like stg_commodities/dim_* DISTINCT+ROW_NUMBER. */
+  def dimBuild(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(canonName(col("n_name")).as("name"), col("r_name").as("region_name"))
+      .distinct()
+      .withColumn("id", row_number().over(Window.orderBy(col("name"))).cast(LongType))
+      .select(col("id"), col("name"), col("region_name"))
+  }
+
+  val dimBuildOracle: String =
+    """SELECT CAST(ROW_NUMBER() OVER (ORDER BY name) AS BIGINT) AS id, name, region_name
+      |FROM (
+      |  SELECT DISTINCT
+      |    TRIM(REGEXP_REPLACE(REGEXP_REPLACE(n_name, '[^a-zA-Z0-9 ''()-]', '', 'g'), '\s+', ' ', 'g')) AS name,
+      |    r_name AS region_name
+      |  FROM nation JOIN region ON n_regionkey = r_regionkey
+      |)""".stripMargin
+
+  /** q_dedup_merge — dedup with attribute merge (stg_countries.sql:35-43):
+    * nations seen via customers and via suppliers, merged by MAX(flag). */
+  def dedupMerge(spark: SparkSession, dir: String): DataFrame = {
+    val n = broadcast(Tables.nation(spark, dir))
+    val cust = Tables
+      .customer(spark, dir)
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("name"), lit(1).as("has_cust"), lit(0).as("has_supp"))
+      .distinct()
+    val supp = Tables
+      .supplier(spark, dir)
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("name"), lit(0).as("has_cust"), lit(1).as("has_supp"))
+      .distinct()
+    cust
+      .unionAll(supp)
+      .groupBy(col("name"))
+      .agg(max(col("has_cust")).as("has_cust"), max(col("has_supp")).as("has_supp"))
+      .withColumn("id", row_number().over(Window.orderBy(col("name"))).cast(LongType))
+      .select(col("id"), col("name"), col("has_cust"), col("has_supp"))
+  }
+
+  val dedupMergeOracle: String =
+    """SELECT CAST(ROW_NUMBER() OVER (ORDER BY name) AS BIGINT) AS id, name, has_cust, has_supp
+      |FROM (
+      |  SELECT name, MAX(has_cust) AS has_cust, MAX(has_supp) AS has_supp
+      |  FROM (
+      |    SELECT DISTINCT n_name AS name, 1 AS has_cust, 0 AS has_supp
+      |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |    UNION ALL
+      |    SELECT DISTINCT n_name AS name, 0 AS has_cust, 1 AS has_supp
+      |    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  ) GROUP BY name
+      |)""".stripMargin
+
+  /** q_date_dim — year x month calendar grid (dim_date.sql): distinct years
+    * cross-joined with distinct months, row_number id ordered by (y, m). */
+  def dateDim(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val years = o.select(year(col("o_orderdate")).as("year")).distinct()
+    val months = o.select(month(col("o_orderdate")).as("month")).distinct()
+    years
+      .crossJoin(broadcast(months))
+      .withColumn(
+        "id",
+        row_number().over(Window.orderBy(col("year"), col("month"))).cast(LongType))
+      .select(col("id"), col("year"), col("month"))
+  }
+
+  val dateDimOracle: String =
+    """SELECT CAST(ROW_NUMBER() OVER (ORDER BY year, month) AS BIGINT) AS id, year, month
+      |FROM (SELECT DISTINCT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS year FROM orders)
+      |CROSS JOIN (SELECT DISTINCT CAST(EXTRACT(month FROM o_orderdate) AS INT) AS month FROM orders)""".stripMargin
+
+  /** q_star_join — the fact build + rollup (fact_transaction.sql): lineitem
+    * against orders, customer, nation, region; revenue per (region, year).
+    * nation/region broadcast; customer->orders and orders->lineitem are the
+    * only key joins, handled by AQE (broadcast at test SF, sort-merge with
+    * skew handling at cluster scale). */
+  def starJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val n = broadcast(Tables.nation(spark, dir))
+    val r = broadcast(Tables.region(spark, dir))
+    val one = lit(1).cast(DecimalType(18, 2))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region_name"), year(col("o_orderdate")).as("order_year"))
+      .agg(
+        sum(dec4(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))))
+          .cast(DoubleType)
+          .as("revenue"),
+        cnt.as("n_items"))
+  }
+
+  val starJoinOracle: String =
+    """SELECT r_name AS region_name, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, CAST(EXTRACT(year FROM o_orderdate) AS INT)""".stripMargin
+
+  /** q_price_usd — fx conversion via a derived rate dim
+    * (dag_prophet_output.py:22-23 `price/dim_currency_value.value`). The
+    * rate is aggregated-then-divided so the heavy pass stays decimal-exact. */
+  def priceUsd(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_custkey"), col("o_totalprice"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val fx = broadcast(
+      Tables
+        .nation(spark, dir)
+        .select(
+          col("n_nationkey"),
+          col("n_name"),
+          (lit(1.0) + col("n_nationkey").cast(DoubleType) * lit(0.05)).as("fx_rate")))
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(fx, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation_name"), col("fx_rate"))
+      .agg(sumd2(col("o_totalprice")).as("total_local"), cnt.as("n_orders"))
+      .withColumn("total_usd", col("total_local") / col("fx_rate"))
+      .select(col("nation_name"), col("fx_rate"), col("total_local"), col("total_usd"), col("n_orders"))
+  }
+
+  val priceUsdOracle: String =
+    """SELECT nation_name, fx_rate, total_local, total_local / fx_rate AS total_usd, n_orders
+      |FROM (
+      |  SELECT n_name AS nation_name,
+      |    1.0 + CAST(n_nationkey AS DOUBLE) * 0.05 AS fx_rate,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_local,
+      |    COUNT(*) AS n_orders
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name, 1.0 + CAST(n_nationkey AS DOUBLE) * 0.05
+      |)""".stripMargin
+
+  /** q_ml_extract — row-level denormalized extract for forecasting
+    * (dag_prophet_output.py): keys, constructed_date (first of month),
+    * local + usd price, dim attributes. */
+  def mlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_extendedprice"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val n = broadcast(Tables.nation(spark, dir))
+    val p = broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1))
+          .as("constructed_date"),
+        col("p_brand").as("product_name"),
+        col("n_name").as("country"),
+        col("l_extendedprice").as("price"),
+        (col("l_extendedprice") / (lit(1.0) + col("c_nationkey").cast(DoubleType) * lit(0.05)))
+          .as("price_usd"))
+  }
+
+  val mlExtractOracle: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  MAKE_DATE(CAST(EXTRACT(year FROM o_orderdate) AS INT), CAST(EXTRACT(month FROM o_orderdate) AS INT), 1) AS constructed_date,
+      |  p_brand AS product_name,
+      |  n_name AS country,
+      |  l_extendedprice AS price,
+      |  l_extendedprice / (1.0 + CAST(c_nationkey AS DOUBLE) * 0.05) AS price_usd
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN part ON l_partkey = p_partkey""".stripMargin
+}
