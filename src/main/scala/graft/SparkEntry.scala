@@ -24,7 +24,18 @@ object SparkEntry {
     "q_unit_normalize" -> ((s, dir) => Units.unitNormalize(s, dir)),
     "q_price_per_unit" -> ((s, dir) => Units.pricePerUnit(s, dir)),
     "q_impute_mean" -> ((s, dir) => Impute.meanImpute(s, dir)),
-    "q_impute_group_mean" -> ((s, dir) => Impute.groupMeanImpute(s, dir))
+    "q_impute_group_mean" -> ((s, dir) => Impute.groupMeanImpute(s, dir)),
+    "q_seasonal_agg" -> ((s, dir) => Seasonal.seasonalAgg(s, dir)),
+    "q_monthly_trend" -> ((s, dir) => Seasonal.monthlyTrend(s, dir)),
+    "q_moving_avg" -> ((s, dir) => Seasonal.movingAvg(s, dir)),
+    "q_topk_per_group" -> ((s, dir) => TopK.topkPerGroup(s, dir)),
+    "q_forecast_linear" -> ((s, dir) => Forecast.forecastLinear(s, dir)),
+    "q_seasonal_forecast" -> ((s, dir) => Forecast.seasonalForecast(s, dir)),
+    "q_covariate_corr" -> ((s, dir) => Stats.covariateCorr(s, dir)),
+    "q_pivot_monthly" -> ((s, dir) => Reshape.pivotMonthly(s, dir)),
+    "q_unpivot_wide" -> ((s, dir) => Reshape.unpivotWide(s, dir)),
+    "q_sessionize" -> ((s, dir) => Events.sessionize(s, dir)),
+    "q_event_windows" -> ((s, dir) => Events.eventWindows(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -40,6 +51,17 @@ object SparkEntry {
     "q_unit_normalize" -> Units.unitNormalizeOracle,
     "q_price_per_unit" -> Units.pricePerUnitOracle,
     "q_impute_mean" -> Impute.meanImputeOracle,
-    "q_impute_group_mean" -> Impute.groupMeanImputeOracle
+    "q_impute_group_mean" -> Impute.groupMeanImputeOracle,
+    "q_seasonal_agg" -> Seasonal.seasonalAggOracle,
+    "q_monthly_trend" -> Seasonal.monthlyTrendOracle,
+    "q_moving_avg" -> Seasonal.movingAvgOracle,
+    "q_topk_per_group" -> TopK.topkPerGroupOracle,
+    "q_forecast_linear" -> Forecast.forecastLinearOracle,
+    "q_seasonal_forecast" -> Forecast.seasonalForecastOracle,
+    "q_covariate_corr" -> Stats.covariateCorrOracle,
+    "q_pivot_monthly" -> Reshape.pivotMonthlyOracle,
+    "q_unpivot_wide" -> Reshape.unpivotWideOracle,
+    "q_sessionize" -> Events.sessionizeOracle,
+    "q_event_windows" -> Events.eventWindowsOracle
   )
 }

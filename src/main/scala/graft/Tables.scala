@@ -24,7 +24,14 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
+    * to its microsecond TimestampType; read it as a LONG of epoch
+    * nanoseconds instead (set lazily so any session works) and let callers
+    * derive ms/timestamp columns with exact integer arithmetic. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
 }

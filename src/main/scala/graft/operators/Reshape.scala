@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Exact._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Long<->wide reshaping (pivot / unpivot).
+  *
+  * Reference: the HDI dataset is a wide table (one column per year) that
+  * the reference ingests and the dashboard slices (`dbt/models/raw/
+  * hdi.sql`, README dataset 2); conversely its long price table is viewed
+  * as per-month matrices. Pivot values are declared statically (the 12
+  * months) so the plan needs NO driver-side distinct pass — at 100 TB an
+  * undeclared pivot would scan the fact once just to enumerate columns.
+  */
+object Reshape {
+
+  private def monthCols = (1 to 12).map(m => s"m$m")
+
+  /** q_pivot_monthly — brand x month average-price matrix. */
+  def pivotMonthly(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables
+      .lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_shipdate"))
+    val p = broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")))
+    val pivoted = li
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .pivot(month(col("l_shipdate")), 1 to 12)
+      .agg((sum(dec2(col("l_extendedprice"))).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).as("avg"))
+    (1 to 12).foldLeft(pivoted)((df, m) => df.withColumnRenamed(s"$m", s"m$m"))
+  }
+
+  val pivotMonthlyOracle: String = {
+    val cells = (1 to 12)
+      .map(m =>
+        s"""    CAST(SUM(CASE WHEN EXTRACT(month FROM l_shipdate) = $m THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)
+           |      / CAST(COUNT(CASE WHEN EXTRACT(month FROM l_shipdate) = $m THEN 1 END) AS DOUBLE) AS m$m""".stripMargin)
+      .mkString(",\n")
+    s"""SELECT p_brand AS brand,
+       |$cells
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand""".stripMargin
+  }
+
+  /** q_unpivot_wide — melt the monthly matrix back to long form. */
+  def unpivotWide(spark: SparkSession, dir: String): DataFrame = {
+    val wide = pivotMonthly(spark, dir)
+    wide.unpivot(
+      Array(col("brand")),
+      monthCols.map(col).toArray,
+      "month_name",
+      "avg_price")
+      .withColumn("month", regexp_extract(col("month_name"), "^m([0-9]+)$", 1).cast(IntegerType))
+      .filter(col("avg_price").isNotNull)
+      .select(col("brand"), col("month"), col("avg_price"))
+  }
+
+  val unpivotWideOracle: String =
+    """SELECT p_brand AS brand,
+      |  CAST(EXTRACT(month FROM l_shipdate) AS INT) AS month,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1, 2""".stripMargin
+}

