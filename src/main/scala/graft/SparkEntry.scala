@@ -35,7 +35,18 @@ object SparkEntry {
     "q_pivot_monthly" -> ((s, dir) => Reshape.pivotMonthly(s, dir)),
     "q_unpivot_wide" -> ((s, dir) => Reshape.unpivotWide(s, dir)),
     "q_sessionize" -> ((s, dir) => Events.sessionize(s, dir)),
-    "q_event_windows" -> ((s, dir) => Events.eventWindows(s, dir))
+    "q_event_windows" -> ((s, dir) => Events.eventWindows(s, dir)),
+    "q_dedup_exact" -> ((s, dir) => TextAnalysis.dedupExact(s, dir)),
+    "q_text_tokens" -> ((s, dir) => TextAnalysis.textTokens(s, dir)),
+    "q_text_quality" -> ((s, dir) => TextAnalysis.textQuality(s, dir)),
+    "q_lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
+    "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
+    "q_dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
+    "q_dedup_minhash" -> ((s, dir) => Dedup.minhashDedup(s, dir)),
+    "q_dedup_simhash" -> ((s, dir) => Dedup.simhashDedup(s, dir)),
+    "q_knn_brute" -> ((s, dir) => Similarity.knnBrute(s, dir)),
+    "q_knn_lsh" -> ((s, dir) => Similarity.knnLsh(s, dir)),
+    "q_dedup_embedding" -> ((s, dir) => Similarity.embeddingDedup(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -62,6 +73,15 @@ object SparkEntry {
     "q_pivot_monthly" -> Reshape.pivotMonthlyOracle,
     "q_unpivot_wide" -> Reshape.unpivotWideOracle,
     "q_sessionize" -> Events.sessionizeOracle,
-    "q_event_windows" -> Events.eventWindowsOracle
+    "q_event_windows" -> Events.eventWindowsOracle,
+    "q_dedup_exact" -> TextAnalysis.dedupExactOracle,
+    "q_text_tokens" -> TextAnalysis.textTokensOracle,
+    "q_text_quality" -> TextAnalysis.textQualityOracle,
+    "q_lang_id" -> TextAnalysis.langIdOracle,
+    "q_fingerprint" -> TextAnalysis.fingerprintOracle,
+    "q_dedup_ngram" -> Dedup.ngramJaccardOracle
+    // q_dedup_minhash, q_dedup_simhash, q_knn_brute, q_knn_lsh,
+    // q_dedup_embedding: not SQL-expressible (hash signatures / LSH);
+    // driver records rows-only checks, specs carry correctness.
   )
 }

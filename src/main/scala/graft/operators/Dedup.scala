@@ -1,0 +1,223 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Near-duplicate detection for LLM-corpus curation: n-gram Jaccard,
+  * MinHash+LSH banding, and SimHash.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - Candidate generation is NEVER O(n²). The Jaccard verifier joins on
+  *    shared shingles with a hot-shingle cap; MinHash joins on LSH band
+  *    buckets (O(rows x bands)); SimHash joins on 16-bit chunks
+  *    (pigeonhole for hamming <= 3).
+  *  - All per-document signatures are computed in ONE pass with map-side
+  *    combine (min/sum aggregates over exploded shingle/word hashes).
+  *  - Pair outputs are keyed (doc_a < doc_b) and distinct, so downstream
+  *    keep-one-copy policies are a trivial min() per connected component.
+  */
+object Dedup {
+  /** 5-word shingles over whitespace-normalized text; documents shorter
+    * than one shingle are excluded (they cannot near-dup at n=5). */
+  val ShingleN = 5
+  /** Shingles appearing in more docs than this are dropped from candidate
+    * generation (stopword-phrase guard; the cap is part of the operator's
+    * contract and mirrored in the oracle). */
+  val HotShingleCap = 100
+
+  private[operators] def shingles(docs: DataFrame): DataFrame = {
+    val words = docs.select(
+      col("doc_id"),
+      split(regexp_replace(trim(col("text")), "\\s+", " "), " ").as("w"))
+    words
+      .filter(size(col("w")) >= ShingleN)
+      .select(
+        col("doc_id"),
+        explode(expr(
+          s"transform(sequence(1, size(w) - ${ShingleN - 1}), i -> concat_ws(' ', slice(w, i, $ShingleN)))"))
+          .as("shingle"))
+      .distinct()
+  }
+
+  private def dropHot(sh: DataFrame): DataFrame = {
+    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > HotShingleCap)
+      .select(col("shingle"))
+    sh.join(hot, Seq("shingle"), "left_anti")
+  }
+
+  /** q_dedup_ngram — exact n-gram Jaccard similarity for all candidate
+    * pairs sharing at least one (non-hot) shingle; pairs with J >= 0.8. */
+  def ngramJaccard(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val sh = dropHot(shingles(docs))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val pairs = sh
+      .join(
+        sh.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("doc_id") < col("doc_b"))
+      .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_shingles").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_shingles").as("nb")), "doc_b")
+      .withColumn(
+        "jaccard",
+        col("shared").cast(DoubleType) /
+          (col("na") + col("nb") - col("shared")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
+  }
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccard(Tables.documents(spark, dir))
+
+  val ngramJaccardOracle: String =
+    s"""WITH words AS (
+       |  SELECT doc_id, STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' ') AS w
+       |  FROM documents
+       |), sh0 AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id,
+       |      UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - ${ShingleN - 1}),
+       |        i -> ARRAY_TO_STRING(w[i:i+${ShingleN - 1}], ' '))) AS shingle
+       |    FROM words WHERE LEN(w) >= $ShingleN
+       |  )
+       |), sh AS (
+       |  SELECT doc_id, shingle FROM sh0
+       |  WHERE shingle NOT IN (
+       |    SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > $HotShingleCap)
+       |), sizes AS (
+       |  SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+       |), pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b, shared,
+       |  CAST(shared AS DOUBLE) / CAST(x.n_shingles + y.n_shingles - shared AS DOUBLE) AS jaccard
+       |FROM pairs
+       |JOIN sizes x ON doc_a = x.doc_id
+       |JOIN sizes y ON doc_b = y.doc_id
+       |WHERE CAST(shared AS DOUBLE) / CAST(x.n_shingles + y.n_shingles - shared AS DOUBLE) >= 0.8""".stripMargin
+
+  // ---------------------------------------------------------------- MinHash
+
+  val MinHashK = 32
+  val Bands = 8
+  val RowsPerBand: Int = MinHashK / Bands
+  private val Mersenne31 = (1L << 31) - 1
+
+  /** Deterministic universal-hash coefficients (seeded; library constants,
+    * not runtime randomness). Kept under 2^31 so a*h+b stays well inside a
+    * 64-bit long — Spark 4 runs with ANSI arithmetic (overflow errors, not
+    * wraparound), so the hash family must be overflow-free by construction. */
+  private val coeffs: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(MinHashK)((math.abs(rnd.nextLong()) % (Mersenne31 - 1) + 1,
+      math.abs(rnd.nextLong()) % Mersenne31))
+  }
+
+  /** Per-document MinHash signature: sig_j = min over shingles of
+    * ((a_j * (xxhash64(shingle) mod 2^31-1) + b_j) mod 2^31-1). One
+    * aggregation pass, map-side combined. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs)
+      .withColumn("h", pmod(xxhash64(col("shingle")), lit(Mersenne31)))
+    val aggs = coeffs.zipWithIndex.map { case ((a, b), j) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(Mersenne31))).as(s"sig_$j")
+    }
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** q_dedup_minhash — LSH banding: docs sharing any band bucket become
+    * candidates; estimated Jaccard = fraction of equal signature slots. */
+  def minhashDedup(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sigs = minhashSignatures(docs)
+    val bandCols = (0 until Bands).map { b =>
+      val slot = (0 until RowsPerBand).map(r => col(s"sig_${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(slot: _*).as("bucket"))
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val candidates = banded
+      .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+      .distinct()
+    val sigA = sigs.select(col("doc_id").as("doc_a") +:
+      (0 until MinHashK).map(j => col(s"sig_$j").as(s"a_$j")): _*)
+    val sigB = sigs.select(col("doc_id").as("doc_b") +:
+      (0 until MinHashK).map(j => col(s"sig_$j").as(s"b_$j")): _*)
+    val eqSum = (0 until MinHashK)
+      .map(j => when(col(s"a_$j") === col(s"b_$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    candidates
+      .join(sigA, "doc_a")
+      .join(sigB, "doc_b")
+      .withColumn("est_jaccard", eqSum.cast(DoubleType) / lit(MinHashK.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+  }
+
+  def minhashDedup(spark: SparkSession, dir: String): DataFrame =
+    minhashDedup(Tables.documents(spark, dir))
+
+  // ---------------------------------------------------------------- SimHash
+
+  val SimHashBits = 64
+  val HammingMax = 3
+  val Chunks = 4
+
+  /** Per-document 64-bit SimHash: per bit, the sign of the sum of ±1
+    * contributions from each distinct word's hash. Computed as 64 parallel
+    * sum aggregates in one pass (no per-bit explode). */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(col("doc_id"),
+        explode(split(regexp_replace(trim(col("text")), "\\s+", " "), " ")).as("word"))
+      .distinct()
+      .withColumn("h", xxhash64(col("word")))
+    val bitSums = (0 until SimHashBits).map { i =>
+      sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"s_$i")
+    }
+    val packed = (0 until SimHashBits)
+      .map(i => when(col(s"s_$i") > 0, lit(1L)).otherwise(lit(0L)) * lit(1L << i))
+      .reduce(_ + _)
+    words
+      .groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+  }
+
+  /** q_dedup_simhash — near-dup pairs with hamming distance <= 3, found by
+    * joining on 16-bit chunks (any pair within distance 3 shares at least
+    * one of 4 chunks). */
+  def simhashDedup(docs: DataFrame): DataFrame = {
+    val sigs = simhashSignatures(docs)
+    val chunkCols = (0 until Chunks).map { c =>
+      struct(lit(c).as("c"),
+        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("v"))
+    }
+    val chunked = sigs
+      .select(col("doc_id"), col("simhash"), explode(array(chunkCols: _*)).as("ch"))
+      .select(col("doc_id"), col("simhash"), col("ch.c").as("c"), col("ch.v").as("v"))
+    chunked
+      .join(
+        chunked.select(col("doc_id").as("doc_b"), col("simhash").as("simhash_b"),
+          col("c"), col("v")),
+        Seq("c", "v"))
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"),
+        bit_count(col("simhash").bitwiseXOR(col("simhash_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= HammingMax)
+  }
+
+  def simhashDedup(spark: SparkSession, dir: String): DataFrame =
+    simhashDedup(Tables.documents(spark, dir))
+}

