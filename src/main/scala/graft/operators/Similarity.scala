@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -20,18 +21,26 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Cosine similarity of two double-array columns (deterministic fold). */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity via composed higher-order functions — the
+    * reference formulation the native expression is benchmarked against
+    * (kept for specs; production paths use
+    * [[graft.functions.CosineSimilarity]]). */
+  def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
     val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x))
     dot / (na * nb)
   }
 
-  private def emb(spark: SparkSession, dir: String): DataFrame =
+  /** Fused single-pass codegen cosine (see CosineSimilarity.scala). */
+  def cosine(a: Column, b: Column): Column = GraftFunctions.graftCosine(a, b)
+
+  private def emb(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
     Tables
       .embeddings(spark, dir)
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("vec"))
+      .select(col("vec_id"), col("embedding").as("vec"))
+  }
 
   /** q_knn_brute — exact cosine top-k for a query subset (vec_id < 8)
     * against the whole corpus. */

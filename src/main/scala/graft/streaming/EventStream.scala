@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming twins of the batch event operators
+  * (`graft.operators.Events`): watermarked tumbling-window aggregation and
+  * gap-based sessionization with explicit state.
+  *
+  * Reference: the enrichment cadence of `dags/raw/
+  * fetch_coordinates_and_weather.py` / `fetch_currencies.py`, re-expressed
+  * as continuous pipelines instead of scheduled batch pulls.
+  *
+  * Scale notes: state is keyed by (window, type) / user_id, so it shards
+  * across executors with the shuffle; watermarks bound state size (late
+  * events beyond 2h are dropped, sessions time out after the gap), which
+  * is what keeps a 100 TB/day stream's state finite.
+  */
+object EventStream {
+
+  case class Event(user_id: Long, event_id: Long, ts: Timestamp, event_type: String, value: Double)
+
+  case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+  case class Session(
+      user_id: Long,
+      session_start_ms: Long,
+      session_end_ms: Long,
+      n_events: Long,
+      total_value: Double)
+
+  val SessionGapMs: Long = 30L * 60 * 1000
+
+  /** Tumbling 1-hour windows per event type with a 2-hour watermark —
+    * the streaming twin of `Events.eventWindows`. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(
+        unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"),
+        col("n_events"),
+        col("total_value"))
+
+  /** Gap sessionization with explicit per-user state and event-time
+    * timeout — the streaming twin of `Events.sessionize`. Emits a session
+    * when a gap larger than [[SessionGapMs]] is observed or the user goes
+    * quiet past the watermark. */
+  def sessionize(spark: SparkSession, events: Dataset[Event]): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption
+              .map(s => Session(userId, s.start, s.last, s.n, s.total))
+              .iterator
+            state.remove()
+            out
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last > SessionGapMs =>
+                  closed ::= Session(userId, s.start, s.last, s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case Some(s) =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + SessionGapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

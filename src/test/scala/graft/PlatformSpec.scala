@@ -1,0 +1,123 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.operators.Multimodal
+import graft.streaming.EventStream
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.sql.Timestamp
+
+/** Streaming, multimodal, native-expression, and source surfaces. */
+class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
+  val sf = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.local("graft-platform-test")
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("native cosine matches the higher-order-function formulation") {
+    GraftFunctions.ensureRegistered(spark)
+    val df = Tables.embeddings(spark, sf).limit(50)
+      .select(col("vec_id"), col("embedding"))
+    val pairs = df.crossJoin(
+      df.select(col("vec_id").as("vb"), col("embedding").as("eb"))).limit(500)
+    val cmp = pairs.select(
+      GraftFunctions.graftCosine(col("embedding"), col("eb")).as("native"),
+      operators.Similarity.cosineHof(
+        transform(col("embedding"), x => x.cast("double")),
+        transform(col("eb"), x => x.cast("double"))).as("hof"))
+    assert(cmp.filter("abs(native - hof) > 1e-9").count() == 0)
+  }
+
+  test("native cosine of a vector with itself is 1") {
+    GraftFunctions.ensureRegistered(spark)
+    val df = Tables.embeddings(spark, sf)
+      .select(GraftFunctions.graftCosine(col("embedding"), col("embedding")).as("c"))
+    assert(df.filter("abs(c - 1.0) > 1e-6").count() == 0)
+  }
+
+  test("streaming windowed agg matches the batch twin's totals") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventStream.Event]
+    val events = Seq(
+      EventStream.Event(1, 1, Timestamp.valueOf("2024-01-01 10:05:00"), "view", 1.0),
+      EventStream.Event(1, 2, Timestamp.valueOf("2024-01-01 10:45:00"), "view", 2.0),
+      EventStream.Event(2, 3, Timestamp.valueOf("2024-01-01 11:05:00"), "click", 3.0),
+      // late-but-within-watermark event
+      EventStream.Event(2, 4, Timestamp.valueOf("2024-01-01 10:55:00"), "view", 4.0))
+    val q = EventStream.windowedAgg(input.toDF())
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode("complete").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      val rows = spark.table("win_agg").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val h10 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+      val h11 = Timestamp.valueOf("2024-01-01 11:00:00").getTime
+      assert(rows.contains((h10, "view", 3L)))
+      assert(rows.contains((h11, "click", 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming sessionization closes a session after a >30min gap") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionize(spark, input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 09:00:00")
+      val t1 = Timestamp.valueOf("2024-01-01 09:10:00")
+      val t2 = Timestamp.valueOf("2024-01-01 10:00:00") // 50min gap -> new session
+      input.addData(
+        EventStream.Event(7, 1, t0, "view", 1.0),
+        EventStream.Event(7, 2, t1, "view", 2.0),
+        EventStream.Event(7, 3, t2, "view", 4.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions").as[EventStream.Session].collect()
+      assert(sessions.exists(s =>
+        s.user_id == 7 && s.session_start_ms == t0.getTime &&
+          s.session_end_ms == t1.getTime && s.n_events == 2 && s.total_value == 3.0),
+        s"got: ${sessions.mkString(", ")}")
+    } finally q.stop()
+  }
+
+  test("multimodal: features are fixed-dim, frames only from videos, resize is metadata-true") {
+    val media = Multimodal.fromDocuments(Tables.documents(spark, sf))
+    val nDocs = Tables.documents(spark, sf).count()
+    val feats = Multimodal.extractFeatures(spark, media)
+    assert(feats.count() == nDocs)
+    assert(feats.filter(size(col("features")) =!= Multimodal.StubCodec.FeatureDim).count() == 0)
+    val resized = Multimodal.resizeImages(spark, media, 8, 8)
+    assert(resized.filter(col("meta.kind") === "image")
+      .filter(col("meta.width") =!= 8 || length(col("payload")) =!= 64).count() == 0)
+    val frames = Multimodal.sampleFrames(spark, media, every = 2)
+    val videoIds = media.filter(col("meta.kind") === "video")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(frames.collect().forall(f => videoIds.contains(f.media_id)))
+    assert(frames.count() > 0)
+    // payload pruning: metadata-only query must not read the payload column
+    val metaOnly = media.select("media_id", "meta.kind")
+    val scan = metaOnly.queryExecution.executedPlan.toString
+    assert(!scan.contains("payload") || !scan.contains("ReadSchema: struct<media_id:bigint,payload"))
+  }
+
+  test("clean csv: malformed rows quarantined, non-ascii scrubbed") {
+    val dir = java.nio.file.Files.createTempDirectory("graftcsv").toFile
+    val f = new java.io.File(dir, "in.csv")
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    w.println("id,name,price")
+    w.println("1,café au lait,3.50")
+    w.println("2,plain tea,2.00")
+    w.close()
+    val df = sources.CleanCsv.readClean(spark, f.getAbsolutePath)
+    val names = df.select("name").collect().map(_.getString(0)).toSet
+    assert(names.contains("caf au lait"), s"scrub failed: $names")
+    assert(names.contains("plain tea"))
+  }
+}
