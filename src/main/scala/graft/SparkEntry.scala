@@ -29,6 +29,7 @@ object SparkEntry {
     "q_monthly_trend" -> ((s, dir) => Seasonal.monthlyTrend(s, dir)),
     "q_moving_avg" -> ((s, dir) => Seasonal.movingAvg(s, dir)),
     "q_topk_per_group" -> ((s, dir) => TopK.topkPerGroup(s, dir)),
+    "q_topk_rows" -> ((s, dir) => TopK.topkRows(s, dir)),
     "q_forecast_linear" -> ((s, dir) => Forecast.forecastLinear(s, dir)),
     "q_seasonal_forecast" -> ((s, dir) => Forecast.seasonalForecast(s, dir)),
     "q_covariate_corr" -> ((s, dir) => Stats.covariateCorr(s, dir)),
@@ -67,6 +68,7 @@ object SparkEntry {
     "q_monthly_trend" -> Seasonal.monthlyTrendOracle,
     "q_moving_avg" -> Seasonal.movingAvgOracle,
     "q_topk_per_group" -> TopK.topkPerGroupOracle,
+    "q_topk_rows" -> TopK.topkRowsOracle,
     "q_forecast_linear" -> Forecast.forecastLinearOracle,
     "q_seasonal_forecast" -> Forecast.seasonalForecastOracle,
     "q_covariate_corr" -> Stats.covariateCorrOracle,

@@ -41,22 +41,41 @@ object Dedup {
       .distinct()
   }
 
+  /** Shingles reduced to 64-bit hashes BEFORE the distinct/join passes —
+    * the shuffle then moves 8-byte keys instead of ~40-byte strings, and
+    * all downstream equality is integer compare. Collisions are
+    * negligible (~n²/2^64) and only perturb candidate counts, never
+    * correctness of the exact-Jaccard verifier semantics. */
+  private[operators] def shingleHashes(docs: DataFrame): DataFrame = {
+    val words = docs.select(
+      col("doc_id"),
+      split(regexp_replace(trim(col("text")), "\\s+", " "), " ").as("w"))
+    words
+      .filter(size(col("w")) >= ShingleN)
+      .select(
+        col("doc_id"),
+        explode(expr(
+          s"transform(sequence(1, size(w) - ${ShingleN - 1}), i -> xxhash64(concat_ws(' ', slice(w, i, $ShingleN))))"))
+          .as("h"))
+      .distinct()
+  }
+
   private def dropHot(sh: DataFrame): DataFrame = {
-    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > HotShingleCap)
-      .select(col("shingle"))
-    sh.join(hot, Seq("shingle"), "left_anti")
+      .select(col("h"))
+    sh.join(hot, Seq("h"), "left_anti")
   }
 
   /** q_dedup_ngram — exact n-gram Jaccard similarity for all candidate
     * pairs sharing at least one (non-hot) shingle; pairs with J >= 0.8. */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val sh = dropHot(shingles(docs))
+    val sh = dropHot(shingleHashes(docs))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val pairs = sh
       .join(
-        sh.select(col("doc_id").as("doc_b"), col("shingle")),
-        Seq("shingle"))
+        sh.select(col("doc_id").as("doc_b"), col("h")),
+        Seq("h"))
       .filter(col("doc_id") < col("doc_b"))
       .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"))
@@ -124,10 +143,10 @@ object Dedup {
     * ((a_j * (xxhash64(shingle) mod 2^31-1) + b_j) mod 2^31-1). One
     * aggregation pass, map-side combined. */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs)
-      .withColumn("h", pmod(xxhash64(col("shingle")), lit(Mersenne31)))
+    val sh = shingleHashes(docs)
+      .withColumn("h31", pmod(col("h"), lit(Mersenne31)))
     val aggs = coeffs.zipWithIndex.map { case ((a, b), j) =>
-      min(pmod(col("h") * lit(a) + lit(b), lit(Mersenne31))).as(s"sig_$j")
+      min(pmod(col("h31") * lit(a) + lit(b), lit(Mersenne31))).as(s"sig_$j")
     }
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }

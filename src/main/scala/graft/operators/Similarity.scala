@@ -95,16 +95,21 @@ object Similarity {
     * any LSH band bucket with the query; ranked by true cosine. */
   def knnLsh(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val corpus = emb(spark, dir)
-    val corpusBands = banded(corpus, "vec", "vec_id")
+    val corpusBands = banded(corpus, "vec", "vec_id").select("vec_id", "band", "bucket")
     val queryBands = banded(
-      corpus.filter(col("vec_id") < 8).select(col("vec_id"), col("vec").as("qvec"))
-        .withColumnRenamed("vec_id", "vec_id"), "qvec", "query_id")
+      corpus.filter(col("vec_id") < 8).select(col("vec_id"), col("vec").as("qvec")),
+      "qvec", "query_id").select("query_id", "band", "bucket")
+    // candidate pairs deduped as BARE IDS (8-byte keys through the
+    // shuffle); vectors re-attached afterwards from the corpus
     val candidates = corpusBands
       .join(broadcast(queryBands), Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("qvec"), col("vec_id"), col("vec"))
+      .select(col("query_id"), col("vec_id"))
       .distinct()
     candidates
+      .join(broadcast(corpus.select(col("vec_id").as("query_id"), col("vec").as("qvec"))),
+        Seq("query_id"))
+      .join(corpus, Seq("vec_id"))
       .withColumn("cosine", cosine(col("qvec"), col("vec")))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
@@ -117,14 +122,17 @@ object Similarity {
     * has no planted >0.9 pairs — see SURVEY §2B). */
   def embeddingDedup(spark: SparkSession, dir: String, threshold: Double = 0.45): DataFrame = {
     val corpus = emb(spark, dir)
-    val bands = banded(corpus, "vec", "vec_id")
-    bands
-      .join(bands.select(col("vec_id").as("vec_b"), col("vec").as("vecb"),
-        col("band"), col("bucket")), Seq("band", "bucket"))
+    val bands = banded(corpus, "vec", "vec_id").select("vec_id", "band", "bucket")
+    val candidates = bands
+      .join(bands.select(col("vec_id").as("vec_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
       .filter(col("vec_id") < col("vec_b"))
-      .select(col("vec_id").as("vec_a"), col("vec"), col("vec_b"), col("vecb"))
+      .select(col("vec_id").as("vec_a"), col("vec_b"))
       .distinct()
-      .withColumn("cosine", cosine(col("vec"), col("vecb")))
+    candidates
+      .join(corpus.select(col("vec_id").as("vec_a"), col("vec").as("va")), Seq("vec_a"))
+      .join(corpus.select(col("vec_id").as("vec_b"), col("vec").as("vb")), Seq("vec_b"))
+      .withColumn("cosine", cosine(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }

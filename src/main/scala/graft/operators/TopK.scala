@@ -42,6 +42,73 @@ object TopK {
       .select(col("brand"), col("market_name"), col("avg_price"), col("n_obs"), col("rk"))
   }
 
+  // ------------------------------------------------- bounded-heap variant
+
+  case class LiRow(brand: String, l_orderkey: Long, l_linenumber: Int, price: Double)
+
+  /** Typed bounded-top-k aggregator: each map task keeps only k rows per
+    * group, so the shuffle moves O(groups x k) rows instead of the whole
+    * fact — THE scalable form of per-group top-k (a `row_number()` window
+    * over raw fact rows sorts every partition and shuffles everything).
+    * Deterministic ordering: price desc, then (orderkey, linenumber). */
+  class TopKRowsAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[LiRow, List[LiRow], List[LiRow]] {
+    private val ord: Ordering[LiRow] =
+      Ordering.by((r: LiRow) => (-r.price, r.l_orderkey, r.l_linenumber.toLong))
+
+    override def zero: List[LiRow] = Nil
+
+    override def reduce(buf: List[LiRow], row: LiRow): List[LiRow] =
+      (row :: buf).sorted(ord).take(k)
+
+    override def merge(a: List[LiRow], b: List[LiRow]): List[LiRow] =
+      (a ++ b).sorted(ord).take(k)
+
+    override def finish(r: List[LiRow]): List[LiRow] = r.sorted(ord)
+
+    override def bufferEncoder: org.apache.spark.sql.Encoder[List[LiRow]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[LiRow]]()
+
+    override def outputEncoder: org.apache.spark.sql.Encoder[List[LiRow]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[LiRow]]()
+  }
+
+  /** q_topk_rows — 3 highest-priced raw line items per brand via the
+    * bounded aggregator (no window sort over the fact). */
+  def topkRows(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val li = Tables
+      .lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    val p = broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")))
+    val rows = li
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .select(
+        col("p_brand").as("brand"),
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_extendedprice").as("price"))
+      .as[LiRow]
+    rows
+      .groupByKey(_.brand)
+      .agg(new TopKRowsAgg(k).toColumn.name("top"))
+      .flatMap { case (brand, top) =>
+        top.zipWithIndex.map { case (r, i) =>
+          (brand, r.l_orderkey, r.l_linenumber, r.price, i + 1)
+        }
+      }
+      .toDF("brand", "l_orderkey", "l_linenumber", "price", "rk")
+  }
+
+  val topkRowsOracle: String =
+    """SELECT brand, l_orderkey, l_linenumber, price, rk FROM (
+      |  SELECT p_brand AS brand, l_orderkey, l_linenumber,
+      |    l_extendedprice AS price,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+      |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS INT) AS rk
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |) WHERE rk <= 3""".stripMargin
+
   val topkPerGroupOracle: String =
     """SELECT brand, market_name, avg_price, n_obs, rk FROM (
       |  SELECT brand, market_name, avg_price, n_obs,
