@@ -33,6 +33,9 @@ object SparkEntry {
     "q_forecast_linear" -> ((s, dir) => Forecast.forecastLinear(s, dir)),
     "q_seasonal_forecast" -> ((s, dir) => Forecast.seasonalForecast(s, dir)),
     "q_covariate_corr" -> ((s, dir) => Stats.covariateCorr(s, dir)),
+    "q_hdi_volatility" -> ((s, dir) => Stats.hdiVolatility(s, dir)),
+    "q_json_extract" -> ((s, dir) => Events.jsonExtract(s, dir)),
+    "q_dedup_resolve" -> ((s, dir) => Dedup.dedupResolve(s, dir)),
     "q_pivot_monthly" -> ((s, dir) => Reshape.pivotMonthly(s, dir)),
     "q_unpivot_wide" -> ((s, dir) => Reshape.unpivotWide(s, dir)),
     "q_sessionize" -> ((s, dir) => Events.sessionize(s, dir)),
@@ -72,6 +75,9 @@ object SparkEntry {
     "q_forecast_linear" -> Forecast.forecastLinearOracle,
     "q_seasonal_forecast" -> Forecast.seasonalForecastOracle,
     "q_covariate_corr" -> Stats.covariateCorrOracle,
+    "q_hdi_volatility" -> Stats.hdiVolatilityOracle,
+    "q_json_extract" -> Events.jsonExtractOracle,
+    "q_dedup_resolve" -> Dedup.dedupResolveOracle,
     "q_pivot_monthly" -> Reshape.pivotMonthlyOracle,
     "q_unpivot_wide" -> Reshape.unpivotWideOracle,
     "q_sessionize" -> Events.sessionizeOracle,

@@ -239,4 +239,65 @@ object Dedup {
 
   def simhashDedup(spark: SparkSession, dir: String): DataFrame =
     simhashDedup(Tables.documents(spark, dir))
+
+  // ------------------------------------------- keep-one-copy resolution
+
+  /** Connected components over near-dup pairs by iterative min-label
+    * propagation: every document gets the minimum doc_id of its dup
+    * cluster as `canonical_id` (the kept copy).
+    *
+    * Each iteration is one distributed join+aggregate; convergence is
+    * detected by the (monotonically decreasing, exact) sum of labels, so
+    * the loop is deterministic. Near-dup components are tiny in practice,
+    * so this converges in a handful of rounds; a 100 TB deployment with
+    * adversarial chain-shaped components would switch to the
+    * large-star/small-star algorithm (Kiveris et al., "Connected
+    * Components in MapReduce"), which this loop structure accommodates. */
+  def resolveComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .cache()
+    var prevSum = labels.agg(sum(col("label"))).collect()(0).getLong(0)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val msgs = edges
+        .join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label")).unionAll(msgs)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .cache()
+      val nextSum = next.agg(sum(col("label"))).collect()(0).getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      it += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+  }
+
+  /** q_dedup_resolve — canonical assignment for every doc that appears in
+    * an n-gram near-dup pair. */
+  def dedupResolve(spark: SparkSession, dir: String): DataFrame =
+    resolveComponents(ngramJaccard(Tables.documents(spark, dir)))
+
+  val dedupResolveOracle: String = {
+    val pairsSql = ngramJaccardOracle.replace("\n", "\n  ")
+    s"""WITH RECURSIVE pairs AS (
+       |  $pairsSql
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |), reach(src, dst) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |)
+       |SELECT src AS doc_id, MIN(dst) AS canonical_id FROM reach GROUP BY src""".stripMargin
+  }
 }

@@ -96,4 +96,29 @@ object Events {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_value
       |FROM events
       |GROUP BY 1, 2""".stripMargin
+
+  /** q_json_extract — semi-structured property extraction from the event
+    * payload JSON, rolled up per event type. JSON path evaluation is a
+    * codegen'd scalar (no UDF); the single shuffle is the 5-group rollup. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("k")).cast(LongType).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        cnt.as("n"))
+
+  val jsonExtractOracle: String =
+    """SELECT event_type,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k, COUNT(*) AS n
+      |FROM (
+      |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
+      |  FROM events
+      |)
+      |GROUP BY event_type""".stripMargin
 }

@@ -47,6 +47,103 @@ object Stats {
       .select(col("brand"), col("n"), col("corr_disc_qty"))
   }
 
+  /** q_hdi_volatility — the reference's declared-but-unfinished objective
+    * ("Relationship between HDI and price volatility — [NOT DONE YET]",
+    * README.md): per-nation price volatility (sample stddev of monthly
+    * mean prices) correlated with a per-nation development indicator
+    * (mean customer account balance standing in for HDI). Two exact
+    * aggregation levels; the final 25-row correlation is computed from
+    * decimal sums so the scalar output is bit-deterministic. */
+  def hdiVolatility(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_shipdate"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    // Monthly revenue per nation kept DECIMAL end-to-end: never re-quantize
+    // a derived double back to decimal (Spark's double->decimal cast goes
+    // through the shortest string repr; DuckDB rounds the binary value —
+    // they can disagree by 1 ulp of the target scale).
+    val monthly = li
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("c_custkey") === col("o_custkey"))
+      .groupBy(
+        col("c_nationkey").as("nationkey"),
+        year(col("l_shipdate")).as("yy"),
+        month(col("l_shipdate")).as("mm"))
+      .agg(sum(dec2(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("m_rev"))
+    val vol = monthly
+      .groupBy(col("nationkey"))
+      .agg(
+        cnt.as("n_months"),
+        sum(col("m_rev")).cast(DoubleType).as("sp"),
+        sum((col("m_rev") * col("m_rev")).cast(DecimalType(38, 4))).cast(DoubleType).as("spp"))
+      .withColumn(
+        "volatility",
+        sqrt((col("n_months").cast(DoubleType) * col("spp") - col("sp") * col("sp")) /
+          (col("n_months").cast(DoubleType) * (col("n_months").cast(DoubleType) - lit(1.0)))))
+    val hdi = c
+      .groupBy(col("c_nationkey").as("hk"))
+      .agg(meanOf(sumd2(col("c_acctbal")), cnt).as("hdi_proxy"))
+    // Final 25-row correlation: quantize the derived doubles with floor()
+    // (exact on binary doubles, engine-portable) so the corr inputs are
+    // integers and the sums stay order-independent.
+    vol
+      .join(hdi, col("nationkey") === col("hk"))
+      .select(
+        floor(col("volatility")).cast(LongType).as("qv"),
+        floor(col("hdi_proxy")).cast(LongType).as("qh"))
+      .agg(
+        cnt.as("n_nations"),
+        sum(col("qv")).as("sx"),
+        sum(col("qh")).as("sy"),
+        sum(col("qv") * col("qh")).as("sxy"),
+        sum(col("qv") * col("qv")).as("sxx"),
+        sum(col("qh") * col("qh")).as("syy"))
+      .select(
+        col("n_nations"),
+        ((col("n_nations") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+          (sqrt((col("n_nations") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)) *
+            sqrt((col("n_nations") * col("syy") - col("sy") * col("sy")).cast(DoubleType))))
+          .as("corr_hdi_volatility"))
+  }
+
+  val hdiVolatilityOracle: String =
+    """WITH monthly AS (
+      |  SELECT c_nationkey AS nationkey,
+      |    CAST(EXTRACT(year FROM l_shipdate) AS INT) AS yy,
+      |    CAST(EXTRACT(month FROM l_shipdate) AS INT) AS mm,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS m_rev
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  GROUP BY 1, 2, 3
+      |), vol AS (
+      |  SELECT nationkey,
+      |    SQRT((CAST(n_months AS DOUBLE) * spp - sp * sp)
+      |      / (CAST(n_months AS DOUBLE) * (CAST(n_months AS DOUBLE) - 1.0))) AS volatility
+      |  FROM (
+      |    SELECT nationkey, COUNT(*) AS n_months,
+      |      CAST(SUM(m_rev) AS DOUBLE) AS sp,
+      |      CAST(SUM(CAST(m_rev * m_rev AS DECIMAL(38,4))) AS DOUBLE) AS spp
+      |    FROM monthly GROUP BY nationkey
+      |  )
+      |), hdi AS (
+      |  SELECT c_nationkey AS hk,
+      |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS hdi_proxy
+      |  FROM customer GROUP BY c_nationkey
+      |), q AS (
+      |  SELECT CAST(FLOOR(volatility) AS BIGINT) AS qv,
+      |    CAST(FLOOR(hdi_proxy) AS BIGINT) AS qh
+      |  FROM vol JOIN hdi ON nationkey = hk
+      |)
+      |SELECT COUNT(*) AS n_nations,
+      |  CAST(COUNT(*) * CAST(SUM(qv * qh) AS BIGINT) - CAST(SUM(qv) AS BIGINT) * CAST(SUM(qh) AS BIGINT) AS DOUBLE)
+      |  / (SQRT(CAST(COUNT(*) * CAST(SUM(qv * qv) AS BIGINT) - CAST(SUM(qv) AS BIGINT) * CAST(SUM(qv) AS BIGINT) AS DOUBLE))
+      |     * SQRT(CAST(COUNT(*) * CAST(SUM(qh * qh) AS BIGINT) - CAST(SUM(qh) AS BIGINT) * CAST(SUM(qh) AS BIGINT) AS DOUBLE)))
+      |  AS corr_hdi_volatility
+      |FROM q""".stripMargin
+
   val covariateCorrOracle: String =
     """SELECT brand, n,
       |  (CAST(n AS DOUBLE) * sxy - sx * sy)

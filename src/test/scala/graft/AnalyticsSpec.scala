@@ -62,6 +62,19 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.filter("corr_disc_qty < -1.0000001 OR corr_disc_qty > 1.0000001").count() == 0)
   }
 
+  test("hdi-volatility study emits one bounded correlation over all nations") {
+    val rows = operators.Stats.hdiVolatility(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows(0).getAs[Double]("corr_hdi_volatility")
+    assert(r >= -1.0000001 && r <= 1.0000001, s"corr out of range: $r")
+  }
+
+  test("json extraction covers every event exactly once") {
+    val df = operators.Events.jsonExtract(spark, sf)
+    assert(df.agg(sum("n")).collect()(0).getLong(0) == Tables.events(spark, sf).count())
+    assert(df.filter("min_k IS NULL OR max_k < min_k").count() == 0)
+  }
+
   test("pivot then unpivot round-trips the monthly averages") {
     val direct = operators.Seasonal.monthlyTrend(spark, sf)
       .groupBy("brand", "month")

@@ -85,6 +85,16 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits * 10 >= 3 * brute.size / 8 , s"LSH recall too low: $hits of ${brute.size}")
   }
 
+  test("component resolution assigns the min id of each planted dup cluster") {
+    val pairs = operators.Dedup.ngramJaccard(planted, threshold = 0.3)
+      .select("doc_a", "doc_b")
+    val resolved = operators.Dedup.resolveComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 1,2,3 form one cluster (1-2 exact, 1-3 near) -> canonical 1
+    assert(resolved(1L) == 1L && resolved(2L) == 1L && resolved(3L) == 1L)
+    assert(!resolved.contains(4L), "doc 4 has no dup pair and no component")
+  }
+
   test("exact dedup keeps the minimum doc id per content hash") {
     val dups = operators.TextAnalysis.dedupExact(spark, sf)
     assert(dups.agg(sum("n_copies")).collect()(0).getLong(0) ==
