@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators._
+import graft.sources.Sinks
+import org.apache.spark.sql.SparkSession
+
+/** End-to-end pipeline main — the engine-side equivalent of the
+  * reference's `make run-full-pipeline` (Airflow DAG chain raw -> staging
+  * -> analytics -> ML extract, `/root/reference/Makefile`): builds the
+  * dimension tables, the fact rollups, the analytics outputs, and the
+  * denormalized forecasting extract in one Spark application, persisting
+  * each layer as partitioned parquet.
+  *
+  * Orchestration (scheduling, retries) stays external by design — any
+  * scheduler that can run a JVM main reproduces the reference's Airflow
+  * setup; the engine itself is scheduler-agnostic.
+  *
+  * Usage: runMain graft.Pipeline <sfDir> <outDir>
+  */
+object Pipeline {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args.take(2)
+    val spark = GraftSession.builder("graft-pipeline")
+      .master(s"local[${GraftSession.cpus}]")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+
+    def stage(name: String)(df: org.apache.spark.sql.DataFrame,
+        partitionCols: Seq[String] = Nil): Unit = {
+      val s0 = System.nanoTime()
+      Sinks.writeParquet(df, s"$outDir/$name", partitionCols)
+      println(f"[pipeline] $name%-22s ${(System.nanoTime() - s0) / 1e9}%7.2fs")
+    }
+
+    // staging/analytics dims (dbt staging + analytics layers)
+    stage("dim_locality")(StarSchema.dimBuild(spark, sfDir))
+    stage("dim_country")(StarSchema.dedupMerge(spark, sfDir))
+    stage("dim_date")(StarSchema.dateDim(spark, sfDir))
+    stage("dim_unit")(Units.unitNormalize(spark, sfDir))
+    // facts + analytics
+    stage("fact_rollup")(StarSchema.starJoin(spark, sfDir))
+    stage("fact_price_per_unit")(Units.pricePerUnit(spark, sfDir))
+    stage("seasonal")(Seasonal.seasonalAgg(spark, sfDir))
+    stage("monthly_trend")(Seasonal.monthlyTrend(spark, sfDir), Seq("year"))
+    stage("best_markets")(TopK.topkPerGroup(spark, sfDir))
+    stage("forecasts")(Forecast.seasonalForecast(spark, sfDir))
+    // the prophet-input extract (dag_prophet_output.py)
+    stage("ml_data")(StarSchema.mlExtract(spark, sfDir), Seq("country"))
+
+    println(f"[pipeline] TOTAL ${(System.nanoTime() - t0) / 1e9}%.2fs -> $outDir")
+    spark.stop()
+  }
+}

@@ -48,6 +48,16 @@ object EventStream {
         col("n_events"),
         col("total_value"))
 
+  /** Streaming exact-dedup: drop events already seen within the watermark
+    * horizon (keyed on event_id) — the streaming twin of
+    * `TextAnalysis.dedupExact` for at-least-once sources. State is bounded
+    * by the watermark: ids older than 2h are expired, which is what keeps
+    * dedup state finite on an unbounded stream. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Gap sessionization with explicit per-user state and event-time
     * timeout — the streaming twin of `Events.sessionize`. Emits a session
     * when a gap larger than [[SessionGapMs]] is observed or the user goes

@@ -87,6 +87,23 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered events within the watermark") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      val e1 = EventStream.Event(1, 100, Timestamp.valueOf("2024-01-01 10:00:00"), "view", 1.0)
+      input.addData(e1, e1.copy(value = 9.9)) // same event_id re-delivered
+      q.processAllAvailable()
+      input.addData(e1.copy(event_id = 101, ts = Timestamp.valueOf("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      assert(spark.table("deduped").count() == 2)
+    } finally q.stop()
+  }
+
   test("multimodal: features are fixed-dim, frames only from videos, resize is metadata-true") {
     val media = Multimodal.fromDocuments(Tables.documents(spark, sf))
     val nDocs = Tables.documents(spark, sf).count()
