@@ -36,6 +36,7 @@ object SparkEntry {
     "q_hdi_volatility" -> ((s, dir) => Stats.hdiVolatility(s, dir)),
     "q_json_extract" -> ((s, dir) => Events.jsonExtract(s, dir)),
     "q_dedup_resolve" -> ((s, dir) => Dedup.dedupResolve(s, dir)),
+    "q_asof_rates" -> ((s, dir) => AsOf.asofRates(s, dir)),
     "q_pivot_monthly" -> ((s, dir) => Reshape.pivotMonthly(s, dir)),
     "q_unpivot_wide" -> ((s, dir) => Reshape.unpivotWide(s, dir)),
     "q_sessionize" -> ((s, dir) => Events.sessionize(s, dir)),
@@ -45,6 +46,7 @@ object SparkEntry {
     "q_text_quality" -> ((s, dir) => TextAnalysis.textQuality(s, dir)),
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
+    "q_winnow_fingerprint" -> ((s, dir) => TextAnalysis.winnowFingerprint(s, dir)),
     "q_dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashDedup(s, dir)),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhashDedup(s, dir)),
@@ -78,6 +80,7 @@ object SparkEntry {
     "q_hdi_volatility" -> Stats.hdiVolatilityOracle,
     "q_json_extract" -> Events.jsonExtractOracle,
     "q_dedup_resolve" -> Dedup.dedupResolveOracle,
+    "q_asof_rates" -> AsOf.asofRatesOracle,
     "q_pivot_monthly" -> Reshape.pivotMonthlyOracle,
     "q_unpivot_wide" -> Reshape.unpivotWideOracle,
     "q_sessionize" -> Events.sessionizeOracle,

@@ -14,8 +14,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the added LLM-pipeline corpus.
   */
 object Tables {
+  /** Lazy-plan memoization per (session, dir, table): repeated loads of
+    * the same table skip re-listing files and re-reading parquet footers
+    * (a fixed ~50-100ms tax per query in a many-query session). Entries
+    * are plans, not data — nothing is cached executor-side. */
+  private val plans =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    plans.getOrElseUpdate(
+      (System.identityHashCode(spark), dir, name),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "nation")

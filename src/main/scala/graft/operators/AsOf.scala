@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Exact._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** As-of (most-recent-prior) join — an operator Spark has no native form
+  * of. Semantics: attach to every fact row the latest reference-series
+  * value whose effective time is <= the fact's time, per key.
+  *
+  * Reference analogue: `dbt/models/analytics/fact_transaction.sql` joins
+  * transactions to monthly fx rates on exact (year, month); the as-of
+  * form is what that becomes when rates update irregularly (the
+  * reference's currency API delivers sparse updates).
+  *
+  * Implementation is the scalable union+window pattern, NOT a range join:
+  * tag rate rows and fact rows, union them, and run ONE window pass per
+  * key ordered by (time, rate-first) carrying `last(rate ignoring nulls)`
+  * forward. Cost is a single hash shuffle on the key plus a per-key sort —
+  * no quadratic candidate pairs, no broadcast of the fact side, and skew
+  * is bounded by per-key series length. A naive `fact JOIN rates ON key
+  * AND r.t <= f.t` + max-by explodes O(facts x rates/key) and is exactly
+  * what this operator avoids at 100 TB.
+  */
+object AsOf {
+
+  /** Generic as-of: left rows get `valueCol`'s latest value from `right`
+    * with right.timeCol <= left.timeCol, matched on `keyCol`. */
+  def asofJoin(
+      facts: DataFrame,
+      rates: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valueCol: String): DataFrame = {
+    val f = facts.withColumn("_is_rate", lit(0)).withColumn(valueCol, lit(null).cast(DoubleType))
+    val r = rates
+      .select(col(keyCol), col(timeCol), col(valueCol))
+      .withColumn("_is_rate", lit(1))
+    val unioned = f.select(
+      (f.columns.filterNot(c => c == "_is_rate" || c == valueCol).map(col) :+
+        col("_is_rate") :+ col(valueCol)): _*)
+      .unionByName(r, allowMissingColumns = true)
+    // rate rows sort BEFORE fact rows at the same timestamp (desc on the
+    // tag), so a same-instant update is visible to same-instant facts
+    val w = Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(timeCol), col("_is_rate").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("_asof", last(col(valueCol), ignoreNulls = true).over(w))
+      .filter(col("_is_rate") === 0)
+      .drop("_is_rate", valueCol)
+      .withColumnRenamed("_asof", valueCol)
+  }
+
+  /** q_asof_rates — line items priced with the latest quarterly reference
+    * rate (per brand) published on-or-before their ship month. */
+  def asofRates(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables
+      .lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_shipdate"))
+    val p = broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")))
+    val facts = li
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .select(
+        col("p_brand").as("brand"),
+        ((year(col("l_shipdate")) - 1995) * 12 + month(col("l_shipdate")) - 1)
+          .cast(LongType).as("t"),
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_extendedprice").as("price"))
+    // quarterly reference series: mean price per brand in months 1/4/7/10
+    val rates = facts
+      .filter(pmod(col("t"), lit(3)) === 0)
+      .groupBy(col("brand"), col("t"))
+      .agg(meanOf(sum(dec2(col("price"))).cast(DoubleType), cnt).as("rate"))
+    asofJoin(facts, rates, "brand", "t", "rate")
+      .filter(col("rate").isNotNull)
+      .select(col("l_orderkey"), col("l_linenumber"), col("brand"), col("t"),
+        col("price"), col("rate"),
+        (col("price") / col("rate")).as("price_rel"))
+  }
+
+  val asofRatesOracle: String =
+    """WITH facts AS (
+      |  SELECT p_brand AS brand,
+      |    (CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) - 1995) * 12
+      |      + CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) - 1 AS t,
+      |    l_orderkey, l_linenumber, l_extendedprice AS price
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |), rates AS (
+      |  SELECT brand, t,
+      |    CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS rate
+      |  FROM facts WHERE t % 3 = 0 GROUP BY brand, t
+      |)
+      |SELECT f.l_orderkey, f.l_linenumber, f.brand, f.t, f.price, r.rate,
+      |  f.price / r.rate AS price_rel
+      |FROM facts f ASOF JOIN rates r
+      |  ON f.brand = r.brand AND f.t >= r.t""".stripMargin
+}

