@@ -52,6 +52,7 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhashDedup(s, dir)),
     "q_knn_brute" -> ((s, dir) => Similarity.knnBrute(s, dir)),
     "q_knn_lsh" -> ((s, dir) => Similarity.knnLsh(s, dir)),
+    "q_knn_ivf" -> ((s, dir) => Similarity.knnIvf(s, dir)),
     "q_dedup_embedding" -> ((s, dir) => Similarity.embeddingDedup(s, dir))
   )
 

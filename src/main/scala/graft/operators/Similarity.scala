@@ -117,6 +117,81 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rk"))
   }
 
+  // ------------------------------------------------------------------ IVF
+
+  val IvfNList = 16
+  val IvfNProbe = 4
+  val IvfIters = 3
+
+  /** Squared L2 distance between a vector column and a literal centroid. */
+  private def l2sq(v: Column, centroid: Array[Double]): Column =
+    aggregate(
+      zip_with(v, array(centroid.map(lit(_)): _*), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Train an IVF coarse quantizer with Lloyd iterations. Centroids are
+    * MODEL STATE (NList x dim doubles) — collecting them to the driver
+    * each round is legitimate and O(KB); the assignment and update passes
+    * stay fully distributed. Init is deterministic (first NList vectors by
+    * id), updates are means, ties in assignment break to the lowest
+    * centroid index. */
+  def ivfFit(corpus: DataFrame, nList: Int = IvfNList, iters: Int = IvfIters): Array[Array[Double]] = {
+    var centroids: Array[Array[Double]] = corpus
+      .orderBy(col("vec_id")).limit(nList)
+      .select(col("vec")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    for (_ <- 0 until iters) {
+      val dists = array(centroids.map(c => l2sq(col("vec"), c)): _*)
+      val assigned = corpus.withColumn(
+        "cid", array_position(dists, array_min(dists)).cast(IntegerType) - 1)
+      val dims = assigned
+        .select(col("cid"), posexplode(col("vec")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+      val next = Array.fill(centroids.length)(new Array[Double](centroids(0).length))
+      val seen = Array.fill(centroids.length)(false)
+      dims.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2); seen(r.getInt(0)) = true
+      }
+      centroids = centroids.indices.map(i => if (seen(i)) next(i) else centroids(i)).toArray
+    }
+    centroids
+  }
+
+  /** q_knn_ivf — IVF search: corpus sharded into NList inverted lists by
+    * the trained quantizer; each query probes its NProbe nearest lists and
+    * ranks only those candidates by true cosine. At corpus scale the
+    * inverted lists are the partitioning (write-time `partitionBy(cid)`),
+    * so a probe touches NProbe/NList of the data. */
+  def knnIvf(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val corpus = emb(spark, dir)
+    val centroids = ivfFit(corpus)
+    val dists = array(centroids.map(c => l2sq(col("vec"), c)): _*)
+    val listed = corpus.withColumn(
+      "cid", array_position(dists, array_min(dists)).cast(IntegerType) - 1)
+    val probeIdx = {
+      // indices of the NProbe smallest distances: sort (dist, idx) structs
+      val pairs = array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(l2sq(col("qvec"), c).as("d"), lit(i).as("i"))
+      }: _*)
+      transform(slice(array_sort(pairs), 1, IvfNProbe), p => p.getField("i"))
+    }
+    val queries = corpus
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+      .withColumn("probe_cid", explode(probeIdx))
+    val candidates = listed
+      .join(broadcast(queries), col("cid") === col("probe_cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+    candidates
+      .withColumn("cosine", cosine(col("qvec"), col("vec")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rk"))
+  }
+
   /** q_dedup_embedding — embedding-cosine near-dup pairs via LSH-banded
     * candidate generation (threshold tuned to the harness corpus, which
     * has no planted >0.9 pairs — see SURVEY §2B). */

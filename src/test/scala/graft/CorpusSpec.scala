@@ -95,6 +95,18 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!resolved.contains(4L), "doc 4 has no dup pair and no component")
   }
 
+  test("ivf knn: probes find high-recall neighbors with valid ranks") {
+    val brute = operators.Similarity.knnBrute(spark, sf, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = operators.Similarity.knnIvf(spark, sf, k = 10)
+    val got = ivf.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.distinct.length, "duplicate neighbors emitted")
+    val hits = got.count(brute.contains)
+    assert(hits * 4 >= brute.size, s"IVF recall too low: $hits of ${brute.size}")
+  }
+
   test("exact dedup keeps the minimum doc id per content hash") {
     val dups = operators.TextAnalysis.dedupExact(spark, sf)
     assert(dups.agg(sum("n_copies")).collect()(0).getLong(0) ==
