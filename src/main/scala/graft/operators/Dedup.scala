@@ -199,8 +199,8 @@ object Dedup {
     val words = docs
       .select(col("doc_id"),
         explode(split(regexp_replace(trim(col("text")), "\\s+", " "), " ")).as("word"))
+      .select(col("doc_id"), xxhash64(col("word")).as("h"))
       .distinct()
-      .withColumn("h", xxhash64(col("word")))
     val bitSums = (0 until SimHashBits).map { i =>
       sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"s_$i")
     }
@@ -254,12 +254,16 @@ object Dedup {
     * large-star/small-star algorithm (Kiveris et al., "Connected
     * Components in MapReduce"), which this loop structure accommodates. */
   def resolveComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs
+    // Materialize the (possibly expensive) pair derivation ONCE and
+    // truncate its lineage — the loop below must not re-derive candidate
+    // pairs every iteration, and iterative plans must not grow unboundedly.
+    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val edges = p
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .unionAll(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .cache()
+      .localCheckpoint()
     var prevSum = labels.agg(sum(col("label"))).collect()(0).getLong(0)
     var converged = false
     var it = 0
@@ -269,9 +273,8 @@ object Dedup {
         .select(col("dst").as("id"), col("label"))
       val next = labels.select(col("id"), col("label")).unionAll(msgs)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .cache()
+        .localCheckpoint()
       val nextSum = next.agg(sum(col("label"))).collect()(0).getLong(0)
-      labels.unpersist()
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum
