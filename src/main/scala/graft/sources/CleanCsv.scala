@@ -43,6 +43,29 @@ object CleanCsv {
     df
   }
 
+  /** Normalize a raw column name (`scripts/columns_parser.py:
+    * clean_column_name`): lowercase, spaces to underscores, strip
+    * non-alphanumerics, prefix names that start with a digit. */
+  def cleanColumnName(name: String): String = {
+    val base = name.trim.toLowerCase.replace(" ", "_")
+      .filter(ch => ch.isLetterOrDigit || ch == '_')
+    if (base.nonEmpty && base.head.isDigit) s"col_$base" else base
+  }
+
+  /** Apply [[cleanColumnName]] to every column of a frame. */
+  def cleanColumnNames(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(cleanColumnName): _*)
+
+  /** Generate a CREATE TABLE statement from a frame's schema
+    * (columns_parser.py:generate_sql_schema, but type-aware instead of
+    * all-TEXT). */
+  def sqlSchema(df: DataFrame, tableName: String): String = {
+    val cols = df.schema.fields
+      .map(f => s"    ${cleanColumnName(f.name)} ${f.dataType.sql}")
+      .mkString(",\n")
+    s"CREATE TABLE $tableName (\n$cols\n);"
+  }
+
   /** Read + scrub every string column to ASCII (the full csv_utils.py
     * behavior as one lazy plan). */
   def readClean(

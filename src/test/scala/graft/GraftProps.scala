@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.{forAll, propBoolean}
+
+/** Property-based checks (ScalaCheck, run natively by sbt): the engine's
+  * determinism and operator contracts hold on arbitrary inputs, not just
+  * the harness tables.
+  */
+object GraftProps extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8).withWorkers(1)
+
+  lazy val spark: SparkSession = GraftSession.local("graft-props")
+  import scala.jdk.CollectionConverters._
+
+  private val rowsGen: Gen[List[(String, Long, Double)]] =
+    Gen.listOfN(
+      60,
+      for {
+        key <- Gen.oneOf("a", "b", "c")
+        t <- Gen.chooseNum(0L, 20L)
+        v <- Gen.chooseNum(-1000, 1000).map(_ / 100.0)
+      } yield (key, t, v))
+
+  property("decimal sums are invariant under repartitioning") =
+    forAll(rowsGen) { rows =>
+      val df = spark.createDataFrame(rows).toDF("k", "t", "v")
+      def total(parts: Int): java.math.BigDecimal =
+        df.repartition(parts)
+          .agg(sum(col("v").cast("decimal(18,2)")).cast("decimal(28,2)"))
+          .collect()(0).getDecimal(0)
+      rows.isEmpty || {
+        val a = total(1); val b = total(7); val c = total(32)
+        a == b && b == c
+      }
+    }
+
+  property("asofJoin matches the naive quadratic definition") =
+    forAll(rowsGen, rowsGen) { (factRows, rateRows) =>
+      (factRows.nonEmpty && rateRows.nonEmpty) ==> {
+        val facts = spark.createDataFrame(
+          factRows.zipWithIndex.map { case ((k, t, _), i) => (k, t, i.toLong) })
+          .toDF("key", "t", "fid")
+        // one rate per (key, t): keep max v deterministically
+        val rates = spark.createDataFrame(rateRows).toDF("key", "t", "rate")
+          .groupBy("key", "t").agg(max("rate").as("rate"))
+        val got = operators.AsOf.asofJoin(facts, rates, "key", "t", "rate")
+          .collect().map(r => r.getAs[Long]("fid") -> Option(r.getAs[Any]("rate"))).toMap
+        val rateMap = rates.collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        val expected = factRows.zipWithIndex.map { case ((k, t, _), i) =>
+          val prior = rateMap.filter(r => r._1 == k && r._2 <= t)
+          i.toLong -> (if (prior.isEmpty) None
+                       else Some(prior.maxBy(_._2)._3))
+        }.toMap
+        got == expected.map { case (k, v) => k -> v.map(x => x: Any) }
+      }
+    }
+
+  property("saltedCountDistinct equals exact countDistinct") =
+    forAll(rowsGen) { rows =>
+      rows.isEmpty || {
+        val df = spark.createDataFrame(rows).toDF("k", "t", "v")
+        val exact = df.groupBy("k").agg(countDistinct("t").as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val salted = operators.Skew.saltedCountDistinct(df, "k", "t", buckets = 4)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        exact == salted
+      }
+    }
+
+  property("ngram jaccard is bounded and keyed doc_a < doc_b") =
+    forAll(Gen.listOfN(6, Gen.listOfN(12, Gen.oneOf("x", "y", "z", "w", "v")))) { docs =>
+      val df = spark.createDataFrame(
+        docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) })
+        .toDF("doc_id", "text")
+      val pairs = operators.Dedup.ngramJaccard(df, threshold = 0.0).collect()
+      pairs.forall { r =>
+        val (a, b, j) = (r.getLong(0), r.getLong(1), r.getDouble(3))
+        a < b && j >= 0.0 && j <= 1.0
+      }
+    }
+}

@@ -124,6 +124,16 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!scan.contains("payload") || !scan.contains("ReadSchema: struct<media_id:bigint,payload"))
   }
 
+  test("column cleaning and schema generation mirror the reference parser") {
+    assert(sources.CleanCsv.cleanColumnName(" Unit Price ($) ") == "unit_price_")
+    assert(sources.CleanCsv.cleanColumnName("2024 total") == "col_2024_total")
+    val df = Tables.nation(spark, sf).withColumnRenamed("n_name", "Nation Name")
+    val cleaned = sources.CleanCsv.cleanColumnNames(df)
+    assert(cleaned.columns.contains("nation_name"))
+    val ddl = sources.CleanCsv.sqlSchema(cleaned, "nation")
+    assert(ddl.startsWith("CREATE TABLE nation (") && ddl.contains("nation_name STRING"))
+  }
+
   test("clean csv: malformed rows quarantined, non-ascii scrubbed") {
     val dir = java.nio.file.Files.createTempDirectory("graftcsv").toFile
     val f = new java.io.File(dir, "in.csv")
