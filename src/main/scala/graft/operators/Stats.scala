@@ -77,7 +77,11 @@ object Stats {
       .agg(
         cnt.as("n_months"),
         sum(col("m_rev")).cast(DoubleType).as("sp"),
-        sum((col("m_rev") * col("m_rev")).cast(DecimalType(38, 4))).cast(DoubleType).as("spp"))
+        // operands widened to DECIMAL(19,2): DuckDB multiplies width<=18
+        // decimals in int64 (raw overflow at ~3e9 * 3e9); width 19 forces
+        // int128 in both engines and the (38,4) product stays exact
+        sum((col("m_rev").cast(DecimalType(19, 2)) * col("m_rev").cast(DecimalType(19, 2)))
+          .cast(DecimalType(38, 4))).cast(DoubleType).as("spp"))
       .withColumn(
         "volatility",
         sqrt((col("n_months").cast(DoubleType) * col("spp") - col("sp") * col("sp")) /
@@ -125,7 +129,7 @@ object Stats {
       |  FROM (
       |    SELECT nationkey, COUNT(*) AS n_months,
       |      CAST(SUM(m_rev) AS DOUBLE) AS sp,
-      |      CAST(SUM(CAST(m_rev * m_rev AS DECIMAL(38,4))) AS DOUBLE) AS spp
+      |      CAST(SUM(CAST(CAST(m_rev AS DECIMAL(19,2)) * CAST(m_rev AS DECIMAL(19,2)) AS DECIMAL(38,4))) AS DOUBLE) AS spp
       |    FROM monthly GROUP BY nationkey
       |  )
       |), hdi AS (
