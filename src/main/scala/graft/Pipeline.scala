@@ -24,6 +24,11 @@ object Pipeline {
       .master(s"local[${GraftSession.cpus}]")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, sfDir, outDir)
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val t0 = System.nanoTime()
 
     def stage(name: String)(df: org.apache.spark.sql.DataFrame,
@@ -49,6 +54,5 @@ object Pipeline {
     stage("ml_data")(StarSchema.mlExtract(spark, sfDir), Seq("country"))
 
     println(f"[pipeline] TOTAL ${(System.nanoTime() - t0) / 1e9}%.2fs -> $outDir")
-    spark.stop()
   }
 }

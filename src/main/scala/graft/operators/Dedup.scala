@@ -189,6 +189,12 @@ object Dedup {
   // ---------------------------------------------------------------- SimHash
 
   val SimHashBits = 64
+  /** Pair threshold. NOTE: on low-entropy corpora (small shared
+    * vocabulary — e.g. the synthetic harness docs) 64-bit SimHash
+    * signatures cluster tightly and distance <= 3 admits many
+    * non-duplicate pairs; production corpora with natural prose separate
+    * far better, and tightening to <= 2 (or weighting words by IDF in
+    * the bit sums) restores precision when they don't. */
   val HammingMax = 3
   val Chunks = 4
 

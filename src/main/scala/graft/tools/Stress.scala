@@ -1,0 +1,39 @@
+package graft.tools
+
+import graft.{GraftSession, Tables}
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc 10x scale stress: replicates the sf0.1 corpus (shifted ids, so
+  * each doc gains a 10-clique of exact dups — an adversarial dedup load)
+  * and times the heavy operators. Not part of the driver contract; used
+  * to validate that candidate generation stays bounded.
+  *
+  * Run: SPARK_GRAFT_CPUS=32 sbt 'runMain graft.tools.Stress'
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    val spark = GraftSession.local("graft-stress")
+    val docs0 = Tables.documents(spark, dir)
+    val n = docs0.count()
+    val docs10 = (0 until 10)
+      .map(i => docs0.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionAll _)
+      .localCheckpoint()
+    println(s"[stress] corpus: ${docs10.count()} docs (${n} x 10, 10-cliques of exact dups)")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"[stress] $name%-18s ${(System.nanoTime() - t0) / 1e9}%7.2fs  $rows%9d rows")
+    }
+    time("ngram_jaccard") { Dedup.ngramJaccard(docs10).count() }
+    time("minhash") { Dedup.minhashDedup(docs10).count() }
+    time("simhash") { Dedup.simhashDedup(docs10).count() }
+    time("resolve") {
+      Dedup.resolveComponents(Dedup.ngramJaccard(docs10).select("doc_a", "doc_b")).count()
+    }
+    spark.stop()
+  }
+}
