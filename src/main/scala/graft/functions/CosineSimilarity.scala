@@ -21,11 +21,25 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * are implicitly cast, so `array<float>` and `array<double>` both work.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression
-    with ImplicitCastInputTypes {
+    extends BinaryExpression {
 
-  override def inputTypes: Seq[DataType] =
-    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  // Accepts float OR double arrays natively (no coercion pass): the
+  // fusion rule substitutes this expression AFTER analysis, where
+  // implicit casts would no longer run, and reading either element type
+  // directly avoids a whole-array cast in front of the kernel.
+  private def elemOf(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (elemOf(left).isDefined && elemOf(right).isDefined)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float> or array<double> arguments, " +
+          s"got ${left.dataType.sql} and ${right.dataType.sql}")
 
   override def dataType: DataType = DoubleType
 
@@ -34,14 +48,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val xd = elemOf(left).contains(DoubleType)
+    val yd = elemOf(right).contains(DoubleType)
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0
     var nx = 0.0
     var ny = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
+      val yi = if (yd) y.getDouble(i) else y.getFloat(i).toDouble
       dot += xi * yi
       nx += xi * xi
       ny += yi * yi
@@ -59,12 +75,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      def getter(side: Expression, arr: String) =
+        if (elemOf(side).contains(DoubleType)) s"$arr.getDouble($i)"
+        else s"(double) $arr.getFloat($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $a.getFloat($i);
-         |  double $yi = (double) $b.getFloat($i);
+         |  double $xi = ${getter(left, a)};
+         |  double $yi = ${getter(right, b)};
          |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
@@ -80,14 +99,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object GraftFunctions {
   val CosineName = "graft_cosine"
 
-  /** Idempotently register graft functions on any session (works whether
-    * or not the session was built with [[GraftExtensions]]). */
+  /** Idempotently register graft functions AND the cosine-fusion
+    * optimizer rule on any session (works whether or not the session was
+    * built with [[GraftExtensions]] — `experimental.extraOptimizations`
+    * is the post-creation injection point). */
   def ensureRegistered(spark: SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       CosineName,
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1)),
       "built-in")
+    val rules = classic.experimental.extraOptimizations
+    if (!rules.contains(graft.plans.CosineFusionRule))
+      classic.experimental.extraOptimizations = rules :+ graft.plans.CosineFusionRule
   }
 
   /** Cosine similarity column over two float-array columns. The session
@@ -97,12 +121,15 @@ object GraftFunctions {
 }
 
 /** `SparkSessionExtensions` hook: enables
-  * `spark.sql.extensions=graft.functions.GraftExtensions` deployments. */
+  * `spark.sql.extensions=graft.functions.GraftExtensions` deployments.
+  * Injects the function AND the cosine-fusion optimizer rule. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (
         FunctionIdentifier(GraftFunctions.CosineName),
         new ExpressionInfo(classOf[CosineSimilarity].getName, GraftFunctions.CosineName),
         (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+    ext.injectOptimizerRule(_ => graft.plans.CosineFusionRule)
+  }
 }

@@ -1,0 +1,61 @@
+package graft.plans
+
+import graft.functions.CosineSimilarity
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Optimizer rule: recognize the composed higher-order-function cosine
+  * pattern
+  *
+  * {{{ aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, +)
+  *       / (sqrt(aggregate(transform(a, x -> x*x), 0.0, +))
+  *          * sqrt(aggregate(transform(b, x -> x*x), 0.0, +))) }}}
+  *
+  * and fuse it into the single-pass codegen'd [[CosineSimilarity]]
+  * kernel. Users (or generated SQL) writing the natural four-pass
+  * formulation automatically get the fused loop — the same contract
+  * Catalyst applies to its own built-ins, extended through
+  * `SparkSessionExtensions.injectOptimizerRule` (see
+  * [[graft.functions.GraftExtensions]]).
+  *
+  * Matching is intentionally conservative: only the exact shape above
+  * (dot-product zip_with numerator, per-side self-product norms over the
+  * SAME child expressions) rewrites; anything else is left untouched.
+  */
+object CosineFusionRule extends Rule[LogicalPlan] {
+
+  /** aggregate(zip_with(x, y, mul), 0.0, +) — returns (x, y). */
+  private object DotAgg {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case ArrayAggregate(
+            ZipWith(x, y, LambdaFunction(Multiply(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _)),
+            Literal(0.0, _) | Cast(Literal(0.0, _), _, _, _),
+            LambdaFunction(Add(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _),
+            _) =>
+        Some((x, y))
+      case _ => None
+    }
+  }
+
+  /** sqrt(aggregate(transform(x, v -> v*v), 0.0, +)) — returns x. */
+  private object NormSqrt {
+    def unapply(e: Expression): Option[Expression] = e match {
+      case Sqrt(ArrayAggregate(
+            ArrayTransform(x, LambdaFunction(Multiply(v1: NamedLambdaVariable, v2: NamedLambdaVariable, _), _, _)),
+            Literal(0.0, _) | Cast(Literal(0.0, _), _, _, _),
+            LambdaFunction(Add(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _),
+            _)) if v1.exprId == v2.exprId =>
+        Some(x)
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case Divide(DotAgg(a, b), Multiply(NormSqrt(na), NormSqrt(nb), _), _)
+          if (a.semanticEquals(na) && b.semanticEquals(nb)) ||
+            (a.semanticEquals(nb) && b.semanticEquals(na)) =>
+        CosineSimilarity(a, b)
+    }
+}

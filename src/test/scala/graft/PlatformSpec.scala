@@ -31,6 +31,16 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cmp.filter("abs(native - hof) > 1e-9").count() == 0)
   }
 
+  test("cosine fusion rule rewrites the HOF pattern into the fused kernel") {
+    GraftFunctions.ensureRegistered(spark)
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val df = Tables.embeddings(spark, sf).limit(20)
+      .select(operators.Similarity.cosineHof(v, v).as("c"))
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("graft_cosine"), s"fusion rule did not fire:\n$opt")
+    assert(df.filter("abs(c - 1.0) > 1e-6").count() == 0)
+  }
+
   test("native cosine of a vector with itself is 1") {
     GraftFunctions.ensureRegistered(spark)
     val df = Tables.embeddings(spark, sf)
