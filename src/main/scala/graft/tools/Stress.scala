@@ -34,6 +34,25 @@ object Stress {
     time("resolve") {
       Dedup.resolveComponents(Dedup.ngramJaccard(docs10).select("doc_a", "doc_b")).count()
     }
+
+    // native fused cosine vs composed higher-order functions (all-pairs
+    // over a 1000-vector slice = 1M kernel evaluations)
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val vecs = Tables.embeddings(spark, dir).filter(col("vec_id") < 1000)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val pairs = vecs.crossJoin(
+      vecs.select(col("vec_id").as("vb"), col("embedding").as("eb")))
+    time("cosine_native") {
+      pairs.select(graft.functions.GraftFunctions
+        .graftCosine(col("embedding"), col("eb")).as("c"))
+        .agg(count(when(col("c") > 0.9, 1))).collect()(0).getLong(0)
+    }
+    time("cosine_hof") {
+      pairs.select(Similarity.cosineHof(
+        transform(col("embedding"), x => x.cast("double")),
+        transform(col("eb"), x => x.cast("double"))).as("c"))
+        .agg(count(when(col("c") > 0.9, 1))).collect()(0).getLong(0)
+    }
     spark.stop()
   }
 }
