@@ -98,6 +98,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
 /** Registration + column API for graft's native functions. */
 object GraftFunctions {
   val CosineName = "graft_cosine"
+  val DotName = "graft_dot"
+  val L2Name = "graft_l2sq"
 
   /** Idempotently register graft functions AND the cosine-fusion
     * optimizer rule on any session (works whether or not the session was
@@ -109,6 +111,14 @@ object GraftFunctions {
       CosineName,
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1)),
       "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      DotName,
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1)),
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      L2Name,
+      (exprs: Seq[Expression]) => L2SquaredDistance(exprs.head, exprs(1)),
+      "built-in")
     val rules = classic.experimental.extraOptimizations
     if (!rules.contains(graft.plans.CosineFusionRule))
       classic.experimental.extraOptimizations = rules :+ graft.plans.CosineFusionRule
@@ -118,6 +128,10 @@ object GraftFunctions {
     * must have the function registered ([[ensureRegistered]] /
     * [[GraftExtensions]]). */
   def graftCosine(a: Column, b: Column): Column = call_function(CosineName, a, b)
+
+  def graftDot(a: Column, b: Column): Column = call_function(DotName, a, b)
+
+  def graftL2sq(a: Column, b: Column): Column = call_function(L2Name, a, b)
 }
 
 /** `SparkSessionExtensions` hook: enables

@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Shared plumbing for fused binary vector kernels over float/double
+  * arrays (see [[CosineSimilarity]] for the rationale: one codegen loop,
+  * no intermediate arrays, both element types read natively). */
+trait VectorPairKernel extends BinaryExpression {
+  protected def elemIsDouble(e: Expression): Option[Boolean] = e.dataType match {
+    case ArrayType(FloatType, _) => Some(false)
+    case ArrayType(DoubleType, _) => Some(true)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemIsDouble(left).isDefined && elemIsDouble(right).isDefined)
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float> or array<double> arguments, " +
+          s"got ${left.dataType.sql} and ${right.dataType.sql}")
+
+  override def dataType: DataType = DoubleType
+
+  protected def get(x: ArrayData, i: Int, isDouble: Boolean): Double =
+    if (isDouble) x.getDouble(i) else x.getFloat(i).toDouble
+
+  protected def getter(side: Expression, arr: String, i: String): String =
+    if (elemIsDouble(side).contains(true)) s"$arr.getDouble($i)"
+    else s"(double) $arr.getFloat($i)"
+}
+
+/** Fused dot product: sum(a[i]*b[i]) in one pass. */
+case class DotProduct(left: Expression, right: Expression) extends VectorPairKernel {
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (xd, yd) = (elemIsDouble(left).get, elemIsDouble(right).get)
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += get(x, i, xd) * get(y, i, yd); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += ${getter(left, a, i)} * ${getter(right, b, i)};
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Fused squared L2 distance: sum((a[i]-b[i])^2) in one pass. */
+case class L2SquaredDistance(left: Expression, right: Expression) extends VectorPairKernel {
+  override def prettyName: String = "graft_l2sq"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (xd, yd) = (elemIsDouble(left).get, elemIsDouble(right).get)
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = get(x, i, xd) - get(y, i, yd)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = ${getter(left, a, i)} - ${getter(right, b, i)};
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

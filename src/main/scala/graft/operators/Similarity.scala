@@ -73,13 +73,13 @@ object Similarity {
 
   private def planeLit(p: Array[Double]): Column = array(p.map(lit(_)): _*)
 
-  /** Sign-bit bucket id of `v` for band `b`: PlanesPerBand bits. */
+  /** Sign-bit bucket id of `v` for band `b`: PlanesPerBand bits (fused
+    * dot kernel — 32 plane projections per vector). */
   private def bandBucket(v: Column, b: Int): Column =
     (0 until PlanesPerBand)
       .map { r =>
         val p = planeLit(planes(b * PlanesPerBand + r))
-        when(aggregate(zip_with(v, p, (x, y) => x * y), lit(0.0), (acc, x) => acc + x) > 0,
-          lit(1 << r)).otherwise(lit(0))
+        when(GraftFunctions.graftDot(v, p) > 0, lit(1 << r)).otherwise(lit(0))
       }
       .reduce(_ + _)
 
@@ -123,11 +123,11 @@ object Similarity {
   val IvfNProbe = 4
   val IvfIters = 3
 
-  /** Squared L2 distance between a vector column and a literal centroid. */
+  /** Squared L2 distance between a vector column and a literal centroid
+    * (fused codegen kernel — the IVF assign pass evaluates this NList
+    * times per row). */
   private def l2sq(v: Column, centroid: Array[Double]): Column =
-    aggregate(
-      zip_with(v, array(centroid.map(lit(_)): _*), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    GraftFunctions.graftL2sq(v, array(centroid.map(lit(_)): _*))
 
   /** Train an IVF coarse quantizer with Lloyd iterations. Centroids are
     * MODEL STATE (NList x dim doubles) — collecting them to the driver

@@ -41,6 +41,22 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.filter("abs(c - 1.0) > 1e-6").count() == 0)
   }
 
+  test("dot and l2 kernels match their higher-order-function equivalents") {
+    GraftFunctions.ensureRegistered(spark)
+    val df = Tables.embeddings(spark, sf).limit(40)
+      .select(col("vec_id"), col("embedding"))
+    val pairs = df.crossJoin(
+      df.select(col("vec_id").as("vb"), col("embedding").as("eb"))).limit(400)
+    val a = transform(col("embedding"), x => x.cast("double"))
+    val b = transform(col("eb"), x => x.cast("double"))
+    val cmp = pairs.select(
+      GraftFunctions.graftDot(col("embedding"), col("eb")).as("ndot"),
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x).as("hdot"),
+      GraftFunctions.graftL2sq(col("embedding"), col("eb")).as("nl2"),
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (s, x) => s + x).as("hl2"))
+    assert(cmp.filter("abs(ndot - hdot) > 1e-9 OR abs(nl2 - hl2) > 1e-9").count() == 0)
+  }
+
   test("native cosine of a vector with itself is 1") {
     GraftFunctions.ensureRegistered(spark)
     val df = Tables.embeddings(spark, sf)
