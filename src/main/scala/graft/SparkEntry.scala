@@ -37,6 +37,7 @@ object SparkEntry {
     "q_json_extract" -> ((s, dir) => Events.jsonExtract(s, dir)),
     "q_dedup_resolve" -> ((s, dir) => Dedup.dedupResolve(s, dir)),
     "q_asof_rates" -> ((s, dir) => AsOf.asofRates(s, dir)),
+    "q_incremental_merge" -> ((s, dir) => Incremental.incrementalMonthly(s, dir)),
     "q_pivot_monthly" -> ((s, dir) => Reshape.pivotMonthly(s, dir)),
     "q_unpivot_wide" -> ((s, dir) => Reshape.unpivotWide(s, dir)),
     "q_sessionize" -> ((s, dir) => Events.sessionize(s, dir)),
@@ -82,6 +83,7 @@ object SparkEntry {
     "q_json_extract" -> Events.jsonExtractOracle,
     "q_dedup_resolve" -> Dedup.dedupResolveOracle,
     "q_asof_rates" -> AsOf.asofRatesOracle,
+    "q_incremental_merge" -> Incremental.incrementalMonthlyOracle,
     "q_pivot_monthly" -> Reshape.pivotMonthlyOracle,
     "q_unpivot_wide" -> Reshape.unpivotWideOracle,
     "q_sessionize" -> Events.sessionizeOracle,
