@@ -91,14 +91,39 @@ object Similarity {
       .select(col(idAs), col(vecCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
+  /** Primary bucket plus the multi-probe alternate (flip the sign bit
+    * with the smallest projection margin — the bit most likely to differ
+    * for a true near neighbor). Doubles recall per band without adding
+    * bands or touching the corpus-side index. */
+  private def bandProbePair(v: Column, b: Int): Seq[Column] = {
+    val ds = (0 until PlanesPerBand)
+      .map(r => GraftFunctions.graftDot(v, planeLit(planes(b * PlanesPerBand + r))))
+    val bucket = ds.zipWithIndex
+      .map { case (d, r) => when(d > 0, lit(1 << r)).otherwise(lit(0)) }
+      .reduce(_ + _)
+    val absA = array(ds.map(abs): _*)
+    val weakest = (array_position(absA, array_min(absA)) - 1).cast(IntegerType)
+    val mask = (0 until PlanesPerBand)
+      .map(r => when(weakest === r, lit(1 << r)).otherwise(lit(0)))
+      .reduce(_ + _)
+    Seq(bucket, bucket.bitwiseXOR(mask))
+  }
+
   /** q_knn_lsh — approximate top-k: candidates are corpus vectors sharing
-    * any LSH band bucket with the query; ranked by true cosine. */
+    * any LSH band bucket with the query (multi-probe on the query side);
+    * ranked by true cosine. */
   def knnLsh(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val corpus = emb(spark, dir)
     val corpusBands = banded(corpus, "vec", "vec_id").select("vec_id", "band", "bucket")
-    val queryBands = banded(
-      corpus.filter(col("vec_id") < 8).select(col("vec_id"), col("vec").as("qvec")),
-      "qvec", "query_id").select("query_id", "band", "bucket")
+    val probeStructs = (0 until LshBands).flatMap { b =>
+      bandProbePair(col("qvec"), b).map(p =>
+        struct(lit(b).as("band"), p.as("bucket")))
+    }
+    val queryBands = corpus
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+      .select(col("query_id"), explode(array(probeStructs: _*)).as("bb"))
+      .select(col("query_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     // candidate pairs deduped as BARE IDS (8-byte keys through the
     // shuffle); vectors re-attached afterwards from the corpus
     val candidates = corpusBands

@@ -216,6 +216,16 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.count(r => r.getAs[String](sources.CleanCsv.CorruptCol) != null) == 1)
   }
 
+  test("typed table loaders round-trip every table through case-class encoders") {
+    assert(TypedTables.lineitem(spark, sf).filter(_.l_quantity > 0).count() > 0)
+    assert(TypedTables.orders(spark, sf).head().o_orderdate.getYear >= 1995)
+    assert(TypedTables.documents(spark, sf).map(_.text.length)(
+      org.apache.spark.sql.Encoders.scalaInt).filter(_ > 0).count() > 0)
+    assert(TypedTables.embeddings(spark, sf).head().embedding.length == 64)
+    assert(TypedTables.events(spark, sf).head().ts > 1700000000000000000L) // nanos
+    assert(TypedTables.nation(spark, sf).count() == 25)
+  }
+
   test("catalog registers base tables and operator views for SQL users") {
     Catalog.register(spark, sf)
     assert(spark.sql("SELECT count(*) FROM lineitem").collect()(0).getLong(0) > 0)
