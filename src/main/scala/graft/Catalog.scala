@@ -15,17 +15,26 @@ import org.apache.spark.sql.SparkSession
   * every view inherits the operators' pushdown/broadcast behavior.
   */
 object Catalog {
-  val TableNames: Seq[String] = Seq(
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings")
+  /** Loaders shared with the operators (memoized plans, and the events
+    * nanos-as-long conf is applied before parquet schema resolution). */
+  val TableLoaders: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "region" -> Tables.region _,
+    "nation" -> Tables.nation _,
+    "customer" -> Tables.customer _,
+    "supplier" -> Tables.supplier _,
+    "part" -> Tables.part _,
+    "orders" -> Tables.orders _,
+    "lineitem" -> Tables.lineitem _,
+    "events" -> Tables.events _,
+    "documents" -> Tables.documents _,
+    "embeddings" -> Tables.embeddings _)
+
+  val TableNames: Seq[String] = TableLoaders.keys.toSeq.sorted
 
   def register(spark: SparkSession, dir: String): Unit = {
-    TableNames.filterNot(_ == "events").foreach { t =>
-      spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+    TableLoaders.foreach { case (name, load) =>
+      load(spark, dir).createOrReplaceTempView(name)
     }
-    // events goes through Tables so the nanos-as-long conf is set before
-    // parquet schema resolution (Spark 4 rejects TIMESTAMP(NANOS))
-    Tables.events(spark, dir).createOrReplaceTempView("events")
     SparkEntry.queries.foreach { case (name, fn) =>
       fn(spark, dir).createOrReplaceTempView(s"graft_$name")
     }

@@ -17,14 +17,25 @@ object Tables {
   /** Lazy-plan memoization per (session, dir, table): repeated loads of
     * the same table skip re-listing files and re-reading parquet footers
     * (a fixed ~50-100ms tax per query in a many-query session). Entries
-    * are plans, not data — nothing is cached executor-side. */
-  private val plans =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+    * are plans, not data — nothing is cached executor-side. Keyed WEAKLY
+    * on the session object itself, so stopped sessions (and their plans)
+    * are collectable and cannot collide with later sessions. */
+  private val plans = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[
+      SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]())
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    plans.getOrElseUpdate(
-      (System.identityHashCode(spark), dir, name),
-      spark.read.parquet(s"$dir/$name.parquet"))
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = plans.synchronized {
+      var m = plans.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+        plans.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate((dir, name), spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "nation")

@@ -44,10 +44,13 @@ object AsOf {
         col("_is_rate") :+ col(valueCol)): _*)
       .unionByName(r, allowMissingColumns = true)
     // rate rows sort BEFORE fact rows at the same timestamp (desc on the
-    // tag), so a same-instant update is visible to same-instant facts
+    // tag), so a same-instant update is visible to same-instant facts;
+    // among duplicate (key, time) rate rows the value itself is the final
+    // tie-break, so `last` deterministically resolves to the MAX value
+    // (fact rows carry null values and are unaffected)
     val w = Window
       .partitionBy(col(keyCol))
-      .orderBy(col(timeCol), col("_is_rate").desc)
+      .orderBy(col(timeCol), col("_is_rate").desc, col(valueCol).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("_asof", last(col(valueCol), ignoreNulls = true).over(w))

@@ -27,20 +27,6 @@ object Dedup {
     * contract and mirrored in the oracle). */
   val HotShingleCap = 100
 
-  private[operators] def shingles(docs: DataFrame): DataFrame = {
-    val words = docs.select(
-      col("doc_id"),
-      split(regexp_replace(trim(col("text")), "\\s+", " "), " ").as("w"))
-    words
-      .filter(size(col("w")) >= ShingleN)
-      .select(
-        col("doc_id"),
-        explode(expr(
-          s"transform(sequence(1, size(w) - ${ShingleN - 1}), i -> concat_ws(' ', slice(w, i, $ShingleN)))"))
-          .as("shingle"))
-      .distinct()
-  }
-
   /** Shingles reduced to 64-bit hashes BEFORE the distinct/join passes —
     * the shuffle then moves 8-byte keys instead of ~40-byte strings, and
     * all downstream equality is integer compare. Collisions are

@@ -84,8 +84,13 @@ object Stats {
           .cast(DecimalType(38, 4))).cast(DoubleType).as("spp"))
       .withColumn(
         "volatility",
-        sqrt((col("n_months").cast(DoubleType) * col("spp") - col("sp") * col("sp")) /
-          (col("n_months").cast(DoubleType) * (col("n_months").cast(DoubleType) - lit(1.0)))))
+        // single-month groups have undefined sample stddev (0/0 = NaN,
+        // which floor+ANSI-cast would turn into a job failure); define
+        // their volatility as 0 — mirrored in the oracle
+        when(col("n_months") > 1,
+          sqrt((col("n_months").cast(DoubleType) * col("spp") - col("sp") * col("sp")) /
+            (col("n_months").cast(DoubleType) * (col("n_months").cast(DoubleType) - lit(1.0)))))
+          .otherwise(lit(0.0)))
     val hdi = c
       .groupBy(col("c_nationkey").as("hk"))
       .agg(meanOf(sumd2(col("c_acctbal")), cnt).as("hdi_proxy"))
@@ -124,8 +129,8 @@ object Stats {
       |  GROUP BY 1, 2, 3
       |), vol AS (
       |  SELECT nationkey,
-      |    SQRT((CAST(n_months AS DOUBLE) * spp - sp * sp)
-      |      / (CAST(n_months AS DOUBLE) * (CAST(n_months AS DOUBLE) - 1.0))) AS volatility
+      |    CASE WHEN n_months > 1 THEN SQRT((CAST(n_months AS DOUBLE) * spp - sp * sp)
+      |      / (CAST(n_months AS DOUBLE) * (CAST(n_months AS DOUBLE) - 1.0))) ELSE 0.0 END AS volatility
       |  FROM (
       |    SELECT nationkey, COUNT(*) AS n_months,
       |      CAST(SUM(m_rev) AS DOUBLE) AS sp,

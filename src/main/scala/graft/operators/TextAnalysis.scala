@@ -180,10 +180,14 @@ object TextAnalysis {
       .withColumnRenamed("col", "h")
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
       .rowsBetween(Window.currentRow, WinnowW - 1)
+    // window min FIRST (over every gram row), THEN keep only full-window
+    // start positions — filtering first would truncate trailing frames
+    // and drop short docs entirely. Docs with fewer than W grams keep
+    // their single (partial) window at i=0, per winnowing convention.
     val winnowed = grams
       .withColumn("n_grams", col("nw") - (k - 1))
-      .filter(col("i") <= col("n_grams") - WinnowW) // full windows only (i is 0-based)
       .withColumn("wmin", min(col("h")).over(byDoc))
+      .filter(col("i") <= greatest(col("n_grams") - WinnowW, lit(0)))
       .select(col("doc_id"), col("wmin"))
       .distinct()
     winnowed

@@ -51,11 +51,32 @@ object CosineFusionRule extends Rule[LogicalPlan] {
     }
   }
 
+  /** The fused kernel truncates to the shorter array and reads element
+    * slots directly, while the HOF form returns NULL when the lengths
+    * differ (zip_with null-pads) or any element is null. The rewrite
+    * preserves those semantics exactly: a cheap guard returns NULL in
+    * both cases and the kernel runs otherwise. When the schema already
+    * guarantees non-null elements, only the length check remains. */
+  private def guarded(a: Expression, b: Expression): Expression = {
+    def sz(e: Expression) = Size(e, legacySizeOfNull = false)
+    def hasNullElem(e: Expression): Option[Expression] = e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(et, true) =>
+        val v = NamedLambdaVariable("gx", et, nullable = true)
+        Some(ArrayExists(e, LambdaFunction(IsNull(v), Seq(v))))
+      case _ => None
+    }
+    val checks = Seq(Not(EqualTo(sz(a), sz(b)))) ++ hasNullElem(a) ++ hasNullElem(b)
+    If(
+      checks.reduce(Or),
+      Literal(null, org.apache.spark.sql.types.DoubleType),
+      CosineSimilarity(a, b))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case Divide(DotAgg(a, b), Multiply(NormSqrt(na), NormSqrt(nb), _), _)
           if (a.semanticEquals(na) && b.semanticEquals(nb)) ||
             (a.semanticEquals(nb) && b.semanticEquals(na)) =>
-        CosineSimilarity(a, b)
+        guarded(a, b)
     }
 }

@@ -95,7 +95,11 @@ object EventStream {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + SessionGapMs)
+              // a late-but-admissible batch can put s.last + gap behind
+              // the current watermark; setTimeoutTimestamp throws on
+              // past timestamps, so clamp to just above the watermark
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(s.last + SessionGapMs, wm + 1))
             }
             closed.reverseIterator
           }

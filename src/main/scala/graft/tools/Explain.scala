@@ -13,10 +13,11 @@ object Explain {
         val plan = SparkEntry.queries(name)(spark, dir)
           .queryExecution.executedPlan.toString
         def n(op: String) = plan.sliding(op.length).count(_ == op)
-        println(f"$name%-22s exch=${n("Exchange")}%2d bcast=${n("BroadcastExchange")}%2d " +
+        // shuffle exchanges only: exclude Broadcast/ReusedExchange hits
+        val shuffles = "(?<!Broadcast)(?<!Reused)Exchange".r.findAllIn(plan).size
+        println(f"$name%-22s exch=$shuffles%2d bcast=${n("BroadcastExchange")}%2d " +
           f"smj=${n("SortMergeJoin")}%2d bnlj=${n("BroadcastNestedLoop")}%2d " +
-          f"cart=${n("CartesianProduct")}%2d sort=${n("Sort ")}%2d " +
-          f"wscg=${n("WholeStageCodegen")}%2d")
+          f"cart=${n("CartesianProduct")}%2d sort=${n("Sort ")}%2d")
       }
     } else {
       SparkEntry.queries(args(0))(spark, dir).explain("formatted")

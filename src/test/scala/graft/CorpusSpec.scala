@@ -113,6 +113,38 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       Tables.documents(spark, sf).count())
   }
 
+  test("winnow sketch covers short docs and tail-position minima") {
+    // operator reads from a dir; exercise semantics via a temp write
+    val tmp = java.nio.file.Files.createTempDirectory("graftwin").toString
+    val docs = spark.createDataFrame(Seq(
+      (1L, "alpha beta gamma"),                       // exactly k words -> 1 gram
+      (2L, "one two three four five six seven"),      // minimal gram may sit in the tail
+      (3L, "a b c d e f g h i j k l m n o p q r s"))) // long doc
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val sk = operators.TextAnalysis.winnowFingerprint(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sk.contains(1L), "doc with a single gram must still get a sketch")
+    assert(sk(1L) == 1L)
+    assert(sk.contains(2L) && sk.contains(3L))
+    // every doc's full min-gram-hash must be in its sketch (winnowing
+    // guarantee: the global minimum is the min of some window)
+    val grams = operators.TextAnalysis.winnowFingerprint(spark, tmp)
+      .select("doc_id", "sketch_min").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rawMin = spark.read.parquet(s"$tmp/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 2), i -> xxhash64(concat_ws(' ', slice(w, i, 3))))")).as("h"))
+      .groupBy("doc_id").agg(min("h").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rawMin.foreach { case (d, m) =>
+      assert(grams(d) == m, s"doc $d: global min gram hash missing from sketch")
+    }
+  }
+
   test("winnow sketch: identical docs share sketches; size bounded by gram count") {
     val df = operators.TextAnalysis.winnowFingerprint(spark, sf)
     val docs = Tables.documents(spark, sf).count()
