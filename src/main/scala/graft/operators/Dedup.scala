@@ -245,7 +245,7 @@ object Dedup {
     * adversarial chain-shaped components would switch to the
     * large-star/small-star algorithm (Kiveris et al., "Connected
     * Components in MapReduce"), which this loop structure accommodates. */
-  def resolveComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def resolveComponents(pairs: DataFrame, maxIters: Int = 100): DataFrame = {
     // Materialize the (possibly expensive) pair derivation ONCE and
     // truncate its lineage — the loop below must not re-derive candidate
     // pairs every iteration, and iterative plans must not grow unboundedly.
@@ -272,6 +272,11 @@ object Dedup {
       prevSum = nextSum
       it += 1
     }
+    // wrong-but-silent is worse than loud: a component with diameter
+    // beyond the cap must fail, not emit non-minimal canonical ids
+    require(converged,
+      s"component resolution did not converge in $maxIters rounds " +
+        "(pathological chain components: switch to large-star/small-star)")
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
   }
 

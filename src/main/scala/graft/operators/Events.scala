@@ -32,7 +32,10 @@ object Events {
       .select(
         col("user_id"),
         col("event_id"),
-        expr("ts DIV 1000000").as("ts_ms"),
+        // floor division, not truncation: `DIV` truncates toward zero,
+        // which disagrees with epoch_ms for pre-1970 (negative) stamps;
+        // subtracting the non-negative pmod first makes DIV exact floor
+        expr("(ts - pmod(ts, 1000000)) DIV 1000000").as("ts_ms"),
         col("value"))
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
     val flagged = e
@@ -82,7 +85,9 @@ object Events {
     Tables
       .events(spark, dir)
       .groupBy(
-        (expr("ts DIV 3600000000000") * lit(3600000L)).as("window_start_ms"),
+        // floor-division to the hour (see sessionize note on DIV vs floor)
+        (expr("(ts - pmod(ts, 3600000000000)) DIV 3600000000000") * lit(3600000L))
+          .as("window_start_ms"),
         col("event_type"))
       .agg(
         cnt.as("n_events"),

@@ -55,10 +55,15 @@ object Forecast {
         sum(xDec * dec2(col("y"))).cast(DoubleType).as("sxy"),
         max(col("x")).as("max_x"))
 
-  private def slopeCol: Column =
-    (col("n").cast(DoubleType) * col("sxy") - col("sx").cast(DoubleType) * col("sy")) /
-      (col("n").cast(DoubleType) * col("sxx").cast(DoubleType) -
-        col("sx").cast(DoubleType) * col("sx").cast(DoubleType))
+  /** OLS slope with a degenerate-series guard: a group whose x values are
+    * all identical has zero x-variance — NULL slope (ANSI double division
+    * would otherwise abort the job; DuckDB yields NULL rows). */
+  private def slopeCol: Column = {
+    val varX = col("n").cast(DoubleType) * col("sxx").cast(DoubleType) -
+      col("sx").cast(DoubleType) * col("sx").cast(DoubleType)
+    when(varX > 0,
+      (col("n").cast(DoubleType) * col("sxy") - col("sx").cast(DoubleType) * col("sy")) / varX)
+  }
 
   /** q_forecast_linear — per-brand linear trend and next-month forecast. */
   def forecastLinear(spark: SparkSession, dir: String): DataFrame =
@@ -79,8 +84,10 @@ object Forecast {
       |    + slope * CAST(max_x + 1 AS DOUBLE) AS forecast_next
       |FROM (
       |  SELECT brand, n, sx, sxx, sy, sxy, max_x,
-      |    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-      |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+      |    CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+      |    THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    ELSE NULL END AS slope
       |  FROM (
       |    SELECT p_brand AS brand, COUNT(*) AS n,
       |      CAST(SUM(x) AS BIGINT) AS sx,
@@ -149,8 +156,10 @@ object Forecast {
       |    max_x
       |  FROM (
       |    SELECT brand, n, sx, sy, max_x,
-      |      (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-      |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+      |      CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+      |      THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      ELSE NULL END AS slope
       |    FROM stats
       |  )
       |), monthly AS (

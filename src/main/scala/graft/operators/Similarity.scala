@@ -169,10 +169,14 @@ object Similarity {
       val dists = array(centroids.map(c => l2sq(col("vec"), c)): _*)
       val assigned = corpus.withColumn(
         "cid", array_position(dists, array_min(dists)).cast(IntegerType) - 1)
+      // decimal-exact component means: avg() over raw floats would be
+      // partition-order-dependent and make trained centroids (and thus
+      // search results) vary across runs/retries
       val dims = assigned
         .select(col("cid"), posexplode(col("vec")))
         .groupBy(col("cid"), col("pos"))
-        .agg(avg(col("col")).as("m"))
+        .agg((sum(col("col").cast(DecimalType(28, 9))).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("m"))
         .collect()
       val next = Array.fill(centroids.length)(new Array[Double](centroids(0).length))
       val seen = Array.fill(centroids.length)(false)

@@ -36,12 +36,16 @@ object StarSchema {
     n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .select(canonName(col("n_name")).as("name"), col("r_name").as("region_name"))
       .distinct()
-      .withColumn("id", row_number().over(Window.orderBy(col("name"))).cast(LongType))
+      // rows are distinct on (name, region_name): canonicalization can
+      // collide two raw names, so region_name joins the ordering to keep
+      // id assignment deterministic
+      .withColumn("id",
+        row_number().over(Window.orderBy(col("name"), col("region_name"))).cast(LongType))
       .select(col("id"), col("name"), col("region_name"))
   }
 
   val dimBuildOracle: String =
-    """SELECT CAST(ROW_NUMBER() OVER (ORDER BY name) AS BIGINT) AS id, name, region_name
+    """SELECT CAST(ROW_NUMBER() OVER (ORDER BY name, region_name) AS BIGINT) AS id, name, region_name
       |FROM (
       |  SELECT DISTINCT
       |    TRIM(REGEXP_REPLACE(REGEXP_REPLACE(n_name, '[^a-zA-Z0-9 ''()-]', '', 'g'), '\s+', ' ', 'g')) AS name,

@@ -39,11 +39,15 @@ object Stats {
         sum((x * y).cast(DecimalType(22, 4))).cast(DoubleType).as("sxy"),
         sum((x * x).cast(DecimalType(22, 4))).cast(DoubleType).as("sxx"),
         sum((y * y).cast(DecimalType(22, 4))).cast(DoubleType).as("syy"))
+      .withColumn("vxx", col("n").cast(DoubleType) * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vyy", col("n").cast(DoubleType) * col("syy") - col("sy") * col("sy"))
       .withColumn(
         "corr_disc_qty",
-        (col("n").cast(DoubleType) * col("sxy") - col("sx") * col("sy")) /
-          (sqrt(col("n").cast(DoubleType) * col("sxx") - col("sx") * col("sx")) *
-            sqrt(col("n").cast(DoubleType) * col("syy") - col("sy") * col("sy"))))
+        // zero-variance groups have undefined correlation -> NULL (and
+        // never an ANSI divide-by-zero); guard mirrored in the oracle
+        when(col("vxx") > 0 && col("vyy") > 0,
+          (col("n").cast(DoubleType) * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("vxx")) * sqrt(col("vyy")))))
       .select(col("brand"), col("n"), col("corr_disc_qty"))
   }
 
@@ -87,9 +91,14 @@ object Stats {
         // single-month groups have undefined sample stddev (0/0 = NaN,
         // which floor+ANSI-cast would turn into a job failure); define
         // their volatility as 0 — mirrored in the oracle
+        // greatest(..., 0): cancellation on near-constant series can give
+        // a tiny negative variance; sqrt of that is NaN in Spark and a
+        // hard error in DuckDB
         when(col("n_months") > 1,
-          sqrt((col("n_months").cast(DoubleType) * col("spp") - col("sp") * col("sp")) /
-            (col("n_months").cast(DoubleType) * (col("n_months").cast(DoubleType) - lit(1.0)))))
+          sqrt(greatest(
+            (col("n_months").cast(DoubleType) * col("spp") - col("sp") * col("sp")) /
+              (col("n_months").cast(DoubleType) * (col("n_months").cast(DoubleType) - lit(1.0))),
+            lit(0.0))))
           .otherwise(lit(0.0)))
     val hdi = c
       .groupBy(col("c_nationkey").as("hk"))
@@ -129,8 +138,8 @@ object Stats {
       |  GROUP BY 1, 2, 3
       |), vol AS (
       |  SELECT nationkey,
-      |    CASE WHEN n_months > 1 THEN SQRT((CAST(n_months AS DOUBLE) * spp - sp * sp)
-      |      / (CAST(n_months AS DOUBLE) * (CAST(n_months AS DOUBLE) - 1.0))) ELSE 0.0 END AS volatility
+      |    CASE WHEN n_months > 1 THEN SQRT(GREATEST((CAST(n_months AS DOUBLE) * spp - sp * sp)
+      |      / (CAST(n_months AS DOUBLE) * (CAST(n_months AS DOUBLE) - 1.0)), 0.0)) ELSE 0.0 END AS volatility
       |  FROM (
       |    SELECT nationkey, COUNT(*) AS n_months,
       |      CAST(SUM(m_rev) AS DOUBLE) AS sp,
@@ -155,9 +164,12 @@ object Stats {
 
   val covariateCorrOracle: String =
     """SELECT brand, n,
-      |  (CAST(n AS DOUBLE) * sxy - sx * sy)
+      |  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+      |        AND CAST(n AS DOUBLE) * syy - sy * sy > 0
+      |  THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
       |    / (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx)
-      |       * SQRT(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_disc_qty
+      |       * SQRT(CAST(n AS DOUBLE) * syy - sy * sy))
+      |  ELSE NULL END AS corr_disc_qty
       |FROM (
       |  SELECT p_brand AS brand, COUNT(*) AS n,
       |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sx,

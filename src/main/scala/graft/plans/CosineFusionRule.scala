@@ -25,14 +25,23 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object CosineFusionRule extends Rule[LogicalPlan] {
 
+  /** The lambda body must use exactly the lambda's two declared
+    * parameters, one each — (x,y) -> x*y, not x*x or y+y. */
+  private def usesBothArgs(
+      l: NamedLambdaVariable,
+      r: NamedLambdaVariable,
+      args: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression]): Boolean =
+    args.length == 2 && l.exprId != r.exprId &&
+      Set(l.exprId, r.exprId) == args.map(_.exprId).toSet
+
   /** aggregate(zip_with(x, y, mul), 0.0, +) — returns (x, y). */
   private object DotAgg {
     def unapply(e: Expression): Option[(Expression, Expression)] = e match {
       case ArrayAggregate(
-            ZipWith(x, y, LambdaFunction(Multiply(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _)),
+            ZipWith(x, y, LambdaFunction(Multiply(mx: NamedLambdaVariable, my: NamedLambdaVariable, _), zargs, _)),
             Literal(0.0, _) | Cast(Literal(0.0, _), _, _, _),
-            LambdaFunction(Add(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _),
-            _) =>
+            LambdaFunction(Add(ax: NamedLambdaVariable, ay: NamedLambdaVariable, _), aargs, _),
+            _) if usesBothArgs(mx, my, zargs) && usesBothArgs(ax, ay, aargs) =>
         Some((x, y))
       case _ => None
     }
@@ -44,8 +53,8 @@ object CosineFusionRule extends Rule[LogicalPlan] {
       case Sqrt(ArrayAggregate(
             ArrayTransform(x, LambdaFunction(Multiply(v1: NamedLambdaVariable, v2: NamedLambdaVariable, _), _, _)),
             Literal(0.0, _) | Cast(Literal(0.0, _), _, _, _),
-            LambdaFunction(Add(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _),
-            _)) if v1.exprId == v2.exprId =>
+            LambdaFunction(Add(a1: NamedLambdaVariable, a2: NamedLambdaVariable, _), aargs, _),
+            _)) if v1.exprId == v2.exprId && usesBothArgs(a1, a2, aargs) =>
         Some(x)
       case _ => None
     }

@@ -41,7 +41,10 @@ object EventStream {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value")).as("total_value"))
+        // decimal-exact like the batch twin: raw double sums depend on
+        // merge order and would break batch-vs-stream equivalence
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total_value"))
       .select(
         unix_millis(col("window.start")).as("window_start_ms"),
         col("event_type"),
