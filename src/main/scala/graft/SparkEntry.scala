@@ -43,6 +43,7 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) => Events.sessionize(s, dir)),
     "q_event_windows" -> ((s, dir) => Events.eventWindows(s, dir)),
     "q_dedup_exact" -> ((s, dir) => TextAnalysis.dedupExact(s, dir)),
+    "q_dedup_apply" -> ((s, dir) => TextAnalysis.dedupApply(s, dir)),
     "q_text_tokens" -> ((s, dir) => TextAnalysis.textTokens(s, dir)),
     "q_text_quality" -> ((s, dir) => TextAnalysis.textQuality(s, dir)),
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
@@ -89,6 +90,7 @@ object SparkEntry {
     "q_sessionize" -> Events.sessionizeOracle,
     "q_event_windows" -> Events.eventWindowsOracle,
     "q_dedup_exact" -> TextAnalysis.dedupExactOracle,
+    "q_dedup_apply" -> TextAnalysis.dedupApplyOracle,
     "q_text_tokens" -> TextAnalysis.textTokensOracle,
     "q_text_quality" -> TextAnalysis.textQualityOracle,
     "q_lang_id" -> TextAnalysis.langIdOracle,

@@ -151,6 +151,23 @@ object TextAnalysis {
       |  CAST(LENGTH(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS INT) AS norm_len
       |FROM documents""".stripMargin
 
+  /** q_dedup_apply — the cleaned corpus: keep only each content group's
+    * canonical (min-id) document. This is the consuming side of
+    * [[dedupExact]] — at 100 TB the keep-set join broadcasts (one row per
+    * distinct content) and the corpus passes through map-side only. */
+  def dedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val keep = dedupExact(spark, dir).select(col("keep_doc_id").as("doc_id"))
+    docs(spark, dir)
+      .join(keep, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
+  val dedupApplyOracle: String =
+    """SELECT doc_id, lang, source, n_chars
+      |FROM documents
+      |WHERE doc_id IN (
+      |  SELECT MIN(doc_id) FROM documents GROUP BY md5(text))""".stripMargin
+
   /** Winnowing parameters: hash every 3-word k-gram, keep the minimum of
     * each 4-position window (Schleimer/Wilkerson/Aiken winnowing — the
     * rolling-hash document sketch used by MOSS-style matchers). */

@@ -113,6 +113,40 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming sessionization merges state across micro-batches and emits on timeout") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionize(spark, input.toDS())
+      .writeStream.format("memory").queryName("xbatch_sessions")
+      .outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 09:00:00")
+      val t1 = Timestamp.valueOf("2024-01-01 09:10:00")
+      input.addData(
+        EventStream.Event(42, 1, t0, "view", 1.0),
+        EventStream.Event(42, 2, t1, "view", 2.0))
+      q.processAllAvailable()
+      // second batch continues the same session (within the 30min gap)
+      val t2 = Timestamp.valueOf("2024-01-01 09:20:00")
+      input.addData(EventStream.Event(42, 3, t2, "view", 4.0))
+      q.processAllAvailable()
+      // advance the watermark far past the session so the timeout fires
+      input.addData(EventStream.Event(
+        99, 9, Timestamp.valueOf("2024-01-02 12:00:00"), "view", 0.0))
+      q.processAllAvailable()
+      input.addData(EventStream.Event(
+        99, 10, Timestamp.valueOf("2024-01-03 12:00:00"), "view", 0.0))
+      q.processAllAvailable()
+      val sessions = spark.table("xbatch_sessions").as[EventStream.Session].collect()
+      val merged = sessions.find(_.user_id == 42)
+      assert(merged.exists(s =>
+        s.session_start_ms == t0.getTime && s.session_end_ms == t2.getTime &&
+          s.n_events == 3 && s.total_value == 7.0),
+        s"cross-batch session wrong: ${sessions.mkString(", ")}")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered events within the watermark") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
