@@ -108,6 +108,8 @@ object GraftFunctions {
   val CosineName = "graft_cosine"
   val DotName = "graft_dot"
   val L2Name = "graft_l2sq"
+  val HplaneIndexName = "graft_hplane_index"
+  val HplaneProbeName = "graft_hplane_probe"
 
   /** Idempotently register graft functions AND the cosine-fusion
     * optimizer rule on any session (works whether or not the session was
@@ -126,6 +128,18 @@ object GraftFunctions {
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       L2Name,
       (exprs: Seq[Expression]) => L2SquaredDistance(exprs.head, exprs(1)),
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      HplaneIndexName,
+      (exprs: Seq[Expression]) =>
+        HyperplaneBuckets(exprs.head, Hyperplanes.flat, Hyperplanes.Dim,
+          Hyperplanes.PlanesPerBand, multiProbe = false),
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      HplaneProbeName,
+      (exprs: Seq[Expression]) =>
+        HyperplaneBuckets(exprs.head, Hyperplanes.flat, Hyperplanes.Dim,
+          Hyperplanes.PlanesPerBand, multiProbe = true),
       "built-in")
     val rules = classic.experimental.extraOptimizations
     if (!rules.contains(graft.plans.CosineFusionRule))

@@ -1,23 +1,26 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.GraftFunctions
+import graft.functions.{GraftFunctions, Hyperplanes}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Embedding similarity search: brute-force cosine top-k (the correctness
-  * baseline) and random-hyperplane LSH variants (the scale path), plus
-  * embedding-cosine near-dup pairing.
+  * baseline) and random-hyperplane LSH / IVF variants (the scale paths),
+  * plus embedding-cosine near-dup pairing.
   *
-  * Scale design: the query side is broadcast, so brute-force top-k is a
-  * map-side pass over the corpus with per-partition ranking — the corpus
-  * is never shuffled and never collected. The LSH variant buckets the
-  * corpus by hyperplane-sign bands so each probe touches only matching
-  * buckets (candidates ∝ rows/2^r per band); recall/cost is tuned by
-  * (bands, rows-per-band). Vector math uses codegen'd higher-order array
-  * functions with deterministic left-to-right fold order.
+  * Scale design: the query side is broadcast and the corpus is NEVER
+  * shuffled at full width — scoring is a map-side pass, and ranking uses a
+  * bounded-heap typed Aggregator ([[TopKScoredAgg]]) so each map task
+  * keeps only k rows per query and the shuffle moves O(queries x k x
+  * tasks) rows, never the scored corpus (a `row_number()` window would
+  * funnel every scored row of a query into one partition — the
+  * scale-killer this operator exists to avoid). The LSH variant buckets
+  * the corpus by hyperplane-sign bands so each probe touches only
+  * matching buckets; vector math and bucketing use fused codegen'd native
+  * expressions ([[graft.functions.CosineSimilarity]],
+  * [[graft.functions.HyperplaneBuckets]]).
   */
 object Similarity {
 
@@ -42,6 +45,58 @@ object Similarity {
       .select(col("vec_id"), col("embedding").as("vec"))
   }
 
+  // ------------------------------------------------ bounded-heap ranking
+
+  case class Scored(query_id: Long, neighbor_id: Long, cosine: Double)
+
+  /** Bounded per-query top-k: each map task keeps at most k scored rows
+    * per query (map-side combine via `reduce`), partial heaps merge at
+    * reduce side — the same pattern as [[TopK.TopKRowsAgg]]. Deterministic
+    * ordering: cosine desc, ties broken by neighbor_id asc. */
+  class TopKScoredAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Scored, List[Scored], List[Scored]] {
+    private val ord: Ordering[Scored] =
+      Ordering.by((s: Scored) => (-s.cosine, s.neighbor_id))
+
+    override def zero: List[Scored] = Nil
+
+    override def reduce(buf: List[Scored], row: Scored): List[Scored] =
+      (row :: buf).sorted(ord).take(k)
+
+    override def merge(a: List[Scored], b: List[Scored]): List[Scored] =
+      (a ++ b).sorted(ord).take(k)
+
+    override def finish(r: List[Scored]): List[Scored] = r.sorted(ord)
+
+    override def bufferEncoder: org.apache.spark.sql.Encoder[List[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Scored]]()
+
+    override def outputEncoder: org.apache.spark.sql.Encoder[List[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Scored]]()
+  }
+
+  /** Rank a (query_id, vec_id, cosine) scored set down to per-query top-k
+    * with rank numbers — no Window over the scored set. NULL cosines
+    * (zero-norm vectors, which have no defined similarity) are excluded
+    * before ranking. */
+  private def topkRanked(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored
+      .filter(col("cosine").isNotNull)
+      .select(
+        col("query_id").cast(LongType).as("query_id"),
+        col("vec_id").cast(LongType).as("neighbor_id"),
+        col("cosine"))
+      .as[Scored]
+      .groupByKey(_.query_id)
+      .agg(new TopKScoredAgg(k).toColumn.name("top"))
+      .flatMap { case (q, top) =>
+        top.zipWithIndex.map { case (s, i) => (q, s.neighbor_id, s.cosine, i + 1) }
+      }
+      .toDF("query_id", "neighbor_id", "cosine", "rk")
+  }
+
   /** q_knn_brute — exact cosine top-k for a query subset (vec_id < 8)
     * against the whole corpus. */
   def knnBrute(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
@@ -51,95 +106,56 @@ object Similarity {
         .select(col("vec_id").as("query_id"), col("vec").as("qvec")))
     val scored = corpus
       .join(queries, col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("qvec"), col("vec")))
-    scored
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rk"))
+      .select(col("query_id"), col("vec_id"), cosine(col("qvec"), col("vec")).as("cosine"))
+    topkRanked(scored, k)
   }
 
   // ------------------------------------------------------- LSH hyperplanes
 
-  val LshBands = 8
-  val PlanesPerBand = 4
-  val Dim = 64
+  val LshBands: Int = Hyperplanes.Bands
+  val PlanesPerBand: Int = Hyperplanes.PlanesPerBand
+  val Dim: Int = Hyperplanes.Dim
 
-  /** Deterministic hyperplanes (seeded library constants). */
-  private val planes: Array[Array[Double]] = {
-    val rnd = new scala.util.Random(11)
-    Array.fill(LshBands * PlanesPerBand)(Array.fill(Dim)(rnd.nextGaussian()))
-  }
-
-  private def planeLit(p: Array[Double]): Column = array(p.map(lit(_)): _*)
-
-  /** Sign-bit bucket id of `v` for band `b`: PlanesPerBand bits (fused
-    * dot kernel — 32 plane projections per vector). */
-  private def bandBucket(v: Column, b: Int): Column =
-    (0 until PlanesPerBand)
-      .map { r =>
-        val p = planeLit(planes(b * PlanesPerBand + r))
-        when(GraftFunctions.graftDot(v, p) > 0, lit(1 << r)).otherwise(lit(0))
-      }
-      .reduce(_ + _)
-
-  private def banded(df: DataFrame, vecCol: String, idAs: String): DataFrame = {
-    val bands = (0 until LshBands).map(b =>
-      struct(lit(b).as("band"), bandBucket(col(vecCol), b).as("bucket")))
-    df.select(col("vec_id").as(idAs), col(vecCol),
-      explode(array(bands: _*)).as("bb"))
-      .select(col(idAs), col(vecCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-  }
-
-  /** Primary bucket plus the multi-probe alternate (flip the sign bit
-    * with the smallest projection margin — the bit most likely to differ
-    * for a true near neighbor). Doubles recall per band without adding
-    * bands or touching the corpus-side index. */
-  private def bandProbePair(v: Column, b: Int): Seq[Column] = {
-    val ds = (0 until PlanesPerBand)
-      .map(r => GraftFunctions.graftDot(v, planeLit(planes(b * PlanesPerBand + r))))
-    val bucket = ds.zipWithIndex
-      .map { case (d, r) => when(d > 0, lit(1 << r)).otherwise(lit(0)) }
-      .reduce(_ + _)
-    val absA = array(ds.map(abs): _*)
-    val weakest = (array_position(absA, array_min(absA)) - 1).cast(IntegerType)
-    val mask = (0 until PlanesPerBand)
-      .map(r => when(weakest === r, lit(1 << r)).otherwise(lit(0)))
-      .reduce(_ + _)
-    Seq(bucket, bucket.bitwiseXOR(mask))
-  }
+  /** (band, bucket) index rows for every vector — one native-expression
+    * evaluation per row ([[graft.functions.HyperplaneBuckets]]), exploded
+    * positionally so pos == band. */
+  private def banded(df: DataFrame, vecCol: String, idAs: String): DataFrame =
+    df.select(
+      col("vec_id").as(idAs),
+      posexplode(call_function(GraftFunctions.HplaneIndexName, col(vecCol))))
+      .toDF(idAs, "band", "bucket")
 
   /** q_knn_lsh — approximate top-k: candidates are corpus vectors sharing
-    * any LSH band bucket with the query (multi-probe on the query side);
-    * ranked by true cosine. */
+    * any LSH band bucket with the query (multi-probe on the query side:
+    * primary bucket plus the weakest-margin bit flip); ranked by true
+    * cosine via the bounded-heap aggregator. */
   def knnLsh(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val corpus = emb(spark, dir)
-    val corpusBands = banded(corpus, "vec", "vec_id").select("vec_id", "band", "bucket")
-    val probeStructs = (0 until LshBands).flatMap { b =>
-      bandProbePair(col("qvec"), b).map(p =>
-        struct(lit(b).as("band"), p.as("bucket")))
-    }
-    val queryBands = corpus
+    val corpusBands = banded(corpus, "vec", "vec_id")
+    // the query subset is TINY (8 rows) — broadcast exactly this subset,
+    // never the full corpus renamed as a query side
+    val queries = corpus
       .filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
-      .select(col("query_id"), explode(array(probeStructs: _*)).as("bb"))
-      .select(col("query_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val queryBands = queries
+      .select(
+        col("query_id"),
+        posexplode(call_function(GraftFunctions.HplaneProbeName, col("qvec"))))
+      .toDF("query_id", "p", "bucket")
+      // probe output interleaves (primary, alternate) per band: band = p >> 1
+      .select(col("query_id"), shiftright(col("p"), 1).as("band"), col("bucket"))
     // candidate pairs deduped as BARE IDS (8-byte keys through the
-    // shuffle); vectors re-attached afterwards from the corpus
+    // shuffle); vectors re-attached afterwards
     val candidates = corpusBands
       .join(broadcast(queryBands), Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
       .distinct()
-    candidates
-      .join(broadcast(corpus.select(col("vec_id").as("query_id"), col("vec").as("qvec"))),
-        Seq("query_id"))
+    val scored = candidates
+      .join(broadcast(queries), Seq("query_id"))
       .join(corpus, Seq("vec_id"))
-      .withColumn("cosine", cosine(col("qvec"), col("vec")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rk"))
+      .select(col("query_id"), col("vec_id"), cosine(col("qvec"), col("vec")).as("cosine"))
+    topkRanked(scored, k)
   }
 
   // ------------------------------------------------------------------ IVF
@@ -210,15 +226,11 @@ object Similarity {
       .filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
       .withColumn("probe_cid", explode(probeIdx))
-    val candidates = listed
+    val scored = listed
       .join(broadcast(queries), col("cid") === col("probe_cid"))
       .filter(col("vec_id") =!= col("query_id"))
-    candidates
-      .withColumn("cosine", cosine(col("qvec"), col("vec")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rk"))
+      .select(col("query_id"), col("vec_id"), cosine(col("qvec"), col("vec")).as("cosine"))
+    topkRanked(scored, k)
   }
 
   /** q_dedup_embedding — embedding-cosine near-dup pairs via LSH-banded
@@ -226,7 +238,7 @@ object Similarity {
     * has no planted >0.9 pairs — see SURVEY §2B). */
   def embeddingDedup(spark: SparkSession, dir: String, threshold: Double = 0.45): DataFrame = {
     val corpus = emb(spark, dir)
-    val bands = banded(corpus, "vec", "vec_id").select("vec_id", "band", "bucket")
+    val bands = banded(corpus, "vec", "vec_id")
     val candidates = bands
       .join(bands.select(col("vec_id").as("vec_b"), col("band"), col("bucket")),
         Seq("band", "bucket"))

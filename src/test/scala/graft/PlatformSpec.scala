@@ -269,6 +269,60 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT * FROM graft_q_pricing_summary").count() == 6)
   }
 
+  test("hyperplane bucketing codegen-compiles (no janino fallback) and matches interpreted eval") {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow}
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    import graft.functions.{HyperplaneBuckets, Hyperplanes}
+    val in = BoundReference(0, ArrayType(FloatType), nullable = true)
+    val probe = HyperplaneBuckets(in, Hyperplanes.flat, Hyperplanes.Dim,
+      Hyperplanes.PlanesPerBand, multiProbe = true)
+    val index = HyperplaneBuckets(in, Hyperplanes.flat, Hyperplanes.Dim,
+      Hyperplanes.PlanesPerBand, multiProbe = false)
+    // generate() compiles the projection with janino and THROWS on failure —
+    // this is the regression gate for the r1 "Whole-stage codegen disabled"
+    // fallback (the inlined-plane-literals formulation did not compile)
+    val proj = GenerateUnsafeProjection.generate(Seq(probe, index))
+    val rnd = new scala.util.Random(3)
+    (0 until 20).foreach { _ =>
+      val vec = Array.fill(Hyperplanes.Dim)(rnd.nextFloat() * 2 - 1)
+      val row = new GenericInternalRow(Array[Any](new GenericArrayData(vec)))
+      val out = proj(row)
+      val gotProbe = out.getArray(0).toIntArray().toSeq
+      val gotIndex = out.getArray(1).toIntArray().toSeq
+      assert(gotProbe ==
+        probe.eval(row).asInstanceOf[ArrayData].toIntArray().toSeq)
+      assert(gotIndex ==
+        index.eval(row).asInstanceOf[ArrayData].toIntArray().toSeq)
+      // probe output interleaves (primary, alternate): primaries must equal
+      // the index form; alternates differ by exactly one flipped sign bit
+      assert((0 until Hyperplanes.Bands).forall(b => gotProbe(2 * b) == gotIndex(b)))
+      assert((0 until Hyperplanes.Bands).forall(b =>
+        Integer.bitCount(gotProbe(2 * b) ^ gotProbe(2 * b + 1)) == 1))
+    }
+    // hand-computed instance: planes [[1,0],[0,1]], vec [0.5,-0.5] ->
+    // bucket = bit0 only (dot0=0.5>0, dot1=-0.5<0) = 1; margins tie at 0.5
+    // -> first (bit 0) flips -> alternate 0
+    val tiny = HyperplaneBuckets(
+      BoundReference(0, ArrayType(DoubleType), nullable = true),
+      IndexedSeq(1.0, 0.0, 0.0, 1.0), dim = 2, planesPerBand = 2, multiProbe = true)
+    val r = new GenericInternalRow(Array[Any](new GenericArrayData(Array(0.5, -0.5))))
+    assert(tiny.eval(r).asInstanceOf[ArrayData].toIntArray().toSeq == Seq(1, 0))
+  }
+
+  test("knn rankers use bounded-heap aggregation — no Window over scored rows") {
+    Seq(
+      "brute" -> operators.Similarity.knnBrute(spark, sf, 10),
+      "lsh" -> operators.Similarity.knnLsh(spark, sf, 10),
+      "ivf" -> operators.Similarity.knnIvf(spark, sf, 10)).foreach { case (name, df) =>
+      val wins = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(wins.isEmpty, s"knn $name plan ranks via Window — scale-killer")
+    }
+  }
+
   test("unit parsing yields NULL factor for unparseable unit strings") {
     val df = spark.createDataFrame(Seq((1L, "box of things"), (2L, "12 kg")))
       .toDF("id", "unit_name")
