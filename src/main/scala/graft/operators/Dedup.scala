@@ -29,9 +29,14 @@ object Dedup {
 
   /** Shingles reduced to 64-bit hashes BEFORE the distinct/join passes —
     * the shuffle then moves 8-byte keys instead of ~40-byte strings, and
-    * all downstream equality is integer compare. Collisions are
-    * negligible (~n²/2^64) and only perturb candidate counts, never
-    * correctness of the exact-Jaccard verifier semantics. */
+    * all downstream equality is integer compare. Collision caveat
+    * (probability ~n²/2^64 over distinct shingles): a collision merges two
+    * shingles' document frequencies, which can perturb the hot set AND the
+    * shared/size counts feeding the Jaccard values — i.e. it can in
+    * principle flip a pair across the threshold, not just change candidate
+    * counts. The DuckDB oracle computes df over raw strings, so a
+    * collision would surface as a loud hash-parity failure rather than
+    * silent drift; none has occurred at any tested scale. */
   private[operators] def shingleHashes(docs: DataFrame): DataFrame = {
     val words = docs.select(
       col("doc_id"),
@@ -49,6 +54,12 @@ object Dedup {
   private def dropHot(sh: DataFrame): DataFrame = {
     val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > HotShingleCap)
+      .select(col("h"), col("df"))
+      // logged drop count: recorded as a named observation on the main
+      // job (no extra action) — silent truncation would read as coverage
+      .observe("ngram_hot_drops",
+        count(lit(1)).as("hot_shingles"),
+        coalesce(sum(col("df")), lit(0L)).as("dropped_postings"))
       .select(col("h"))
     sh.join(hot, Seq("h"), "left_anti")
   }
@@ -183,6 +194,15 @@ object Dedup {
     * the bit sums) restores precision when they don't. */
   val HammingMax = 3
   val Chunks = 4
+  /** Chunk buckets larger than this are dropped from candidate generation
+    * (mirrors [[HotShingleCap]]): a degenerate 16-bit chunk value —
+    * low-entropy or near-empty docs all hashing to simhash 0 — would
+    * otherwise make its bucket quadratic in the pigeonhole join. The cap
+    * bounds any bucket's pair fan-out to cap²; drops are recorded as a
+    * named observation. A pair loses candidacy only if ALL of its shared
+    * chunks are hot, so near-identical docs (sharing 4 chunks) survive
+    * unless the whole corpus is degenerate. */
+  val SimHashChunkCap = 500
 
   /** Per-document 64-bit SimHash: per bit, the sign of the sum of ±1
     * contributions from each distinct word's hash. Computed as 64 parallel
@@ -207,16 +227,24 @@ object Dedup {
 
   /** q_dedup_simhash — near-dup pairs with hamming distance <= 3, found by
     * joining on 16-bit chunks (any pair within distance 3 shares at least
-    * one of 4 chunks). */
+    * one of 4 chunks), hot buckets capped ([[SimHashChunkCap]]). */
   def simhashDedup(docs: DataFrame): DataFrame = {
     val sigs = simhashSignatures(docs)
     val chunkCols = (0 until Chunks).map { c =>
       struct(lit(c).as("c"),
         shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("v"))
     }
-    val chunked = sigs
+    val chunked0 = sigs
       .select(col("doc_id"), col("simhash"), explode(array(chunkCols: _*)).as("ch"))
       .select(col("doc_id"), col("simhash"), col("ch.c").as("c"), col("ch.v").as("v"))
+    val hot = chunked0.groupBy(col("c"), col("v")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > SimHashChunkCap)
+      .select(col("c"), col("v"), col("df"))
+      .observe("simhash_hot_drops",
+        count(lit(1)).as("hot_buckets"),
+        coalesce(sum(col("df")), lit(0L)).as("dropped_chunk_rows"))
+      .select(col("c"), col("v"))
+    val chunked = chunked0.join(hot, Seq("c", "v"), "left_anti")
     chunked
       .join(
         chunked.select(col("doc_id").as("doc_b"), col("simhash").as("simhash_b"),
@@ -234,50 +262,119 @@ object Dedup {
 
   // ------------------------------------------- keep-one-copy resolution
 
-  /** Connected components over near-dup pairs by iterative min-label
-    * propagation: every document gets the minimum doc_id of its dup
-    * cluster as `canonical_id` (the kept copy).
+  /** Rounds taken by the last [[resolveComponents]] call (spec hook for
+    * the O(log n) round-bound guarantee). */
+  private[graft] var lastResolveRounds: Int = 0
+
+  /** Connected components over near-dup pairs via alternating
+    * large-star/small-star contractions (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): every document gets
+    * the minimum doc_id of its dup cluster as `canonical_id` (the kept
+    * copy).
     *
-    * Each iteration is one distributed join+aggregate; convergence is
-    * detected by the (monotonically decreasing, exact) sum of labels, so
-    * the loop is deterministic. Near-dup components are tiny in practice,
-    * so this converges in a handful of rounds; a 100 TB deployment with
-    * adversarial chain-shaped components would switch to the
-    * large-star/small-star algorithm (Kiveris et al., "Connected
-    * Components in MapReduce"), which this loop structure accommodates. */
-  def resolveComponents(pairs: DataFrame, maxIters: Int = 100): DataFrame = {
+    *  - large-star: each node u sends every LARGER neighbor v to
+    *    m = min(Γ(u) ∪ u)
+    *  - small-star: each node u (over edges directed larger→smaller)
+    *    points itself and every smaller neighbor at their minimum
+    *
+    * Both steps are one groupBy + one join over the edge set; the edge
+    * count never grows beyond the input and rounds are O(log n) even for
+    * adversarial chain/path components (the prior min-label-propagation
+    * loop needed diameter rounds). Convergence is detected by an exact
+    * fingerprint (count + endpoint sums + decimal hash sum) of the
+    * normalized edge set; the result is then VERIFIED distributively —
+    * every original pair's endpoints share a label, and every label is
+    * its component's minimum id — so a wrong labeling fails loudly rather
+    * than emitting non-minimal canonical ids. */
+  def resolveComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     // Materialize the (possibly expensive) pair derivation ONCE and
     // truncate its lineage — the loop below must not re-derive candidate
     // pairs every iteration, and iterative plans must not grow unboundedly.
     val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
-    val edges = p
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    var edges = p
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(
+        greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .distinct()
       .localCheckpoint()
-    var prevSum = labels.agg(sum(col("label"))).collect()(0).getLong(0)
+    if (edges.isEmpty)
+      return edges.select(col("u").as("doc_id"), col("v").as("canonical_id"))
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      nbrs.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val de = e
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      val mins = de.groupBy(col("u")).agg(min(col("v")).as("m"))
+      de.join(mins, "u")
+        .select(explode(array(
+          struct(col("v").as("a"), col("m").as("b")),
+          struct(col("u").as("a"), col("m").as("b")))).as("e"))
+        .select(col("e.a").as("u"), col("e.b").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // exact fingerprint of the normalized edge set: equal fingerprints ==
+    // equal sets up to a ~2^-64 hash-sum collision; sums run in DECIMAL so
+    // ANSI bigint overflow cannot abort the check
+    def fingerprint(e: DataFrame): Seq[Any] =
+      e.agg(
+        count(lit(1)),
+        coalesce(sum(col("u").cast(DecimalType(38, 0))), lit(0)),
+        coalesce(sum(col("v").cast(DecimalType(38, 0))), lit(0)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast(DecimalType(38, 0))), lit(0)))
+        .collect()(0).toSeq
+
+    var fp = fingerprint(edges)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      val msgs = edges
-        .join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("label"))
-      val next = labels.select(col("id"), col("label")).unionAll(msgs)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
-      val nextSum = next.agg(sum(col("label"))).collect()(0).getLong(0)
-      labels = next
-      converged = nextSum == prevSum
-      prevSum = nextSum
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nfp = fingerprint(next)
+      edges = next
+      converged = nfp == fp
+      fp = nfp
       it += 1
     }
-    // wrong-but-silent is worse than loud: a component with diameter
-    // beyond the cap must fail, not emit non-minimal canonical ids
-    require(converged,
-      s"component resolution did not converge in $maxIters rounds " +
-        "(pathological chain components: switch to large-star/small-star)")
-    labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+    lastResolveRounds = it
+    // wrong-but-silent is worse than loud
+    require(converged, s"component resolution did not converge in $maxIters rounds")
+
+    // at the fixpoint every edge is (member -> root); roots label themselves
+    val roots = edges.select(col("v").as("doc_id")).distinct()
+      .join(edges.select(col("u").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("canonical_id"))
+    val labels = edges.select(col("u").as("doc_id"), col("v").as("canonical_id"))
+      .distinct()
+      .unionAll(roots)
+      .localCheckpoint()
+
+    // distributed verification (scalar aggregates only, no row collects):
+    // (1) both endpoints of every original pair got the same label
+    val la = labels.select(col("doc_id").as("doc_a"), col("canonical_id").as("ca"))
+    val lb = labels.select(col("doc_id").as("doc_b"), col("canonical_id").as("cb"))
+    val checked = p.join(la, "doc_a").join(lb, "doc_b")
+    require(checked.count() == p.count(), "component resolution: unlabeled endpoints")
+    require(checked.filter(col("ca") =!= col("cb")).isEmpty,
+      "component resolution: pair endpoints in different components")
+    // (2) each label is the minimum doc_id of its component
+    require(labels.groupBy(col("canonical_id")).agg(min(col("doc_id")).as("mn"))
+      .filter(col("mn") =!= col("canonical_id")).isEmpty,
+      "component resolution: non-minimal canonical id")
+    labels
   }
 
   /** q_dedup_resolve — canonical assignment for every doc that appears in

@@ -95,6 +95,31 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!resolved.contains(4L), "doc 4 has no dup pair and no component")
   }
 
+  test("component resolution: 1k-node chain converges in O(log n) rounds") {
+    import spark.implicits._
+    // a path graph is the adversarial case for min-label propagation
+    // (diameter rounds); large-star/small-star must stay logarithmic
+    val pairs = (1L until 1000L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val resolved = operators.Dedup.resolveComponents(pairs)
+    assert(resolved.count() == 1000)
+    assert(resolved.filter(col("canonical_id") =!= 1L).count() == 0)
+    assert(operators.Dedup.lastResolveRounds < 20,
+      s"chain took ${operators.Dedup.lastResolveRounds} rounds")
+  }
+
+  test("simhash hot-bucket cap bounds degenerate chunk joins") {
+    import spark.implicits._
+    // 1000 identical docs -> one simhash -> every 16-bit chunk bucket holds
+    // all 1000 docs; without the cap the pigeonhole join is quadratic
+    // (~500k candidate pairs). All buckets exceed the cap and are dropped.
+    val degenerate = (1L to 1000L)
+      .map(i => (i, "same words repeated here forever and ever"))
+      .toDF("doc_id", "text")
+    val pairs = operators.Dedup.simhashDedup(degenerate)
+    assert(pairs.count() == 0,
+      "hot chunk buckets must be dropped, not joined quadratically")
+  }
+
   test("ivf knn: probes find high-recall neighbors with valid ranks") {
     val brute = operators.Similarity.knnBrute(spark, sf, k = 10)
       .select("query_id", "neighbor_id").collect()
