@@ -31,6 +31,8 @@ object SparkEntry {
     "q_topk_per_group" -> ((s, dir) => TopK.topkPerGroup(s, dir)),
     "q_topk_rows" -> ((s, dir) => TopK.topkRows(s, dir)),
     "q_forecast_linear" -> ((s, dir) => Forecast.forecastLinear(s, dir)),
+    "q_forecast_interval" -> ((s, dir) => Forecast.forecastInterval(s, dir)),
+    "q_forecast_weekly" -> ((s, dir) => Forecast.forecastWeekly(s, dir)),
     "q_seasonal_forecast" -> ((s, dir) => Forecast.seasonalForecast(s, dir)),
     "q_covariate_corr" -> ((s, dir) => Stats.covariateCorr(s, dir)),
     "q_hdi_volatility" -> ((s, dir) => Stats.hdiVolatility(s, dir)),
@@ -78,6 +80,8 @@ object SparkEntry {
     "q_topk_per_group" -> TopK.topkPerGroupOracle,
     "q_topk_rows" -> TopK.topkRowsOracle,
     "q_forecast_linear" -> Forecast.forecastLinearOracle,
+    "q_forecast_interval" -> Forecast.forecastIntervalOracle,
+    "q_forecast_weekly" -> Forecast.forecastWeeklyOracle,
     "q_seasonal_forecast" -> Forecast.seasonalForecastOracle,
     "q_covariate_corr" -> Stats.covariateCorrOracle,
     "q_hdi_volatility" -> Stats.hdiVolatilityOracle,
