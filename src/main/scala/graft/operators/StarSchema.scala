@@ -23,10 +23,21 @@ import org.apache.spark.sql.types._
   */
 object StarSchema {
 
-  /** Country-name style text canonicalization (stg_countries.sql:6-12):
-    * strip non [a-zA-Z0-9 space ' - ( )], collapse whitespace, trim. */
+  /** Country-name style text canonicalization (stg_countries.sql:4-12):
+    * the reference's special-case renames FIRST ('Iran (Islamic Republic
+    * of)'→'Iran', 'State of Palestine'→'Palestine'), then the regex
+    * scrub — strip non [a-zA-Z0-9 space ' - ( )], collapse whitespace,
+    * trim. */
   def canonName(c: Column): Column =
-    trim(regexp_replace(regexp_replace(c, "[^a-zA-Z0-9 '()-]", ""), "\\s+", " "))
+    when(c === "Iran (Islamic Republic of)", lit("Iran"))
+      .when(c === "State of Palestine", lit("Palestine"))
+      .otherwise(trim(regexp_replace(regexp_replace(c, "[^a-zA-Z0-9 '()-]", ""), "\\s+", " ")))
+
+  /** The oracle-side SQL of [[canonName]] over a column expression. */
+  private def canonSql(col: String): String =
+    s"""CASE WHEN $col = 'Iran (Islamic Republic of)' THEN 'Iran'
+       |    WHEN $col = 'State of Palestine' THEN 'Palestine'
+       |    ELSE TRIM(REGEXP_REPLACE(REGEXP_REPLACE($col, '[^a-zA-Z0-9 ''()-]', '', 'g'), '\\s+', ' ', 'g')) END""".stripMargin
 
   /** q_dim_build — locality dim from nation x region with row_number
     * surrogate ids, like stg_commodities/dim_* DISTINCT+ROW_NUMBER. */
@@ -45,48 +56,59 @@ object StarSchema {
   }
 
   val dimBuildOracle: String =
-    """SELECT CAST(ROW_NUMBER() OVER (ORDER BY name, region_name) AS BIGINT) AS id, name, region_name
-      |FROM (
-      |  SELECT DISTINCT
-      |    TRIM(REGEXP_REPLACE(REGEXP_REPLACE(n_name, '[^a-zA-Z0-9 ''()-]', '', 'g'), '\s+', ' ', 'g')) AS name,
-      |    r_name AS region_name
-      |  FROM nation JOIN region ON n_regionkey = r_regionkey
-      |)""".stripMargin
+    s"""SELECT CAST(ROW_NUMBER() OVER (ORDER BY name, region_name) AS BIGINT) AS id, name, region_name
+       |FROM (
+       |  SELECT DISTINCT
+       |    ${canonSql("n_name")} AS name,
+       |    r_name AS region_name
+       |  FROM nation JOIN region ON n_regionkey = r_regionkey
+       |)""".stripMargin
 
   /** q_dedup_merge — dedup with attribute merge (stg_countries.sql:35-43):
-    * nations seen via customers and via suppliers, merged by MAX(flag). */
+    * nations seen via customers and via suppliers, canonicalized then
+    * merged — int flags via MAX(flag), and a nullable STRING attribute
+    * via MAX(iso3) exactly like the reference's `MAX(iso3)` (the customer
+    * side carries a derived iso3 code, the supplier side contributes
+    * NULL, mirroring the hdi-vs-wfp asymmetry). */
   def dedupMerge(spark: SparkSession, dir: String): DataFrame = {
     val n = broadcast(Tables.nation(spark, dir))
     val cust = Tables
       .customer(spark, dir)
       .join(n, col("c_nationkey") === col("n_nationkey"))
-      .select(col("n_name").as("name"), lit(1).as("has_cust"), lit(0).as("has_supp"))
+      .select(canonName(col("n_name")).as("name"),
+        upper(substring(col("n_name"), 1, 3)).as("iso3"),
+        lit(1).as("has_cust"), lit(0).as("has_supp"))
       .distinct()
     val supp = Tables
       .supplier(spark, dir)
       .join(n, col("s_nationkey") === col("n_nationkey"))
-      .select(col("n_name").as("name"), lit(0).as("has_cust"), lit(1).as("has_supp"))
+      .select(canonName(col("n_name")).as("name"),
+        lit(null).cast(StringType).as("iso3"),
+        lit(0).as("has_cust"), lit(1).as("has_supp"))
       .distinct()
     cust
       .unionAll(supp)
       .groupBy(col("name"))
-      .agg(max(col("has_cust")).as("has_cust"), max(col("has_supp")).as("has_supp"))
+      .agg(max(col("iso3")).as("iso3"),
+        max(col("has_cust")).as("has_cust"), max(col("has_supp")).as("has_supp"))
       .withColumn("id", row_number().over(Window.orderBy(col("name"))).cast(LongType))
-      .select(col("id"), col("name"), col("has_cust"), col("has_supp"))
+      .select(col("id"), col("name"), col("iso3"), col("has_cust"), col("has_supp"))
   }
 
   val dedupMergeOracle: String =
-    """SELECT CAST(ROW_NUMBER() OVER (ORDER BY name) AS BIGINT) AS id, name, has_cust, has_supp
-      |FROM (
-      |  SELECT name, MAX(has_cust) AS has_cust, MAX(has_supp) AS has_supp
-      |  FROM (
-      |    SELECT DISTINCT n_name AS name, 1 AS has_cust, 0 AS has_supp
-      |    FROM customer JOIN nation ON c_nationkey = n_nationkey
-      |    UNION ALL
-      |    SELECT DISTINCT n_name AS name, 0 AS has_cust, 1 AS has_supp
-      |    FROM supplier JOIN nation ON s_nationkey = n_nationkey
-      |  ) GROUP BY name
-      |)""".stripMargin
+    s"""SELECT CAST(ROW_NUMBER() OVER (ORDER BY name) AS BIGINT) AS id, name, iso3, has_cust, has_supp
+       |FROM (
+       |  SELECT name, MAX(iso3) AS iso3, MAX(has_cust) AS has_cust, MAX(has_supp) AS has_supp
+       |  FROM (
+       |    SELECT DISTINCT ${canonSql("n_name")} AS name,
+       |      UPPER(SUBSTRING(n_name, 1, 3)) AS iso3, 1 AS has_cust, 0 AS has_supp
+       |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |    UNION ALL
+       |    SELECT DISTINCT ${canonSql("n_name")} AS name,
+       |      CAST(NULL AS VARCHAR) AS iso3, 0 AS has_cust, 1 AS has_supp
+       |    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |  ) GROUP BY name
+       |)""".stripMargin
 
   /** q_date_dim — year x month calendar grid (dim_date.sql): distinct years
     * cross-joined with distinct months, row_number id ordered by (y, m). */
