@@ -28,7 +28,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     spark.stop()
+    // the JSON goes to a file AND is printed as the process's last stdout
+    // line (after spark.stop(), so no executor/log4j output can interleave
+    // with it — r1's bench line was unparseable for exactly that reason)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath), json.getBytes("UTF-8"))
+    catch { case _: java.io.IOException => () }
+    println(json)
+    System.out.flush()
   }
 }

@@ -110,6 +110,8 @@ object GraftFunctions {
   val L2Name = "graft_l2sq"
   val HplaneIndexName = "graft_hplane_index"
   val HplaneProbeName = "graft_hplane_probe"
+  val SimHashName = "graft_simhash64"
+  val MinHashName = "graft_minhash_sigs"
 
   /** Idempotently register graft functions AND the cosine-fusion
     * optimizer rule on any session (works whether or not the session was
@@ -140,6 +142,14 @@ object GraftFunctions {
       (exprs: Seq[Expression]) =>
         HyperplaneBuckets(exprs.head, Hyperplanes.flat, Hyperplanes.Dim,
           Hyperplanes.PlanesPerBand, multiProbe = true),
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      SimHashName,
+      (exprs: Seq[Expression]) => SimHash64(exprs.head),
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      MinHashName,
+      (exprs: Seq[Expression]) => MinHashSigs(exprs.head),
       "built-in")
     val rules = classic.experimental.extraOptimizations
     if (!rules.contains(graft.plans.CosineFusionRule))

@@ -1,0 +1,202 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Shared string-input type gate for the text kernels. */
+trait TextKernelExpr extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.sql}")
+}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-document signature kernels.
+  *
+  * SimHash and MinHash signatures are pure per-document functions, so
+  * computing them with explode + distinct + groupBy (the r1 formulation)
+  * paid two full shuffles of the exploded token stream — ~10x the corpus
+  * size through the wire — just to reduce back to one row per document.
+  * These kernels compute the signature inside the scan projection: zero
+  * shuffles, and re-deriving signatures in multi-pass plans (e.g. the
+  * hot-bucket cap's frequency pass) costs another scan, not another
+  * shuffle. At 100 TB this is the difference between a map-only pass and
+  * the largest shuffle in the pipeline.
+  *
+  * Tokenization matches the DataFrame formulation bit-for-bit:
+  * `trim` strips ASCII spaces only, `\s+` collapses via java.util.regex
+  * (what Spark's regexp_replace uses), words hash with Spark's xxhash64
+  * (XXH64, seed 42) over UTF-8 bytes. The heavy logic lives in static
+  * kernel objects so generated code is a one-line call (JIT-compiled like
+  * any JVM method — no janino size risk).
+  */
+object SimHashKernel {
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** Spark `trim`: ASCII space only (String.trim would also strip \t\n
+    * and diverge from the column formulation). */
+  private def trimSpaces(s: String): String = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    s.substring(b, e)
+  }
+
+  /** Normalized word iteration shared by both kernels: trim, collapse
+    * whitespace, split on single spaces (split(" ", -1) semantics — an
+    * empty normalized string yields one empty word, as the column form
+    * does). Calls `f` once per word with its xxhash64. */
+  private[functions] def eachWordHash(text: UTF8String)(f: Long => Unit): Int = {
+    val norm = Ws.matcher(trimSpaces(text.toString)).replaceAll(" ")
+    var start = 0
+    var n = 0
+    while (start <= norm.length) {
+      val sp = norm.indexOf(' ', start)
+      val end = if (sp < 0) norm.length else sp
+      val w = UTF8String.fromString(norm.substring(start, end))
+      f(XXH64.hashUnsafeBytes(w.getBaseObject, w.getBaseOffset, w.numBytes, 42L))
+      n += 1
+      start = end + 1
+      if (sp < 0) start = norm.length + 1
+    }
+    n
+  }
+
+  /** 64-bit SimHash over DISTINCT word hashes: per bit, sign of the sum
+    * of +/-1 contributions. Identical values to the aggregate form. */
+  def compute(text: UTF8String): Long = {
+    val counts = new Array[Int](64)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    eachWordHash(text) { h =>
+      if (seen.add(h)) {
+        var i = 0
+        while (i < 64) {
+          counts(i) += (((h >>> i) & 1L) * 2 - 1).toInt
+          i += 1
+        }
+      }
+    }
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (counts(i) > 0) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+}
+
+object MinHashKernel {
+  val K = 32
+  private val Mersenne31 = (1L << 31) - 1
+
+  /** Deterministic universal-hash coefficients (seeded; library
+    * constants). Kept under 2^31 so a*h+b stays well inside a long. */
+  val coeffs: Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(K)((math.abs(rnd.nextLong()) % (Mersenne31 - 1) + 1,
+      math.abs(rnd.nextLong()) % Mersenne31))
+  }
+
+  val ShingleN = 5
+
+  /** K-slot MinHash signature over 5-word shingles, or null for docs
+    * shorter than one shingle (they cannot near-dup at n=5). Shingle
+    * hashing and the affine family match the aggregate form exactly:
+    * sig_j = min over shingles of ((a_j * (xxhash64(shingle) mod M) +
+    * b_j) mod M), M = 2^31-1. */
+  def compute(text: UTF8String): Array[Long] = {
+    // collect word strings once (shingles need the joined text)
+    val words = new scala.collection.mutable.ArrayBuffer[String]()
+    val norm = {
+      val t = text.toString
+      var b = 0
+      var e = t.length
+      while (b < e && t.charAt(b) == ' ') b += 1
+      while (e > b && t.charAt(e - 1) == ' ') e -= 1
+      java.util.regex.Pattern.compile("\\s+").matcher(t.substring(b, e)).replaceAll(" ")
+    }
+    var start = 0
+    while (start <= norm.length) {
+      val sp = norm.indexOf(' ', start)
+      val end = if (sp < 0) norm.length else sp
+      words += norm.substring(start, end)
+      start = end + 1
+      if (sp < 0) start = norm.length + 1
+    }
+    if (words.length < ShingleN) return null
+    val sigs = Array.fill(K)(Long.MaxValue)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i + ShingleN <= words.length) {
+      sb.setLength(0)
+      var j = i
+      while (j < i + ShingleN) {
+        if (j > i) sb.append(' ')
+        sb.append(words(j))
+        j += 1
+      }
+      val u = UTF8String.fromString(sb.toString)
+      val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      val h31 = java.lang.Math.floorMod(h, Mersenne31)
+      var k = 0
+      while (k < K) {
+        val (a, b) = coeffs(k)
+        val v = java.lang.Math.floorMod(a * h31 + b, Mersenne31)
+        if (v < sigs(k)) sigs(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    sigs
+  }
+}
+
+/** simhash64(text): LONG SimHash signature (see [[SimHashKernel]]). */
+case class SimHash64(child: Expression) extends TextKernelExpr {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashKernel.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashKernel.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** minhash_sigs(text): ARRAY<LONG> of K MinHash slots, NULL for docs
+  * shorter than one shingle (see [[MinHashKernel]]). */
+case class MinHashSigs(child: Expression) extends TextKernelExpr {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash_sigs"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val sigs = MinHashKernel.compute(input.asInstanceOf[UTF8String])
+    if (sigs == null) null else new GenericArrayData(sigs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val sigs = ctx.freshName("sigs")
+      s"""
+         |long[] $sigs = graft.functions.MinHashKernel.compute($c);
+         |if ($sigs == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sigs);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

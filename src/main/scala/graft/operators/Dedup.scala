@@ -13,8 +13,10 @@ import org.apache.spark.sql.types._
   *    shared shingles with a hot-shingle cap; MinHash joins on LSH band
   *    buckets (O(rows x bands)); SimHash joins on 16-bit chunks
   *    (pigeonhole for hamming <= 3).
-  *  - All per-document signatures are computed in ONE pass with map-side
-  *    combine (min/sum aggregates over exploded shingle/word hashes).
+  *  - Per-document signatures (MinHash, SimHash) are computed by native
+  *    per-row kernels inside the scan projection — zero shuffles (the
+  *    exploded-token aggregate formulations are kept only as spec
+  *    reference implementations).
   *  - Pair outputs are keyed (doc_a < doc_b) and distinct, so downstream
   *    keep-one-copy policies are a trivial min() per connected component.
   */
@@ -121,28 +123,33 @@ object Dedup {
 
   // ---------------------------------------------------------------- MinHash
 
-  val MinHashK = 32
+  val MinHashK: Int = graft.functions.MinHashKernel.K
   val Bands = 8
   val RowsPerBand: Int = MinHashK / Bands
   private val Mersenne31 = (1L << 31) - 1
 
-  /** Deterministic universal-hash coefficients (seeded; library constants,
-    * not runtime randomness). Kept under 2^31 so a*h+b stays well inside a
-    * 64-bit long — Spark 4 runs with ANSI arithmetic (overflow errors, not
-    * wraparound), so the hash family must be overflow-free by construction. */
-  private val coeffs: Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(7)
-    Seq.fill(MinHashK)((math.abs(rnd.nextLong()) % (Mersenne31 - 1) + 1,
-      math.abs(rnd.nextLong()) % Mersenne31))
+  /** Per-document MinHash signature: sig_j = min over shingles of
+    * ((a_j * (xxhash64(shingle) mod 2^31-1) + b_j) mod 2^31-1), computed
+    * by the per-row native kernel ([[graft.functions.MinHashSigs]]) —
+    * a pure scan projection with NO shuffle (the r1 explode + distinct +
+    * 32-min-aggregate formulation shuffled the exploded shingle stream
+    * twice; GraftProps asserts the two forms agree). */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    docs
+      .select(col("doc_id"),
+        call_function(graft.functions.GraftFunctions.MinHashName, col("text")).as("sigs"))
+      .filter(col("sigs").isNotNull)
+      .select(col("doc_id") +:
+        (0 until MinHashK).map(j => col("sigs").getItem(j).as(s"sig_$j")): _*)
   }
 
-  /** Per-document MinHash signature: sig_j = min over shingles of
-    * ((a_j * (xxhash64(shingle) mod 2^31-1) + b_j) mod 2^31-1). One
-    * aggregation pass, map-side combined. */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
+  /** The r1 aggregate formulation, kept as the independent reference
+    * implementation the kernel is spec-checked against. */
+  private[graft] def minhashSignaturesAgg(docs: DataFrame): DataFrame = {
     val sh = shingleHashes(docs)
       .withColumn("h31", pmod(col("h"), lit(Mersenne31)))
-    val aggs = coeffs.zipWithIndex.map { case ((a, b), j) =>
+    val aggs = graft.functions.MinHashKernel.coeffs.toSeq.zipWithIndex.map { case ((a, b), j) =>
       min(pmod(col("h31") * lit(a) + lit(b), lit(Mersenne31))).as(s"sig_$j")
     }
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
@@ -205,9 +212,21 @@ object Dedup {
   val SimHashChunkCap = 500
 
   /** Per-document 64-bit SimHash: per bit, the sign of the sum of ±1
-    * contributions from each distinct word's hash. Computed as 64 parallel
-    * sum aggregates in one pass (no per-bit explode). */
+    * contributions from each distinct word's hash. Computed by the
+    * per-row native kernel ([[graft.functions.SimHash64]]) — a pure scan
+    * projection with NO shuffle (the r1 formulation shuffled the exploded
+    * word stream through a distinct and a 64-sum aggregate; re-deriving
+    * signatures for the hot-bucket frequency pass now costs a scan, not a
+    * shuffle). GraftProps asserts the two forms agree. */
   def simhashSignatures(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    docs.select(col("doc_id"),
+      call_function(graft.functions.GraftFunctions.SimHashName, col("text")).as("simhash"))
+  }
+
+  /** The r1 aggregate formulation, kept as the independent reference
+    * implementation the kernel is spec-checked against. */
+  private[graft] def simhashSignaturesAgg(docs: DataFrame): DataFrame = {
     val words = docs
       .select(col("doc_id"),
         explode(split(regexp_replace(trim(col("text")), "\\s+", " "), " ")).as("word"))

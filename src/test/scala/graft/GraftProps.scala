@@ -73,6 +73,42 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  /** Arbitrary text with hostile whitespace (tabs, runs, leading/trailing)
+    * and non-ASCII — the kernels must reproduce the column formulation's
+    * trim/collapse/split semantics exactly. */
+  private val textGen: Gen[String] = for {
+    n <- Gen.chooseNum(0, 12)
+    words <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "Delta9", "µx", "z"))
+    seps <- Gen.listOfN(math.max(n - 1, 0), Gen.oneOf(" ", "  ", "\t", " \n "))
+    lead <- Gen.oneOf("", " ", "\t ")
+    trail <- Gen.oneOf("", " ", "  ")
+  } yield lead + (if (words.isEmpty) ""
+                  else words.zip(seps :+ "").map { case (w, s) => w + s }.mkString) + trail
+
+  private def docsDf(texts: List[String]) =
+    spark.createDataFrame(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+      .toDF("doc_id", "text")
+
+  property("simhash kernel matches the aggregate formulation") =
+    forAll(Gen.listOfN(6, textGen)) { texts =>
+      val df = docsDf(texts)
+      val kern = operators.Dedup.simhashSignatures(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val agg = operators.Dedup.simhashSignaturesAgg(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      kern == agg
+    }
+
+  property("minhash kernel matches the aggregate formulation") =
+    forAll(Gen.listOfN(6, textGen)) { texts =>
+      val df = docsDf(texts)
+      def sigMap(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r =>
+          r.getLong(0) -> (1 to operators.Dedup.MinHashK).map(r.getLong).toVector).toMap
+      sigMap(operators.Dedup.minhashSignatures(df)) ==
+        sigMap(operators.Dedup.minhashSignaturesAgg(df))
+    }
+
   property("ngram jaccard is bounded and keyed doc_a < doc_b") =
     forAll(Gen.listOfN(6, Gen.listOfN(12, Gen.oneOf("x", "y", "z", "w", "v")))) { docs =>
       val df = spark.createDataFrame(
