@@ -11,10 +11,18 @@ import org.apache.spark.sql.SparkSession
   *   spark.sql("SELECT * FROM graft_q_monthly_trend WHERE brand = 'Brand#2'")
   * }}}
   *
-  * Views are lazy plans — registering costs nothing until queried, and
-  * every view inherits the operators' pushdown/broadcast behavior.
+  * Views are lazy plans — registering costs nothing until queried — with
+  * one honest exception: [[ModelBearing]] queries execute Spark jobs at
+  * plan-BUILD time (IVF quantizer training, component-resolution
+  * convergence), so they are excluded from `register` by default and only
+  * built when `materializeModels = true`.
   */
 object Catalog {
+  /** Queries whose DataFrame CONSTRUCTION runs driver-coordinated Spark
+    * jobs (model state / iterative convergence), not just plan building:
+    * q_knn_ivf trains the IVF coarse quantizer (Lloyd iterations),
+    * q_dedup_resolve runs the star-contraction loop plus verification. */
+  val ModelBearing: Set[String] = Set("q_knn_ivf", "q_dedup_resolve")
   /** Loaders shared with the operators (memoized plans, and the events
     * nanos-as-long conf is applied before parquet schema resolution). */
   val TableLoaders: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
@@ -31,12 +39,13 @@ object Catalog {
 
   val TableNames: Seq[String] = TableLoaders.keys.toSeq.sorted
 
-  def register(spark: SparkSession, dir: String): Unit = {
+  def register(spark: SparkSession, dir: String, materializeModels: Boolean = false): Unit = {
     TableLoaders.foreach { case (name, load) =>
       load(spark, dir).createOrReplaceTempView(name)
     }
     SparkEntry.queries.foreach { case (name, fn) =>
-      fn(spark, dir).createOrReplaceTempView(s"graft_$name")
+      if (materializeModels || !ModelBearing(name))
+        fn(spark, dir).createOrReplaceTempView(s"graft_$name")
     }
   }
 }

@@ -222,7 +222,8 @@ object Forecast {
       .withColumn("forecast_date", date_add(epoch, col("x_future").cast(IntegerType)))
       .withColumn("fdow", dayofweek(col("forecast_date")))
     futures
-      .join(dowMeans, col("brand") === col("db") && col("fdow") === col("dow"))
+      // dow means are group-cardinality (brands x 7) — broadcast, never SMJ
+      .join(broadcast(dowMeans), col("brand") === col("db") && col("fdow") === col("dow"))
       .withColumn("seasonal_idx", col("mean_dow") - col("mean_all"))
       .withColumn(
         "forecast",

@@ -61,12 +61,17 @@ object CosineFusionRule extends Rule[LogicalPlan] {
   }
 
   /** The fused kernel truncates to the shorter array and reads element
-    * slots directly, while the HOF form returns NULL when the lengths
-    * differ (zip_with null-pads) or any element is null. The rewrite
-    * preserves those semantics exactly: a cheap guard returns NULL in
-    * both cases and the kernel runs otherwise. When the schema already
-    * guarantees non-null elements, only the length check remains. */
+    * slots directly, while the HOF form returns NULL when the input
+    * arrays are null, when the lengths differ (zip_with null-pads), or
+    * when any element is null — and returns NaN (0.0/0.0) for zero-norm
+    * vectors, where the kernel yields NULL. The rewrite preserves ALL of
+    * those semantics: explicit null guards return NULL, and a Coalesce
+    * maps the kernel's zero-norm NULL back to the HOF's NaN (NaN sorts
+    * greatest in Spark, so silently swapping it for NULL would reorder
+    * user rankings). When the schema guarantees non-null elements, only
+    * the null-input and length checks remain. */
   private def guarded(a: Expression, b: Expression): Expression = {
+    val nullD = Literal(null, org.apache.spark.sql.types.DoubleType)
     def sz(e: Expression) = Size(e, legacySizeOfNull = false)
     def hasNullElem(e: Expression): Option[Expression] = e.dataType match {
       case org.apache.spark.sql.types.ArrayType(et, true) =>
@@ -76,9 +81,12 @@ object CosineFusionRule extends Rule[LogicalPlan] {
     }
     val checks = Seq(Not(EqualTo(sz(a), sz(b)))) ++ hasNullElem(a) ++ hasNullElem(b)
     If(
-      checks.reduce(Or),
-      Literal(null, org.apache.spark.sql.types.DoubleType),
-      CosineSimilarity(a, b))
+      Or(IsNull(a), IsNull(b)),
+      nullD,
+      If(
+        checks.reduce(Or),
+        nullD,
+        Coalesce(Seq(CosineSimilarity(a, b), Literal(Double.NaN)))))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =

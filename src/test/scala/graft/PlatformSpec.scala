@@ -39,6 +39,12 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     val opt = df.queryExecution.optimizedPlan.toString
     assert(opt.contains("graft_cosine"), s"fusion rule did not fire:\n$opt")
     assert(df.filter("abs(c - 1.0) > 1e-6").count() == 0)
+    // zero-norm vectors: the HOF form evaluates 0.0/0.0 = NaN; the rewrite
+    // must preserve that (NaN sorts greatest — NULL would reorder rankings)
+    val zf = spark.sql("SELECT array(0.0d, 0.0d) AS z")
+      .select(operators.Similarity.cosineHof(col("z"), col("z")).as("c"))
+    assert(zf.queryExecution.optimizedPlan.toString.contains("graft_cosine"))
+    assert(zf.filter(isnan(col("c"))).count() == 1, "fused zero-norm must stay NaN")
   }
 
   test("dot and l2 kernels match their higher-order-function equivalents") {
@@ -267,6 +273,14 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT * FROM graft_q_monthly_trend WHERE month = 1 ORDER BY brand, year LIMIT 5")
     assert(trend.count() == 5)
     assert(spark.sql("SELECT * FROM graft_q_pricing_summary").count() == 6)
+    // model-bearing queries run Spark jobs at plan-BUILD time and are
+    // excluded from the default registration (registered lazily on opt-in)
+    Catalog.ModelBearing.foreach { name =>
+      assert(!spark.catalog.tableExists(s"graft_$name"),
+        s"$name should not be built by default register()")
+    }
+    Catalog.register(spark, sf, materializeModels = true)
+    assert(spark.sql("SELECT * FROM graft_q_knn_ivf").count() > 0)
   }
 
   test("hyperplane bucketing codegen-compiles (no janino fallback) and matches interpreted eval") {
