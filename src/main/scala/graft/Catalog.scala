@@ -39,6 +39,29 @@ object Catalog {
 
   val TableNames: Seq[String] = TableLoaders.keys.toSeq.sorted
 
+  /** q_distinct_slices — the interactive slicing surface
+    * (`server/data_loader.py:13-16` / `dataset_viewer.py`): the distinct
+    * filter values of every user-facing dimension in ONE long skinny
+    * frame, cheap to compute (per-side distinct is dim-cardinality) and
+    * cheap to cache client-side. */
+  def distinctSlices(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val countries = Tables.nation(spark, dir)
+      .select(lit("country").as("dim"), col("n_name").as("value")).distinct()
+    val products = Tables.part(spark, dir)
+      .select(lit("product").as("dim"), col("p_brand").as("value")).distinct()
+    val markets = Tables.supplier(spark, dir)
+      .select(lit("market").as("dim"), col("s_name").as("value")).distinct()
+    countries.unionAll(products).unionAll(markets)
+  }
+
+  val distinctSlicesOracle: String =
+    """SELECT DISTINCT 'country' AS dim, n_name AS value FROM nation
+      |UNION ALL
+      |SELECT DISTINCT 'product' AS dim, p_brand AS value FROM part
+      |UNION ALL
+      |SELECT DISTINCT 'market' AS dim, s_name AS value FROM supplier""".stripMargin
+
   def register(spark: SparkSession, dir: String, materializeModels: Boolean = false): Unit = {
     TableLoaders.foreach { case (name, load) =>
       load(spark, dir).createOrReplaceTempView(name)

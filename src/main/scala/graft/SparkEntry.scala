@@ -57,7 +57,8 @@ object SparkEntry {
     "q_knn_brute" -> ((s, dir) => Similarity.knnBrute(s, dir)),
     "q_knn_lsh" -> ((s, dir) => Similarity.knnLsh(s, dir)),
     "q_knn_ivf" -> ((s, dir) => Similarity.knnIvf(s, dir)),
-    "q_dedup_embedding" -> ((s, dir) => Similarity.embeddingDedup(s, dir))
+    "q_dedup_embedding" -> ((s, dir) => Similarity.embeddingDedup(s, dir)),
+    "q_distinct_slices" -> ((s, dir) => Catalog.distinctSlices(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -99,9 +100,12 @@ object SparkEntry {
     "q_text_quality" -> TextAnalysis.textQualityOracle,
     "q_lang_id" -> TextAnalysis.langIdOracle,
     "q_fingerprint" -> TextAnalysis.fingerprintOracle,
-    "q_dedup_ngram" -> Dedup.ngramJaccardOracle
-    // q_dedup_minhash, q_dedup_simhash, q_knn_brute, q_knn_lsh,
-    // q_dedup_embedding: not SQL-expressible (hash signatures / LSH);
+    "q_dedup_ngram" -> Dedup.ngramJaccardOracle,
+    "q_knn_brute" -> Similarity.knnBruteOracle,
+    "q_distinct_slices" -> Catalog.distinctSlicesOracle
+    // q_dedup_minhash, q_dedup_simhash, q_knn_lsh, q_knn_ivf,
+    // q_dedup_embedding, q_winnow_fingerprint: not SQL-expressible
+    // (xxhash64 signatures / LSH plane constants / trained model state);
     // driver records rows-only checks, specs carry correctness.
   )
 }

@@ -110,6 +110,28 @@ object Similarity {
     topkRanked(scored, k)
   }
 
+  /** DuckDB oracle for [[knnBrute]] — upgrades the flagship ANN query
+    * from rows-only to exact hash parity. Safe because both engines
+    * accumulate the dot product and norms LEFT-TO-RIGHT in doubles over
+    * double-cast float32 values (graft's fused kernel by construction;
+    * DuckDB's `list_cosine_similarity` over DOUBLE[] empirically
+    * bit-identical across scales), and ties rank deterministically by
+    * neighbor_id. */
+  val knnBruteOracle: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+      |  FROM embeddings WHERE vec_id < 8
+      |), scored AS (
+      |  SELECT q.query_id, e.vec_id AS neighbor_id,
+      |    list_cosine_similarity(q.qvec, CAST(e.embedding AS DOUBLE[])) AS cosine
+      |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+      |)
+      |SELECT query_id, neighbor_id, cosine, rk FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rk
+      |  FROM scored
+      |) WHERE rk <= 10""".stripMargin
+
   // ------------------------------------------------------- LSH hyperplanes
 
   val LshBands: Int = Hyperplanes.Bands

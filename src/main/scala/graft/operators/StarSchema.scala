@@ -166,6 +166,46 @@ object StarSchema {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name, CAST(EXTRACT(year FROM o_orderdate) AS INT)""".stripMargin
 
+  /** Persist a DataFrame as a bucketed, bucket-sorted parquet table.
+    * This is the 100 TB ingest-side contract: bucket the fact tables ONCE
+    * on their join key and every subsequent key join between co-bucketed
+    * tables (and every aggregation keyed on the bucket key) runs with NO
+    * exchange and NO sort — the bucketing IS the shuffle, paid at write
+    * time. `path` makes the table external so tests own the storage. */
+  def writeBucketed(df: DataFrame, table: String, key: String, numBuckets: Int,
+      path: String): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, key).sortBy(key)
+      .option("path", path).saveAsTable(table)
+
+  /** Bucketed-table variant of [[starJoin]]: with lineitem and orders
+    * bucketed+sorted on orderkey, the fact-fact join is exchange-free and
+    * sort-free (bucket-local sort-merge); dims broadcast; the ONLY
+    * shuffle in the whole query is the final (region, year) rollup's.
+    * PlatformSpec writes the bucketed tables and asserts exactly one
+    * exchange in the physical plan, with results equal to [[starJoin]]. */
+  def starJoinBucketed(spark: SparkSession, dir: String,
+      liTable: String, oTable: String): DataFrame = {
+    val li = spark.table(liTable)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val o = spark.table(oTable)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val c = broadcast(Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey")))
+    val n = broadcast(Tables.nation(spark, dir))
+    val r = broadcast(Tables.region(spark, dir))
+    val one = lit(1).cast(DecimalType(18, 2))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region_name"), year(col("o_orderdate")).as("order_year"))
+      .agg(
+        sum(dec4(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))))
+          .cast(DoubleType)
+          .as("revenue"),
+        cnt.as("n_items"))
+  }
+
   /** q_price_usd — fx conversion via a derived rate dim
     * (dag_prophet_output.py:22-23 `price/dim_currency_value.value`). The
     * rate is aggregated-then-divided so the heavy pass stays decimal-exact. */

@@ -337,6 +337,40 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bucketed star join: co-located fact join is exchange-free, one rollup shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val tmp = java.nio.file.Files.createTempDirectory("graftbucket").toString
+    operators.StarSchema.writeBucketed(
+      Tables.lineitem(spark, sf), "li_bucketed", "l_orderkey", 8, s"$tmp/li")
+    operators.StarSchema.writeBucketed(
+      Tables.orders(spark, sf), "o_bucketed", "o_orderkey", 8, s"$tmp/o")
+    val savedBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // no auto-broadcast (the bucketed join must stand on its own) and no
+      // AQE (assert on the static physical plan)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = operators.StarSchema.starJoinBucketed(spark, sf, "li_bucketed", "o_bucketed")
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.size == 1,
+        s"expected ONLY the rollup exchange, got ${exchanges.size}:\n" +
+          df.queryExecution.executedPlan)
+      val got = df.collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+      val want = operators.StarSchema.starJoin(spark, sf).collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+      assert(got == want, "bucketed variant must be bit-identical to the shuffle variant")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+  }
+
   test("unit parsing yields NULL factor for unparseable unit strings") {
     val df = spark.createDataFrame(Seq((1L, "box of things"), (2L, "12 kg")))
       .toDF("id", "unit_name")
