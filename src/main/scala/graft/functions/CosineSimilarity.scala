@@ -20,7 +20,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Interpreted `nullSafeEval` is provided for non-codegen paths; inputs
   * are implicitly cast, so `array<float>` and `array<double>` both work.
   */
-case class CosineSimilarity(left: Expression, right: Expression)
+/** @param hofCompat when true (set by the fusion rule), reproduce the
+  *   composed-HOF form's semantics EXACTLY in one pass: mismatched
+  *   lengths → NULL (zip_with null-pads), any null element → NULL,
+  *   zero-norm → NaN (0.0/0.0). The rule previously wrapped the kernel
+  *   in composed guard expressions (IsNull/Size/ArrayExists), which
+  *   re-evaluated the input arrays per check and erased the kernel's
+  *   speedup entirely; folding the checks into the kernel's own loop
+  *   restores the single-pass, single-evaluation contract. */
+case class CosineSimilarity(left: Expression, right: Expression,
+    hofCompat: Boolean = false)
     extends BinaryExpression {
 
   // Accepts float OR double arrays natively (no coercion pass): the
@@ -50,12 +59,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val xd = elemOf(left).contains(DoubleType)
     val yd = elemOf(right).contains(DoubleType)
+    if (hofCompat && x.numElements() != y.numElements()) return null
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0
     var nx = 0.0
     var ny = 0.0
     var i = 0
     while (i < n) {
+      if (hofCompat && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xi = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
       val yi = if (yd) y.getDouble(i) else y.getFloat(i).toDouble
       dot += xi * yi
@@ -63,9 +74,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
       ny += yi * yi
       i += 1
     }
-    // zero-norm vectors have no defined cosine: NULL, not NaN (and never
-    // an ANSI divide-by-zero crash)
-    if (nx == 0.0 || ny == 0.0) null else dot / (math.sqrt(nx) * math.sqrt(ny))
+    if (nx == 0.0 || ny == 0.0) {
+      // zero-norm vectors have no defined cosine. Direct API: NULL (never
+      // an ANSI divide-by-zero crash). HOF-compat: NaN, exactly as
+      // 0.0/0.0 evaluates in the composed form (NaN sorts greatest, so
+      // the distinction is visible in rankings).
+      if (hofCompat) Double.NaN else null
+    } else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
   override def nullable: Boolean = true
@@ -82,18 +97,34 @@ case class CosineSimilarity(left: Expression, right: Expression)
       def getter(side: Expression, arr: String) =
         if (elemOf(side).contains(DoubleType)) s"$arr.getDouble($i)"
         else s"(double) $arr.getFloat($i)"
+      val lenGuard =
+        if (hofCompat)
+          s"if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; } else"
+        else ""
+      val nullElemGuard =
+        if (hofCompat)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      val zeroNorm =
+        if (hofCompat) s"${ev.value} = Double.NaN;"
+        else s"${ev.isNull} = true;"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = ${getter(left, a)};
-         |  double $yi = ${getter(right, b)};
-         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
-         |}
-         |if ($nx == 0.0 || $ny == 0.0) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |$lenGuard {
+         |  int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullElemGuard
+         |    double $xi = ${getter(left, a)};
+         |    double $yi = ${getter(right, b)};
+         |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    if ($nx == 0.0 || $ny == 0.0) {
+         |      $zeroNorm
+         |    } else {
+         |      ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |    }
+         |  }
          |}
        """.stripMargin
     })

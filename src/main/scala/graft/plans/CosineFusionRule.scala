@@ -60,34 +60,40 @@ object CosineFusionRule extends Rule[LogicalPlan] {
     }
   }
 
-  /** The fused kernel truncates to the shorter array and reads element
-    * slots directly, while the HOF form returns NULL when the input
-    * arrays are null, when the lengths differ (zip_with null-pads), or
-    * when any element is null — and returns NaN (0.0/0.0) for zero-norm
-    * vectors, where the kernel yields NULL. The rewrite preserves ALL of
-    * those semantics: explicit null guards return NULL, and a Coalesce
-    * maps the kernel's zero-norm NULL back to the HOF's NaN (NaN sorts
-    * greatest in Spark, so silently swapping it for NULL would reorder
-    * user rankings). When the schema guarantees non-null elements, only
-    * the null-input and length checks remain. */
-  private def guarded(a: Expression, b: Expression): Expression = {
-    val nullD = Literal(null, org.apache.spark.sql.types.DoubleType)
-    def sz(e: Expression) = Size(e, legacySizeOfNull = false)
-    def hasNullElem(e: Expression): Option[Expression] = e.dataType match {
-      case org.apache.spark.sql.types.ArrayType(et, true) =>
-        val v = NamedLambdaVariable("gx", et, nullable = true)
-        Some(ArrayExists(e, LambdaFunction(IsNull(v), Seq(v))))
-      case _ => None
-    }
-    val checks = Seq(Not(EqualTo(sz(a), sz(b)))) ++ hasNullElem(a) ++ hasNullElem(b)
-    If(
-      Or(IsNull(a), IsNull(b)),
-      nullD,
-      If(
-        checks.reduce(Or),
-        nullD,
-        Coalesce(Seq(CosineSimilarity(a, b), Literal(Double.NaN)))))
+  /** The HOF form returns NULL for null arrays, mismatched lengths
+    * (zip_with null-pads) and null elements, and NaN (0.0/0.0) for
+    * zero-norm vectors. The rewrite preserves ALL of those semantics via
+    * the kernel's own `hofCompat` mode — the checks run inside the fused
+    * loop, so each input array is evaluated exactly ONCE. (An earlier
+    * formulation composed IsNull/Size/ArrayExists guard expressions
+    * around the kernel; each guard re-evaluated the input expressions per
+    * row, which erased the kernel's speedup entirely.) */
+  /** Strip a `transform(x, v -> cast(v as double))` wrapper over a FLOAT
+    * array: the kernel reads float elements natively and widens each to
+    * double in-register, so the per-row materialization of a cast copy is
+    * pure waste. Value-identical (same widening), and null-element /
+    * length semantics are checked against the raw array, which transform
+    * preserves 1:1. */
+  private def stripCastTransform(e: Expression): Expression = e match {
+    case ArrayTransform(x, LambdaFunction(
+          Cast(cv: NamedLambdaVariable, org.apache.spark.sql.types.DoubleType, _, _),
+          Seq(v: NamedLambdaVariable), _))
+        if cv.exprId == v.exprId &&
+          x.dataType == org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, false) =>
+      x
+    case ArrayTransform(x, LambdaFunction(
+          Cast(cv: NamedLambdaVariable, org.apache.spark.sql.types.DoubleType, _, _),
+          Seq(v: NamedLambdaVariable), _))
+        if cv.exprId == v.exprId &&
+          x.dataType == org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, true) =>
+      x
+    case _ => e
   }
+
+  private def guarded(a: Expression, b: Expression): Expression =
+    CosineSimilarity(stripCastTransform(a), stripCastTransform(b), hofCompat = true)
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {

@@ -45,6 +45,16 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(operators.Similarity.cosineHof(col("z"), col("z")).as("c"))
     assert(zf.queryExecution.optimizedPlan.toString.contains("graft_cosine"))
     assert(zf.filter(isnan(col("c"))).count() == 1, "fused zero-norm must stay NaN")
+    // null element and length mismatch: HOF yields NULL; rewrite must too
+    val ef = spark.sql(
+      "SELECT array(1.0d, cast(null AS double)) AS v, array(1.0d, 2.0d) AS w, array(3.0d) AS s")
+      .select(
+        operators.Similarity.cosineHof(col("v"), col("w")).as("c_nullelem"),
+        operators.Similarity.cosineHof(col("s"), col("w")).as("c_lenmismatch"))
+    assert(ef.queryExecution.optimizedPlan.toString.contains("graft_cosine"))
+    val er = ef.collect()(0)
+    assert(er.isNullAt(0), "null element must stay NULL through the rewrite")
+    assert(er.isNullAt(1), "length mismatch must stay NULL through the rewrite")
   }
 
   test("dot and l2 kernels match their higher-order-function equivalents") {
