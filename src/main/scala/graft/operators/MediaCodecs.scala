@@ -1,0 +1,164 @@
+package graft.operators
+
+/** Pure-JVM media container codecs — REAL byte-level parsers/writers, no
+  * native libraries. The sandbox has no perceptual codecs (JPEG/H.264),
+  * but uncompressed containers are just bytes: binary PPM (P6) for
+  * images, RIFF/WAV PCM-16 for audio, and back-to-back PPM frames for
+  * video (the MJPEG pattern with raw frames). These let the multimodal
+  * stages do genuine decode/transform work — header parsing, dimension
+  * validation, pixel-grid resampling, sample-domain features — with the
+  * stub codec remaining ONLY as the stand-in for compressed formats.
+  */
+object PpmCodec {
+  /** Strict binary-PPM header: `P6\n<w> <h>\n255\n` + w*h*3 RGB bytes. */
+  def encode(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"rgb length ${rgb.length} != $w x $h x 3")
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + rgb.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(rgb, 0, out, header.length, rgb.length)
+    out
+  }
+
+  /** Parse a binary PPM; None if the payload is not a well-formed P6
+    * with maxval 255 and a complete raster. */
+  def decode(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6') return None
+    var i = 2
+    def skipWs(): Unit = {
+      while (i < payload.length && (payload(i) == ' ' || payload(i) == '\n' ||
+        payload(i) == '\t' || payload(i) == '\r')) i += 1
+    }
+    def readInt(): Int = {
+      skipWs()
+      var v = 0
+      var any = false
+      while (i < payload.length && payload(i) >= '0' && payload(i) <= '9') {
+        v = v * 10 + (payload(i) - '0'); i += 1; any = true
+      }
+      if (any) v else -1
+    }
+    val w = readInt(); val h = readInt(); val maxv = readInt()
+    if (w <= 0 || h <= 0 || maxv != 255) return None
+    i += 1 // the single whitespace after maxval
+    if (payload.length - i < w * h * 3) return None
+    Some((w, h, java.util.Arrays.copyOfRange(payload, i, i + w * h * 3)))
+  }
+
+  /** Nearest-neighbor resample on the real pixel grid (per-channel). */
+  def resizeNearest(w: Int, h: Int, rgb: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    val out = new Array[Byte](outW * outH * 3)
+    var y = 0
+    while (y < outH) {
+      val sy = (y.toLong * h / outH).toInt
+      var x = 0
+      while (x < outW) {
+        val sx = (x.toLong * w / outW).toInt
+        val src = (sy * w + sx) * 3
+        val dst = (y * outW + x) * 3
+        out(dst) = rgb(src); out(dst + 1) = rgb(src + 1); out(dst + 2) = rgb(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** 16-dim image features: 3 channel means + 13-bin luminance histogram
+    * (all in [0, 1]). */
+  def features(w: Int, h: Int, rgb: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](Multimodal.StubCodec.FeatureDim)
+    val n = w * h
+    if (n == 0) return out
+    val hist = new Array[Int](13)
+    var r = 0L; var g = 0L; var b = 0L
+    var i = 0
+    while (i < n) {
+      val rv = rgb(3 * i) & 0xFF; val gv = rgb(3 * i + 1) & 0xFF; val bv = rgb(3 * i + 2) & 0xFF
+      r += rv; g += gv; b += bv
+      val luma = (rv * 299 + gv * 587 + bv * 114) / 1000
+      hist(math.min(12, luma * 13 / 256)) += 1
+      i += 1
+    }
+    out(0) = r.toFloat / n / 255f; out(1) = g.toFloat / n / 255f; out(2) = b.toFloat / n / 255f
+    var j = 0
+    while (j < 13) { out(3 + j) = hist(j).toFloat / n; j += 1 }
+    out
+  }
+}
+
+object WavCodec {
+  /** Minimal RIFF/WAVE writer: PCM 16-bit mono little-endian. */
+  def encode(sampleRateHz: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRateHz).putInt(sampleRateHz * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Parse a PCM-16 mono WAV; None unless the fmt/data chunks are sane. */
+  def decode(payload: Array[Byte]): Option[(Int, Array[Short])] = {
+    if (payload.length < 44) return None
+    val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val riff = new Array[Byte](4); bb.get(riff)
+    if (new String(riff, "US-ASCII") != "RIFF") return None
+    bb.getInt()
+    val wave = new Array[Byte](4); bb.get(wave)
+    if (new String(wave, "US-ASCII") != "WAVE") return None
+    val fmt = new Array[Byte](4); bb.get(fmt)
+    if (new String(fmt, "US-ASCII") != "fmt ") return None
+    val fmtLen = bb.getInt()
+    if (fmtLen < 16) return None
+    val audioFormat = bb.getShort(); val channels = bb.getShort()
+    val rate = bb.getInt(); bb.getInt(); bb.getShort()
+    val bits = bb.getShort()
+    if (audioFormat != 1 || channels != 1 || bits != 16) return None
+    bb.position(20 + fmtLen)
+    val dataTag = new Array[Byte](4); bb.get(dataTag)
+    if (new String(dataTag, "US-ASCII") != "data") return None
+    val dataLen = bb.getInt()
+    if (dataLen < 0 || dataLen > bb.remaining()) return None
+    val samples = new Array[Short](dataLen / 2)
+    var i = 0
+    while (i < samples.length) { samples(i) = bb.getShort(); i += 1 }
+    Some((rate, samples))
+  }
+
+  /** 16-dim audio features: RMS energy, zero-crossing rate, then 14
+    * windowed RMS energies over equal time slices (all in [0, 1]). */
+  def features(samples: Array[Short]): Array[Float] = {
+    val out = new Array[Float](Multimodal.StubCodec.FeatureDim)
+    val n = samples.length
+    if (n == 0) return out
+    var energy = 0.0
+    var zc = 0
+    var i = 0
+    while (i < n) {
+      val s = samples(i) / 32768.0
+      energy += s * s
+      if (i > 0 && ((samples(i) >= 0) != (samples(i - 1) >= 0))) zc += 1
+      i += 1
+    }
+    out(0) = math.sqrt(energy / n).toFloat
+    out(1) = zc.toFloat / n
+    val win = 14
+    var wi = 0
+    while (wi < win) {
+      val from = (wi.toLong * n / win).toInt
+      val to = ((wi + 1).toLong * n / win).toInt
+      var e = 0.0
+      var j = from
+      while (j < to) { val s = samples(j) / 32768.0; e += s * s; j += 1 }
+      out(2 + wi) = if (to > from) math.sqrt(e / (to - from)).toFloat else 0f
+      wi += 1
+    }
+    out
+  }
+}

@@ -200,6 +200,45 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!scan.contains("payload") || !scan.contains("ReadSchema: struct<media_id:bigint,payload"))
   }
 
+  test("multimodal codecs: real PPM/WAV containers round-trip through decode/resize/frames") {
+    import graft.operators.{PpmCodec, WavCodec}
+    val media = Multimodal.transcode(spark, Multimodal.fromDocuments(Tables.documents(spark, sf)))
+    val items = media.collect()
+    // every image payload is a well-formed PPM whose header matches the metadata
+    items.filter(_.meta.kind == "image").foreach { m =>
+      val dec = PpmCodec.decode(m.payload)
+      assert(dec.exists { case (w, h, _) => w == m.meta.width && h == m.meta.height },
+        s"media ${m.media_id}: bad PPM container")
+    }
+    // audio payloads are valid PCM-16 WAV at the metadata sample rate
+    items.filter(_.meta.kind == "audio").foreach { m =>
+      val dec = WavCodec.decode(m.payload)
+      assert(dec.exists { case (rate, samples) =>
+        rate == m.meta.sampleRateHz && samples.nonEmpty },
+        s"media ${m.media_id}: bad WAV container")
+    }
+    // resize does real pixel-grid resampling: output is a valid 8x8 PPM
+    Multimodal.resizeImages(spark, media.toDF(), 8, 8).collect()
+      .filter(_.meta.kind == "image").foreach { m =>
+        val dec = PpmCodec.decode(m.payload)
+        assert(dec.exists { case (w, h, rgb) => w == 8 && h == 8 && rgb.length == 192 })
+      }
+    // video frames split at real container boundaries: each a standalone PPM,
+    // every 2nd frame of the metadata's frame count
+    val frames = Multimodal.sampleFrames(spark, media.toDF(), every = 2).collect()
+    assert(frames.nonEmpty)
+    frames.foreach(f => assert(PpmCodec.decode(f.payload).isDefined,
+      s"frame ${f.frame_idx} of ${f.media_id} is not a standalone PPM"))
+    val wantFrames = items.filter(_.meta.kind == "video")
+      .map(m => m.media_id -> (m.meta.nFrames + 1) / 2).toMap
+    val gotFrames = frames.groupBy(_.media_id).view.mapValues(_.length).toMap
+    assert(gotFrames == wantFrames)
+    // features come from the real decoders and stay in [0, 1]
+    val feats = Multimodal.extractFeatures(spark, media.toDF()).collect()
+    assert(feats.length == items.length)
+    assert(feats.forall(_.features.forall(v => v >= 0f && v <= 1f)))
+  }
+
   test("column cleaning and schema generation mirror the reference parser") {
     assert(sources.CleanCsv.cleanColumnName(" Unit Price ($) ") == "unit_price_")
     assert(sources.CleanCsv.cleanColumnName("2024 total") == "col_2024_total")
