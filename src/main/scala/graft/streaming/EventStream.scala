@@ -22,6 +22,8 @@ object EventStream {
 
   case class Event(user_id: Long, event_id: Long, ts: Timestamp, event_type: String, value: Double)
 
+  case class Rate(key: Long, rate_ts: Timestamp, rate: Double)
+
   case class SessionState(start: Long, last: Long, n: Long, total: Double)
 
   case class Session(
@@ -60,6 +62,64 @@ object EventStream {
     events
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join — the streaming twin of the as-of rate
+    * attach (`graft.operators.AsOf.asofRates`): each event joins the rate
+    * rows for its key whose effective timestamp falls within the hour
+    * before the event. Both sides carry watermarks AND the join condition
+    * bounds the time range, so Spark's join state is finite: rate rows
+    * older than (watermark - interval) are evicted, which is what keeps
+    * an unbounded enrichment stream joinable at 100 TB/day. */
+  def enrichWithRates(events: DataFrame, rates: DataFrame): DataFrame = {
+    val e = events.withWatermark("ts", "2 hours")
+    val r = rates.withWatermark("rate_ts", "2 hours")
+    e.join(
+      r,
+      e("user_id") === r("key") &&
+        r("rate_ts") <= e("ts") &&
+        r("rate_ts") >= e("ts") - expr("INTERVAL 1 HOUR"))
+      .select(e("user_id"), e("event_id"), e("ts"), e("value"), r("rate_ts"), r("rate"))
+  }
+
+  /** foreachBatch incremental-rollup sink: every micro-batch folds its
+    * (type, year, month) decimal partials into a parquet rollup table via
+    * `graft.operators.Incremental.merge` — the stream maintains a
+    * queryable rollup whose contents are BIT-IDENTICAL to a from-scratch
+    * aggregation of everything seen (exact decimal partials are
+    * associative, so merge order cannot drift). The swap is
+    * write-tmp-then-move; a production deployment would use a
+    * transactional table format for the same effect. */
+  def incrementalRollupSink(events: DataFrame, stateDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val slice = batch.select(
+          col("event_type").as("brand"),
+          year(col("ts")).as("year"),
+          month(col("ts")).as("month"),
+          col("value").as("price"))
+        val partial = graft.operators.Incremental.partialMonthly(slice)
+        val state = new java.io.File(stateDir)
+        val merged =
+          if (state.exists)
+            graft.operators.Incremental.merge(
+              Seq(spark.read.parquet(stateDir), partial))
+          else partial
+        val tmp = java.nio.file.Paths.get(stateDir + "_tmp")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        deleteRecursively(state.toPath)
+        java.nio.file.Files.move(tmp, state.toPath)
+        ()
+      }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(java.nio.file.Files.delete)
+    }
 
   /** Gap sessionization with explicit per-user state and event-time
     * timeout — the streaming twin of `Events.sessionize`. Emits a session

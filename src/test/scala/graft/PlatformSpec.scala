@@ -163,6 +163,60 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attaches in-window rates and drops stale ones") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ev = MemoryStream[EventStream.Event]
+    val rt = MemoryStream[EventStream.Rate]
+    val q = EventStream.enrichWithRates(ev.toDF(), rt.toDF())
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      rt.addData(
+        EventStream.Rate(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1.5),
+        EventStream.Rate(1, Timestamp.valueOf("2024-01-01 08:00:00"), 9.9), // stale
+        EventStream.Rate(2, Timestamp.valueOf("2024-01-01 10:00:00"), 2.5)) // other key
+      ev.addData(
+        EventStream.Event(1, 1, Timestamp.valueOf("2024-01-01 10:30:00"), "view", 1.0),
+        EventStream.Event(3, 2, Timestamp.valueOf("2024-01-01 10:30:00"), "view", 1.0)) // no rate
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+      // only the in-window rate for the matching key joins; user 3 has no
+      // rate and the 08:00 rate is older than the 1h interval
+      assert(rows.toSet == Set((1L, 1L, 1.5)), s"got: ${rows.mkString(", ")}")
+    } finally q.stop()
+  }
+
+  test("streaming incremental rollup sink equals from-scratch aggregation") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventStream.Event]
+    val dir = java.nio.file.Files.createTempDirectory("graftroll").toString + "/state"
+    val q = EventStream.incrementalRollupSink(input.toDF(), dir).start()
+    val all = Seq(
+      EventStream.Event(1, 1, Timestamp.valueOf("2024-01-05 10:00:00"), "view", 1.25),
+      EventStream.Event(2, 2, Timestamp.valueOf("2024-01-20 11:00:00"), "view", 2.50),
+      EventStream.Event(3, 3, Timestamp.valueOf("2024-02-01 12:00:00"), "click", 4.75),
+      EventStream.Event(4, 4, Timestamp.valueOf("2024-01-09 13:00:00"), "view", 8.00))
+    try {
+      // batches split so the January "view" group must MERGE across them
+      input.addData(all(0), all(1)); q.processAllAvailable()
+      input.addData(all(2), all(3)); q.processAllAvailable()
+      val state = spark.read.parquet(dir)
+        .select("brand", "year", "month", "sum_dec", "n")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+          r.getDecimal(3).toPlainString, r.getLong(4))).toSet
+      val direct = operators.Incremental.partialMonthly(
+        all.toDF().select(col("event_type").as("brand"),
+          year(col("ts")).as("year"), month(col("ts")).as("month"),
+          col("value").as("price")))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+          r.getDecimal(3).toPlainString, r.getLong(4))).toSet
+      assert(state == direct, s"state=$state direct=$direct")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered events within the watermark") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
