@@ -310,14 +310,32 @@ object Dedup {
     // truncate its lineage — the loop below must not re-derive candidate
     // pairs every iteration, and iterative plans must not grow unboundedly.
     val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
-    var edges = p
-      .filter(col("doc_a") =!= col("doc_b"))
-      .select(
-        greatest(col("doc_a"), col("doc_b")).as("u"),
-        least(col("doc_a"), col("doc_b")).as("v"))
-      .distinct()
-      .localCheckpoint()
-    if (edges.isEmpty)
+
+    // exact fingerprint of the normalized edge set, observed ON the
+    // checkpoint job itself (no separate aggregation job per round):
+    // equal fingerprints == equal sets up to a ~2^-64 hash-sum collision;
+    // sums run in DECIMAL so ANSI bigint overflow cannot abort the check
+    def checkpointWithFingerprint(df: DataFrame): (DataFrame, Seq[Any]) = {
+      val obs = new org.apache.spark.sql.Observation()
+      val cp = df.observe(obs,
+        count(lit(1)).as("n"),
+        coalesce(sum(col("u").cast(DecimalType(38, 0))), lit(0)).as("su"),
+        coalesce(sum(col("v").cast(DecimalType(38, 0))), lit(0)).as("sv"),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast(DecimalType(38, 0))), lit(0)).as("sh"))
+        .localCheckpoint()
+      val m = obs.get
+      (cp, Seq(m("n"), m("su"), m("sv"), m("sh")))
+    }
+
+    val (edges0, fp0) = checkpointWithFingerprint(
+      p.filter(col("doc_a") =!= col("doc_b"))
+        .select(
+          greatest(col("doc_a"), col("doc_b")).as("u"),
+          least(col("doc_a"), col("doc_b")).as("v"))
+        .distinct())
+    var edges = edges0
+    var fp = fp0
+    if (fp(0) == 0L)
       return edges.select(col("u").as("doc_id"), col("v").as("canonical_id"))
 
     def largeStar(e: DataFrame): DataFrame = {
@@ -346,23 +364,10 @@ object Dedup {
         .distinct()
     }
 
-    // exact fingerprint of the normalized edge set: equal fingerprints ==
-    // equal sets up to a ~2^-64 hash-sum collision; sums run in DECIMAL so
-    // ANSI bigint overflow cannot abort the check
-    def fingerprint(e: DataFrame): Seq[Any] =
-      e.agg(
-        count(lit(1)),
-        coalesce(sum(col("u").cast(DecimalType(38, 0))), lit(0)),
-        coalesce(sum(col("v").cast(DecimalType(38, 0))), lit(0)),
-        coalesce(sum(xxhash64(col("u"), col("v")).cast(DecimalType(38, 0))), lit(0)))
-        .collect()(0).toSeq
-
-    var fp = fingerprint(edges)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
-      val nfp = fingerprint(next)
+      val (next, nfp) = checkpointWithFingerprint(smallStar(largeStar(edges)))
       edges = next
       converged = nfp == fp
       fp = nfp
@@ -382,12 +387,18 @@ object Dedup {
       .localCheckpoint()
 
     // distributed verification (scalar aggregates only, no row collects):
-    // (1) both endpoints of every original pair got the same label
+    // (1) both endpoints of every original pair got the same label —
+    //     joined-row count, split-pair count and unlabeled-endpoint count
+    //     come from ONE execution of the verification join
     val la = labels.select(col("doc_id").as("doc_a"), col("canonical_id").as("ca"))
     val lb = labels.select(col("doc_id").as("doc_b"), col("canonical_id").as("cb"))
-    val checked = p.join(la, "doc_a").join(lb, "doc_b")
-    require(checked.count() == p.count(), "component resolution: unlabeled endpoints")
-    require(checked.filter(col("ca") =!= col("cb")).isEmpty,
+    val check = p.join(la, "doc_a").join(lb, "doc_b")
+      .agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(when(col("ca") =!= col("cb"), 1L).otherwise(0L)), lit(0L)).as("split"))
+      .collect()(0)
+    require(check.getLong(0) == p.count(), "component resolution: unlabeled endpoints")
+    require(check.getLong(1) == 0L,
       "component resolution: pair endpoints in different components")
     // (2) each label is the minimum doc_id of its component
     require(labels.groupBy(col("canonical_id")).agg(min(col("doc_id")).as("mn"))

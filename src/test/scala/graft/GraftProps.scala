@@ -109,6 +109,31 @@ object GraftProps extends Properties("graft") {
         sigMap(operators.Dedup.minhashSignaturesAgg(df))
     }
 
+  property("component resolution matches a union-find reference on random graphs") =
+    forAll(Gen.listOfN(30,
+      for { a <- Gen.chooseNum(1L, 20L); b <- Gen.chooseNum(1L, 20L) } yield (a, b))) { pairs0 =>
+      val pairs = pairs0.filter(p => p._1 != p._2)
+      pairs.nonEmpty ==> {
+        val df = spark.createDataFrame(pairs).toDF("doc_a", "doc_b")
+        val got = operators.Dedup.resolveComponents(df)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // driver-side union-find (union smaller root wins -> root is the
+        // component minimum)
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val px = parent.getOrElseUpdate(x, x)
+          if (px == x) x else { val r = find(px); parent(x) = r; r }
+        }
+        pairs.foreach { case (a, b) =>
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        val want = nodes.map(n => n -> find(n)).toMap
+        got == want
+      }
+    }
+
   property("ngram jaccard is bounded and keyed doc_a < doc_b") =
     forAll(Gen.listOfN(6, Gen.listOfN(12, Gen.oneOf("x", "y", "z", "w", "v")))) { docs =>
       val df = spark.createDataFrame(
