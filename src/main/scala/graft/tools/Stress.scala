@@ -31,6 +31,11 @@ object Stress {
     time("ngram_jaccard") { Dedup.ngramJaccard(docs10).count() }
     time("minhash") { Dedup.minhashDedup(docs10).count() }
     time("simhash") { Dedup.simhashDedup(docs10).count() }
+    // per-row signature kernels vs the exploded-aggregate formulations
+    time("simhash_sig_kernel") { Dedup.simhashSignatures(docs10).count() }
+    time("simhash_sig_agg") { Dedup.simhashSignaturesAgg(docs10).count() }
+    time("minhash_sig_kernel") { Dedup.minhashSignatures(docs10).count() }
+    time("minhash_sig_agg") { Dedup.minhashSignaturesAgg(docs10).count() }
     time("resolve") {
       Dedup.resolveComponents(Dedup.ngramJaccard(docs10).select("doc_a", "doc_b")).count()
     }

@@ -428,6 +428,44 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tiny.eval(r).asInstanceOf[ArrayData].toIntArray().toSeq == Seq(1, 0))
   }
 
+  test("every graft expression codegen-compiles: kernels, signatures, hofCompat cosine") {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow}
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions._
+    val s = BoundReference(0, StringType, nullable = true)
+    val v = BoundReference(1, ArrayType(FloatType), nullable = true)
+    val exprs = Seq(
+      SimHash64(s),
+      MinHashSigs(s),
+      CosineSimilarity(v, v),
+      CosineSimilarity(v, v, hofCompat = true),
+      DotProduct(v, v),
+      L2SquaredDistance(v, v))
+    // generate() THROWS on janino failure — no silent interpreted fallback
+    val proj = GenerateUnsafeProjection.generate(exprs)
+    val row = new GenericInternalRow(Array[Any](
+      UTF8String.fromString("alpha beta gamma delta epsilon"),
+      new GenericArrayData(Array(0.5f, -0.25f, 0.75f))))
+    val out = proj(row)
+    // codegen agrees with the interpreted path on every expression
+    assert(out.getLong(0) == exprs(0).eval(row).asInstanceOf[Long])
+    assert(out.getArray(1).toLongArray().toSeq ==
+      exprs(1).eval(row).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq)
+    (2 until 6).foreach { i =>
+      assert(out.getDouble(i) == exprs(i).eval(row).asInstanceOf[Double], s"expr $i")
+    }
+    // hofCompat zero-norm NaN agrees between codegen and interpreted
+    val zrow = new GenericInternalRow(Array[Any](null,
+      new GenericArrayData(Array(0.0f, 0.0f))))
+    val zc = GenerateUnsafeProjection.generate(Seq(CosineSimilarity(v, v, hofCompat = true)))
+    assert(zc(zrow).getDouble(0).isNaN)
+    assert(CosineSimilarity(v, v, hofCompat = true).eval(zrow).asInstanceOf[Double].isNaN)
+  }
+
   test("knn rankers use bounded-heap aggregation — no Window over scored rows") {
     Seq(
       "brute" -> operators.Similarity.knnBrute(spark, sf, 10),
