@@ -54,6 +54,7 @@ object SparkEntry {
     "q_dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashDedup(s, dir)),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhashDedup(s, dir)),
+    "q_dedup_simhash_idf" -> ((s, dir) => Dedup.simhashIdfDedup(s, dir)),
     "q_knn_brute" -> ((s, dir) => Similarity.knnBrute(s, dir)),
     "q_knn_lsh" -> ((s, dir) => Similarity.knnLsh(s, dir)),
     "q_knn_ivf" -> ((s, dir) => Similarity.knnIvf(s, dir)),

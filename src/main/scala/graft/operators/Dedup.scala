@@ -244,11 +244,59 @@ object Dedup {
       .select(col("doc_id"), packed.as("simhash"))
   }
 
+  /** IDF-weighted SimHash signatures — the precision knob for low-entropy
+    * corpora (see [[HammingMax]] note): each distinct word contributes
+    * ±log(N/df) per bit instead of ±1, so corpus-wide boilerplate
+    * (df ≈ N, weight ≈ 0) stops dominating the signature and content
+    * words decide it. Unlike the unweighted kernel this needs corpus
+    * document frequencies, so it is a DataFrame pipeline: one pass for
+    * df (vocabulary-cardinality, map-side combined — at production scale
+    * this table is a reusable corpus asset), one hash-keyed join, one
+    * 64-sum aggregate per doc. Words with df > N/2 are dropped outright
+    * (weight < log 2 ≈ noise), which also bounds the join. */
+  def simhashIdfSignatures(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(col("doc_id"),
+        explode(split(regexp_replace(trim(col("text")), "\\s+", " "), " ")).as("word"))
+      .select(col("doc_id"), xxhash64(col("word")).as("h"))
+      .distinct()
+    val nDocs = docs.select(col("doc_id")).distinct().count()
+    val weights = words.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= lit(nDocs / 2))
+      .select(col("h"), log(lit(nDocs.toDouble) / col("df").cast(DoubleType)).as("w"))
+    val weighted = words.join(weights, Seq("h"))
+    val bitSums = (0 until SimHashBits).map { i =>
+      sum((shiftright(col("h"), i).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
+        .cast(DoubleType) * col("w")).as(s"s_$i")
+    }
+    val packed = (0 until SimHashBits)
+      .map(i => when(col(s"s_$i") > 0, lit(1L)).otherwise(lit(0L)) * lit(1L << i))
+      .reduce(_ + _)
+    weighted
+      .groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+  }
+
+  /** q_dedup_simhash_idf — [[simhashDedup]] with IDF-weighted signatures:
+    * same chunked pigeonhole join and hot-bucket cap, boilerplate-robust
+    * signatures. Docs whose every word is boilerplate (all df > N/2) have
+    * no signature and cannot pair — by design. */
+  def simhashIdfDedup(docs: DataFrame): DataFrame =
+    chunkedHammingPairs(simhashIdfSignatures(docs))
+
+  def simhashIdfDedup(spark: SparkSession, dir: String): DataFrame =
+    simhashIdfDedup(Tables.documents(spark, dir))
+
   /** q_dedup_simhash — near-dup pairs with hamming distance <= 3, found by
     * joining on 16-bit chunks (any pair within distance 3 shares at least
     * one of 4 chunks), hot buckets capped ([[SimHashChunkCap]]). */
-  def simhashDedup(docs: DataFrame): DataFrame = {
-    val sigs = simhashSignatures(docs)
+  def simhashDedup(docs: DataFrame): DataFrame =
+    chunkedHammingPairs(simhashSignatures(docs))
+
+  /** Chunked pigeonhole near-dup join over any (doc_id, simhash) frame. */
+  private def chunkedHammingPairs(sigs: DataFrame): DataFrame = {
     val chunkCols = (0 until Chunks).map { c =>
       struct(lit(c).as("c"),
         shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("v"))

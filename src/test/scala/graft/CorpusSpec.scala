@@ -120,6 +120,26 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       "hot chunk buckets must be dropped, not joined quadratically")
   }
 
+  test("idf simhash keeps true dups and rejects boilerplate-driven false pairs") {
+    import spark.implicits._
+    // 40 shared boilerplate words dominate the unweighted signature; each
+    // doc differs only in 3 content words; doc 21 is a true dup of doc 1
+    val stop = (1 to 40).map(i => s"stopword$i").mkString(" ")
+    val docs = (1L to 20L).map { i =>
+      (i, s"$stop unique${i}a unique${i}b unique${i}c")
+    } :+ (21L, s"$stop unique1a unique1b unique1c")
+    val df = docs.toDF("doc_id", "text")
+    val plain = operators.Dedup.simhashDedup(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idf = operators.Dedup.simhashIdfDedup(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(idf == Set((1L, 21L)),
+      s"idf must yield exactly the true dup pair, got $idf")
+    assert(plain.contains((1L, 21L)))
+    assert(plain.size > idf.size,
+      s"unweighted signatures should admit boilerplate false pairs here ($plain)")
+  }
+
   test("ivf knn: probes find high-recall neighbors with valid ranks") {
     val brute = operators.Similarity.knnBrute(spark, sf, k = 10)
       .select("query_id", "neighbor_id").collect()
