@@ -50,6 +50,9 @@ object SparkEntry {
     "q_text_quality" -> ((s, dir) => TextAnalysis.textQuality(s, dir)),
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
+    "q_train_split" -> ((s, dir) => TextAnalysis.trainSplit(s, dir)),
+    "q_corpus_clean" -> ((s, dir) => TextAnalysis.corpusClean(s, dir)),
+    "q_corpus_stats" -> ((s, dir) => TextAnalysis.corpusStats(s, dir)),
     "q_winnow_fingerprint" -> ((s, dir) => TextAnalysis.winnowFingerprint(s, dir)),
     "q_dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashDedup(s, dir)),
@@ -101,6 +104,9 @@ object SparkEntry {
     "q_text_quality" -> TextAnalysis.textQualityOracle,
     "q_lang_id" -> TextAnalysis.langIdOracle,
     "q_fingerprint" -> TextAnalysis.fingerprintOracle,
+    "q_train_split" -> TextAnalysis.trainSplitOracle,
+    "q_corpus_clean" -> TextAnalysis.corpusCleanOracle,
+    "q_corpus_stats" -> TextAnalysis.corpusStatsOracle,
     "q_dedup_ngram" -> Dedup.ngramJaccardOracle,
     "q_knn_brute" -> Similarity.knnBruteOracle,
     "q_distinct_slices" -> Catalog.distinctSlicesOracle

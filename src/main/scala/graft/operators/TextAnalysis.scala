@@ -52,10 +52,26 @@ object TextAnalysis {
       |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z]+')) AS INT) AS n_words
       |FROM documents""".stripMargin
 
+  private def nWordsExpr: Column = regexp_count(col("text"), lit("[a-zA-Z]+")).cast(DoubleType)
+
+  /** The composite quality score over the `text` column — shared verbatim
+    * by q_text_quality and the composed q_corpus_clean. */
+  private def qualityScoreExpr: Column = {
+    val nWords = nWordsExpr
+    val nStops = regexp_count(
+      col("text"),
+      lit("\\b(the|a|and|of|to|in|is|it|that|for)\\b")).cast(DoubleType)
+    val nPunct = regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast(DoubleType)
+    val nChars = length(col("text")).cast(DoubleType)
+    least(nWords / lit(50.0), lit(1.0)) * lit(0.5) +
+      least(when(nWords > 0, nStops / nWords).otherwise(lit(0.0)) * lit(4.0), lit(1.0)) * lit(0.3) +
+      (lit(1.0) - least(when(nChars > 0, nPunct / nChars).otherwise(lit(0.0)) * lit(5.0), lit(1.0))) * lit(0.2)
+  }
+
   /** q_text_quality — length/stopword/punctuation quality heuristics and a
     * rational (transcendental-free) composite score in [0, 1]. */
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
-    val nWords = regexp_count(col("text"), lit("[a-zA-Z]+")).cast(DoubleType)
+    val nWords = nWordsExpr
     val nStops = regexp_count(
       col("text"),
       lit("\\b(the|a|and|of|to|in|is|it|that|for)\\b")).cast(DoubleType)
@@ -68,10 +84,7 @@ object TextAnalysis {
       when(nWords > 0, letters / nWords).otherwise(lit(0.0)).as("avg_word_len"),
       when(nWords > 0, nStops / nWords).otherwise(lit(0.0)).as("stop_ratio"),
       when(nChars > 0, nPunct / nChars).otherwise(lit(0.0)).as("punct_ratio"),
-      (least(nWords / lit(50.0), lit(1.0)) * lit(0.5)
-        + least(when(nWords > 0, nStops / nWords).otherwise(lit(0.0)) * lit(4.0), lit(1.0)) * lit(0.3)
-        + (lit(1.0) - least(when(nChars > 0, nPunct / nChars).otherwise(lit(0.0)) * lit(5.0), lit(1.0))) * lit(0.2))
-        .as("quality_score"))
+      qualityScoreExpr.as("quality_score"))
   }
 
   val textQualityOracle: String =
@@ -93,9 +106,24 @@ object TextAnalysis {
       |    + (1.0 - LEAST(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END * 5.0, 1.0)) * 0.2 AS quality_score
       |FROM f""".stripMargin
 
+  /** The deterministic-argmax language prediction over the `text` column
+    * (en > es > de > fr precedence on ties, 'und' when no profile
+    * matches) — shared verbatim by q_lang_id and q_corpus_clean. */
+  private def predLangExpr: Column = {
+    def c(pat: String): Column = regexp_count(col("text"), lit(pat))
+    val cEn = c("\\b(the|and|of|to|is|in|that|it)\\b")
+    val cEs = c("\\b(el|la|de|que|y|los|las|es)\\b")
+    val cDe = c("\\b(der|die|und|das|ist|ein|nicht)\\b")
+    val cFr = c("\\b(le|la|et|les|des|un|une|est)\\b")
+    when(cEn >= cEs && cEn >= cDe && cEn >= cFr && cEn > 0, "en")
+      .when(cEs >= cDe && cEs >= cFr && cEs > 0, "es")
+      .when(cDe >= cFr && cDe > 0, "de")
+      .when(cFr > 0, "fr")
+      .otherwise("und")
+  }
+
   /** q_lang_id — stopword-profile language scoring with a deterministic
-    * argmax (en > es > de > fr precedence on ties, 'und' when no profile
-    * matches). */
+    * argmax. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     def c(pat: String): Column = regexp_count(col("text"), lit(pat))
     val cEn = c("\\b(the|and|of|to|is|in|that|it)\\b")
@@ -218,4 +246,100 @@ object TextAnalysis {
   // q_winnow_fingerprint has no SQL oracle: the sketch values are
   // xxhash64-based and DuckDB has no compatible hash. Driver records a
   // rows-only check; WinnowSpec carries the correctness invariants.
+
+  /** q_train_split — deterministic train/val/test assignment by CONTENT
+    * fingerprint, not doc id: exact duplicates land in the same split,
+    * the leakage guard a random split lacks (and re-runs are stable — no
+    * RNG). The md5 hex prefix is uniform, and lowercase hex is
+    * ASCII-ordered, so lexicographic thresholds give clean fractions:
+    * '00'-'cb' ≈ 79.7% train, 'cc'-'e5' ≈ 10.2% val, rest test. Pure
+    * scalar projection — scan speed at any corpus size. */
+  def trainSplit(spark: SparkSession, dir: String): DataFrame = {
+    val key = substring(md5(col("text").cast(BinaryType)), 1, 2)
+    docs(spark, dir).select(
+      col("doc_id"),
+      key.as("split_key"),
+      when(key < "cc", "train").when(key < "e6", "val").otherwise("test").as("split"))
+  }
+
+  val trainSplitOracle: String =
+    """SELECT doc_id, SUBSTRING(md5(text), 1, 2) AS split_key,
+      |  CASE WHEN SUBSTRING(md5(text), 1, 2) < 'cc' THEN 'train'
+      |    WHEN SUBSTRING(md5(text), 1, 2) < 'e6' THEN 'val'
+      |    ELSE 'test' END AS split
+      |FROM documents""".stripMargin
+
+  /** q_corpus_clean — the composed curation query an LLM-data pipeline
+    * actually ships: canonical copies only (exact dedup), quality score
+    * above threshold, confident language ID. One scan + one broadcast
+    * semi-join; the scalar stages reuse the exact expressions of
+    * q_text_quality / q_lang_id, so this is the end-to-end composition,
+    * not a reimplementation. */
+  def corpusClean(spark: SparkSession, dir: String, minQuality: Double = 0.5): DataFrame = {
+    val keep = dedupExact(spark, dir).select(col("keep_doc_id").as("doc_id"))
+    docs(spark, dir)
+      .join(keep, Seq("doc_id"), "left_semi")
+      .select(
+        col("doc_id"),
+        predLangExpr.as("pred_lang"),
+        qualityScoreExpr.as("quality_score"),
+        regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")).as("n_bpe_tokens"))
+      .filter(col("quality_score") >= minQuality && col("pred_lang") =!= "und")
+  }
+
+  val corpusCleanOracle: String =
+    """WITH scored AS (
+      |  SELECT doc_id,
+      |    CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en > 0 THEN 'en'
+      |      WHEN c_es >= c_de AND c_es >= c_fr AND c_es > 0 THEN 'es'
+      |      WHEN c_de >= c_fr AND c_de > 0 THEN 'de'
+      |      WHEN c_fr > 0 THEN 'fr'
+      |      ELSE 'und' END AS pred_lang,
+      |    LEAST(n_words / 50.0, 1.0) * 0.5
+      |      + LEAST(CASE WHEN n_words > 0 THEN n_stops / n_words ELSE 0.0 END * 4.0, 1.0) * 0.3
+      |      + (1.0 - LEAST(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END * 5.0, 1.0)) * 0.2 AS quality_score,
+      |    n_bpe_tokens
+      |  FROM (
+      |    SELECT doc_id,
+      |      CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b(the|and|of|to|is|in|that|it)\b')) AS INT) AS c_en,
+      |      CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b(el|la|de|que|y|los|las|es)\b')) AS INT) AS c_es,
+      |      CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b(der|die|und|das|ist|ein|nicht)\b')) AS INT) AS c_de,
+      |      CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b(le|la|et|les|des|un|une|est)\b')) AS INT) AS c_fr,
+      |      CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z]+')) AS DOUBLE) AS n_words,
+      |      CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b(the|a|and|of|to|in|is|it|that|for)\b')) AS DOUBLE) AS n_stops,
+      |      CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) AS n_punct,
+      |      CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+      |      CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS n_bpe_tokens
+      |    FROM documents
+      |    WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+      |  )
+      |)
+      |SELECT doc_id, pred_lang, quality_score, n_bpe_tokens
+      |FROM scored
+      |WHERE quality_score >= 0.5 AND pred_lang <> 'und'""".stripMargin
+
+  /** q_corpus_stats — the curation report over the CLEAN corpus: docs,
+    * token totals and mean quality per predicted language. Quality sums
+    * run in DECIMAL(18,9) (the score is a derived double; truncating to 9
+    * decimals before summing keeps the aggregate bit-deterministic under
+    * any partitioning, per the engine-wide exact-sum contract). */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    corpusClean(spark, dir)
+      .groupBy(col("pred_lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bpe_tokens").cast(LongType)).as("total_bpe_tokens"),
+        (sum(col("quality_score").cast(DecimalType(18, 9))).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("avg_quality"))
+
+  val corpusStatsOracle: String = {
+    val cleanSql = corpusCleanOracle.replace("\n", "\n  ")
+    s"""WITH clean AS (
+       |  $cleanSql
+       |)
+       |SELECT pred_lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(CAST(n_bpe_tokens AS BIGINT)) AS BIGINT) AS total_bpe_tokens,
+       |  CAST(SUM(CAST(quality_score AS DECIMAL(18,9))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_quality
+       |FROM clean GROUP BY pred_lang""".stripMargin
+  }
 }
