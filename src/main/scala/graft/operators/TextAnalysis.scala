@@ -342,4 +342,75 @@ object TextAnalysis {
        |  CAST(SUM(CAST(quality_score AS DECIMAL(18,9))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_quality
        |FROM clean GROUP BY pred_lang""".stripMargin
   }
+
+  /** q_vocab_top — corpus vocabulary report: the 50 highest-document-
+    * frequency words (normalized lowercase alpha), ties broken by word.
+    * The heavy pass is one map-side-combined count over distinct
+    * (doc, word) pairs — one row per distinct word through the shuffle;
+    * the top-k is a tiny sorted limit over vocabulary cardinality. */
+  def vocabTop(spark: SparkSession, dir: String, k: Int = 50): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        explode(split(trim(regexp_replace(lower(col("text")), "[^a-z ]", "")), " +")).as("word"))
+      .filter(col("word") =!= "")
+      .distinct()
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("word"))
+      .limit(k)
+
+  val vocabTopOracle: String =
+    """SELECT word, df FROM (
+      |  SELECT word, COUNT(*) AS df FROM (
+      |    SELECT DISTINCT doc_id,
+      |      UNNEST(STRING_SPLIT_REGEX(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z ]', '', 'g')), ' +')) AS word
+      |    FROM documents
+      |  ) WHERE word <> '' GROUP BY word
+      |) ORDER BY df DESC, word LIMIT 50""".stripMargin
+
+  // ------------------------------------------------- sequence packing
+
+  val PackBudget = 512
+  val PackGroupSize = 1000L
+
+  /** `bin_fill` is the bin's cumulative token total AFTER placing this
+    * doc — monotone within a bin, so max(bin_fill) per bin is the final
+    * fill (what the packing spec bounds against the budget). */
+  case class PackedDoc(doc_id: Long, n_tokens: Int, bin_id: Long, bin_fill: Long)
+
+  /** q_pack_sequences — greedy sequence packing for pretraining: assign
+    * each document to a bin whose total BPE tokens stays within
+    * [[PackBudget]] (first-fit in doc_id order; an oversized doc gets its
+    * own bin). Packing is GROUP-LOCAL over fixed doc_id ranges of
+    * [[PackGroupSize]] — a deliberate scale/determinism decision: global
+    * first-fit is inherently sequential, while id-range groups bound
+    * packer memory, parallelize embarrassingly, and make bin assignment
+    * INVARIANT to partitioning (the engine's determinism contract —
+    * verified bit-identical across thread counts like every query).
+    * bin_id = range_group * 2^20 + local bin. */
+  def packSequences(spark: SparkSession, dir: String, budget: Int = PackBudget): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
+          .cast(IntegerType).as("n_tokens"))
+      .as[(Long, Int)]
+      .groupByKey(_._1 / PackGroupSize)
+      .flatMapGroups { (group, rows) =>
+        val sorted = rows.toSeq.sortBy(_._1)
+        // first-fit over open bins: fills array indexed by local bin id
+        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        sorted.iterator.map { case (docId, n) =>
+          var b = 0
+          while (b < fills.length && fills(b) + n > budget) b += 1
+          if (b == fills.length) fills += 0L
+          fills(b) += n
+          PackedDoc(docId, n, group * (1L << 20) + b, fills(b))
+        }
+      }
+      .toDF()
+      .select(col("doc_id"), col("n_tokens"), col("bin_id"), col("bin_fill"))
+  }
 }

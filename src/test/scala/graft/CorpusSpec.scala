@@ -152,6 +152,29 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits * 4 >= brute.size, s"IVF recall too low: $hits of ${brute.size}")
   }
 
+  test("sequence packing: every doc exactly once, bins within budget, dense fill") {
+    val packed = operators.TextAnalysis.packSequences(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).count()
+    assert(packed.length == docs, "every doc must be packed exactly once")
+    assert(packed.map(_.getLong(0)).distinct.length == packed.length)
+    val byBin = packed.groupBy(_.getLong(2))
+    byBin.foreach { case (bin, rows) =>
+      val total = rows.map(_.getInt(1).toLong).sum
+      assert(total == rows.map(_.getLong(3)).max,
+        s"bin $bin: running fill inconsistent with token sum")
+      // a bin may exceed the budget only as a single oversized doc
+      assert(total <= operators.TextAnalysis.PackBudget || rows.length == 1,
+        s"bin $bin over budget with ${rows.length} docs")
+    }
+    // the packer must actually pack: multi-doc bins exist and average
+    // fill of within-budget bins clears half the budget
+    assert(byBin.exists(_._2.length > 1), "no multi-doc bins — not packing")
+    val fills = byBin.values.filter(_.length > 1)
+      .map(_.map(_.getInt(1).toLong).sum).toSeq
+    assert(fills.sum / fills.size > operators.TextAnalysis.PackBudget / 2,
+      s"packed bins too sparse: avg ${fills.sum / fills.size}")
+  }
+
   test("exact dedup keeps the minimum doc id per content hash") {
     val dups = operators.TextAnalysis.dedupExact(spark, sf)
     assert(dups.agg(sum("n_copies")).collect()(0).getLong(0) ==
