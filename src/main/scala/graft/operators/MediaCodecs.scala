@@ -41,8 +41,10 @@ object PpmCodec {
     val w = readInt(); val h = readInt(); val maxv = readInt()
     if (w <= 0 || h <= 0 || maxv != 255) return None
     i += 1 // the single whitespace after maxval
-    if (payload.length - i < w * h * 3) return None
-    Some((w, h, java.util.Arrays.copyOfRange(payload, i, i + w * h * 3)))
+    // long math: adversarial header dims must yield None, not int overflow
+    val raster = w.toLong * h * 3
+    if (raster > Int.MaxValue || payload.length - i < raster) return None
+    Some((w, h, java.util.Arrays.copyOfRange(payload, i, i + raster.toInt)))
   }
 
   /** Nearest-neighbor resample on the real pixel grid (per-channel). */
@@ -120,6 +122,8 @@ object WavCodec {
     val rate = bb.getInt(); bb.getInt(); bb.getShort()
     val bits = bb.getShort()
     if (audioFormat != 1 || channels != 1 || bits != 16) return None
+    // malformed fmt lengths must yield None, not a buffer exception
+    if (fmtLen < 0 || 20L + fmtLen + 8 > payload.length) return None
     bb.position(20 + fmtLen)
     val dataTag = new Array[Byte](4); bb.get(dataTag)
     if (new String(dataTag, "US-ASCII") != "data") return None

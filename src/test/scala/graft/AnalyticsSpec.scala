@@ -52,6 +52,26 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getAs[Double]("forecast_next") > 0 || pts.nonEmpty)
   }
 
+  test("prediction interval brackets the forecast symmetrically with positive width") {
+    val df = operators.Forecast.forecastInterval(spark, sf)
+    assert(df.filter("se_pred IS NULL OR se_pred <= 0").count() == 0,
+      "every brand has n > 2 and x-variance here: se must be positive")
+    assert(df.filter("yhat_lo >= forecast_next OR yhat_hi <= forecast_next").count() == 0)
+    // symmetric band: forecast is the midpoint (exactly, same-op arithmetic)
+    assert(df.filter("abs((yhat_lo + yhat_hi) / 2 - forecast_next) > 1e-6").count() == 0)
+  }
+
+  test("weekly forecast covers 7 consecutive days with valid dows and additive seasonality") {
+    val df = operators.Forecast.forecastWeekly(spark, sf)
+    val perBrand = df.groupBy("brand").count()
+    assert(perBrand.filter("count != 7").count() == 0, "7 forecast days per brand")
+    assert(df.filter("dow < 1 OR dow > 7").count() == 0)
+    // the 7 forecast days hit all 7 days of the week exactly once
+    assert(df.groupBy("brand", "dow").count().filter("count > 1").count() == 0)
+    // forecast date really is day_offset days after the brand's last observation
+    assert(df.filter("dayofweek(forecast_date) != dow").count() == 0)
+  }
+
   test("seasonal forecast emits one row per (brand, observed month)") {
     val df = operators.Forecast.seasonalForecast(spark, sf)
     assert(df.groupBy("brand", "month").count().filter("count > 1").count() == 0)

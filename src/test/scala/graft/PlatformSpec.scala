@@ -291,6 +291,21 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     val feats = Multimodal.extractFeatures(spark, media.toDF()).collect()
     assert(feats.length == items.length)
     assert(feats.forall(_.features.forall(v => v >= 0f && v <= 1f)))
+    // adversarial payloads: decoders must return None, never throw
+    import graft.operators.{PpmCodec => P, WavCodec => W}
+    val garbage = Seq(
+      Array.empty[Byte],
+      "P6".getBytes("US-ASCII"),
+      "P6\n999999999 999999999\n255\n".getBytes("US-ASCII"), // raster overflows int
+      "P6\n4 4\n255\nxx".getBytes("US-ASCII"),                // truncated raster
+      "RIFF....WAVE".getBytes("US-ASCII"),
+      W.encode(16000, Array[Short](1, 2, 3)).take(30).toArray, // truncated WAV
+      { val b = W.encode(16000, Array[Short](1, 2, 3))
+        b(16) = 127.toByte; b }) // absurd fmt chunk length
+    garbage.foreach { g =>
+      assert(P.decode(g).isEmpty, "PPM decode must reject garbage")
+      assert(W.decode(g).isEmpty, "WAV decode must reject garbage")
+    }
   }
 
   test("column cleaning and schema generation mirror the reference parser") {
