@@ -52,6 +52,7 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
     "q_train_split" -> ((s, dir) => TextAnalysis.trainSplit(s, dir)),
     "q_vocab_top" -> ((s, dir) => TextAnalysis.vocabTop(s, dir)),
+    "q_corpus_mix" -> ((s, dir) => TextAnalysis.corpusMix(s, dir)),
     "q_pack_sequences" -> ((s, dir) => TextAnalysis.packSequences(s, dir)),
     "q_corpus_clean" -> ((s, dir) => TextAnalysis.corpusClean(s, dir)),
     "q_corpus_stats" -> ((s, dir) => TextAnalysis.corpusStats(s, dir)),
@@ -108,6 +109,7 @@ object SparkEntry {
     "q_fingerprint" -> TextAnalysis.fingerprintOracle,
     "q_train_split" -> TextAnalysis.trainSplitOracle,
     "q_vocab_top" -> TextAnalysis.vocabTopOracle,
+    "q_corpus_mix" -> TextAnalysis.corpusMixOracle,
     "q_corpus_clean" -> TextAnalysis.corpusCleanOracle,
     "q_corpus_stats" -> TextAnalysis.corpusStatsOracle,
     "q_dedup_ngram" -> Dedup.ngramJaccardOracle,

@@ -369,6 +369,52 @@ object TextAnalysis {
       |  ) WHERE word <> '' GROUP BY word
       |) ORDER BY df DESC, word LIMIT 50""".stripMargin
 
+  /** Target per-source share for [[corpusMix]]: quota = ceil(0.6 x
+    * smallest source's count). */
+  val MixRate = 0.6
+
+  /** q_corpus_mix — per-source mixing/rebalancing for pretraining-data
+    * composition: derive a per-source keep rate from the data (quota =
+    * [[MixRate]] x the smallest source, rate capped at 1), then select
+    * deterministically by content hash — md5-prefix thresholds expressed
+    * as lexicographic hex comparisons, so selection is content-keyed
+    * (duplicates co-selected), reproducible (no RNG), and pure scan +
+    * broadcast join (rates are source-cardinality). */
+  def corpusMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("n_src")).as("min_src"))))
+      .select(
+        col("source"),
+        least(lit(1.0),
+          ceil(col("min_src").cast(DoubleType) * lit(MixRate)).cast(DoubleType) /
+            col("n_src").cast(DoubleType)).as("rate"))
+    val selKey = substring(md5(col("text").cast(BinaryType)), 1, 4)
+    val thresh = format_string("%04x", floor(col("rate") * lit(65536.0)).cast(IntegerType))
+    d.join(broadcast(rates), Seq("source"))
+      .withColumn("sel_key", selKey)
+      // rate >= 1 keeps everything ('ffff' would compare above the 5-char
+      // threshold string and wrongly drop)
+      .filter(col("rate") >= 1.0 || col("sel_key") < thresh)
+      .select(col("doc_id"), col("source"), col("sel_key"))
+  }
+
+  val corpusMixOracle: String =
+    """WITH counts AS (
+      |  SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source
+      |), m AS (
+      |  SELECT MIN(n_src) AS min_src FROM counts
+      |), rates AS (
+      |  SELECT source,
+      |    LEAST(1.0, CEIL(CAST(min_src AS DOUBLE) * 0.6) / CAST(n_src AS DOUBLE)) AS rate
+      |  FROM counts, m
+      |)
+      |SELECT doc_id, d.source, SUBSTRING(md5(text), 1, 4) AS sel_key
+      |FROM documents d JOIN rates r ON d.source = r.source
+      |WHERE r.rate >= 1.0
+      |   OR SUBSTRING(md5(text), 1, 4) < printf('%04x', CAST(FLOOR(r.rate * 65536.0) AS INT))""".stripMargin
+
   // ------------------------------------------------- sequence packing
 
   val PackBudget = 512

@@ -152,6 +152,35 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits * 4 >= brute.size, s"IVF recall too low: $hits of ${brute.size}")
   }
 
+  test("corpus mix downsamples skewed sources toward the smallest-source quota") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graftmix").toString
+    val docs = (
+      (1L to 100L).map(i => (i, s"alpha doc number $i content", "big")) ++
+      (101L to 150L).map(i => (i, s"beta doc number $i content", "mid")) ++
+      (151L to 160L).map(i => (i, s"gamma doc number $i content", "small")))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val mix = operators.TextAnalysis.corpusMix(spark, tmp)
+    val kept = mix.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // quota = ceil(10 * 0.6) = 6 per source; hash selection is binomial
+    // around it — bound loosely but meaningfully
+    Seq("big", "mid", "small").foreach { s =>
+      assert(kept.getOrElse(s, 0L) >= 1 && kept(s) <= 15,
+        s"source $s kept ${kept.getOrElse(s, 0L)} of quota ~6")
+    }
+    // skew actually flattened: the 10x source no longer dominates
+    assert(kept("big") < 20, s"big source not downsampled: $kept")
+    // deterministic: same inputs -> identical selection
+    val again = operators.TextAnalysis.corpusMix(spark, tmp)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == mix.collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("sequence packing: every doc exactly once, bins within budget, dense fill") {
     val packed = operators.TextAnalysis.packSequences(spark, sf).collect()
     val docs = Tables.documents(spark, sf).count()
