@@ -34,7 +34,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * kernel objects so generated code is a one-line call (JIT-compiled like
   * any JVM method — no janino size risk).
   */
-object SimHashKernel {
+/** Shared tokenization for the text kernels: the trim / collapse / split
+  * semantics of the column formulation, with the whitespace pattern
+  * compiled ONCE (these run once per row on the scan hot path). */
+private[functions] object TextNorm {
   private val Ws = java.util.regex.Pattern.compile("\\s+")
 
   /** Spark `trim`: ASCII space only (String.trim would also strip \t\n
@@ -47,32 +50,39 @@ object SimHashKernel {
     s.substring(b, e)
   }
 
-  /** Normalized word iteration shared by both kernels: trim, collapse
-    * whitespace, split on single spaces (split(" ", -1) semantics — an
-    * empty normalized string yields one empty word, as the column form
-    * does). Calls `f` once per word with its xxhash64. */
-  private[functions] def eachWordHash(text: UTF8String)(f: Long => Unit): Int = {
-    val norm = Ws.matcher(trimSpaces(text.toString)).replaceAll(" ")
+  /** trim + collapse runs of whitespace to single spaces. */
+  def normalize(s: String): String = Ws.matcher(trimSpaces(s)).replaceAll(" ")
+
+  /** split(" ", -1) semantics over a normalized string — an empty string
+    * yields one empty word, as the column form does. */
+  def words(norm: String): scala.collection.mutable.ArrayBuffer[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
     var start = 0
-    var n = 0
     while (start <= norm.length) {
       val sp = norm.indexOf(' ', start)
       val end = if (sp < 0) norm.length else sp
-      val w = UTF8String.fromString(norm.substring(start, end))
-      f(XXH64.hashUnsafeBytes(w.getBaseObject, w.getBaseOffset, w.numBytes, 42L))
-      n += 1
+      out += norm.substring(start, end)
       start = end + 1
       if (sp < 0) start = norm.length + 1
     }
-    n
+    out
   }
+
+  def xxh64(s: String): Long = {
+    val u = UTF8String.fromString(s)
+    XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+  }
+}
+
+object SimHashKernel {
 
   /** 64-bit SimHash over DISTINCT word hashes: per bit, sign of the sum
     * of +/-1 contributions. Identical values to the aggregate form. */
   def compute(text: UTF8String): Long = {
     val counts = new Array[Int](64)
     val seen = new java.util.HashSet[java.lang.Long]()
-    eachWordHash(text) { h =>
+    TextNorm.words(TextNorm.normalize(text.toString)).foreach { w =>
+      val h = TextNorm.xxh64(w)
       if (seen.add(h)) {
         var i = 0
         while (i < 64) {
@@ -111,24 +121,7 @@ object MinHashKernel {
     * sig_j = min over shingles of ((a_j * (xxhash64(shingle) mod M) +
     * b_j) mod M), M = 2^31-1. */
   def compute(text: UTF8String): Array[Long] = {
-    // collect word strings once (shingles need the joined text)
-    val words = new scala.collection.mutable.ArrayBuffer[String]()
-    val norm = {
-      val t = text.toString
-      var b = 0
-      var e = t.length
-      while (b < e && t.charAt(b) == ' ') b += 1
-      while (e > b && t.charAt(e - 1) == ' ') e -= 1
-      java.util.regex.Pattern.compile("\\s+").matcher(t.substring(b, e)).replaceAll(" ")
-    }
-    var start = 0
-    while (start <= norm.length) {
-      val sp = norm.indexOf(' ', start)
-      val end = if (sp < 0) norm.length else sp
-      words += norm.substring(start, end)
-      start = end + 1
-      if (sp < 0) start = norm.length + 1
-    }
+    val words = TextNorm.words(TextNorm.normalize(text.toString))
     if (words.length < ShingleN) return null
     val sigs = Array.fill(K)(Long.MaxValue)
     val sb = new java.lang.StringBuilder()
@@ -141,9 +134,7 @@ object MinHashKernel {
         sb.append(words(j))
         j += 1
       }
-      val u = UTF8String.fromString(sb.toString)
-      val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
-      val h31 = java.lang.Math.floorMod(h, Mersenne31)
+      val h31 = java.lang.Math.floorMod(TextNorm.xxh64(sb.toString), Mersenne31)
       var k = 0
       while (k < K) {
         val (a, b) = coeffs(k)

@@ -53,13 +53,18 @@ object Dedup {
       .distinct()
   }
 
+  /** Observation names carry a unique suffix: observed metric names must
+    * be unique WITHIN a query, and one user query may legitimately
+    * combine several registered views that each carry a drop counter. */
+  private val obsId = new java.util.concurrent.atomic.AtomicLong()
+
   private def dropHot(sh: DataFrame): DataFrame = {
     val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > HotShingleCap)
       .select(col("h"), col("df"))
       // logged drop count: recorded as a named observation on the main
       // job (no extra action) — silent truncation would read as coverage
-      .observe("ngram_hot_drops",
+      .observe(s"ngram_hot_drops_${obsId.incrementAndGet()}",
         count(lit(1)).as("hot_shingles"),
         coalesce(sum(col("df")), lit(0L)).as("dropped_postings"))
       .select(col("h"))
@@ -260,11 +265,16 @@ object Dedup {
         explode(split(regexp_replace(trim(col("text")), "\\s+", " "), " ")).as("word"))
       .select(col("doc_id"), xxhash64(col("word")).as("h"))
       .distinct()
-    val nDocs = docs.select(col("doc_id")).distinct().count()
+    // the corpus size enters the plan as a broadcast scalar, NOT a
+    // driver-side count(): building this DataFrame stays lazy (the
+    // Catalog laziness contract), and the cross join is 1 row
+    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
     val weights = words.groupBy(col("h"))
       .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= lit(nDocs / 2))
-      .select(col("h"), log(lit(nDocs.toDouble) / col("df").cast(DoubleType)).as("w"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * 2 <= col("n_docs"))
+      .select(col("h"),
+        log(col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)).as("w"))
     val weighted = words.join(weights, Seq("h"))
     val bitSums = (0 until SimHashBits).map { i =>
       sum((shiftright(col("h"), i).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
@@ -307,7 +317,7 @@ object Dedup {
     val hot = chunked0.groupBy(col("c"), col("v")).agg(count(lit(1)).as("df"))
       .filter(col("df") > SimHashChunkCap)
       .select(col("c"), col("v"), col("df"))
-      .observe("simhash_hot_drops",
+      .observe(s"simhash_hot_drops_${obsId.incrementAndGet()}",
         count(lit(1)).as("hot_buckets"),
         coalesce(sum(col("df")), lit(0L)).as("dropped_chunk_rows"))
       .select(col("c"), col("v"))
@@ -384,7 +394,10 @@ object Dedup {
     var edges = edges0
     var fp = fp0
     if (fp(0) == 0L)
-      return edges.select(col("u").as("doc_id"), col("v").as("canonical_id"))
+      // no proper edges: every node (if any — all from self-pairs) is its
+      // own singleton component
+      return p.select(col("doc_a").as("doc_id")).distinct()
+        .select(col("doc_id"), col("doc_id").as("canonical_id"))
 
     def largeStar(e: DataFrame): DataFrame = {
       val nbrs = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
@@ -429,9 +442,19 @@ object Dedup {
     val roots = edges.select(col("v").as("doc_id")).distinct()
       .join(edges.select(col("u").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("canonical_id"))
+    // nodes appearing ONLY in self-pairs (doc_a == doc_b) have no proper
+    // edge and are their own singleton component — they must still be
+    // labeled (input-contract parity with the recursive-CTE oracle)
+    val selfOnly = p.filter(col("doc_a") === col("doc_b"))
+      .select(col("doc_a").as("doc_id")).distinct()
+      .join(edges.select(col("u").as("doc_id"))
+        .unionAll(edges.select(col("v").as("doc_id"))).distinct(),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("canonical_id"))
     val labels = edges.select(col("u").as("doc_id"), col("v").as("canonical_id"))
       .distinct()
       .unionAll(roots)
+      .unionAll(selfOnly)
       .localCheckpoint()
 
     // distributed verification (scalar aggregates only, no row collects):

@@ -20,23 +20,27 @@ object PpmCodec {
     out
   }
 
-  /** Parse a binary PPM; None if the payload is not a well-formed P6
-    * with maxval 255 and a complete raster. */
-  def decode(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
-    if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6') return None
-    var i = 2
+  /** Parse just the P6 header starting at `off`: Some((w, h, absolute
+    * raster start)) after validating that the full raster is present —
+    * no byte copying, so concatenated-frame scans stay O(total bytes). */
+  def parseHeaderAt(payload: Array[Byte], off: Int): Option[(Int, Int, Int)] = {
+    if (payload.length - off < 2 || payload(off) != 'P' || payload(off + 1) != '6') return None
+    var i = off + 2
     def skipWs(): Unit = {
       while (i < payload.length && (payload(i) == ' ' || payload(i) == '\n' ||
         payload(i) == '\t' || payload(i) == '\r')) i += 1
     }
     def readInt(): Int = {
       skipWs()
-      var v = 0
+      var v = 0L
       var any = false
       while (i < payload.length && payload(i) >= '0' && payload(i) <= '9') {
-        v = v * 10 + (payload(i) - '0'); i += 1; any = true
+        // saturating: absurd digit runs must not wrap an Int (the raster
+        // bound below then rejects them)
+        v = math.min(v * 10 + (payload(i) - '0'), Int.MaxValue.toLong)
+        i += 1; any = true
       }
-      if (any) v else -1
+      if (any) v.toInt else -1
     }
     val w = readInt(); val h = readInt(); val maxv = readInt()
     if (w <= 0 || h <= 0 || maxv != 255) return None
@@ -44,8 +48,15 @@ object PpmCodec {
     // long math: adversarial header dims must yield None, not int overflow
     val raster = w.toLong * h * 3
     if (raster > Int.MaxValue || payload.length - i < raster) return None
-    Some((w, h, java.util.Arrays.copyOfRange(payload, i, i + raster.toInt)))
+    Some((w, h, i))
   }
+
+  /** Parse a binary PPM; None if the payload is not a well-formed P6
+    * with maxval 255 and a complete raster. */
+  def decode(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    parseHeaderAt(payload, 0).map { case (w, h, start) =>
+      (w, h, java.util.Arrays.copyOfRange(payload, start, start + w * h * 3))
+    }
 
   /** Nearest-neighbor resample on the real pixel grid (per-channel). */
   def resizeNearest(w: Int, h: Int, rgb: Array[Byte], outW: Int, outH: Int): Array[Byte] = {

@@ -215,27 +215,22 @@ object Multimodal {
   }
 
   /** Split a payload of back-to-back binary PPMs at real frame
-    * boundaries; None unless the WHOLE payload parses as PPM frames. */
+    * boundaries; None unless the WHOLE payload parses as PPM frames.
+    * Header parsing is offset-based ([[PpmCodec.parseHeaderAt]]), so the
+    * scan is O(total bytes) — the only copies are the per-frame outputs. */
   private[operators] def splitPpmFrames(payload: Array[Byte]): Option[Seq[Array[Byte]]] = {
     val frames = Seq.newBuilder[Array[Byte]]
     var off = 0
     while (off < payload.length) {
-      val rest = java.util.Arrays.copyOfRange(payload, off, payload.length)
-      PpmCodec.decode(rest) match {
-        case Some((w, h, _)) =>
-          // frame length = header bytes + raster bytes
-          val frameLen = headerLen(w, h) + w * h * 3
-          frames += java.util.Arrays.copyOfRange(payload, off, off + frameLen)
-          off += frameLen
+      PpmCodec.parseHeaderAt(payload, off) match {
+        case Some((w, h, rasterStart)) =>
+          val end = rasterStart + w * h * 3
+          frames += java.util.Arrays.copyOfRange(payload, off, end)
+          off = end
         case None => return None
       }
     }
     val out = frames.result()
     if (out.isEmpty) None else Some(out)
   }
-
-  /** Byte length of the strict `P6\n<w> <h>\n255\n` header (what
-    * [[PpmCodec.encode]] writes). */
-  private def headerLen(w: Int, h: Int): Int =
-    s"P6\n$w $h\n255\n".getBytes("US-ASCII").length
 }

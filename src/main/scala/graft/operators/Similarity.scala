@@ -60,8 +60,15 @@ object Similarity {
 
     override def zero: List[Scored] = Nil
 
+    // the buffer is kept SORTED; most rows fail the cutoff check in O(k)
+    // compares with zero allocation (a per-row full sort would pay
+    // O(k log k) + boxing on every scored row of the corpus)
     override def reduce(buf: List[Scored], row: Scored): List[Scored] =
-      (row :: buf).sorted(ord).take(k)
+      if (buf.lengthCompare(k) >= 0 && ord.compare(row, buf.last) >= 0) buf
+      else {
+        val (better, rest) = buf.span(s => ord.compare(s, row) <= 0)
+        (better ::: (row :: rest)).take(k)
+      }
 
     override def merge(a: List[Scored], b: List[Scored]): List[Scored] =
       (a ++ b).sorted(ord).take(k)

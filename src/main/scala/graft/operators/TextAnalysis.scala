@@ -352,7 +352,9 @@ object TextAnalysis {
     docs(spark, dir)
       .select(
         col("doc_id"),
-        explode(split(trim(regexp_replace(lower(col("text")), "[^a-z ]", "")), " +")).as("word"))
+        // non-letters become SEPARATORS (replacing with '' would weld
+        // words across punctuation/newlines into fabricated tokens)
+        explode(split(trim(regexp_replace(lower(col("text")), "[^a-z]", " ")), " +")).as("word"))
       .filter(col("word") =!= "")
       .distinct()
       .groupBy(col("word"))
@@ -363,8 +365,8 @@ object TextAnalysis {
   val vocabTopOracle: String =
     """SELECT word, df FROM (
       |  SELECT word, COUNT(*) AS df FROM (
-      |    SELECT DISTINCT doc_id,
-      |      UNNEST(STRING_SPLIT_REGEX(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z ]', '', 'g')), ' +')) AS word
+    |    SELECT DISTINCT doc_id,
+      |      UNNEST(STRING_SPLIT_REGEX(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z]', ' ', 'g')), ' +')) AS word
       |    FROM documents
       |  ) WHERE word <> '' GROUP BY word
       |) ORDER BY df DESC, word LIMIT 50""".stripMargin

@@ -58,8 +58,14 @@ object TopK {
 
     override def zero: List[LiRow] = Nil
 
+    // sorted-buffer insertion: most rows fail the cutoff in O(k) compares
+    // with no allocation (see TopKScoredAgg)
     override def reduce(buf: List[LiRow], row: LiRow): List[LiRow] =
-      (row :: buf).sorted(ord).take(k)
+      if (buf.lengthCompare(k) >= 0 && ord.compare(row, buf.last) >= 0) buf
+      else {
+        val (better, rest) = buf.span(r => ord.compare(r, row) <= 0)
+        (better ::: (row :: rest)).take(k)
+      }
 
     override def merge(a: List[LiRow], b: List[LiRow]): List[LiRow] =
       (a ++ b).sorted(ord).take(k)

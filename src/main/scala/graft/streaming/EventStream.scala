@@ -86,31 +86,59 @@ object EventStream {
     * `graft.operators.Incremental.merge` — the stream maintains a
     * queryable rollup whose contents are BIT-IDENTICAL to a from-scratch
     * aggregation of everything seen (exact decimal partials are
-    * associative, so merge order cannot drift). The swap is
-    * write-tmp-then-move; a production deployment would use a
-    * transactional table format for the same effect. */
+    * associative, so merge order cannot drift).
+    *
+    * At-least-once safety: foreachBatch can REPLAY a batch after a
+    * restart, and a naive merge would double-count it. The applied batch
+    * id is stored in a `_last_batch` marker inside the state directory
+    * (written before the swap, so marker and data move atomically);
+    * replayed batches are skipped. The write-tmp-then-move swap is
+    * crash-recovered on the next batch: a complete tmp (parquet _SUCCESS
+    * + marker) with no live state directory IS the newest state and is
+    * moved into place before anything else. A production deployment
+    * would get the same effect from a transactional table format. */
   def incrementalRollupSink(events: DataFrame, stateDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val slice = batch.select(
-          col("event_type").as("brand"),
-          year(col("ts")).as("year"),
-          month(col("ts")).as("month"),
-          col("value").as("price"))
-        val partial = graft.operators.Incremental.partialMonthly(slice)
-        val state = new java.io.File(stateDir)
-        val merged =
-          if (state.exists)
-            graft.operators.Incremental.merge(
-              Seq(spark.read.parquet(stateDir), partial))
-          else partial
+        val state = java.nio.file.Paths.get(stateDir)
         val tmp = java.nio.file.Paths.get(stateDir + "_tmp")
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        deleteRecursively(state.toPath)
-        java.nio.file.Files.move(tmp, state.toPath)
+        val marker = "_last_batch"
+        def markerOf(dir: java.nio.file.Path): Option[Long] = {
+          val f = dir.resolve(marker)
+          if (java.nio.file.Files.exists(f))
+            Some(new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toLong)
+          else None
+        }
+        // crash recovery: a complete tmp whose swap never finished is the
+        // newest state (the old one was already deleted)
+        val tmpComplete = java.nio.file.Files.exists(tmp.resolve("_SUCCESS")) &&
+          markerOf(tmp).isDefined
+        if (!java.nio.file.Files.exists(state) && tmpComplete)
+          java.nio.file.Files.move(tmp, state)
+        else if (java.nio.file.Files.exists(tmp))
+          deleteRecursively(tmp) // stale partial write from a crash
+        // idempotent replay: this batch is already folded into the state
+        val applied = if (java.nio.file.Files.exists(state)) markerOf(state) else None
+        if (!applied.exists(_ >= batchId)) {
+          val slice = batch.select(
+            col("event_type").as("brand"),
+            year(col("ts")).as("year"),
+            month(col("ts")).as("month"),
+            col("value").as("price"))
+          val partial = graft.operators.Incremental.partialMonthly(slice)
+          val merged =
+            if (java.nio.file.Files.exists(state))
+              graft.operators.Incremental.merge(
+                Seq(spark.read.parquet(stateDir), partial))
+            else partial
+          merged.write.mode("overwrite").parquet(tmp.toString)
+          java.nio.file.Files.write(tmp.resolve(marker), batchId.toString.getBytes("UTF-8"))
+          deleteRecursively(state)
+          java.nio.file.Files.move(tmp, state)
+        }
         ()
       }
 

@@ -111,8 +111,9 @@ object GraftProps extends Properties("graft") {
 
   property("component resolution matches a union-find reference on random graphs") =
     forAll(Gen.listOfN(30,
-      for { a <- Gen.chooseNum(1L, 20L); b <- Gen.chooseNum(1L, 20L) } yield (a, b))) { pairs0 =>
-      val pairs = pairs0.filter(p => p._1 != p._2)
+      for { a <- Gen.chooseNum(1L, 20L); b <- Gen.chooseNum(1L, 20L) } yield (a, b))) { pairs =>
+      // self-pairs allowed on purpose: a node appearing only as (x, x) is
+      // a singleton component and must still be labeled
       pairs.nonEmpty ==> {
         val df = spark.createDataFrame(pairs).toDF("doc_a", "doc_b")
         val got = operators.Dedup.resolveComponents(df)
