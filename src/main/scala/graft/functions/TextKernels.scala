@@ -57,15 +57,22 @@ private[functions] object TextNorm {
     * yields one empty word, as the column form does. */
   def words(norm: String): scala.collection.mutable.ArrayBuffer[String] = {
     val out = new scala.collection.mutable.ArrayBuffer[String]()
+    eachWord(norm)(out += _)
+    out
+  }
+
+  /** Streaming variant of [[words]] — no buffer; kernels that only need
+    * each word once (SimHash) avoid materializing the token list on the
+    * per-row hot path. */
+  def eachWord(norm: String)(f: String => Unit): Unit = {
     var start = 0
     while (start <= norm.length) {
       val sp = norm.indexOf(' ', start)
       val end = if (sp < 0) norm.length else sp
-      out += norm.substring(start, end)
+      f(norm.substring(start, end))
       start = end + 1
       if (sp < 0) start = norm.length + 1
     }
-    out
   }
 
   def xxh64(s: String): Long = {
@@ -81,7 +88,7 @@ object SimHashKernel {
   def compute(text: UTF8String): Long = {
     val counts = new Array[Int](64)
     val seen = new java.util.HashSet[java.lang.Long]()
-    TextNorm.words(TextNorm.normalize(text.toString)).foreach { w =>
+    TextNorm.eachWord(TextNorm.normalize(text.toString)) { w =>
       val h = TextNorm.xxh64(w)
       if (seen.add(h)) {
         var i = 0

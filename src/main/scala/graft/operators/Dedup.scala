@@ -53,9 +53,12 @@ object Dedup {
       .distinct()
   }
 
-  /** Observation names carry a unique suffix: observed metric names must
-    * be unique WITHIN a query, and one user query may legitimately
-    * combine several registered views that each carry a drop counter. */
+  /** Observation names carry a unique numeric suffix: observed metric
+    * names must be unique WITHIN a query, and one user query may
+    * legitimately combine several registered views that each carry a
+    * drop counter. The suffix is NOT stable across plan-construction
+    * order — metric consumers should match on the `ngram_hot_drops_` /
+    * `simhash_hot_drops_` prefix, not an exact name. */
   private val obsId = new java.util.concurrent.atomic.AtomicLong()
 
   private def dropHot(sh: DataFrame): DataFrame = {

@@ -44,7 +44,12 @@ object PpmCodec {
     }
     val w = readInt(); val h = readInt(); val maxv = readInt()
     if (w <= 0 || h <= 0 || maxv != 255) return None
-    i += 1 // the single whitespace after maxval
+    // the mandatory single whitespace after maxval — anything else is a
+    // malformed header, not a one-byte raster shift
+    if (i >= payload.length ||
+      !(payload(i) == ' ' || payload(i) == '\n' || payload(i) == '\t' || payload(i) == '\r'))
+      return None
+    i += 1
     // long math: adversarial header dims must yield None, not int overflow
     val raster = w.toLong * h * 3
     if (raster > Int.MaxValue || payload.length - i < raster) return None

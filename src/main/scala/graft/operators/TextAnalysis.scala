@@ -392,8 +392,12 @@ object TextAnalysis {
         least(lit(1.0),
           ceil(col("min_src").cast(DoubleType) * lit(MixRate)).cast(DoubleType) /
             col("n_src").cast(DoubleType)).as("rate"))
-    val selKey = substring(md5(col("text").cast(BinaryType)), 1, 4)
-    val thresh = format_string("%04x", floor(col("rate") * lit(65536.0)).cast(IntegerType))
+    // 8 hex digits (2^32 buckets): a heavily-skewed source with rate ~
+    // quota/n_src must not quantize to a zero threshold and vanish (4
+    // digits would drop any source more than ~65536/quota times the
+    // smallest one)
+    val selKey = substring(md5(col("text").cast(BinaryType)), 1, 8)
+    val thresh = format_string("%08x", floor(col("rate") * lit(4294967296.0)).cast(LongType))
     d.join(broadcast(rates), Seq("source"))
       .withColumn("sel_key", selKey)
       // rate >= 1 keeps everything ('ffff' would compare above the 5-char
@@ -412,10 +416,10 @@ object TextAnalysis {
       |    LEAST(1.0, CEIL(CAST(min_src AS DOUBLE) * 0.6) / CAST(n_src AS DOUBLE)) AS rate
       |  FROM counts, m
       |)
-      |SELECT doc_id, d.source, SUBSTRING(md5(text), 1, 4) AS sel_key
+      |SELECT doc_id, d.source, SUBSTRING(md5(text), 1, 8) AS sel_key
       |FROM documents d JOIN rates r ON d.source = r.source
       |WHERE r.rate >= 1.0
-      |   OR SUBSTRING(md5(text), 1, 4) < printf('%04x', CAST(FLOOR(r.rate * 65536.0) AS INT))""".stripMargin
+      |   OR SUBSTRING(md5(text), 1, 8) < printf('%08x', CAST(FLOOR(r.rate * 4294967296.0) AS BIGINT))""".stripMargin
 
   // ------------------------------------------------- sequence packing
 

@@ -20,6 +20,8 @@ import java.sql.Timestamp
   */
 object EventStream {
 
+  @transient private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
   case class Event(user_id: Long, event_id: Long, ts: Timestamp, event_type: String, value: Double)
 
   case class Rate(key: Long, rate_ts: Timestamp, rate: Double)
@@ -92,11 +94,20 @@ object EventStream {
     * restart, and a naive merge would double-count it. The applied batch
     * id is stored in a `_last_batch` marker inside the state directory
     * (written before the swap, so marker and data move atomically);
-    * replayed batches are skipped. The write-tmp-then-move swap is
-    * crash-recovered on the next batch: a complete tmp (parquet _SUCCESS
-    * + marker) with no live state directory IS the newest state and is
-    * moved into place before anything else. A production deployment
-    * would get the same effect from a transactional table format. */
+    * replayed batches are skipped, loudly. Crash recovery compares
+    * MARKERS, never directory existence: a complete tmp (parquet
+    * _SUCCESS + parseable marker) with a HIGHER batch id than the live
+    * state is the newest state — a crash mid-delete of the old directory
+    * must not win over the finished merge. Unparseable/partial markers
+    * read as absent, so a crash mid-marker-write degrades to a re-merge
+    * of one batch from the previous state, never a poisoned stream.
+    *
+    * CAVEAT (logged when it bites): batch ids restart at 0 with a FRESH
+    * checkpoint location, so a state directory is bound to one
+    * checkpoint lineage — reuse with a new checkpoint requires clearing
+    * the state dir, or early batches are skipped as replays. A
+    * production deployment would get all of this from a transactional
+    * table format. */
   def incrementalRollupSink(events: DataFrame, stateDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream
@@ -108,20 +119,31 @@ object EventStream {
         val marker = "_last_batch"
         def markerOf(dir: java.nio.file.Path): Option[Long] = {
           val f = dir.resolve(marker)
-          if (java.nio.file.Files.exists(f))
-            Some(new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toLong)
-          else None
+          if (!java.nio.file.Files.exists(f)) None
+          else
+            // partial marker writes parse as None -> the directory is
+            // treated as incomplete instead of crashing every restart
+            scala.util.Try(
+              new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toLong).toOption
         }
-        // crash recovery: a complete tmp whose swap never finished is the
-        // newest state (the old one was already deleted)
-        val tmpComplete = java.nio.file.Files.exists(tmp.resolve("_SUCCESS")) &&
-          markerOf(tmp).isDefined
-        if (!java.nio.file.Files.exists(state) && tmpComplete)
+        val stateMarker = if (java.nio.file.Files.exists(state)) markerOf(state) else None
+        val tmpMarker =
+          if (java.nio.file.Files.exists(tmp.resolve("_SUCCESS"))) markerOf(tmp) else None
+        // crash recovery by marker comparison: tmp wins only if it is a
+        // COMPLETE, NEWER merge (a crash mid-delete of the old state dir
+        // leaves it present-but-partial; the finished tmp must still win)
+        if (tmpMarker.exists(t => stateMarker.forall(t > _))) {
+          deleteRecursively(state)
           java.nio.file.Files.move(tmp, state)
-        else if (java.nio.file.Files.exists(tmp))
-          deleteRecursively(tmp) // stale partial write from a crash
+        } else if (java.nio.file.Files.exists(tmp))
+          deleteRecursively(tmp) // stale or older partial write
         // idempotent replay: this batch is already folded into the state
         val applied = if (java.nio.file.Files.exists(state)) markerOf(state) else None
+        if (applied.exists(_ >= batchId))
+          logger.warn(
+            s"incrementalRollupSink: skipping batch $batchId (already applied " +
+              s"through ${applied.get}); if this stream was restarted with a " +
+              "fresh checkpoint over an existing state dir, clear the state dir")
         if (!applied.exists(_ >= batchId)) {
           val slice = batch.select(
             col("event_type").as("brand"),

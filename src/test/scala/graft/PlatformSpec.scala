@@ -298,6 +298,7 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
       "P6".getBytes("US-ASCII"),
       "P6\n999999999 999999999\n255\n".getBytes("US-ASCII"), // raster overflows int
       "P6\n4 4\n255\nxx".getBytes("US-ASCII"),                // truncated raster
+      ("P6\n1 1\n255X" + "rgb").getBytes("US-ASCII"),         // non-ws after maxval
       "RIFF....WAVE".getBytes("US-ASCII"),
       W.encode(16000, Array[Short](1, 2, 3)).take(30).toArray, // truncated WAV
       { val b = W.encode(16000, Array[Short](1, 2, 3))
