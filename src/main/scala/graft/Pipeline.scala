@@ -52,6 +52,12 @@ object Pipeline {
     stage("forecasts")(Forecast.seasonalForecast(spark, sfDir))
     // the prophet-input extract (dag_prophet_output.py)
     stage("ml_data")(StarSchema.mlExtract(spark, sfDir), Seq("country"))
+    // LLM-corpus curation layers: clean -> split -> pack (the
+    // training-data side of the engine, end to end)
+    stage("corpus_clean")(TextAnalysis.corpusClean(spark, sfDir))
+    stage("corpus_splits")(TextAnalysis.trainSplit(spark, sfDir))
+    stage("corpus_packed")(TextAnalysis.packSequences(spark, sfDir))
+    stage("corpus_report")(TextAnalysis.corpusStats(spark, sfDir))
 
     println(f"[pipeline] TOTAL ${(System.nanoTime() - t0) / 1e9}%.2fs -> $outDir")
   }

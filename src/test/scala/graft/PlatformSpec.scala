@@ -217,6 +217,44 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("rollup batch application is replay-idempotent and crash-recoverable") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftrecov").toString + "/state"
+    def ev(id: Long, v: Double) =
+      EventStream.Event(id, id, Timestamp.valueOf("2024-01-05 10:00:00"), "view", v)
+    def stateSum(): java.math.BigDecimal =
+      spark.read.parquet(dir).agg(sum(col("sum_dec"))).collect()(0).getDecimal(0)
+    EventStream.applyRollupBatch(Seq(ev(1, 1.0), ev(2, 2.0)).toDF(), 0L, dir)
+    assert(stateSum() == new java.math.BigDecimal("3.00"))
+    // at-least-once REPLAY of batch 0 must be a no-op, not a double count
+    EventStream.applyRollupBatch(Seq(ev(1, 1.0), ev(2, 2.0)).toDF(), 0L, dir)
+    assert(stateSum() == new java.math.BigDecimal("3.00"), "replayed batch double-counted")
+    EventStream.applyRollupBatch(Seq(ev(3, 4.0)).toDF(), 1L, dir)
+    assert(stateSum() == new java.math.BigDecimal("7.00"))
+    // crash window: merge for batch 2 completed in tmp (marker present)
+    // but the old state deletion/move never ran; replay must adopt the
+    // COMPLETE tmp (newer marker) over the live state, then skip batch 2
+    val state = java.nio.file.Paths.get(dir)
+    val tmp = java.nio.file.Paths.get(dir + "_tmp")
+    EventStream.applyRollupBatch(Seq(ev(4, 8.0)).toDF(), 2L, dir) // produce state for batch 2
+    java.nio.file.Files.move(state, tmp)                          // simulate: swap never finished
+    EventStream.applyRollupBatch(Seq(ev(4, 8.0)).toDF(), 2L, dir) // replay after "crash"
+    assert(stateSum() == new java.math.BigDecimal("15.00"),
+      "recovery must adopt the completed tmp and not re-merge the batch")
+    // a STALE tmp (older marker) must lose to the live state
+    val staleTmp = java.nio.file.Paths.get(dir + "_tmp")
+    spark.read.parquet(dir).write.mode("overwrite").parquet(staleTmp.toString)
+    java.nio.file.Files.write(staleTmp.resolve("_last_batch"), "0".getBytes("UTF-8"))
+    EventStream.applyRollupBatch(Seq(ev(5, 16.0)).toDF(), 3L, dir)
+    assert(stateSum() == new java.math.BigDecimal("31.00"))
+    // a partial marker (crash mid-write) must degrade gracefully, not throw
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir + "_tmp"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir + "_tmp").resolve("_last_batch"), Array.empty[Byte])
+    EventStream.applyRollupBatch(Seq(ev(6, 32.0)).toDF(), 4L, dir)
+    assert(stateSum() == new java.math.BigDecimal("63.00"))
+  }
+
   test("streaming dedup drops re-delivered events within the watermark") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
@@ -334,7 +372,8 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("pipeline writes every layer with rows") {
     val out = java.nio.file.Files.createTempDirectory("graftpipe").toString
     graft.Pipeline.run(spark, sf, out)
-    val layers = Seq("dim_locality", "dim_date", "fact_rollup", "best_markets", "ml_data")
+    val layers = Seq("dim_locality", "dim_date", "fact_rollup", "best_markets", "ml_data",
+      "corpus_clean", "corpus_splits", "corpus_packed", "corpus_report")
     layers.foreach { l =>
       assert(spark.read.parquet(s"$out/$l").count() > 0, s"layer $l empty")
     }
