@@ -143,6 +143,7 @@ object GraftFunctions {
   val HplaneProbeName = "graft_hplane_probe"
   val SimHashName = "graft_simhash64"
   val MinHashName = "graft_minhash_sigs"
+  val ShingleSetName = "graft_shingle_set"
 
   /** Idempotently register graft functions AND the cosine-fusion
     * optimizer rule on any session (works whether or not the session was
@@ -181,6 +182,10 @@ object GraftFunctions {
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       MinHashName,
       (exprs: Seq[Expression]) => MinHashSigs(exprs.head),
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      ShingleSetName,
+      (exprs: Seq[Expression]) => ShingleHashSet(exprs.head, MinHashKernel.ShingleN),
       "built-in")
     val rules = classic.experimental.extraOptimizations
     if (!rules.contains(graft.plans.CosineFusionRule))

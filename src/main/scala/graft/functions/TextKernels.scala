@@ -155,6 +155,67 @@ object MinHashKernel {
   }
 }
 
+object ShingleKernel {
+  /** Distinct 5-word-shingle xxhash64 set of a document, in first-
+    * occurrence order (deterministic), or null for docs shorter than one
+    * shingle. Matches `distinct (doc_id, xxhash64(shingle))` of the
+    * column formulation exactly, but computes per row inside the scan —
+    * the n-gram pipeline then explodes an already-deduplicated array
+    * instead of shuffling the raw shingle stream through a DISTINCT. */
+  def compute(text: UTF8String, n: Int): Array[Long] = {
+    val words = TextNorm.words(TextNorm.normalize(text.toString))
+    if (words.length < n) return null
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i + n <= words.length) {
+      sb.setLength(0)
+      var j = i
+      while (j < i + n) {
+        if (j > i) sb.append(' ')
+        sb.append(words(j))
+        j += 1
+      }
+      seen.add(TextNorm.xxh64(sb.toString))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    out
+  }
+}
+
+/** shingle_set(text): ARRAY<LONG> of distinct shingle hashes, NULL for
+  * docs shorter than one shingle (see [[ShingleKernel]]). */
+case class ShingleHashSet(child: Expression, n: Int) extends TextKernelExpr {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_shingle_set"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = ShingleKernel.compute(input.asInstanceOf[UTF8String], n)
+    if (hs == null) null else new GenericArrayData(hs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val hs = ctx.freshName("hs")
+      s"""
+         |long[] $hs = graft.functions.ShingleKernel.compute($c, $n);
+         |if ($hs == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($hs);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** simhash64(text): LONG SimHash signature (see [[SimHashKernel]]). */
 case class SimHash64(child: Expression) extends TextKernelExpr {
   override def dataType: DataType = LongType

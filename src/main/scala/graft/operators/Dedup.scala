@@ -29,17 +29,32 @@ object Dedup {
     * contract and mirrored in the oracle). */
   val HotShingleCap = 100
 
-  /** Shingles reduced to 64-bit hashes BEFORE the distinct/join passes —
-    * the shuffle then moves 8-byte keys instead of ~40-byte strings, and
-    * all downstream equality is integer compare. Collision caveat
-    * (probability ~n²/2^64 over distinct shingles): a collision merges two
-    * shingles' document frequencies, which can perturb the hot set AND the
+  /** Shingles reduced to 64-bit hashes BEFORE the join passes — the
+    * shuffle then moves 8-byte keys instead of ~40-byte strings, and all
+    * downstream equality is integer compare. The per-doc DISTINCT happens
+    * INSIDE the scan via the [[graft.functions.ShingleHashSet]] kernel,
+    * so no distinct shuffle of the exploded shingle stream exists at all
+    * (the r1 formulation paid one, repeated for every reference to this
+    * subtree across the self-join). Collision caveat (probability
+    * ~n²/2^64 over distinct shingles): a collision merges two shingles'
+    * document frequencies, which can perturb the hot set AND the
     * shared/size counts feeding the Jaccard values — i.e. it can in
-    * principle flip a pair across the threshold, not just change candidate
-    * counts. The DuckDB oracle computes df over raw strings, so a
-    * collision would surface as a loud hash-parity failure rather than
+    * principle flip a pair across the threshold, not just change
+    * candidate counts. The DuckDB oracle computes df over raw strings, so
+    * a collision would surface as a loud hash-parity failure rather than
     * silent drift; none has occurred at any tested scale. */
-  private[operators] def shingleHashes(docs: DataFrame): DataFrame = {
+  private[graft] def shingleHashes(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    docs
+      .select(col("doc_id"),
+        call_function(graft.functions.GraftFunctions.ShingleSetName, col("text")).as("hs"))
+      .filter(col("hs").isNotNull)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+  }
+
+  /** The r1 explode+distinct formulation, kept as the independent
+    * reference implementation the kernel is spec-checked against. */
+  private[graft] def shingleHashesAgg(docs: DataFrame): DataFrame = {
     val words = docs.select(
       col("doc_id"),
       split(regexp_replace(trim(col("text")), "\\s+", " "), " ").as("w"))
@@ -155,7 +170,7 @@ object Dedup {
   /** The r1 aggregate formulation, kept as the independent reference
     * implementation the kernel is spec-checked against. */
   private[graft] def minhashSignaturesAgg(docs: DataFrame): DataFrame = {
-    val sh = shingleHashes(docs)
+    val sh = shingleHashesAgg(docs)
       .withColumn("h31", pmod(col("h"), lit(Mersenne31)))
     val aggs = graft.functions.MinHashKernel.coeffs.toSeq.zipWithIndex.map { case ((a, b), j) =>
       min(pmod(col("h31") * lit(a) + lit(b), lit(Mersenne31))).as(s"sig_$j")

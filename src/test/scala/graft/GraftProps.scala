@@ -99,6 +99,16 @@ object GraftProps extends Properties("graft") {
       kern == agg
     }
 
+  property("shingle-set kernel matches the explode+distinct formulation") =
+    forAll(Gen.listOfN(6, textGen)) { texts =>
+      val df = docsDf(texts)
+      def setMap(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      setMap(operators.Dedup.shingleHashes(df)) ==
+        setMap(operators.Dedup.shingleHashesAgg(df))
+    }
+
   property("minhash kernel matches the aggregate formulation") =
     forAll(Gen.listOfN(6, textGen)) { texts =>
       val df = docsDf(texts)
