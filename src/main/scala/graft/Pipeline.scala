@@ -52,12 +52,17 @@ object Pipeline {
     stage("forecasts")(Forecast.seasonalForecast(spark, sfDir))
     // the prophet-input extract (dag_prophet_output.py)
     stage("ml_data")(StarSchema.mlExtract(spark, sfDir), Seq("country"))
-    // LLM-corpus curation layers: clean -> split -> pack (the
-    // training-data side of the engine, end to end)
-    stage("corpus_clean")(TextAnalysis.corpusClean(spark, sfDir))
-    stage("corpus_splits")(TextAnalysis.trainSplit(spark, sfDir))
-    stage("corpus_packed")(TextAnalysis.packSequences(spark, sfDir))
-    stage("corpus_report")(TextAnalysis.corpusStats(spark, sfDir))
+    // LLM-corpus curation layers, genuinely CHAINED: splits, packs and
+    // the report are computed over the CLEANED corpus (docs the curation
+    // dropped must not leak into split assignments or bin fills)
+    val clean = TextAnalysis.corpusClean(spark, sfDir)
+    stage("corpus_clean")(clean)
+    val cleanedDocs = Tables.documents(spark, sfDir)
+      .join(spark.read.parquet(s"$outDir/corpus_clean").select("doc_id"), Seq("doc_id"), "left_semi")
+    stage("corpus_splits")(TextAnalysis.trainSplitOf(cleanedDocs))
+    stage("corpus_packed")(TextAnalysis.packSequencesOf(spark, cleanedDocs))
+    stage("corpus_report")(TextAnalysis.corpusStatsOf(
+      spark.read.parquet(s"$outDir/corpus_clean")))
 
     println(f"[pipeline] TOTAL ${(System.nanoTime() - t0) / 1e9}%.2fs -> $outDir")
   }

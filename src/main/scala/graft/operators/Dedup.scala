@@ -23,7 +23,10 @@ import org.apache.spark.sql.types._
 object Dedup {
   /** 5-word shingles over whitespace-normalized text; documents shorter
     * than one shingle are excluded (they cannot near-dup at n=5). */
-  val ShingleN = 5
+  /** Single source of truth with the kernel's constant — the registered
+    * `graft_shingle_set` function, the aggregate reference formulation
+    * and the DuckDB oracle must all shingle at the same n. */
+  val ShingleN: Int = graft.functions.MinHashKernel.ShingleN
   /** Shingles appearing in more docs than this are dropped from candidate
     * generation (stopword-phrase guard; the cap is part of the operator's
     * contract and mirrored in the oracle). */

@@ -254,9 +254,14 @@ object TextAnalysis {
     * ASCII-ordered, so lexicographic thresholds give clean fractions:
     * '00'-'cb' ≈ 79.7% train, 'cc'-'e5' ≈ 10.2% val, rest test. Pure
     * scalar projection — scan speed at any corpus size. */
-  def trainSplit(spark: SparkSession, dir: String): DataFrame = {
+  def trainSplit(spark: SparkSession, dir: String): DataFrame =
+    trainSplitOf(docs(spark, dir))
+
+  /** DataFrame core of [[trainSplit]] — the pipeline chains it over the
+    * CLEANED corpus rather than raw documents. */
+  def trainSplitOf(docsDf: DataFrame): DataFrame = {
     val key = substring(md5(col("text").cast(BinaryType)), 1, 2)
-    docs(spark, dir).select(
+    docsDf.select(
       col("doc_id"),
       key.as("split_key"),
       when(key < "cc", "train").when(key < "e6", "val").otherwise("test").as("split"))
@@ -324,7 +329,12 @@ object TextAnalysis {
     * decimals before summing keeps the aggregate bit-deterministic under
     * any partitioning, per the engine-wide exact-sum contract). */
   def corpusStats(spark: SparkSession, dir: String): DataFrame =
-    corpusClean(spark, dir)
+    corpusStatsOf(corpusClean(spark, dir))
+
+  /** DataFrame core of [[corpusStats]] — the pipeline feeds it the
+    * already-built clean frame instead of recomputing the curation. */
+  def corpusStatsOf(clean: DataFrame): DataFrame =
+    clean
       .groupBy(col("pred_lang"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -441,9 +451,15 @@ object TextAnalysis {
     * INVARIANT to partitioning (the engine's determinism contract —
     * verified bit-identical across thread counts like every query).
     * bin_id = range_group * 2^20 + local bin. */
-  def packSequences(spark: SparkSession, dir: String, budget: Int = PackBudget): DataFrame = {
+  def packSequences(spark: SparkSession, dir: String, budget: Int = PackBudget): DataFrame =
+    packSequencesOf(spark, docs(spark, dir), budget)
+
+  /** DataFrame core of [[packSequences]] — the pipeline chains it over
+    * the CLEANED corpus rather than raw documents. */
+  def packSequencesOf(spark: SparkSession, docsDf: DataFrame,
+      budget: Int = PackBudget): DataFrame = {
     import spark.implicits._
-    docs(spark, dir)
+    docsDf
       .select(
         col("doc_id"),
         regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))

@@ -377,6 +377,15 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     layers.foreach { l =>
       assert(spark.read.parquet(s"$out/$l").count() > 0, s"layer $l empty")
     }
+    // the curation layers are CHAINED: docs the clean stage dropped must
+    // not appear in split assignments or packed bins
+    val cleanIds = spark.read.parquet(s"$out/corpus_clean")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    Seq("corpus_splits", "corpus_packed").foreach { l =>
+      val ids = spark.read.parquet(s"$out/$l").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == cleanIds, s"$l not chained off the cleaned corpus")
+    }
   }
 
   test("clean csv: malformed rows quarantined, non-ascii scrubbed") {
