@@ -262,6 +262,54 @@ object Similarity {
     topkRanked(scored, k)
   }
 
+  /** Materialize the corpus as IVF INVERTED LISTS: parquet partitioned by
+    * the trained quantizer's cell id. At corpus scale this layout IS the
+    * index — the §5 claim made executable: a probe of NProbe cells reads
+    * only those partitions (pruned at the file listing, never scanned),
+    * so search I/O is NProbe/NList of the corpus by construction.
+    * Returns the trained centroids (the model state a real deployment
+    * persists next to the index). */
+  def writeIvfIndex(spark: SparkSession, dir: String, indexPath: String,
+      nList: Int = IvfNList): Array[Array[Double]] = {
+    val corpus = emb(spark, dir)
+    val centroids = ivfFit(corpus, nList)
+    val dists = array(centroids.map(c => l2sq(col("vec"), c)): _*)
+    corpus
+      .withColumn("cid", array_position(dists, array_min(dists)).cast(IntegerType) - 1)
+      .write.mode("overwrite").partitionBy("cid").parquet(indexPath)
+    centroids
+  }
+
+  /** IVF search over a materialized inverted-list index: each query's
+    * NProbe cells become a partition-pruning filter on the index scan —
+    * the unprobed cells' files are never opened. Results are identical to
+    * [[knnIvf]] over the same corpus and quantizer. */
+  def knnIvfIndexed(spark: SparkSession, dir: String, indexPath: String,
+      centroids: Array[Array[Double]], k: Int = 10): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val probeIdx = {
+      val pairs = array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(l2sq(col("qvec"), c).as("d"), lit(i).as("i"))
+      }: _*)
+      transform(slice(array_sort(pairs), 1, IvfNProbe), p => p.getField("i"))
+    }
+    val queries = emb(spark, dir)
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+      .withColumn("probe_cid", explode(probeIdx))
+    // the probed cell set is tiny (queries x NProbe ints) — collecting it
+    // into a pushable IN-filter is what turns the probe into partition
+    // pruning on the index scan
+    val probedCells = queries.select(col("probe_cid")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val listed = spark.read.parquet(indexPath).filter(col("cid").isin(probedCells: _*))
+    val scored = listed
+      .join(broadcast(queries), col("cid") === col("probe_cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cosine(col("qvec"), col("vec")).as("cosine"))
+    topkRanked(scored, k)
+  }
+
   /** q_dedup_embedding — embedding-cosine near-dup pairs via LSH-banded
     * candidate generation (threshold tuned to the harness corpus, which
     * has no planted >0.9 pairs — see SURVEY §2B). */

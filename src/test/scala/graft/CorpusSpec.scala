@@ -204,6 +204,22 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"packed bins too sparse: avg ${fills.sum / fills.size}")
   }
 
+  test("ivf inverted-list index: partition pruning at the scan, results equal in-memory ivf") {
+    val idx = java.nio.file.Files.createTempDirectory("graftivf").toString + "/index"
+    val centroids = operators.Similarity.writeIvfIndex(spark, sf, idx)
+    val indexed = operators.Similarity.knnIvfIndexed(spark, sf, idx, centroids)
+    // the probe filter must prune PARTITIONS (cid is the directory key),
+    // not merely filter rows after a full scan
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cid"), s"probe not pruning partitions:\n$plan")
+    // same corpus + same quantizer -> identical results to the in-memory form
+    val direct = operators.Similarity.knnIvf(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val viaIndex = indexed
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(viaIndex == direct, "indexed search diverged from in-memory IVF")
+  }
+
   test("exact dedup keeps the minimum doc id per content hash") {
     val dups = operators.TextAnalysis.dedupExact(spark, sf)
     assert(dups.agg(sum("n_copies")).collect()(0).getLong(0) ==
