@@ -144,12 +144,23 @@ object GraftFunctions {
   val SimHashName = "graft_simhash64"
   val MinHashName = "graft_minhash_sigs"
   val ShingleSetName = "graft_shingle_set"
+  val TextStatsName = "graft_text_stats"
+
+  // Sessions already registered — createOrReplaceTempFunction is itself
+  // idempotent, but every call past the first logs a "replaced a
+  // previously registered function" WARN per function, and operators call
+  // ensureRegistered per query. Weak keys: don't pin stopped sessions.
+  private val registered =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   /** Idempotently register graft functions AND the cosine-fusion
     * optimizer rule on any session (works whether or not the session was
     * built with [[GraftExtensions]] — `experimental.extraOptimizations`
     * is the post-creation injection point). */
   def ensureRegistered(spark: SparkSession): Unit = {
+    if (!registered.add(spark)) return
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       CosineName,
@@ -186,6 +197,10 @@ object GraftFunctions {
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       ShingleSetName,
       (exprs: Seq[Expression]) => ShingleHashSet(exprs.head, MinHashKernel.ShingleN),
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      TextStatsName,
+      (exprs: Seq[Expression]) => TextStats(exprs.head),
       "built-in")
     val rules = classic.experimental.extraOptimizations
     if (!rules.contains(graft.plans.CosineFusionRule))

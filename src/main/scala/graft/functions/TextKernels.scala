@@ -187,6 +187,216 @@ object ShingleKernel {
   }
 }
 
+/** Single-pass corpus text statistics.
+  *
+  * The quality/language-ID/token operators were originally 9+ independent
+  * `regexp_count`/`regexp_replace` columns, each re-scanning the document
+  * through java.util.regex — correct, but the per-core bottleneck of every
+  * composed corpus query (the only suite queries >2x the DuckDB baseline
+  * in r2). This kernel computes every counter those regexes produce in ONE
+  * scan of the string, bit-identical to the java.util.regex semantics the
+  * column formulation uses (and that the DuckDB oracles were validated
+  * against):
+  *
+  *  - `n_chars`        = `length(text)` — code points, not UTF-16 units
+  *  - `n_ws_tokens`    = `size(split(trim(text), "\\s+"))` — Spark `trim`
+  *                       strips ASCII spaces only; java `Pattern.split`
+  *                       with limit -1 keeps leading/trailing empties
+  *  - `n_words`        = `regexp_count(text, '[a-zA-Z]+')` — letter runs
+  *  - `n_digit_runs`   = `regexp_count(text, '[0-9]+')`
+  *  - `n_punct`        = `regexp_count(text, '[^a-zA-Z0-9\\s]')` — java
+  *                       `\s` is ASCII `[ \t\n\x0B\f\r]`; each non-BMP
+  *                       code point counts once (char classes are
+  *                       code-point matches)
+  *  - `n_letters`      = `length(regexp_replace(text, '[^a-zA-Z]', ''))`
+  *  - `n_stops`/`c_en`/`c_es`/`c_de`/`c_fr` = `regexp_count(text,
+  *                       '\\b(w1|w2|...)\\b')` per stopword profile. java
+  *                       `\b` bounds `\w = [a-zA-Z0-9_]` runs, and every
+  *                       profile word is pure lowercase letters, so a
+  *                       match occurs exactly when a MAXIMAL \w-run equals
+  *                       a profile word (a run prefix/suffix can't match:
+  *                       the interior position is word-char on both sides).
+  *
+  * `n_bpe_tokens = n_words + n_digit_runs + n_punct` exactly: the
+  * alternation `[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]` tries the greedy letter
+  * run first, then the digit run, then a single other char, so its match
+  * count is the sum of the three disjoint counts.
+  *
+  * GraftProps checks kernel == expression formulation on hostile inputs;
+  * the DuckDB hash oracles of q_text_quality / q_lang_id / q_corpus_clean
+  * / q_corpus_stats gate it end-to-end every round.
+  */
+object TextStatsKernel {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  val schema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{StructField, IntegerType => I}
+    org.apache.spark.sql.types.StructType(Seq(
+      StructField("n_chars", I, nullable = false),
+      StructField("n_ws_tokens", I, nullable = false),
+      StructField("n_words", I, nullable = false),
+      StructField("n_digit_runs", I, nullable = false),
+      StructField("n_punct", I, nullable = false),
+      StructField("n_letters", I, nullable = false),
+      StructField("n_stops", I, nullable = false),
+      StructField("c_en", I, nullable = false),
+      StructField("c_es", I, nullable = false),
+      StructField("c_de", I, nullable = false),
+      StructField("c_fr", I, nullable = false)))
+  }
+
+  val QualityStops = Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
+  val EnStops = Seq("the", "and", "of", "to", "is", "in", "that", "it")
+  val EsStops = Seq("el", "la", "de", "que", "y", "los", "las", "es")
+  val DeStops = Seq("der", "die", "und", "das", "ist", "ein", "nicht")
+  val FrStops = Seq("le", "la", "et", "les", "des", "un", "une", "est")
+
+  private val StopBit = 1
+  private val EnBit = 2
+  private val EsBit = 4
+  private val DeBit = 8
+  private val FrBit = 16
+
+  /** word -> profile-membership bitmask; all profile words are <= 5 chars
+    * of lowercase ASCII letters, which the scan pre-filters on before the
+    * (rare) map lookup. */
+  private val profile: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    def add(ws: Seq[String], bit: Int): Unit = ws.foreach { w =>
+      m.merge(w, bit, (a, b) => Integer.valueOf(a | b))
+    }
+    add(QualityStops, StopBit); add(EnStops, EnBit); add(EsStops, EsBit)
+    add(DeStops, DeBit); add(FrStops, FrBit)
+    m
+  }
+  private val MaxProfileLen = profile.keySet.asInstanceOf[java.util.Set[String]]
+    .toArray(Array.empty[String]).map(_.length).max
+
+  private def isJavaWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '' || c == '\f' || c == '\r'
+
+  def compute(text: UTF8String): InternalRow = {
+    val s = text.toString
+    val len = s.length
+    // Spark trim = strip ASCII ' ' only; ws-token counting runs over the
+    // trimmed region, every other counter over the full string.
+    var tb = 0
+    var te = len
+    while (tb < te && s.charAt(tb) == ' ') tb += 1
+    while (te > tb && s.charAt(te - 1) == ' ') te -= 1
+
+    var nChars = 0
+    var nWsTokens = 1 // Pattern.split(-1) segments = ws runs + 1
+    var nWords = 0
+    var nDigitRuns = 0
+    var nPunct = 0
+    var nLetters = 0
+    var nStops = 0
+    var cEn = 0
+    var cEs = 0
+    var cDe = 0
+    var cFr = 0
+
+    var prevLetter = false
+    var prevDigit = false
+    var inWsRun = false
+    // current maximal \w-run: start index, and whether it is still a pure
+    // lowercase-letter run short enough to be a profile word
+    var wordStart = -1
+    var wordLower = true
+
+    def endWordRun(end: Int): Unit = {
+      if (wordStart >= 0) {
+        if (wordLower && end - wordStart <= MaxProfileLen) {
+          val m = profile.get(s.substring(wordStart, end))
+          if (m != null) {
+            val bits = m.intValue()
+            if ((bits & StopBit) != 0) nStops += 1
+            if ((bits & EnBit) != 0) cEn += 1
+            if ((bits & EsBit) != 0) cEs += 1
+            if ((bits & DeBit) != 0) cDe += 1
+            if ((bits & FrBit) != 0) cFr += 1
+          }
+        }
+        wordStart = -1
+        wordLower = true
+      }
+    }
+
+    var i = 0
+    while (i < len) {
+      val cp = s.codePointAt(i)
+      val cpLen = Character.charCount(cp)
+      nChars += 1
+      val c = if (cpLen == 1) s.charAt(i) else ' ' // non-BMP: never ASCII
+      val isLower = c >= 'a' && c <= 'z'
+      val isUpper = c >= 'A' && c <= 'Z'
+      val isLetter = isLower || isUpper
+      val isDigit = c >= '0' && c <= '9'
+      val isWord = isLetter || isDigit || c == '_'
+      val isWs = cpLen == 1 && isJavaWs(c)
+
+      if (isLetter) {
+        nLetters += 1
+        if (!prevLetter) nWords += 1
+      } else if (isDigit) {
+        if (!prevDigit) nDigitRuns += 1
+      } else if (!isWs) {
+        nPunct += 1
+      }
+
+      if (isWord) {
+        if (wordStart < 0) wordStart = i
+        if (!isLower) wordLower = false
+      } else {
+        endWordRun(i)
+      }
+
+      if (i >= tb && i < te) {
+        if (isWs) {
+          if (!inWsRun) { nWsTokens += 1; inWsRun = true }
+        } else inWsRun = false
+      }
+
+      prevLetter = isLetter
+      prevDigit = isDigit
+      i += cpLen
+    }
+    endWordRun(len)
+
+    val out = new GenericInternalRow(11)
+    out.setInt(0, nChars)
+    out.setInt(1, nWsTokens)
+    out.setInt(2, nWords)
+    out.setInt(3, nDigitRuns)
+    out.setInt(4, nPunct)
+    out.setInt(5, nLetters)
+    out.setInt(6, nStops)
+    out.setInt(7, cEn)
+    out.setInt(8, cEs)
+    out.setInt(9, cDe)
+    out.setInt(10, cFr)
+    out
+  }
+}
+
+/** graft_text_stats(text): STRUCT of the 11 corpus counters (see
+  * [[TextStatsKernel]]). One string scan replaces 9+ regex passes. */
+case class TextStats(child: Expression) extends TextKernelExpr {
+  override def dataType: DataType = TextStatsKernel.schema
+  override def prettyName: String = "graft_text_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextStatsKernel.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextStatsKernel.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** shingle_set(text): ARRAY<LONG> of distinct shingle hashes, NULL for
   * docs shorter than one shingle (see [[ShingleKernel]]). */
 case class ShingleHashSet(child: Expression, n: Int) extends TextKernelExpr {

@@ -34,15 +34,65 @@ object TextAnalysis {
     """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY md5(text)""".stripMargin
 
-  /** q_text_tokens — whitespace tokens and a BPE-ish regex token count
-    * (letter runs / digit runs / single punctuation marks). */
-  def textTokens(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(
+  /** The 11-counter struct of [[graft.functions.TextStatsKernel]]
+    * computed once per row — every token/quality/langid counter in ONE
+    * string scan. The r2 formulation paid 9+ independent java.util.regex
+    * passes per document (each re-scanning the text), which made the
+    * composed corpus queries the only suite members >2x the DuckDB
+    * baseline; the kernel closes that per-core gap without changing any
+    * value ([[textStatsRef]] is the retained regex formulation, and
+    * GraftProps asserts kernel == reference on hostile inputs). */
+  private def textStatsCol(spark: SparkSession): Column = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    call_function(graft.functions.GraftFunctions.TextStatsName, col("text"))
+  }
+
+  /** BPE-ish token count from the stats struct: the alternation
+    * `[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]` matches each letter run, digit
+    * run, or single other char exactly once, so its count is the sum of
+    * the three disjoint counters. */
+  private def bpeTokensOf(ts: Column): Column =
+    ts.getField("n_words") + ts.getField("n_digit_runs") + ts.getField("n_punct")
+
+  /** The regex/expression formulation of every [[textStatsCol]] counter —
+    * the spec reference the kernel is property-checked against (and the
+    * shape the DuckDB oracles mirror). Not used on any query hot path. */
+  private[graft] def textStatsRef(df: DataFrame): DataFrame = {
+    import graft.functions.TextStatsKernel._
+    def rc(p: String): Column = regexp_count(col("text"), lit(p))
+    def stops(ws: Seq[String]): Column = rc(ws.mkString("\\b(", "|", ")\\b"))
+    df.select(
       col("doc_id"),
       length(col("text")).as("n_chars"),
       size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"),
-      regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")).as("n_bpe_tokens"),
-      regexp_count(col("text"), lit("[a-zA-Z]+")).as("n_words"))
+      rc("[a-zA-Z]+").as("n_words"),
+      rc("[0-9]+").as("n_digit_runs"),
+      rc("[^a-zA-Z0-9\\s]").as("n_punct"),
+      length(regexp_replace(col("text"), "[^a-zA-Z]", "")).as("n_letters"),
+      stops(QualityStops).as("n_stops"),
+      stops(EnStops).as("c_en"),
+      stops(EsStops).as("c_es"),
+      stops(DeStops).as("c_de"),
+      stops(FrStops).as("c_fr"))
+  }
+
+  /** Kernel twin of [[textStatsRef]] (flattened struct) for the
+    * equivalence property. */
+  private[graft] def textStatsKernelDf(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), textStatsCol(df.sparkSession).as("ts"))
+      .select(col("doc_id"), col("ts.*"))
+
+  /** q_text_tokens — whitespace tokens and a BPE-ish regex token count
+    * (letter runs / digit runs / single punctuation marks). */
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), textStatsCol(spark).as("ts"))
+      .select(
+        col("doc_id"),
+        col("ts.n_chars").as("n_chars"),
+        col("ts.n_ws_tokens").as("n_ws_tokens"),
+        bpeTokensOf(col("ts")).as("n_bpe_tokens"),
+        col("ts.n_words").as("n_words"))
 
   val textTokensOracle: String =
     """SELECT doc_id,
@@ -52,17 +102,15 @@ object TextAnalysis {
       |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z]+')) AS INT) AS n_words
       |FROM documents""".stripMargin
 
-  private def nWordsExpr: Column = regexp_count(col("text"), lit("[a-zA-Z]+")).cast(DoubleType)
-
-  /** The composite quality score over the `text` column — shared verbatim
-    * by q_text_quality and the composed q_corpus_clean. */
-  private def qualityScoreExpr: Column = {
-    val nWords = nWordsExpr
-    val nStops = regexp_count(
-      col("text"),
-      lit("\\b(the|a|and|of|to|in|is|it|that|for)\\b")).cast(DoubleType)
-    val nPunct = regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast(DoubleType)
-    val nChars = length(col("text")).cast(DoubleType)
+  /** The composite quality score from the stats struct — shared verbatim
+    * by q_text_quality and the composed q_corpus_clean. Arithmetic is
+    * identical to the regex formulation (same casts, same order), so the
+    * doubles are bit-identical. */
+  private def qualityScoreOf(ts: Column): Column = {
+    val nWords = ts.getField("n_words").cast(DoubleType)
+    val nStops = ts.getField("n_stops").cast(DoubleType)
+    val nPunct = ts.getField("n_punct").cast(DoubleType)
+    val nChars = ts.getField("n_chars").cast(DoubleType)
     least(nWords / lit(50.0), lit(1.0)) * lit(0.5) +
       least(when(nWords > 0, nStops / nWords).otherwise(lit(0.0)) * lit(4.0), lit(1.0)) * lit(0.3) +
       (lit(1.0) - least(when(nChars > 0, nPunct / nChars).otherwise(lit(0.0)) * lit(5.0), lit(1.0))) * lit(0.2)
@@ -71,20 +119,21 @@ object TextAnalysis {
   /** q_text_quality — length/stopword/punctuation quality heuristics and a
     * rational (transcendental-free) composite score in [0, 1]. */
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
-    val nWords = nWordsExpr
-    val nStops = regexp_count(
-      col("text"),
-      lit("\\b(the|a|and|of|to|in|is|it|that|for)\\b")).cast(DoubleType)
-    val nPunct = regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast(DoubleType)
-    val nChars = length(col("text")).cast(DoubleType)
-    val letters = length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast(DoubleType)
-    docs(spark, dir).select(
-      col("doc_id"),
-      nWords.as("n_words"),
-      when(nWords > 0, letters / nWords).otherwise(lit(0.0)).as("avg_word_len"),
-      when(nWords > 0, nStops / nWords).otherwise(lit(0.0)).as("stop_ratio"),
-      when(nChars > 0, nPunct / nChars).otherwise(lit(0.0)).as("punct_ratio"),
-      qualityScoreExpr.as("quality_score"))
+    val ts = col("ts")
+    val nWords = ts.getField("n_words").cast(DoubleType)
+    val nStops = ts.getField("n_stops").cast(DoubleType)
+    val nPunct = ts.getField("n_punct").cast(DoubleType)
+    val nChars = ts.getField("n_chars").cast(DoubleType)
+    val letters = ts.getField("n_letters").cast(DoubleType)
+    docs(spark, dir)
+      .select(col("doc_id"), textStatsCol(spark).as("ts"))
+      .select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        when(nWords > 0, letters / nWords).otherwise(lit(0.0)).as("avg_word_len"),
+        when(nWords > 0, nStops / nWords).otherwise(lit(0.0)).as("stop_ratio"),
+        when(nChars > 0, nPunct / nChars).otherwise(lit(0.0)).as("punct_ratio"),
+        qualityScoreOf(ts).as("quality_score"))
   }
 
   val textQualityOracle: String =
@@ -106,15 +155,14 @@ object TextAnalysis {
       |    + (1.0 - LEAST(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END * 5.0, 1.0)) * 0.2 AS quality_score
       |FROM f""".stripMargin
 
-  /** The deterministic-argmax language prediction over the `text` column
+  /** The deterministic-argmax language prediction from the stats struct
     * (en > es > de > fr precedence on ties, 'und' when no profile
     * matches) — shared verbatim by q_lang_id and q_corpus_clean. */
-  private def predLangExpr: Column = {
-    def c(pat: String): Column = regexp_count(col("text"), lit(pat))
-    val cEn = c("\\b(the|and|of|to|is|in|that|it)\\b")
-    val cEs = c("\\b(el|la|de|que|y|los|las|es)\\b")
-    val cDe = c("\\b(der|die|und|das|ist|ein|nicht)\\b")
-    val cFr = c("\\b(le|la|et|les|des|un|une|est)\\b")
+  private def predLangOf(ts: Column): Column = {
+    val cEn = ts.getField("c_en")
+    val cEs = ts.getField("c_es")
+    val cDe = ts.getField("c_de")
+    val cFr = ts.getField("c_fr")
     when(cEn >= cEs && cEn >= cDe && cEn >= cFr && cEn > 0, "en")
       .when(cEs >= cDe && cEs >= cFr && cEs > 0, "es")
       .when(cDe >= cFr && cDe > 0, "de")
@@ -124,25 +172,14 @@ object TextAnalysis {
 
   /** q_lang_id — stopword-profile language scoring with a deterministic
     * argmax. */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    def c(pat: String): Column = regexp_count(col("text"), lit(pat))
-    val cEn = c("\\b(the|and|of|to|is|in|that|it)\\b")
-    val cEs = c("\\b(el|la|de|que|y|los|las|es)\\b")
-    val cDe = c("\\b(der|die|und|das|ist|ein|nicht)\\b")
-    val cFr = c("\\b(le|la|et|les|des|un|une|est)\\b")
+  def langId(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("doc_id"), col("lang").as("actual_lang"),
-        cEn.as("c_en"), cEs.as("c_es"), cDe.as("c_de"), cFr.as("c_fr"))
-      .withColumn(
-        "pred_lang",
-        when(col("c_en") >= col("c_es") && col("c_en") >= col("c_de")
-          && col("c_en") >= col("c_fr") && col("c_en") > 0, "en")
-          .when(col("c_es") >= col("c_de") && col("c_es") >= col("c_fr")
-            && col("c_es") > 0, "es")
-          .when(col("c_de") >= col("c_fr") && col("c_de") > 0, "de")
-          .when(col("c_fr") > 0, "fr")
-          .otherwise("und"))
-  }
+      .select(col("doc_id"), col("lang").as("actual_lang"), textStatsCol(spark).as("ts"))
+      .select(
+        col("doc_id"), col("actual_lang"),
+        col("ts.c_en").as("c_en"), col("ts.c_es").as("c_es"),
+        col("ts.c_de").as("c_de"), col("ts.c_fr").as("c_fr"),
+        predLangOf(col("ts")).as("pred_lang"))
 
   val langIdOracle: String =
     """WITH s AS (
@@ -284,11 +321,12 @@ object TextAnalysis {
     val keep = dedupExact(spark, dir).select(col("keep_doc_id").as("doc_id"))
     docs(spark, dir)
       .join(keep, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), textStatsCol(spark).as("ts"))
       .select(
         col("doc_id"),
-        predLangExpr.as("pred_lang"),
-        qualityScoreExpr.as("quality_score"),
-        regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")).as("n_bpe_tokens"))
+        predLangOf(col("ts")).as("pred_lang"),
+        qualityScoreOf(col("ts")).as("quality_score"),
+        bpeTokensOf(col("ts")).as("n_bpe_tokens"))
       .filter(col("quality_score") >= minQuality && col("pred_lang") =!= "und")
   }
 
@@ -460,10 +498,10 @@ object TextAnalysis {
       budget: Int = PackBudget): DataFrame = {
     import spark.implicits._
     docsDf
+      .select(col("doc_id"), textStatsCol(spark).as("ts"))
       .select(
         col("doc_id"),
-        regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
-          .cast(IntegerType).as("n_tokens"))
+        bpeTokensOf(col("ts")).cast(IntegerType).as("n_tokens"))
       .as[(Long, Int)]
       .groupByKey(_._1 / PackGroupSize)
       .flatMapGroups { (group, rows) =>

@@ -119,6 +119,32 @@ object GraftProps extends Properties("graft") {
         sigMap(operators.Dedup.minhashSignaturesAgg(df))
     }
 
+  /** Stopword-rich hostile text for the text-stats kernel: profile words
+    * from several languages (incl. the es/fr-ambiguous 'la'), case
+    * variants that must NOT match (`\b(the)\b` is case-sensitive), words
+    * welded to digits/underscores (which kill the `\b` boundary),
+    * punctuation runs, vertical-tab whitespace, and non-ASCII / non-BMP
+    * neighbors (which CREATE a boundary). */
+  private val statsTextGen: Gen[String] = for {
+    n <- Gen.chooseNum(0, 14)
+    words <- Gen.listOfN(n, Gen.oneOf(
+      "the", "The", "la", "de", "und", "est", "es", "a", "the9", "the_",
+      "alpha", "42", "3x", "a.b,c", "µx", "𝄞the", "x_y", "-", "('!)"))
+    seps <- Gen.listOfN(math.max(n - 1, 0), Gen.oneOf(" ", "  ", "\t", " \n ", "\u000b"))
+    lead <- Gen.oneOf("", " ", "\t ")
+    trail <- Gen.oneOf("", " ", "  ", "\t")
+  } yield lead + (if (words.isEmpty) ""
+                  else words.zip(seps :+ "").map { case (w, s) => w + s }.mkString) + trail
+
+  property("text-stats kernel matches the regex formulation") =
+    forAll(Gen.listOfN(8, statsTextGen)) { texts =>
+      val df = docsDf(texts)
+      def m(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => r.getLong(0) -> r.toSeq.drop(1).toVector).toMap
+      m(operators.TextAnalysis.textStatsKernelDf(df)) ==
+        m(operators.TextAnalysis.textStatsRef(df))
+    }
+
   property("component resolution matches a union-find reference on random graphs") =
     forAll(Gen.listOfN(30,
       for { a <- Gen.chooseNum(1L, 20L); b <- Gen.chooseNum(1L, 20L) } yield (a, b))) { pairs =>

@@ -507,7 +507,8 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
       CosineSimilarity(v, v),
       CosineSimilarity(v, v, hofCompat = true),
       DotProduct(v, v),
-      L2SquaredDistance(v, v))
+      L2SquaredDistance(v, v),
+      TextStats(s))
     // generate() THROWS on janino failure — no silent interpreted fallback
     val proj = GenerateUnsafeProjection.generate(exprs)
     val row = new GenericInternalRow(Array[Any](
@@ -521,6 +522,13 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
         .toLongArray().toSeq)
     (2 until 6).foreach { i =>
       assert(out.getDouble(i) == exprs(i).eval(row).asInstanceOf[Double], s"expr $i")
+    }
+    // text-stats struct agrees field-by-field with the interpreted path
+    val tsGen = out.getStruct(6, 11)
+    val tsInt = exprs(6).eval(row)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    (0 until 11).foreach { f =>
+      assert(tsGen.getInt(f) == tsInt.getInt(f), s"text-stats field $f")
     }
     // hofCompat zero-norm NaN agrees between codegen and interpreted
     val zrow = new GenericInternalRow(Array[Any](null,
