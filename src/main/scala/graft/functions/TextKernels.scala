@@ -79,6 +79,73 @@ private[functions] object TextNorm {
     val u = UTF8String.fromString(s)
     XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
   }
+
+  /** java.util.regex `\s` — ASCII-only (Unicode spaces are word chars,
+    * exactly as the column formulation treats them). */
+  def isJavaWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000b' || c == '\f' || c == '\r'
+
+  /** [[words]]([[normalize]](s)) in ONE scan without the regex pass:
+    * space-only trim, then segments between `\s+` runs (a leading or
+    * trailing run inside the trimmed region yields an empty word, exactly
+    * as replaceAll(" ") + split(" ") does). The kernels' per-row hot path —
+    * GraftProps proves equivalence against the regex formulation. */
+  def wordsDirect(s: String): scala.collection.mutable.ArrayBuffer[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    var i = b
+    var start = i
+    while (i < e) {
+      if (isJavaWs(s.charAt(i))) {
+        out += s.substring(start, i)
+        i += 1
+        while (i < e && isJavaWs(s.charAt(i))) i += 1
+        start = i
+      } else i += 1
+    }
+    out += s.substring(start, e)
+    out
+  }
+
+  /** xxhash64 of every n-word shingle, allocation-free per shingle: each
+    * word is UTF-8-encoded ONCE, then shingle bytes (words joined by a
+    * single space) are assembled in a reusable buffer and hashed in
+    * place. Byte-identical to `xxh64(words.slice(i, i+n).mkString(" "))`
+    * — String.getBytes(UTF_8) is exactly what UTF8String.fromString
+    * hashes. */
+  def eachShingleHash(words: scala.collection.mutable.ArrayBuffer[String], n: Int)(
+      f: Long => Unit): Unit = {
+    val m = words.length
+    if (m < n) return
+    val bytes = new Array[Array[Byte]](m)
+    var i = 0
+    while (i < m) {
+      bytes(i) = words(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      i += 1
+    }
+    var buf = new Array[Byte](128)
+    i = 0
+    while (i + n <= m) {
+      var len = n - 1
+      var j = i
+      while (j < i + n) { len += bytes(j).length; j += 1 }
+      if (len > buf.length) buf = new Array[Byte](math.max(len, buf.length * 2))
+      var pos = 0
+      j = i
+      while (j < i + n) {
+        if (j > i) { buf(pos) = ' '; pos += 1 }
+        val b = bytes(j)
+        System.arraycopy(b, 0, buf, pos, b.length)
+        pos += b.length
+        j += 1
+      }
+      f(XXH64.hashUnsafeBytes(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, pos, 42L))
+      i += 1
+    }
+  }
 }
 
 object SimHashKernel {
@@ -128,20 +195,11 @@ object MinHashKernel {
     * sig_j = min over shingles of ((a_j * (xxhash64(shingle) mod M) +
     * b_j) mod M), M = 2^31-1. */
   def compute(text: UTF8String): Array[Long] = {
-    val words = TextNorm.words(TextNorm.normalize(text.toString))
+    val words = TextNorm.wordsDirect(text.toString)
     if (words.length < ShingleN) return null
     val sigs = Array.fill(K)(Long.MaxValue)
-    val sb = new java.lang.StringBuilder()
-    var i = 0
-    while (i + ShingleN <= words.length) {
-      sb.setLength(0)
-      var j = i
-      while (j < i + ShingleN) {
-        if (j > i) sb.append(' ')
-        sb.append(words(j))
-        j += 1
-      }
-      val h31 = java.lang.Math.floorMod(TextNorm.xxh64(sb.toString), Mersenne31)
+    TextNorm.eachShingleHash(words, ShingleN) { h =>
+      val h31 = java.lang.Math.floorMod(h, Mersenne31)
       var k = 0
       while (k < K) {
         val (a, b) = coeffs(k)
@@ -149,7 +207,6 @@ object MinHashKernel {
         if (v < sigs(k)) sigs(k) = v
         k += 1
       }
-      i += 1
     }
     sigs
   }
@@ -163,22 +220,10 @@ object ShingleKernel {
     * the n-gram pipeline then explodes an already-deduplicated array
     * instead of shuffling the raw shingle stream through a DISTINCT. */
   def compute(text: UTF8String, n: Int): Array[Long] = {
-    val words = TextNorm.words(TextNorm.normalize(text.toString))
+    val words = TextNorm.wordsDirect(text.toString)
     if (words.length < n) return null
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
-    val sb = new java.lang.StringBuilder()
-    var i = 0
-    while (i + n <= words.length) {
-      sb.setLength(0)
-      var j = i
-      while (j < i + n) {
-        if (j > i) sb.append(' ')
-        sb.append(words(j))
-        j += 1
-      }
-      seen.add(TextNorm.xxh64(sb.toString))
-      i += 1
-    }
+    TextNorm.eachShingleHash(words, n)(h => seen.add(h))
     val out = new Array[Long](seen.size)
     val it = seen.iterator()
     var k = 0
@@ -273,8 +318,7 @@ object TextStatsKernel {
   private val MaxProfileLen = profile.keySet.asInstanceOf[java.util.Set[String]]
     .toArray(Array.empty[String]).map(_.length).max
 
-  private def isJavaWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '' || c == '\f' || c == '\r'
+  private def isJavaWs(c: Char): Boolean = TextNorm.isJavaWs(c)
 
   def compute(text: UTF8String): InternalRow = {
     val s = text.toString
@@ -329,7 +373,7 @@ object TextStatsKernel {
       val cp = s.codePointAt(i)
       val cpLen = Character.charCount(cp)
       nChars += 1
-      val c = if (cpLen == 1) s.charAt(i) else ' ' // non-BMP: never ASCII
+      val c = if (cpLen == 1) s.charAt(i) else '\u0000' // non-BMP: never ASCII
       val isLower = c >= 'a' && c <= 'z'
       val isUpper = c >= 'A' && c <= 'Z'
       val isLetter = isLower || isUpper

@@ -48,10 +48,18 @@ object Dedup {
     * silent drift; none has occurred at any tested scale. */
   private[graft] def shingleHashes(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    // The lazy checkpoint sits BEFORE the explode: the per-doc array frame
+    // is the compact representation (one row per doc), so consumers that
+    // reference the posting list several times (ngramJaccard: hot-df pass,
+    // both self-join sides, per-doc sizes) re-run only the cheap explode
+    // from block storage — the shingle-kernel scan itself runs once. This
+    // is the 100 TB shape too: persist the per-doc sketch once, derive
+    // posting streams from it.
     docs
       .select(col("doc_id"),
         call_function(graft.functions.GraftFunctions.ShingleSetName, col("text")).as("hs"))
       .filter(col("hs").isNotNull)
+      .localCheckpoint(eager = false)
       .select(col("doc_id"), explode(col("hs")).as("h"))
   }
 
@@ -95,6 +103,12 @@ object Dedup {
   /** q_dedup_ngram — exact n-gram Jaccard similarity for all candidate
     * pairs sharing at least one (non-hot) shingle; pairs with J >= 0.8. */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    // [[shingleHashes]] serves its four consumers here (hot-df pass, both
+    // self-join sides, per-doc sizes) from one checkpointed kernel scan.
+    // The hot-cap anti-join stays UNmaterialized: it is a broadcast
+    // anti-join (hot set is tiny by construction), so each consumer
+    // replays a map-side filter, which is cheaper than writing a second
+    // copy of the posting list to block storage.
     val sh = dropHot(shingleHashes(docs))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val pairs = sh
