@@ -276,6 +276,121 @@ object Forecast {
       |FROM futures f JOIN dowm m
       |  ON f.brand = m.db AND CAST(EXTRACT(dow FROM f.forecast_date) AS INT) + 1 = m.dow""".stripMargin
 
+  /** Forecast horizon (days) for [[forecastHorizon]] — the reference's
+    * `make_future_dataframe(periods)` runs with periods >= 365
+    * (`server/forecast_utils.py:56-60`). */
+  val HorizonDays = 365
+
+  /** q_forecast_horizon — the reference's full additive model in one
+    * query: daily-index trend + weekly AND yearly seasonality (dow and
+    * month-of-year mean-deviation indices), predicting [[HorizonDays]]
+    * days past each brand's last observation — the composed
+    * trend+weekly+yearly shape `forecast_utils.py` fits, at Prophet's
+    * default >= 365-day horizon.
+    *
+    * No new scan shapes: the three passes (OLS stats, dow means, month
+    * means) aggregate the SAME broadcast-joined fact projection — at
+    * 100 TB, three map-side-combined shuffles of group-cardinality
+    * output — and the future grid is group-cardinality x 365 rows built
+    * by explode, with both seasonal joins broadcast. */
+  def forecastHorizon(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables
+      .lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_shipdate"))
+    val p = broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")))
+    val epoch = lit("1995-01-01").cast(DateType)
+    val base = li.join(p, col("l_partkey") === col("p_partkey"))
+      .select(
+        col("p_brand").as("brand"),
+        datediff(col("l_shipdate"), epoch).cast(LongType).as("x"),
+        dayofweek(col("l_shipdate")).as("dow"),
+        month(col("l_shipdate")).as("m"),
+        col("l_extendedprice").as("y"))
+    val trend = olsStats(base)
+      .withColumn("slope", slopeCol)
+      .withColumn(
+        "intercept",
+        (col("sy") - col("slope") * col("sx").cast(DoubleType)) / col("n").cast(DoubleType))
+      .withColumn("mean_all", col("sy") / col("n").cast(DoubleType))
+      .select(col("brand"), col("slope"), col("intercept"), col("mean_all"), col("max_x"))
+    val dowMeans = base
+      .groupBy(col("brand").as("db"), col("dow"))
+      .agg(meanOf(sum(dec2(col("y"))).cast(DoubleType), cnt).as("mean_dow"))
+    val monthMeans = base
+      .groupBy(col("brand").as("mb"), col("m").as("month"))
+      .agg(meanOf(sum(dec2(col("y"))).cast(DoubleType), cnt).as("mean_month"))
+    val futures = trend
+      .withColumn("day_offset", explode(sequence(lit(1), lit(HorizonDays))))
+      .withColumn("x_future", col("max_x") + col("day_offset"))
+      .withColumn("forecast_date", date_add(epoch, col("x_future").cast(IntegerType)))
+      .withColumn("fdow", dayofweek(col("forecast_date")))
+      .withColumn("fmonth", month(col("forecast_date")))
+    futures
+      .join(broadcast(dowMeans), col("brand") === col("db") && col("fdow") === col("dow"))
+      .join(broadcast(monthMeans),
+        col("brand") === col("mb") && col("fmonth") === col("month"))
+      .withColumn("weekly_idx", col("mean_dow") - col("mean_all"))
+      .withColumn("yearly_idx", col("mean_month") - col("mean_all"))
+      .withColumn(
+        "forecast",
+        col("intercept") + col("slope") * col("x_future").cast(DoubleType) +
+          col("weekly_idx") + col("yearly_idx"))
+      .select(col("brand"), col("day_offset"), col("forecast_date"),
+        col("weekly_idx"), col("yearly_idx"), col("forecast"))
+  }
+
+  val forecastHorizonOracle: String =
+    s"""WITH base AS (
+       |  SELECT p_brand AS brand,
+       |    CAST(DATE_DIFF('day', DATE '1995-01-01', l_shipdate) AS BIGINT) AS x,
+       |    CAST(EXTRACT(dow FROM l_shipdate) AS INT) + 1 AS dow,
+       |    CAST(EXTRACT(month FROM l_shipdate) AS INT) AS m,
+       |    l_extendedprice AS y
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |), stats AS (
+       |  SELECT brand, COUNT(*) AS n,
+       |    CAST(SUM(x) AS BIGINT) AS sx,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+       |    CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(x AS DECIMAL(10,0)) * CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+       |    CAST(MAX(x) AS BIGINT) AS max_x
+       |  FROM base GROUP BY brand
+       |), trend AS (
+       |  SELECT brand, slope,
+       |    (sy - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+       |    sy / CAST(n AS DOUBLE) AS mean_all, max_x
+       |  FROM (
+       |    SELECT brand, n, sx, sy, max_x,
+       |      CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+       |      THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+       |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |      ELSE NULL END AS slope
+       |    FROM stats
+       |  )
+       |), dowm AS (
+       |  SELECT brand AS db, dow,
+       |    CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_dow
+       |  FROM base GROUP BY brand, dow
+       |), monthm AS (
+       |  SELECT brand AS mb, m AS month,
+       |    CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_month
+       |  FROM base GROUP BY brand, m
+       |), futures AS (
+       |  SELECT brand, slope, intercept, mean_all, max_x,
+       |    CAST(d AS INT) AS day_offset,
+       |    max_x + d AS x_future,
+       |    DATE '1995-01-01' + CAST(max_x + d AS INTEGER) AS forecast_date
+       |  FROM trend, (SELECT UNNEST(GENERATE_SERIES(1, $HorizonDays)) AS d)
+       |)
+       |SELECT f.brand, f.day_offset, f.forecast_date,
+       |  w.mean_dow - f.mean_all AS weekly_idx,
+       |  m.mean_month - f.mean_all AS yearly_idx,
+       |  f.intercept + f.slope * CAST(f.x_future AS DOUBLE)
+       |    + (w.mean_dow - f.mean_all) + (m.mean_month - f.mean_all) AS forecast
+       |FROM futures f
+       |JOIN dowm w ON f.brand = w.db AND CAST(EXTRACT(dow FROM f.forecast_date) AS INT) + 1 = w.dow
+       |JOIN monthm m ON f.brand = m.mb AND CAST(EXTRACT(month FROM f.forecast_date) AS INT) = m.month""".stripMargin
+
   /** q_seasonal_forecast — trend + additive month-of-year seasonality:
     * forecast for each month of the year after each brand's last
     * observed month. Seasonal index = (month mean) - (overall mean). */
@@ -302,6 +417,202 @@ object Forecast {
         "forecast",
         col("intercept") + col("slope") * col("x_future") + col("seasonal_idx"))
       .select(col("brand"), col("month"), col("seasonal_idx"), col("forecast"))
+  }
+
+  // --------------------------------------------- piecewise (changepoint) trend
+
+  /** Number of trend changepoints for [[forecastChangepoint]]; hinge
+    * locations are evenly spaced over the first 80% of each group's
+    * observed x-range (the uniform-grid simplification of Prophet's
+    * default `n_changepoints` / `changepoint_range=0.8` placement,
+    * `server/forecast_utils.py:28-34`). */
+  val Changepoints = 2
+
+  /** Tiny symbolic expression tree rendered to BOTH a Spark [[Column]]
+    * and oracle SQL text with identical shape — the Cramer-rule solve of
+    * the hinge-feature normal equations is generated once from this tree,
+    * so the two engines evaluate the exact same IEEE operation sequence
+    * and the DuckDB hash oracle stays bit-exact. */
+  private sealed trait Ex
+  private case class V(name: String) extends Ex
+  private case class Mul(a: Ex, b: Ex) extends Ex
+  private case class Add(a: Ex, b: Ex) extends Ex
+  private case class Sub(a: Ex, b: Ex) extends Ex
+
+  private def exCol(e: Ex): Column = e match {
+    case V(n) => col(n)
+    case Mul(a, b) => exCol(a) * exCol(b)
+    case Add(a, b) => exCol(a) + exCol(b)
+    case Sub(a, b) => exCol(a) - exCol(b)
+  }
+
+  private def exSql(e: Ex): String = e match {
+    case V(n) => n
+    case Mul(a, b) => s"(${exSql(a)} * ${exSql(b)})"
+    case Add(a, b) => s"(${exSql(a)} + ${exSql(b)})"
+    case Sub(a, b) => s"(${exSql(a)} - ${exSql(b)})"
+  }
+
+  /** Cofactor expansion along the first row, terms folded left in column
+    * order — a fixed association order shared by both renderings. */
+  private def det(m: Vector[Vector[Ex]]): Ex =
+    if (m.size == 1) m(0)(0)
+    else {
+      val terms = m(0).indices.map { j =>
+        val minor = m.tail.map(row => row.patch(j, Nil, 1))
+        (j, Mul(m(0)(j), det(minor)))
+      }
+      terms.tail.foldLeft(terms.head._2: Ex) { case (acc, (j, t)) =>
+        if (j % 2 == 0) Add(acc, t) else Sub(acc, t)
+      }
+    }
+
+  /** Feature basis: [1, x, (x-s1)+, (x-s2)+]. Normal-equation matrix
+    * A = XᵀX over the double-cast stats names, rhs b = Xᵀy. */
+  private val cpA: Vector[Vector[Ex]] = Vector(
+    Vector(V("d_n"), V("d_sx"), V("d_sh1"), V("d_sh2")),
+    Vector(V("d_sx"), V("d_sxx"), V("d_sxh1"), V("d_sxh2")),
+    Vector(V("d_sh1"), V("d_sxh1"), V("d_sh1h1"), V("d_sh1h2")),
+    Vector(V("d_sh2"), V("d_sxh2"), V("d_sh1h2"), V("d_sh2h2")))
+  private val cpB: Vector[Ex] = Vector(V("d_sy"), V("d_sxy"), V("d_sh1y"), V("d_sh2y"))
+  private val cpDet: Ex = det(cpA)
+  private val cpNums: Vector[Ex] =
+    Vector.tabulate(4)(i => det(cpA.indices.toVector.map(r =>
+      cpA(r).updated(i, cpB(r)))))
+
+  /** q_forecast_changepoint — piecewise-linear ("Prophet-default") trend:
+    * per-brand OLS over hinge features [1, x, (x-s1)+, (x-s2)+] with
+    * [[Changepoints]] knots evenly spaced over the first 80% of the
+    * group's x-range, plus the next-month forecast from the fitted
+    * piecewise trend. A series with a mid-history trend break (which a
+    * single global slope forecasts visibly wrong) is fit exactly.
+    *
+    * Scale shape: pass 1 reduces the fact to per-group (min, max) x; the
+    * per-row hinge features then come from a BROADCAST join of that
+    * group-cardinality frame, and pass 2 is one map-side-combined
+    * aggregation of the 14 exact sufficient statistics (hinge products
+    * are integers, moment sums decimal). The 4x4 normal equations are
+    * solved in the projection via generated Cramer expansions — no
+    * per-group model-fit loop, no driver-side matrix math. */
+  def forecastChangepoint(spark: SparkSession, dir: String): DataFrame =
+    forecastChangepointOf(joined(spark, dir).select(col("brand"), col("x"), col("y")))
+
+  /** DataFrame core of [[forecastChangepoint]] over any (brand, x: long,
+    * y: decimal) frame — the planted-trend-break spec fits synthetic
+    * series through it. */
+  private[graft] def forecastChangepointOf(base: DataFrame): DataFrame = {
+    val rng = base.groupBy(col("brand").as("rb"))
+      .agg(min(col("x")).as("min_x"), max(col("x")).as("max_x"))
+    def sCol(j: Int): Column =
+      (col("min_x") + floor((col("max_x") - col("min_x")).cast(DoubleType) *
+        lit(8.0 * j) / lit(10.0 * Changepoints)).cast(LongType)).as(s"s$j")
+    val feat = base
+      .join(broadcast(rng), col("brand") === col("rb"))
+      .select(col("brand"), col("x"), col("y"), sCol(1), sCol(2))
+      .select(
+        col("brand"), col("x"), col("y"), col("s1"), col("s2"),
+        greatest(col("x") - col("s1"), lit(0L)).as("h1"),
+        greatest(col("x") - col("s2"), lit(0L)).as("h2"))
+    val stats = feat
+      .groupBy(col("brand"))
+      .agg(
+        cnt.as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("h1")).as("sh1"),
+        sum(col("h2")).as("sh2"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("h1")).as("sxh1"),
+        sum(col("x") * col("h2")).as("sxh2"),
+        sum(col("h1") * col("h1")).as("sh1h1"),
+        sum(col("h1") * col("h2")).as("sh1h2"),
+        sum(col("h2") * col("h2")).as("sh2h2"),
+        sum(dec2(col("y"))).cast(DoubleType).as("sy"),
+        sum(xDec * dec2(col("y"))).cast(DoubleType).as("sxy"),
+        sum(col("h1").cast(DecimalType(10, 0)) * dec2(col("y"))).cast(DoubleType).as("sh1y"),
+        sum(col("h2").cast(DecimalType(10, 0)) * dec2(col("y"))).cast(DoubleType).as("sh2y"),
+        max(col("x")).as("max_x"),
+        max(col("s1")).as("s1"),
+        max(col("s2")).as("s2"))
+    val doubled = stats.select(
+      col("brand") +: col("n") +: col("s1") +: col("s2") +: col("max_x") +:
+        (Seq("n", "sx", "sh1", "sh2", "sxx", "sxh1", "sxh2", "sh1h1", "sh1h2", "sh2h2")
+          .map(c => col(c).cast(DoubleType).as(s"d_$c")) ++
+          Seq("sy", "sxy", "sh1y", "sh2y").map(c => col(c).as(s"d_$c"))): _*)
+    val xf = (col("max_x") + 1).cast(DoubleType)
+    val solved = doubled
+      .withColumn("det_a", exCol(cpDet))
+      .withColumn("b0", when(col("det_a") =!= 0.0, exCol(cpNums(0)) / col("det_a")))
+      .withColumn("b1", when(col("det_a") =!= 0.0, exCol(cpNums(1)) / col("det_a")))
+      .withColumn("b2", when(col("det_a") =!= 0.0, exCol(cpNums(2)) / col("det_a")))
+      .withColumn("b3", when(col("det_a") =!= 0.0, exCol(cpNums(3)) / col("det_a")))
+    solved
+      .withColumn(
+        "forecast_next",
+        col("b0") + col("b1") * xf +
+          col("b2") * greatest(xf - col("s1").cast(DoubleType), lit(0.0)) +
+          col("b3") * greatest(xf - col("s2").cast(DoubleType), lit(0.0)))
+      .select(col("brand"), col("n"), col("s1"), col("s2"),
+        col("b0"), col("b1"), col("b2"), col("b3"), col("forecast_next"))
+  }
+
+  val forecastChangepointOracle: String = {
+    def sSql(j: Int): String =
+      s"(min_x + CAST(FLOOR(CAST(max_x - min_x AS DOUBLE) * ${8.0 * j} / ${10.0 * Changepoints}) AS BIGINT))"
+    def beta(i: Int): String =
+      s"CASE WHEN ${exSql(cpDet)} <> 0.0 THEN (${exSql(cpNums(i))} / ${exSql(cpDet)}) ELSE NULL END"
+    s"""WITH base AS (
+       |  SELECT p_brand AS brand,
+       |    (CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) - 1995) * 12
+       |      + CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) - 1 AS x,
+       |    l_extendedprice AS y
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |), rng AS (
+       |  SELECT brand AS rb, MIN(x) AS min_x, MAX(x) AS max_x FROM base GROUP BY brand
+       |), feat AS (
+       |  SELECT brand, x, y, s1, s2,
+       |    GREATEST(x - s1, 0) AS h1, GREATEST(x - s2, 0) AS h2
+       |  FROM (
+       |    SELECT brand, x, y, ${sSql(1)} AS s1, ${sSql(2)} AS s2
+       |    FROM base JOIN rng ON brand = rb
+       |  )
+       |), stats AS (
+       |  SELECT brand, COUNT(*) AS n,
+       |    CAST(SUM(x) AS BIGINT) AS sx,
+       |    CAST(SUM(h1) AS BIGINT) AS sh1,
+       |    CAST(SUM(h2) AS BIGINT) AS sh2,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+       |    CAST(SUM(x * h1) AS BIGINT) AS sxh1,
+       |    CAST(SUM(x * h2) AS BIGINT) AS sxh2,
+       |    CAST(SUM(h1 * h1) AS BIGINT) AS sh1h1,
+       |    CAST(SUM(h1 * h2) AS BIGINT) AS sh1h2,
+       |    CAST(SUM(h2 * h2) AS BIGINT) AS sh2h2,
+       |    CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(x AS DECIMAL(10,0)) * CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+       |    CAST(SUM(CAST(h1 AS DECIMAL(10,0)) * CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sh1y,
+       |    CAST(SUM(CAST(h2 AS DECIMAL(10,0)) * CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sh2y,
+       |    CAST(MAX(x) AS BIGINT) AS max_x,
+       |    CAST(MAX(s1) AS BIGINT) AS s1,
+       |    CAST(MAX(s2) AS BIGINT) AS s2
+       |  FROM feat GROUP BY brand
+       |), d AS (
+       |  SELECT brand, n, s1, s2, max_x,
+       |    CAST(n AS DOUBLE) AS d_n, CAST(sx AS DOUBLE) AS d_sx,
+       |    CAST(sh1 AS DOUBLE) AS d_sh1, CAST(sh2 AS DOUBLE) AS d_sh2,
+       |    CAST(sxx AS DOUBLE) AS d_sxx, CAST(sxh1 AS DOUBLE) AS d_sxh1,
+       |    CAST(sxh2 AS DOUBLE) AS d_sxh2, CAST(sh1h1 AS DOUBLE) AS d_sh1h1,
+       |    CAST(sh1h2 AS DOUBLE) AS d_sh1h2, CAST(sh2h2 AS DOUBLE) AS d_sh2h2,
+       |    sy AS d_sy, sxy AS d_sxy, sh1y AS d_sh1y, sh2y AS d_sh2y
+       |  FROM stats
+       |), solved AS (
+       |  SELECT brand, n, s1, s2, max_x,
+       |    ${beta(0)} AS b0, ${beta(1)} AS b1, ${beta(2)} AS b2, ${beta(3)} AS b3
+       |  FROM d
+       |)
+       |SELECT brand, n, s1, s2, b0, b1, b2, b3,
+       |  b0 + b1 * CAST(max_x + 1 AS DOUBLE)
+       |    + b2 * GREATEST(CAST(max_x + 1 AS DOUBLE) - CAST(s1 AS DOUBLE), 0.0)
+       |    + b3 * GREATEST(CAST(max_x + 1 AS DOUBLE) - CAST(s2 AS DOUBLE), 0.0) AS forecast_next
+       |FROM solved""".stripMargin
   }
 
   val seasonalForecastOracle: String =

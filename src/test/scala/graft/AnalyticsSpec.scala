@@ -41,6 +41,44 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.filter("avg_price > p2").count() == 0)
   }
 
+  test("changepoint trend recovers a planted piecewise-linear series exactly") {
+    // x in [0, 40] -> knots at 40% / 80% of the range: s1 = 16, s2 = 32.
+    // Plant slope breaks exactly there; the hinge basis then spans the
+    // true function, so a noiseless fit must reproduce it (and the
+    // one-step-ahead forecast) to floating-point accuracy.
+    def yOf(x: Long): Double =
+      10.0 + 2.0 * x +
+        (if (x > 16) -3.0 * (x - 16) else 0.0) +
+        (if (x > 32) 5.0 * (x - 32) else 0.0)
+    val rows = (0L to 40L).map(x =>
+      ("T", x, new java.math.BigDecimal(yOf(x)).setScale(2)))
+    val base = spark.createDataFrame(rows).toDF("brand", "x", "y")
+    val r = operators.Forecast.forecastChangepointOf(base).collect()(0)
+    assert(r.getAs[Long]("s1") == 16L && r.getAs[Long]("s2") == 32L)
+    assert(math.abs(r.getAs[Double]("b0") - 10.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("b1") - 2.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("b2") + 3.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("b3") - 5.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("forecast_next") - yOf(41)) < 1e-5)
+  }
+
+  test("changepoint fit degrades to NULL betas on a degenerate single-point series") {
+    val base = spark.createDataFrame(Seq(
+      ("T", 5L, new java.math.BigDecimal("7.00")))).toDF("brand", "x", "y")
+    val r = operators.Forecast.forecastChangepointOf(base).collect()(0)
+    assert(r.isNullAt(r.fieldIndex("b1")) && r.isNullAt(r.fieldIndex("forecast_next")))
+  }
+
+  test("horizon forecast spans 365 offsets with additive dow+month components") {
+    val df = operators.Forecast.forecastHorizon(spark, sf).cache()
+    val perBrand = df.groupBy("brand").count()
+    assert(perBrand.filter("count > 365").count() == 0)
+    val brands = df.select("brand").distinct().count()
+    assert(df.count() >= brands * 300) // joins may drop unseen dow/month combos
+    assert(df.filter("forecast IS NULL").count() == 0)
+    df.unpersist()
+  }
+
   test("linear forecast slope matches a driver-side least squares on one brand") {
     val pts = operators.Seasonal.monthlyTrend(spark, sf)
       .filter("brand = 'Brand#2'")
