@@ -240,7 +240,15 @@ object Similarity {
     * so a probe touches NProbe/NList of the data. */
   def knnIvf(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val corpus = emb(spark, dir)
-    val centroids = ivfFit(corpus)
+    knnIvfOf(corpus, ivfFit(corpus), k)
+  }
+
+  /** In-memory IVF search core over any (vec_id, vec) frame with a given
+    * quantizer — [[knnIvf]] composes it with [[ivfFit]]; the index
+    * lifecycle specs run it against appended/refreshed corpora. */
+  private[graft] def knnIvfOf(corpus: DataFrame, centroids: Array[Array[Double]],
+      k: Int = 10): DataFrame = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
     val dists = array(centroids.map(c => l2sq(col("vec"), c)): _*)
     val listed = corpus.withColumn(
       "cid", array_position(dists, array_min(dists)).cast(IntegerType) - 1)
@@ -270,15 +278,116 @@ object Similarity {
     * Returns the trained centroids (the model state a real deployment
     * persists next to the index). */
   def writeIvfIndex(spark: SparkSession, dir: String, indexPath: String,
-      nList: Int = IvfNList): Array[Array[Double]] = {
-    val corpus = emb(spark, dir)
+      nList: Int = IvfNList): Array[Array[Double]] =
+    writeIvfIndexOf(spark, emb(spark, dir), indexPath, nList)
+
+  /** Frame-based core of [[writeIvfIndex]] — the index lifecycle specs
+    * build indexes over corpus subsets through it. */
+  private[graft] def writeIvfIndexOf(spark: SparkSession, corpus: DataFrame,
+      indexPath: String, nList: Int = IvfNList): Array[Array[Double]] = {
+    GraftFunctions.ensureRegistered(spark)
     val centroids = ivfFit(corpus, nList)
     val dists = array(centroids.map(c => l2sq(col("vec"), c)): _*)
     corpus
       .withColumn("cid", array_position(dists, array_min(dists)).cast(IntegerType) - 1)
       .write.mode("overwrite").partitionBy("cid").parquet(indexPath)
+    writeIvfModel(spark, indexPath, centroids, corpus.count())
     centroids
   }
+
+  // ------------------------------------ IVF index lifecycle (model, append, refresh)
+
+  /** Sibling path holding the index's MODEL STATE (trained centroids +
+    * the corpus size at training time) as parquet — sibling, not nested,
+    * so the partitioned inverted-list reader never sees non-partition
+    * files. */
+  private[graft] def ivfModelPath(indexPath: String): String =
+    indexPath.stripSuffix("/") + "_model"
+
+  /** Row (cid = -1, pos = 0) carries the trained-count; real centroid
+    * weights are (cid >= 0, pos, w). Counts are exact in a double below
+    * 2^53 — far beyond any vector count this index addresses. */
+  private def writeIvfModel(spark: SparkSession, indexPath: String,
+      centroids: Array[Array[Double]], trainedCount: Long): Unit = {
+    import spark.implicits._
+    val rows = centroids.zipWithIndex.flatMap { case (c, i) =>
+      c.zipWithIndex.map { case (w, p) => (i, p, w) }
+    }.toSeq :+ ((-1, 0, trainedCount.toDouble))
+    rows.toDF("cid", "pos", "w")
+      .coalesce(1).write.mode("overwrite").parquet(ivfModelPath(indexPath))
+  }
+
+  /** (centroids, trainedCount) persisted next to a materialized index. */
+  def readIvfModel(spark: SparkSession, indexPath: String): (Array[Array[Double]], Long) = {
+    val rows = spark.read.parquet(ivfModelPath(indexPath)).collect()
+    val trainedCount = rows.find(r => r.getInt(0) == -1)
+      .map(_.getDouble(2).toLong)
+      .getOrElse(sys.error(s"no trained-count row in ${ivfModelPath(indexPath)}"))
+    val cells = rows.filter(_.getInt(0) >= 0)
+    val nList = cells.map(_.getInt(0)).max + 1
+    val dim = cells.map(_.getInt(1)).max + 1
+    val centroids = Array.fill(nList)(new Array[Double](dim))
+    cells.foreach(r => centroids(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    (centroids, trainedCount)
+  }
+
+  /** Append a batch of new vectors to a materialized index WITHOUT
+    * retraining: each vector is assigned to its nearest existing centroid
+    * and written into that cid partition (parquet append creates new
+    * files inside the partition dirs — existing lists are never
+    * rewritten). Search over the appended index with the SAME quantizer is
+    * exactly search over the union corpus; recall degrades only as the
+    * data distribution drifts from the trained centroids, which
+    * [[refreshIvfIndexIfStale]] bounds. */
+  def appendIvfIndex(spark: SparkSession, batch: DataFrame, indexPath: String): Unit = {
+    GraftFunctions.ensureRegistered(spark)
+    val (centroids, _) = readIvfModel(spark, indexPath)
+    val dists = array(centroids.map(c => l2sq(col("vec"), c)): _*)
+    batch
+      .withColumn("cid", array_position(dists, array_min(dists)).cast(IntegerType) - 1)
+      .write.mode("append").partitionBy("cid").parquet(indexPath)
+  }
+
+  /** Staleness-triggered retrain + compaction: when appended rows exceed
+    * `staleness` x the trained corpus size, retrain the quantizer over
+    * the FULL index contents (same deterministic Lloyd fit as the
+    * original build), rewrite the inverted lists under the new
+    * assignment, and persist the refreshed model. Returns true when a
+    * refresh ran. The rewrite goes through a sibling `_tmp` generation
+    * plus delete-and-rename swap (the index is eagerly checkpointed off
+    * the old files first); a production deployment would keep multiple
+    * generations and swap a pointer instead — same shape, atomic for
+    * concurrent readers. */
+  def refreshIvfIndexIfStale(spark: SparkSession, indexPath: String,
+      staleness: Double = 0.5, nList: Int = IvfNList, iters: Int = IvfIters): Boolean = {
+    GraftFunctions.ensureRegistered(spark)
+    val (_, trainedCount) = readIvfModel(spark, indexPath)
+    val corpus = spark.read.parquet(indexPath).select(col("vec_id"), col("vec"))
+    val total = corpus.count()
+    if ((total - trainedCount).toDouble < staleness * trainedCount.toDouble) false
+    else {
+      val snap = corpus.localCheckpoint() // sever from the files we rewrite
+      val centroids = ivfFit(snap, nList, iters)
+      val dists = array(centroids.map(c => l2sq(col("vec"), c)): _*)
+      val tmp = indexPath.stripSuffix("/") + "_tmp"
+      snap
+        .withColumn("cid", array_position(dists, array_min(dists)).cast(IntegerType) - 1)
+        .write.mode("overwrite").partitionBy("cid").parquet(tmp)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val idx = new org.apache.hadoop.fs.Path(indexPath)
+      val fs = idx.getFileSystem(conf)
+      fs.delete(idx, true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), idx)
+      writeIvfModel(spark, indexPath, centroids, total)
+      true
+    }
+  }
+
+  /** IVF search over a materialized index using its PERSISTED model —
+    * the no-ceremony entry point for an index built by [[writeIvfIndex]]
+    * and maintained by [[appendIvfIndex]]/[[refreshIvfIndexIfStale]]. */
+  def knnIvfIndexed(spark: SparkSession, dir: String, indexPath: String): DataFrame =
+    knnIvfIndexed(spark, dir, indexPath, readIvfModel(spark, indexPath)._1)
 
   /** IVF search over a materialized inverted-list index: each query's
     * NProbe cells become a partition-pruning filter on the index scan —

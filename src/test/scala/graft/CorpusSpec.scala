@@ -220,6 +220,44 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaIndex == direct, "indexed search diverged from in-memory IVF")
   }
 
+  test("ivf index lifecycle: append preserves search exactly, staleness refresh retrains") {
+    import org.apache.spark.sql.functions.col
+    val idx = java.nio.file.Files.createTempDirectory("graftivf2").toString + "/index"
+    val full = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").as("vec"))
+    // build from the first 60% of vectors, hold the rest back as arrivals
+    val cut = full.agg(org.apache.spark.sql.functions
+      .percentile_approx(col("vec_id"), org.apache.spark.sql.functions.lit(0.6),
+        org.apache.spark.sql.functions.lit(10000))).collect()(0).getLong(0)
+    val initial = full.filter(col("vec_id") <= cut)
+    val arrivals = full.filter(col("vec_id") > cut)
+    operators.Similarity.writeIvfIndexOf(spark, initial, idx)
+    val (persisted, trainedCount) = operators.Similarity.readIvfModel(spark, idx)
+    assert(trainedCount == initial.count())
+
+    // append WITHOUT retraining: search over the index == in-memory
+    // search over the union corpus with the SAME (stale) quantizer
+    operators.Similarity.appendIvfIndex(spark, arrivals, idx)
+    def resultSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val viaIndex = resultSet(operators.Similarity.knnIvfIndexed(spark, sf, idx))
+    val inMemory = resultSet(operators.Similarity.knnIvfOf(full, persisted))
+    assert(viaIndex == inMemory, "appended index diverged from union-corpus search")
+
+    // arrivals are ~2/3 of the trained count — over the 0.5 staleness
+    // threshold, so the refresh must fire, retrain over the full
+    // contents, and leave search identical to a from-scratch fit
+    assert(operators.Similarity.refreshIvfIndexIfStale(spark, idx, staleness = 0.5))
+    val (refreshed, refreshedCount) = operators.Similarity.readIvfModel(spark, idx)
+    assert(refreshedCount == full.count())
+    val viaRefreshed = resultSet(operators.Similarity.knnIvfIndexed(spark, sf, idx))
+    val fromScratch = resultSet(
+      operators.Similarity.knnIvfOf(full, operators.Similarity.ivfFit(full)))
+    assert(viaRefreshed == fromScratch, "refreshed index diverged from retrained search")
+    // and a second refresh is a no-op: nothing new appended
+    assert(!operators.Similarity.refreshIvfIndexIfStale(spark, idx, staleness = 0.5))
+  }
+
   test("exact dedup keeps the minimum doc id per content hash") {
     val dups = operators.TextAnalysis.dedupExact(spark, sf)
     assert(dups.agg(sum("n_copies")).collect()(0).getLong(0) ==
