@@ -56,6 +56,7 @@ object SparkEntry {
     "q_vocab_top" -> ((s, dir) => TextAnalysis.vocabTop(s, dir)),
     "q_corpus_mix" -> ((s, dir) => TextAnalysis.corpusMix(s, dir)),
     "q_pack_sequences" -> ((s, dir) => TextAnalysis.packSequences(s, dir)),
+    "q_pack_bucketed" -> ((s, dir) => TextAnalysis.packSequencesBucketed(s, dir)),
     "q_corpus_clean" -> ((s, dir) => TextAnalysis.corpusClean(s, dir)),
     "q_corpus_stats" -> ((s, dir) => TextAnalysis.corpusStats(s, dir)),
     "q_winnow_fingerprint" -> ((s, dir) => TextAnalysis.winnowFingerprint(s, dir)),
@@ -120,7 +121,8 @@ object SparkEntry {
     "q_knn_brute" -> Similarity.knnBruteOracle,
     "q_distinct_slices" -> Catalog.distinctSlicesOracle
     // q_dedup_minhash, q_dedup_simhash, q_knn_lsh, q_knn_ivf,
-    // q_dedup_embedding, q_winnow_fingerprint: not SQL-expressible
+    // q_dedup_embedding, q_winnow_fingerprint, q_pack_sequences,
+    // q_pack_bucketed: not SQL-expressible
     // (xxhash64 signatures / LSH plane constants / trained model state);
     // driver records rows-only checks, specs carry correctness.
   )

@@ -492,10 +492,22 @@ object TextAnalysis {
   def packSequences(spark: SparkSession, dir: String, budget: Int = PackBudget): DataFrame =
     packSequencesOf(spark, docs(spark, dir), budget)
 
-  /** DataFrame core of [[packSequences]] — the pipeline chains it over
-    * the CLEANED corpus rather than raw documents. */
-  def packSequencesOf(spark: SparkSession, docsDf: DataFrame,
-      budget: Int = PackBudget): DataFrame = {
+  /** First-fit over open bins in the given (already-ordered) doc
+    * sequence: fills array indexed by local bin id within the range
+    * group. */
+  private def firstFit(group: Long, ordered: Seq[(Long, Int)],
+      budget: Int): Iterator[PackedDoc] = {
+    val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+    ordered.iterator.map { case (docId, n) =>
+      var b = 0
+      while (b < fills.length && fills(b) + n > budget) b += 1
+      if (b == fills.length) fills += 0L
+      fills(b) += n
+      PackedDoc(docId, n, group * (1L << 20) + b, fills(b))
+    }
+  }
+
+  private def tokenCounts(spark: SparkSession, docsDf: DataFrame) = {
     import spark.implicits._
     docsDf
       .select(col("doc_id"), textStatsCol(spark).as("ts"))
@@ -503,18 +515,45 @@ object TextAnalysis {
         col("doc_id"),
         bpeTokensOf(col("ts")).cast(IntegerType).as("n_tokens"))
       .as[(Long, Int)]
+  }
+
+  /** DataFrame core of [[packSequences]] — the pipeline chains it over
+    * the CLEANED corpus rather than raw documents. */
+  def packSequencesOf(spark: SparkSession, docsDf: DataFrame,
+      budget: Int = PackBudget): DataFrame = {
+    import spark.implicits._
+    tokenCounts(spark, docsDf)
       .groupByKey(_._1 / PackGroupSize)
       .flatMapGroups { (group, rows) =>
-        val sorted = rows.toSeq.sortBy(_._1)
-        // first-fit over open bins: fills array indexed by local bin id
-        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
-        sorted.iterator.map { case (docId, n) =>
-          var b = 0
-          while (b < fills.length && fills(b) + n > budget) b += 1
-          if (b == fills.length) fills += 0L
-          fills(b) += n
-          PackedDoc(docId, n, group * (1L << 20) + b, fills(b))
-        }
+        firstFit(group, rows.toSeq.sortBy(_._1), budget)
+      }
+      .toDF()
+      .select(col("doc_id"), col("n_tokens"), col("bin_id"), col("bin_fill"))
+  }
+
+  /** q_pack_bucketed — length-aware packing: within each id-range group,
+    * docs are ordered by DESCENDING token length (doc_id tie-break)
+    * before the same first-fit — first-fit-decreasing, the classical
+    * fragmentation cut (big items placed while bins are empty; small
+    * items fill the remaining slack). Same determinism contract as
+    * [[packSequences]]: ordering depends only on (n_tokens, doc_id) and
+    * packing stays group-local over fixed id ranges, so bin assignment is
+    * partition-invariant — and the same scale shape (bounded packer
+    * memory, embarrassing parallelism across groups). The spec asserts
+    * it never uses more bins than arrival-order first-fit on the harness
+    * corpus. */
+  def packSequencesBucketed(spark: SparkSession, dir: String,
+      budget: Int = PackBudget): DataFrame =
+    packSequencesBucketedOf(spark, docs(spark, dir), budget)
+
+  /** DataFrame core of [[packSequencesBucketed]]. */
+  def packSequencesBucketedOf(spark: SparkSession, docsDf: DataFrame,
+      budget: Int = PackBudget): DataFrame = {
+    import spark.implicits._
+    tokenCounts(spark, docsDf)
+      .groupByKey(_._1 / PackGroupSize)
+      .flatMapGroups { (group, rows) =>
+        firstFit(group, rows.toSeq.sortBy(r => (-r._2, r._1)), budget)
       }
       .toDF()
       .select(col("doc_id"), col("n_tokens"), col("bin_id"), col("bin_fill"))

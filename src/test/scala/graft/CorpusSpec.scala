@@ -220,6 +220,38 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaIndex == direct, "indexed search diverged from in-memory IVF")
   }
 
+  test("bucketed packing: valid, deterministic across partitionings, never more bins than first-fit") {
+    val budget = operators.TextAnalysis.PackBudget
+    val plain = operators.TextAnalysis.packSequences(spark, sf).collect()
+    val bucketed = operators.TextAnalysis.packSequencesBucketed(spark, sf).collect()
+    // same doc universe, same token counts, bins within budget
+    assert(bucketed.map(_.getLong(0)).sorted.toSeq == plain.map(_.getLong(0)).sorted.toSeq)
+    val byBin = bucketed.groupBy(_.getLong(2))
+    byBin.foreach { case (bin, rows) =>
+      val fill = rows.map(_.getInt(1).toLong).sum
+      assert(rows.length == 1 && rows.head.getInt(1) > budget || fill <= budget,
+        s"bin $bin over budget: $fill")
+      assert(rows.map(_.getLong(3)).max == fill, "bin_fill must end at the bin total")
+    }
+    // fragmentation: FFD must not use MORE bins than arrival-order
+    // first-fit in any id-range group (empirically strict on this corpus)
+    def binsPerGroup(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getLong(2) >> 20).view.mapValues(_.map(_.getLong(2)).distinct.length).toMap
+    val pg = binsPerGroup(plain)
+    val bg = binsPerGroup(bucketed)
+    assert(bg.keySet == pg.keySet)
+    bg.foreach { case (g, nb) => assert(nb <= pg(g), s"group $g: bucketed $nb > plain ${pg(g)}") }
+    assert(bg.values.sum <= pg.values.sum)
+    // partition-invariance: the determinism contract — identical output
+    // from a skewed repartitioning of the input
+    val docsDf = Tables.documents(spark, sf)
+    val shuffled = operators.TextAnalysis
+      .packSequencesBucketedOf(spark, docsDf.repartition(3), operators.TextAnalysis.PackBudget)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val straight = bucketed.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(shuffled == straight, "bin assignment depends on partitioning")
+  }
+
   test("ivf index lifecycle: append preserves search exactly, staleness refresh retrains") {
     import org.apache.spark.sql.functions.col
     val idx = java.nio.file.Files.createTempDirectory("graftivf2").toString + "/index"
