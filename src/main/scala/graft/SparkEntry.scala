@@ -59,6 +59,8 @@ object SparkEntry {
     "q_pack_bucketed" -> ((s, dir) => TextAnalysis.packSequencesBucketed(s, dir)),
     "q_corpus_clean" -> ((s, dir) => TextAnalysis.corpusClean(s, dir)),
     "q_corpus_stats" -> ((s, dir) => TextAnalysis.corpusStats(s, dir)),
+    "q_quality_thresholds" -> ((s, dir) => TextAnalysis.qualityThresholds(s, dir)),
+    "q_corpus_clean_adaptive" -> ((s, dir) => TextAnalysis.corpusCleanAdaptive(s, dir)),
     "q_winnow_fingerprint" -> ((s, dir) => TextAnalysis.winnowFingerprint(s, dir)),
     "q_dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashDedup(s, dir)),
@@ -117,6 +119,8 @@ object SparkEntry {
     "q_corpus_mix" -> TextAnalysis.corpusMixOracle,
     "q_corpus_clean" -> TextAnalysis.corpusCleanOracle,
     "q_corpus_stats" -> TextAnalysis.corpusStatsOracle,
+    "q_quality_thresholds" -> TextAnalysis.qualityThresholdsOracle,
+    "q_corpus_clean_adaptive" -> TextAnalysis.corpusCleanAdaptiveOracle,
     "q_dedup_ngram" -> Dedup.ngramJaccardOracle,
     "q_knn_brute" -> Similarity.knnBruteOracle,
     "q_distinct_slices" -> Catalog.distinctSlicesOracle

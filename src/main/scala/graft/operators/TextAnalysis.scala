@@ -317,7 +317,11 @@ object TextAnalysis {
     * semi-join; the scalar stages reuse the exact expressions of
     * q_text_quality / q_lang_id, so this is the end-to-end composition,
     * not a reimplementation. */
-  def corpusClean(spark: SparkSession, dir: String, minQuality: Double = 0.5): DataFrame = {
+  /** Deduped corpus with per-doc language + quality + token count (the
+    * kernel scan shared by the curation queries — corpusClean filters it
+    * on a fixed floor, [[qualityThresholds]] derives per-language floors
+    * from it, [[corpusCleanAdaptive]] applies them). */
+  private def scoredDocs(spark: SparkSession, dir: String): DataFrame = {
     val keep = dedupExact(spark, dir).select(col("keep_doc_id").as("doc_id"))
     docs(spark, dir)
       .join(keep, Seq("doc_id"), "left_semi")
@@ -327,39 +331,104 @@ object TextAnalysis {
         predLangOf(col("ts")).as("pred_lang"),
         qualityScoreOf(col("ts")).as("quality_score"),
         bpeTokensOf(col("ts")).as("n_bpe_tokens"))
-      .filter(col("quality_score") >= minQuality && col("pred_lang") =!= "und")
   }
 
-  val corpusCleanOracle: String =
-    """WITH scored AS (
+  def corpusClean(spark: SparkSession, dir: String, minQuality: Double = 0.5): DataFrame =
+    scoredDocs(spark, dir)
+      .filter(col("quality_score") >= minQuality && col("pred_lang") =!= "und")
+
+  /** The deduped + scored corpus in oracle SQL — shared CTE body of the
+    * curation oracles (mirrors [[scoredDocs]]). */
+  private val scoredSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en > 0 THEN 'en'
+      |    WHEN c_es >= c_de AND c_es >= c_fr AND c_es > 0 THEN 'es'
+      |    WHEN c_de >= c_fr AND c_de > 0 THEN 'de'
+      |    WHEN c_fr > 0 THEN 'fr'
+      |    ELSE 'und' END AS pred_lang,
+      |  LEAST(n_words / 50.0, 1.0) * 0.5
+      |    + LEAST(CASE WHEN n_words > 0 THEN n_stops / n_words ELSE 0.0 END * 4.0, 1.0) * 0.3
+      |    + (1.0 - LEAST(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END * 5.0, 1.0)) * 0.2 AS quality_score,
+      |  n_bpe_tokens
+      |FROM (
       |  SELECT doc_id,
-      |    CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en > 0 THEN 'en'
-      |      WHEN c_es >= c_de AND c_es >= c_fr AND c_es > 0 THEN 'es'
-      |      WHEN c_de >= c_fr AND c_de > 0 THEN 'de'
-      |      WHEN c_fr > 0 THEN 'fr'
-      |      ELSE 'und' END AS pred_lang,
-      |    LEAST(n_words / 50.0, 1.0) * 0.5
-      |      + LEAST(CASE WHEN n_words > 0 THEN n_stops / n_words ELSE 0.0 END * 4.0, 1.0) * 0.3
-      |      + (1.0 - LEAST(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END * 5.0, 1.0)) * 0.2 AS quality_score,
-      |    n_bpe_tokens
-      |  FROM (
-      |    SELECT doc_id,
-      |      CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b(the|and|of|to|is|in|that|it)\b')) AS INT) AS c_en,
-      |      CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b(el|la|de|que|y|los|las|es)\b')) AS INT) AS c_es,
-      |      CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b(der|die|und|das|ist|ein|nicht)\b')) AS INT) AS c_de,
-      |      CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b(le|la|et|les|des|un|une|est)\b')) AS INT) AS c_fr,
-      |      CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z]+')) AS DOUBLE) AS n_words,
-      |      CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b(the|a|and|of|to|in|is|it|that|for)\b')) AS DOUBLE) AS n_stops,
-      |      CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) AS n_punct,
-      |      CAST(LENGTH(text) AS DOUBLE) AS n_chars,
-      |      CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS n_bpe_tokens
-      |    FROM documents
-      |    WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
-      |  )
-      |)
-      |SELECT doc_id, pred_lang, quality_score, n_bpe_tokens
-      |FROM scored
-      |WHERE quality_score >= 0.5 AND pred_lang <> 'und'""".stripMargin
+      |    CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b(the|and|of|to|is|in|that|it)\b')) AS INT) AS c_en,
+      |    CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b(el|la|de|que|y|los|las|es)\b')) AS INT) AS c_es,
+      |    CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b(der|die|und|das|ist|ein|nicht)\b')) AS INT) AS c_de,
+      |    CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b(le|la|et|les|des|un|une|est)\b')) AS INT) AS c_fr,
+      |    CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z]+')) AS DOUBLE) AS n_words,
+      |    CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b(the|a|and|of|to|in|is|it|that|for)\b')) AS DOUBLE) AS n_stops,
+      |    CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) AS n_punct,
+      |    CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+      |    CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS n_bpe_tokens
+      |  FROM documents
+      |  WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+      |)""".stripMargin
+
+  val corpusCleanOracle: String =
+    s"""WITH scored AS (
+       |${"  " + scoredSql.replace("\n", "\n  ")}
+       |)
+       |SELECT doc_id, pred_lang, quality_score, n_bpe_tokens
+       |FROM scored
+       |WHERE quality_score >= 0.5 AND pred_lang <> 'und'""".stripMargin
+
+  /** Quantile used as the data-derived per-language quality floor: the
+    * bottom [[QualityQuantile]] of each language's quality distribution
+    * is dropped (instead of the fixed 0.5 of [[corpusClean]]). */
+  val QualityQuantile = 0.25
+
+  /** q_quality_thresholds — per-language quality floors DERIVED FROM THE
+    * DATA: the [[QualityQuantile]] quantile (linear interpolation) of
+    * each predicted language's quality distribution over the deduped
+    * corpus. Uses Spark's exact `percentile` (matches DuckDB's
+    * QUANTILE_CONT definition) so the oracle is a hash gate; at 100 TB
+    * swap in `approx_percentile` — a mergeable one-pass sketch with the
+    * same API shape — which the spec bounds against the exact form. */
+  def qualityThresholds(spark: SparkSession, dir: String): DataFrame =
+    scoredDocs(spark, dir)
+      .filter(col("pred_lang") =!= "und")
+      .groupBy(col("pred_lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        percentile(col("quality_score"), lit(QualityQuantile)).as("q_low"))
+
+  val qualityThresholdsOracle: String =
+    s"""WITH scored AS (
+       |${"  " + scoredSql.replace("\n", "\n  ")}
+       |)
+       |SELECT pred_lang, COUNT(*) AS n_docs,
+       |  QUANTILE_CONT(quality_score, $QualityQuantile) AS q_low
+       |FROM scored WHERE pred_lang <> 'und' GROUP BY pred_lang""".stripMargin
+
+  /** q_corpus_clean_adaptive — curation with the data-derived floors of
+    * [[qualityThresholds]]: each language keeps its top 1-q of quality
+    * mass, so a language whose heuristic scores run systematically lower
+    * (different stopword densities) is not over-pruned by a global
+    * constant. The thresholds frame is language-cardinality — broadcast
+    * onto the scored scan; at corpus scale this is one extra
+    * group-cardinality aggregation over the same kernel pass. */
+  def corpusCleanAdaptive(spark: SparkSession, dir: String): DataFrame = {
+    val scored = scoredDocs(spark, dir).filter(col("pred_lang") =!= "und")
+    val th = scored
+      .groupBy(col("pred_lang"))
+      .agg(percentile(col("quality_score"), lit(QualityQuantile)).as("q_low"))
+    scored
+      .join(broadcast(th), Seq("pred_lang"))
+      .filter(col("quality_score") >= col("q_low"))
+      .select(col("doc_id"), col("pred_lang"), col("quality_score"), col("n_bpe_tokens"))
+  }
+
+  val corpusCleanAdaptiveOracle: String =
+    s"""WITH scored AS (
+       |${"  " + scoredSql.replace("\n", "\n  ")}
+       |), th AS (
+       |  SELECT pred_lang, QUANTILE_CONT(quality_score, $QualityQuantile) AS q_low
+       |  FROM scored WHERE pred_lang <> 'und' GROUP BY pred_lang
+       |)
+       |SELECT s.doc_id, s.pred_lang, s.quality_score, s.n_bpe_tokens
+       |FROM scored s JOIN th t ON s.pred_lang = t.pred_lang
+       |WHERE s.quality_score >= t.q_low""".stripMargin
 
   /** q_corpus_stats — the curation report over the CLEAN corpus: docs,
     * token totals and mean quality per predicted language. Quality sums

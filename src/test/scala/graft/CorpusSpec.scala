@@ -220,6 +220,37 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaIndex == direct, "indexed search diverged from in-memory IVF")
   }
 
+  test("adaptive clean keeps the top quality mass per language; approx sketch tracks exact floors") {
+    import org.apache.spark.sql.functions._
+    val th = operators.TextAnalysis.qualityThresholds(spark, sf).collect()
+    assert(th.nonEmpty)
+    val adaptive = operators.TextAnalysis.corpusCleanAdaptive(spark, sf)
+    // per language, the kept fraction is >= 1 - q (ties can only keep more)
+    val q = operators.TextAnalysis.QualityQuantile
+    th.foreach { t =>
+      val lang = t.getString(0)
+      val total = t.getLong(1).toDouble
+      val kept = adaptive.filter(col("pred_lang") === lang).count().toDouble
+      assert(kept / total >= 1.0 - q - 1e-9, s"$lang kept ${kept / total}")
+      assert(kept / total <= 1.0, s"$lang kept more than exists")
+    }
+    // no kept doc sits below its language's floor
+    val floors = th.map(t => t.getString(0) -> t.getDouble(2)).toMap
+    adaptive.collect().foreach { r =>
+      assert(r.getDouble(2) >= floors(r.getString(1)) - 1e-12)
+    }
+    // the 100 TB path: approx_percentile's mergeable sketch lands within
+    // tolerance of the exact interpolated quantile on this corpus
+    val scored = operators.TextAnalysis.corpusClean(spark, sf, minQuality = -1.0)
+    val approx = scored
+      .groupBy(col("pred_lang"))
+      .agg(approx_percentile(col("quality_score"), lit(q), lit(10000)).as("aq"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    floors.foreach { case (lang, exact) =>
+      assert(math.abs(approx(lang) - exact) < 0.1, s"$lang approx ${approx(lang)} vs $exact")
+    }
+  }
+
   test("bucketed packing: valid, deterministic across partitionings, never more bins than first-fit") {
     val budget = operators.TextAnalysis.PackBudget
     val plain = operators.TextAnalysis.packSequences(spark, sf).collect()
