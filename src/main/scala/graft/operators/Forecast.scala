@@ -419,6 +419,34 @@ object Forecast {
       .select(col("brand"), col("month"), col("seasonal_idx"), col("forecast"))
   }
 
+  // ------------------------------------------------- fitted-model persistence
+
+  /** Persist the fitted forecast model. The reference caches trained
+    * Prophet models keyed by series (`server/forecast_utils.py:14-18`
+    * `load_or_train_model`); here the model IS the per-group exact OLS
+    * sufficient-statistics frame — persisting it means later forecasts
+    * (any horizon, intervals, seasonal composition) derive from a
+    * group-cardinality parquet read instead of re-scanning the fact.
+    * Decimal-derived doubles round-trip parquet losslessly, so forecasts
+    * from the persisted model are BIT-IDENTICAL to fresh fits (spec-
+    * gated). */
+  def writeForecastModel(spark: SparkSession, dir: String, modelPath: String): Unit =
+    olsStats(joined(spark, dir))
+      .write.mode("overwrite").parquet(modelPath)
+
+  /** Next-month forecast from a persisted model — [[forecastLinear]]
+    * without the fact scan. */
+  def forecastFromModel(spark: SparkSession, modelPath: String): DataFrame =
+    spark.read.parquet(modelPath)
+      .withColumn("slope", slopeCol)
+      .withColumn(
+        "intercept",
+        (col("sy") - col("slope") * col("sx").cast(DoubleType)) / col("n").cast(DoubleType))
+      .withColumn(
+        "forecast_next",
+        col("intercept") + col("slope") * (col("max_x") + 1).cast(DoubleType))
+      .select(col("brand"), col("n"), col("slope"), col("intercept"), col("forecast_next"))
+
   // --------------------------------------------- piecewise (changepoint) trend
 
   /** Number of trend changepoints for [[forecastChangepoint]]; hinge

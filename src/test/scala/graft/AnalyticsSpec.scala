@@ -41,6 +41,16 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.filter("avg_price > p2").count() == 0)
   }
 
+  test("forecast from a persisted model is bit-identical to a fresh fit") {
+    val path = java.nio.file.Files.createTempDirectory("graftfc").toString + "/model"
+    operators.Forecast.writeForecastModel(spark, sf, path)
+    def rs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toSet
+    assert(rs(operators.Forecast.forecastFromModel(spark, path)) ==
+      rs(operators.Forecast.forecastLinear(spark, sf)))
+  }
+
   test("changepoint trend recovers a planted piecewise-linear series exactly") {
     // x in [0, 40] -> knots at 40% / 80% of the range: s1 = 16, s2 = 32.
     // Plant slope breaks exactly there; the hinge basis then spans the
