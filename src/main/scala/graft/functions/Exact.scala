@@ -31,6 +31,20 @@ object Exact {
 
   def sumd4(c: Column): Column = sum(dec4(c)).cast(DoubleType)
 
+  /** Exact sum of a 2-decimal measure via LONG integer cents, surfaced as
+    * DOUBLE — the fast path of [[sumd2]] for hot aggregations: the
+    * per-row value is the same decimal-rounded cents (via [[dec2]], so
+    * rounding semantics are identical), but the aggregation buffer is a
+    * plain long instead of a decimal (no per-row overflow/rescale on the
+    * combine path). Bit-equal to [[sumd2]]: while total cents stay below
+    * 2^53 the long casts to double exactly, and the final /100.0 is the
+    * same correctly-rounded division DuckDB performs scaling its exact
+    * decimal sum. Valid while a GROUP's total stays under 2^53 cents
+    * (~$90 trillion) — use [[sumd2]] where a fact-scale global sum could
+    * exceed that. */
+  def sumCents2(c: Column): Column =
+    sum((dec2(c) * lit(100)).cast(LongType)).cast(DoubleType) / lit(100.0)
+
   /** count(*) as BIGINT (Spark's native count type; oracle casts to match). */
   def cnt: Column = count(lit(1))
 

@@ -40,7 +40,9 @@ object TopK {
     val perMarket = li
       .join(p, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand").as("brand"), col("l_suppkey"))
-      .agg(meanOf(sumd2(col("l_extendedprice")), cnt).as("avg_price"), cnt.as("n_obs"))
+      // long-cents sum: bit-equal to the decimal form (group totals are
+      // far below the 2^53-cent budget) with a plain-long combine buffer
+      .agg(meanOf(sumCents2(col("l_extendedprice")), cnt).as("avg_price"), cnt.as("n_obs"))
       .join(s, col("l_suppkey") === col("s_suppkey"))
       .select(col("brand"), col("s_name").as("market_name"), col("avg_price"), col("n_obs"))
     val w = Window.partitionBy(col("brand")).orderBy(col("avg_price"), col("market_name"))
