@@ -46,22 +46,23 @@ object Dedup {
     * candidate counts. The DuckDB oracle computes df over raw strings, so
     * a collision would surface as a loud hash-parity failure rather than
     * silent drift; none has occurred at any tested scale. */
-  private[graft] def shingleHashes(docs: DataFrame): DataFrame = {
+  /** Per-doc distinct shingle-hash sets, lazily checkpointed: the compact
+    * representation (one row per doc) that every posting-list consumer
+    * derives from (ngramJaccard references it four ways), so the
+    * shingle-kernel scan runs once and re-reads come from block storage.
+    * This is the 100 TB shape too: persist the per-doc sketch once,
+    * derive posting streams from it. */
+  private[graft] def shingleSets(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
-    // The lazy checkpoint sits BEFORE the explode: the per-doc array frame
-    // is the compact representation (one row per doc), so consumers that
-    // reference the posting list several times (ngramJaccard: hot-df pass,
-    // both self-join sides, per-doc sizes) re-run only the cheap explode
-    // from block storage — the shingle-kernel scan itself runs once. This
-    // is the 100 TB shape too: persist the per-doc sketch once, derive
-    // posting streams from it.
     docs
       .select(col("doc_id"),
         call_function(graft.functions.GraftFunctions.ShingleSetName, col("text")).as("hs"))
       .filter(col("hs").isNotNull)
       .localCheckpoint(eager = false)
-      .select(col("doc_id"), explode(col("hs")).as("h"))
   }
+
+  private[graft] def shingleHashes(docs: DataFrame): DataFrame =
+    shingleSets(docs).select(col("doc_id"), explode(col("hs")).as("h"))
 
   /** The r1 explode+distinct formulation, kept as the independent
     * reference implementation the kernel is spec-checked against. */
@@ -87,8 +88,8 @@ object Dedup {
     * `simhash_hot_drops_` prefix, not an exact name. */
   private val obsId = new java.util.concurrent.atomic.AtomicLong()
 
-  private def dropHot(sh: DataFrame): DataFrame = {
-    val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+  private def hotShingles(sh: DataFrame): DataFrame =
+    sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > HotShingleCap)
       .select(col("h"), col("df"))
       // logged drop count: recorded as a named observation on the main
@@ -97,20 +98,35 @@ object Dedup {
         count(lit(1)).as("hot_shingles"),
         coalesce(sum(col("df")), lit(0L)).as("dropped_postings"))
       .select(col("h"))
-    sh.join(hot, Seq("h"), "left_anti")
-  }
+
+  private def dropHot(sh: DataFrame): DataFrame =
+    sh.join(hotShingles(sh), Seq("h"), "left_anti")
 
   /** q_dedup_ngram — exact n-gram Jaccard similarity for all candidate
     * pairs sharing at least one (non-hot) shingle; pairs with J >= 0.8. */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    // [[shingleHashes]] serves its four consumers here (hot-df pass, both
+    // [[shingleSets]] serves its four consumers here (hot-df pass, both
     // self-join sides, per-doc sizes) from one checkpointed kernel scan.
     // The hot-cap anti-join stays UNmaterialized: it is a broadcast
     // anti-join (hot set is tiny by construction), so each consumer
     // replays a map-side filter, which is cheaper than writing a second
     // copy of the posting list to block storage.
-    val sh = dropHot(shingleHashes(docs))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val sets = shingleSets(docs)
+    val postings = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val hot = hotShingles(postings)
+    val sh = postings.join(hot, Seq("h"), "left_anti")
+    // per-doc CAPPED sizes map-side from the checkpointed arrays: hs is
+    // distinct by construction, so the capped size is |hs| minus its hot
+    // members — a 1-row broadcast of the hot set replaces a full shuffle
+    // of the posting list (the r2 form's sizes groupBy)
+    // collect_list over an empty hot set yields [], never NULL
+    val hotArr = hot.agg(collect_list(col("h")).as("hot_arr"))
+    val sizes = sets
+      .crossJoin(broadcast(hotArr))
+      .select(
+        col("doc_id"),
+        (size(col("hs")) - size(array_intersect(col("hs"), col("hot_arr"))))
+          .cast(LongType).as("n_shingles"))
     val pairs = sh
       .join(
         sh.select(col("doc_id").as("doc_b"), col("h")),

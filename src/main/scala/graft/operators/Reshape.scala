@@ -29,7 +29,11 @@ object Reshape {
       .join(p, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand").as("brand"))
       .pivot(month(col("l_shipdate")), 1 to 12)
-      .agg((sum(dec2(col("l_extendedprice"))).cast(DoubleType) /
+      // long-cents sums: the pivot instantiates this aggregate 12x per
+      // group, so the plain-long combine buffer matters; bit-equal to the
+      // decimal form (per-(brand, month) totals are orders of magnitude
+      // under the 2^53-cent budget even at fact scale)
+      .agg((sumCents2(col("l_extendedprice")) /
         count(lit(1)).cast(DoubleType)).as("avg"))
     (1 to 12).foldLeft(pivoted)((df, m) => df.withColumnRenamed(s"$m", s"m$m"))
   }
