@@ -421,23 +421,75 @@ object Forecast {
 
   // ------------------------------------------------- fitted-model persistence
 
+  /** Per-group OLS sufficient statistics in their native EXACT types —
+    * decimal sums not yet cast to double. This frame is the mergeable
+    * model state: every column is an associative exact aggregate (counts,
+    * integer sums, decimal sums, max), so partials from a new data batch
+    * fold in by summation without touching history. */
+  private def olsStatsExact(df: DataFrame): DataFrame =
+    df.groupBy(col("brand"))
+      .agg(
+        cnt.as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(dec2(col("y"))).as("sy_dec"),
+        sum(xDec * dec2(col("y"))).as("sxy_dec"),
+        sum(dec2(col("y")) * dec2(col("y"))).as("syy_dec"),
+        max(col("x")).as("max_x"))
+
   /** Persist the fitted forecast model. The reference caches trained
     * Prophet models keyed by series (`server/forecast_utils.py:14-18`
     * `load_or_train_model`); here the model IS the per-group exact OLS
     * sufficient-statistics frame — persisting it means later forecasts
     * (any horizon, intervals, seasonal composition) derive from a
-    * group-cardinality parquet read instead of re-scanning the fact.
-    * Decimal-derived doubles round-trip parquet losslessly, so forecasts
-    * from the persisted model are BIT-IDENTICAL to fresh fits (spec-
-    * gated). */
+    * group-cardinality parquet read instead of re-scanning the fact, and
+    * [[mergeForecastModel]] maintains it incrementally. Exact decimal
+    * sums round-trip parquet losslessly, so forecasts from the persisted
+    * model are BIT-IDENTICAL to fresh fits (spec-gated). */
   def writeForecastModel(spark: SparkSession, dir: String, modelPath: String): Unit =
-    olsStats(joined(spark, dir))
-      .write.mode("overwrite").parquet(modelPath)
+    writeForecastModelOf(joined(spark, dir), modelPath)
+
+  private[graft] def writeForecastModelOf(base: DataFrame, modelPath: String): Unit =
+    olsStatsExact(base).write.mode("overwrite").parquet(modelPath)
+
+  /** Fold a NEW batch of observations into a persisted model without
+    * re-scanning history: the batch reduces to its own exact partials
+    * (one group-cardinality aggregation), which sum with the stored
+    * state — the model analog of the incremental rollup sink. Exactness
+    * makes this bit-identical to retraining on the union (spec-gated);
+    * at 100 TB this is the difference between a daily fact scan and a
+    * daily batch scan. */
+  def mergeForecastModel(spark: SparkSession, dir: String, modelPath: String): Unit =
+    mergeForecastModelOf(joined(spark, dir), modelPath)
+
+  private[graft] def mergeForecastModelOf(base: DataFrame, modelPath: String): Unit = {
+    val spark = base.sparkSession
+    val add = olsStatsExact(base)
+    val merged = spark.read.parquet(modelPath)
+      .unionByName(add)
+      .groupBy(col("brand"))
+      .agg(
+        sum(col("n")).as("n"),
+        sum(col("sx")).as("sx"),
+        sum(col("sxx")).as("sxx"),
+        sum(col("sy_dec")).as("sy_dec"),
+        sum(col("sxy_dec")).as("sxy_dec"),
+        sum(col("syy_dec")).as("syy_dec"),
+        max(col("max_x")).as("max_x"))
+    // restore the canonical model schema (sums widen decimal precision),
+    // and sever from the files about to be overwritten
+    val canonical = merged.select(
+      add.schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    canonical.localCheckpoint().write.mode("overwrite").parquet(modelPath)
+  }
 
   /** Next-month forecast from a persisted model — [[forecastLinear]]
-    * without the fact scan. */
+    * without the fact scan (the double casts here see the same exact
+    * decimal totals a fresh fit casts at aggregation time). */
   def forecastFromModel(spark: SparkSession, modelPath: String): DataFrame =
     spark.read.parquet(modelPath)
+      .withColumn("sy", col("sy_dec").cast(DoubleType))
+      .withColumn("sxy", col("sxy_dec").cast(DoubleType))
       .withColumn("slope", slopeCol)
       .withColumn(
         "intercept",

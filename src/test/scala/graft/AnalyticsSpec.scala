@@ -51,6 +51,33 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       rs(operators.Forecast.forecastLinear(spark, sf)))
   }
 
+  test("incrementally merged forecast model is bit-identical to retraining on the union") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graftfcm").toString + "/model"
+    // split the fact by ship date: train on the first half, merge the rest
+    val li = Tables.lineitem(spark, sf)
+    val cutoff = "1998-01-01"
+    def base(pred: org.apache.spark.sql.Column) = {
+      val l = li.filter(pred).select(col("l_partkey"), col("l_extendedprice"), col("l_shipdate"))
+      val p = broadcast(Tables.part(spark, sf).select(col("p_partkey"), col("p_brand")))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .select(
+          col("p_brand").as("brand"),
+          ((year(col("l_shipdate")) - 1995) * 12 + month(col("l_shipdate")) - 1)
+            .cast("long").as("x"),
+          col("l_extendedprice").as("y"))
+    }
+    assert(li.filter(col("l_shipdate") >= cutoff).count() > 0, "empty merge batch")
+    operators.Forecast.writeForecastModelOf(base(col("l_shipdate") < cutoff), path)
+    operators.Forecast.mergeForecastModelOf(base(col("l_shipdate") >= cutoff), path)
+    def rs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toSet
+    assert(rs(operators.Forecast.forecastFromModel(spark, path)) ==
+      rs(operators.Forecast.forecastLinear(spark, sf)),
+      "merged model diverged from a full retrain")
+  }
+
   test("changepoint trend recovers a planted piecewise-linear series exactly") {
     // x in [0, 40] -> knots at 40% / 80% of the range: s1 = 16, s2 = 32.
     // Plant slope breaks exactly there; the hinge basis then spans the
