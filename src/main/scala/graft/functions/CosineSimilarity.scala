@@ -151,16 +151,19 @@ object GraftFunctions {
   // previously registered function" WARN per function, and operators call
   // ensureRegistered per query. Weak keys: don't pin stopped sessions.
   private val registered =
-    java.util.Collections.synchronizedSet(
-      java.util.Collections.newSetFromMap(
-        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
   /** Idempotently register graft functions AND the cosine-fusion
     * optimizer rule on any session (works whether or not the session was
     * built with [[GraftExtensions]] — `experimental.extraOptimizations`
-    * is the post-creation injection point). */
-  def ensureRegistered(spark: SparkSession): Unit = {
-    if (!registered.add(spark)) return
+    * is the post-creation injection point). Synchronized so a concurrent
+    * first query waits for registration to COMPLETE (a check-then-act
+    * memo would let it proceed against missing functions), and the
+    * session is memoized only after success (a mid-registration failure
+    * must not poison later attempts). */
+  def ensureRegistered(spark: SparkSession): Unit = registered.synchronized {
+    if (registered.contains(spark)) return
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       CosineName,
@@ -205,6 +208,7 @@ object GraftFunctions {
     val rules = classic.experimental.extraOptimizations
     if (!rules.contains(graft.plans.CosineFusionRule))
       classic.experimental.extraOptimizations = rules :+ graft.plans.CosineFusionRule
+    registered.add(spark)
   }
 
   /** Cosine similarity column over two float-array columns. The session

@@ -99,34 +99,22 @@ object Dedup {
         coalesce(sum(col("df")), lit(0L)).as("dropped_postings"))
       .select(col("h"))
 
-  private def dropHot(sh: DataFrame): DataFrame =
-    sh.join(hotShingles(sh), Seq("h"), "left_anti")
-
   /** q_dedup_ngram — exact n-gram Jaccard similarity for all candidate
     * pairs sharing at least one (non-hot) shingle; pairs with J >= 0.8. */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     // [[shingleSets]] serves its four consumers here (hot-df pass, both
     // self-join sides, per-doc sizes) from one checkpointed kernel scan.
-    // The hot-cap anti-join stays UNmaterialized: it is a broadcast
-    // anti-join (hot set is tiny by construction), so each consumer
-    // replays a map-side filter, which is cheaper than writing a second
-    // copy of the posting list to block storage.
+    // The hot-cap anti-join stays UNmaterialized and planner-chosen:
+    // HotShingleCap bounds each shingle's df, NOT the number of hot
+    // shingles, so the hot side can be large on a boilerplate-heavy
+    // corpus — a join (broadcast while small, shuffle when the planner
+    // says so) degrades gracefully where a collected single-row array
+    // would not. Sizes aggregate the anti-joined postings for the same
+    // reason: bounded memory at any hot-set cardinality.
     val sets = shingleSets(docs)
     val postings = sets.select(col("doc_id"), explode(col("hs")).as("h"))
-    val hot = hotShingles(postings)
-    val sh = postings.join(hot, Seq("h"), "left_anti")
-    // per-doc CAPPED sizes map-side from the checkpointed arrays: hs is
-    // distinct by construction, so the capped size is |hs| minus its hot
-    // members — a 1-row broadcast of the hot set replaces a full shuffle
-    // of the posting list (the r2 form's sizes groupBy)
-    // collect_list over an empty hot set yields [], never NULL
-    val hotArr = hot.agg(collect_list(col("h")).as("hot_arr"))
-    val sizes = sets
-      .crossJoin(broadcast(hotArr))
-      .select(
-        col("doc_id"),
-        (size(col("hs")) - size(array_intersect(col("hs"), col("hot_arr"))))
-          .cast(LongType).as("n_shingles"))
+    val sh = postings.join(hotShingles(postings), Seq("h"), "left_anti")
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val pairs = sh
       .join(
         sh.select(col("doc_id").as("doc_b"), col("h")),

@@ -326,11 +326,17 @@ object Forecast {
       .withColumn("fdow", dayofweek(col("forecast_date")))
       .withColumn("fmonth", month(col("forecast_date")))
     futures
-      .join(broadcast(dowMeans), col("brand") === col("db") && col("fdow") === col("dow"))
+      // LEFT joins with a 0.0 fallback: a (brand, dow) or (brand, month)
+      // never observed in history has no mean-deviation index — the
+      // principled additive-model fallback is the overall mean (index 0),
+      // NOT silently dropping the forecast date (the horizon contract is
+      // exactly HorizonDays rows per group, spec-asserted)
+      .join(broadcast(dowMeans),
+        col("brand") === col("db") && col("fdow") === col("dow"), "left")
       .join(broadcast(monthMeans),
-        col("brand") === col("mb") && col("fmonth") === col("month"))
-      .withColumn("weekly_idx", col("mean_dow") - col("mean_all"))
-      .withColumn("yearly_idx", col("mean_month") - col("mean_all"))
+        col("brand") === col("mb") && col("fmonth") === col("month"), "left")
+      .withColumn("weekly_idx", coalesce(col("mean_dow") - col("mean_all"), lit(0.0)))
+      .withColumn("yearly_idx", coalesce(col("mean_month") - col("mean_all"), lit(0.0)))
       .withColumn(
         "forecast",
         col("intercept") + col("slope") * col("x_future").cast(DoubleType) +
@@ -383,13 +389,14 @@ object Forecast {
        |  FROM trend, (SELECT UNNEST(GENERATE_SERIES(1, $HorizonDays)) AS d)
        |)
        |SELECT f.brand, f.day_offset, f.forecast_date,
-       |  w.mean_dow - f.mean_all AS weekly_idx,
-       |  m.mean_month - f.mean_all AS yearly_idx,
+       |  COALESCE(w.mean_dow - f.mean_all, 0.0) AS weekly_idx,
+       |  COALESCE(m.mean_month - f.mean_all, 0.0) AS yearly_idx,
        |  f.intercept + f.slope * CAST(f.x_future AS DOUBLE)
-       |    + (w.mean_dow - f.mean_all) + (m.mean_month - f.mean_all) AS forecast
+       |    + COALESCE(w.mean_dow - f.mean_all, 0.0)
+       |    + COALESCE(m.mean_month - f.mean_all, 0.0) AS forecast
        |FROM futures f
-       |JOIN dowm w ON f.brand = w.db AND CAST(EXTRACT(dow FROM f.forecast_date) AS INT) + 1 = w.dow
-       |JOIN monthm m ON f.brand = m.mb AND CAST(EXTRACT(month FROM f.forecast_date) AS INT) = m.month""".stripMargin
+       |LEFT JOIN dowm w ON f.brand = w.db AND CAST(EXTRACT(dow FROM f.forecast_date) AS INT) + 1 = w.dow
+       |LEFT JOIN monthm m ON f.brand = m.mb AND CAST(EXTRACT(month FROM f.forecast_date) AS INT) = m.month""".stripMargin
 
   /** q_seasonal_forecast — trend + additive month-of-year seasonality:
     * forecast for each month of the year after each brand's last

@@ -376,8 +376,13 @@ object Similarity {
       val conf = spark.sparkContext.hadoopConfiguration
       val idx = new org.apache.hadoop.fs.Path(indexPath)
       val fs = idx.getFileSystem(conf)
-      fs.delete(idx, true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp), idx)
+      // FileSystem ops signal failure by RETURNING false, not throwing —
+      // an unchecked swap could delete the live index and then leave the
+      // new generation stranded at _tmp while recording a fresh model
+      require(fs.delete(idx, true), s"could not delete old index generation $indexPath")
+      require(fs.rename(new org.apache.hadoop.fs.Path(tmp), idx),
+        s"could not move new index generation $tmp -> $indexPath " +
+          "(new data is intact at the tmp path; model NOT updated)")
       writeIvfModel(spark, indexPath, centroids, total)
       true
     }

@@ -409,7 +409,11 @@ object TextAnalysis {
     * onto the scored scan; at corpus scale this is one extra
     * group-cardinality aggregation over the same kernel pass. */
   def corpusCleanAdaptive(spark: SparkSession, dir: String): DataFrame = {
+    // the scored subtree (dedup agg + semi-join + kernel scan) feeds both
+    // the threshold aggregation and the final probe side; the lazy
+    // checkpoint computes it once (same pattern as Dedup.shingleSets)
     val scored = scoredDocs(spark, dir).filter(col("pred_lang") =!= "und")
+      .localCheckpoint(eager = false)
     val th = scored
       .groupBy(col("pred_lang"))
       .agg(percentile(col("quality_score"), lit(QualityQuantile)).as("q_low"))

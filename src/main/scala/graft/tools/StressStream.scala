@@ -34,7 +34,8 @@ object StressStream {
       val rnd = new scala.util.Random(b)
       (0 until EventsPerBatch).map { i =>
         val user = rnd.nextInt(Users).toLong
-        val id = (b.toLong * EventsPerBatch + i) / 5 * 4 // every 5th id repeats
+        val g = b.toLong * EventsPerBatch + i
+        val id = if (g % 5 == 4) g - 1 else g // every 5th event repeats the prior id: 20% dups
         val ts = new Timestamp(base + b * 30L * 60 * 1000 + rnd.nextInt(30 * 60 * 1000))
         EventStream.Event(user, id, ts, if (i % 3 == 0) "click" else "view", (i % 100) / 10.0)
       }

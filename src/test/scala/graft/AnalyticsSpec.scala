@@ -108,10 +108,10 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("horizon forecast spans 365 offsets with additive dow+month components") {
     val df = operators.Forecast.forecastHorizon(spark, sf).cache()
+    // the horizon contract: exactly 365 forecast rows per brand (unseen
+    // dow/month combinations fall back to a 0 seasonal index, never drop)
     val perBrand = df.groupBy("brand").count()
-    assert(perBrand.filter("count > 365").count() == 0)
-    val brands = df.select("brand").distinct().count()
-    assert(df.count() >= brands * 300) // joins may drop unseen dow/month combos
+    assert(perBrand.filter("count <> 365").count() == 0)
     assert(df.filter("forecast IS NULL").count() == 0)
     df.unpersist()
   }
