@@ -54,15 +54,23 @@ object Pipeline {
     stage("ml_data")(StarSchema.mlExtract(spark, sfDir), Seq("country"))
     // LLM-corpus curation layers, genuinely CHAINED: splits, packs and
     // the report are computed over the CLEANED corpus (docs the curation
-    // dropped must not leak into split assignments or bin fills)
-    val clean = TextAnalysis.corpusClean(spark, sfDir)
+    // dropped must not leak into split assignments or bin fills).
+    // Curation uses the DATA-DERIVED per-language floors and packing the
+    // length-aware first-fit-decreasing — the r3 upgrades are the
+    // pipeline defaults, not side queries.
+    stage("corpus_thresholds")(TextAnalysis.qualityThresholds(spark, sfDir))
+    val clean = TextAnalysis.corpusCleanAdaptive(spark, sfDir)
     stage("corpus_clean")(clean)
     val cleanedDocs = Tables.documents(spark, sfDir)
       .join(spark.read.parquet(s"$outDir/corpus_clean").select("doc_id"), Seq("doc_id"), "left_semi")
     stage("corpus_splits")(TextAnalysis.trainSplitOf(cleanedDocs))
-    stage("corpus_packed")(TextAnalysis.packSequencesOf(spark, cleanedDocs))
+    stage("corpus_packed")(TextAnalysis.packSequencesBucketedOf(spark, cleanedDocs))
     stage("corpus_report")(TextAnalysis.corpusStatsOf(
       spark.read.parquet(s"$outDir/corpus_clean")))
+    // persisted model state: forecast sufficient statistics (maintained
+    // incrementally by mergeForecastModel on later batches)
+    Forecast.writeForecastModel(spark, sfDir, s"$outDir/forecast_model")
+    println("[pipeline] forecast_model persisted")
 
     println(f"[pipeline] TOTAL ${(System.nanoTime() - t0) / 1e9}%.2fs -> $outDir")
   }

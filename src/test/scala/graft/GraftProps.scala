@@ -136,6 +136,23 @@ object GraftProps extends Properties("graft") {
   } yield lead + (if (words.isEmpty) ""
                   else words.zip(seps :+ "").map { case (w, s) => w + s }.mkString) + trail
 
+  property("long-cents sum is bit-equal to the decimal sum under any partitioning") =
+    forAll(rowsGen) { rows =>
+      rows.isEmpty || {
+        import graft.functions.Exact._
+        val df = spark.createDataFrame(rows).toDF("k", "t", "v")
+        def agg(parts: Int, s: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+          df.repartition(parts).groupBy("k")
+            .agg(s(col("v")).as("s"))
+            .collect().map(r => r.getString(0) ->
+              java.lang.Double.doubleToRawLongBits(r.getDouble(1))).toMap
+        // identical bits to the decimal form, and invariant to partitioning
+        agg(1, sumCents2) == agg(1, sumd2) &&
+          agg(7, sumCents2) == agg(32, sumCents2) &&
+          agg(7, sumCents2) == agg(1, sumd2)
+      }
+    }
+
   property("text-stats kernel matches the regex formulation") =
     forAll(Gen.listOfN(8, statsTextGen)) { texts =>
       val df = docsDf(texts)

@@ -373,7 +373,8 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = java.nio.file.Files.createTempDirectory("graftpipe").toString
     graft.Pipeline.run(spark, sf, out)
     val layers = Seq("dim_locality", "dim_date", "fact_rollup", "best_markets", "ml_data",
-      "corpus_clean", "corpus_splits", "corpus_packed", "corpus_report")
+      "corpus_thresholds", "corpus_clean", "corpus_splits", "corpus_packed", "corpus_report",
+      "forecast_model")
     layers.foreach { l =>
       assert(spark.read.parquet(s"$out/$l").count() > 0, s"layer $l empty")
     }
