@@ -59,7 +59,12 @@ object Pipeline {
     // length-aware first-fit-decreasing — the r3 upgrades are the
     // pipeline defaults, not side queries.
     stage("corpus_thresholds")(TextAnalysis.qualityThresholds(spark, sfDir))
-    val clean = TextAnalysis.corpusCleanAdaptive(spark, sfDir)
+    // the clean applies the JUST-WRITTEN floors (read back like every
+    // other chained layer) — the persisted thresholds are the thresholds
+    // used, by construction rather than by recomputation
+    val clean = TextAnalysis.corpusCleanWithFloors(
+      TextAnalysis.scoredCorpus(spark, sfDir),
+      spark.read.parquet(s"$outDir/corpus_thresholds"))
     stage("corpus_clean")(clean)
     val cleanedDocs = Tables.documents(spark, sfDir)
       .join(spark.read.parquet(s"$outDir/corpus_clean").select("doc_id"), Seq("doc_id"), "left_semi")
@@ -69,8 +74,7 @@ object Pipeline {
       spark.read.parquet(s"$outDir/corpus_clean")))
     // persisted model state: forecast sufficient statistics (maintained
     // incrementally by mergeForecastModel on later batches)
-    Forecast.writeForecastModel(spark, sfDir, s"$outDir/forecast_model")
-    println("[pipeline] forecast_model persisted")
+    stage("forecast_model")(Forecast.forecastModelFrame(spark, sfDir))
 
     println(f"[pipeline] TOTAL ${(System.nanoTime() - t0) / 1e9}%.2fs -> $outDir")
   }

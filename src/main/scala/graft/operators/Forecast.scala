@@ -222,14 +222,19 @@ object Forecast {
       .withColumn("forecast_date", date_add(epoch, col("x_future").cast(IntegerType)))
       .withColumn("fdow", dayofweek(col("forecast_date")))
     futures
-      // dow means are group-cardinality (brands x 7) — broadcast, never SMJ
-      .join(broadcast(dowMeans), col("brand") === col("db") && col("fdow") === col("dow"))
-      .withColumn("seasonal_idx", col("mean_dow") - col("mean_all"))
+      // dow means are group-cardinality (brands x 7) — broadcast, never
+      // SMJ. LEFT join with a 0.0 fallback: a dow never observed for the
+      // brand forecasts at the trend (overall-mean deviation 0) instead
+      // of silently losing the day — the horizon is exactly 7 rows per
+      // brand (spec-asserted), same contract as [[forecastHorizon]].
+      .join(broadcast(dowMeans),
+        col("brand") === col("db") && col("fdow") === col("dow"), "left")
+      .withColumn("seasonal_idx", coalesce(col("mean_dow") - col("mean_all"), lit(0.0)))
       .withColumn(
         "forecast",
         col("intercept") + col("slope") * col("x_future").cast(DoubleType) + col("seasonal_idx"))
-      .select(col("brand"), col("day_offset"), col("forecast_date"), col("dow"),
-        col("seasonal_idx"), col("forecast"))
+      .select(col("brand"), col("day_offset"), col("forecast_date"),
+        col("fdow").as("dow"), col("seasonal_idx"), col("forecast"))
   }
 
   val forecastWeeklyOracle: String =
@@ -270,10 +275,12 @@ object Forecast {
       |    DATE '1995-01-01' + CAST(max_x + d AS INTEGER) AS forecast_date
       |  FROM trend, (SELECT UNNEST(GENERATE_SERIES(1, 7)) AS d)
       |)
-      |SELECT f.brand, f.day_offset, f.forecast_date, m.dow,
-      |  m.mean_dow - f.mean_all AS seasonal_idx,
-      |  f.intercept + f.slope * CAST(f.x_future AS DOUBLE) + (m.mean_dow - f.mean_all) AS forecast
-      |FROM futures f JOIN dowm m
+      |SELECT f.brand, f.day_offset, f.forecast_date,
+      |  CAST(EXTRACT(dow FROM f.forecast_date) AS INT) + 1 AS dow,
+      |  COALESCE(m.mean_dow - f.mean_all, 0.0) AS seasonal_idx,
+      |  f.intercept + f.slope * CAST(f.x_future AS DOUBLE)
+      |    + COALESCE(m.mean_dow - f.mean_all, 0.0) AS forecast
+      |FROM futures f LEFT JOIN dowm m
       |  ON f.brand = m.db AND CAST(EXTRACT(dow FROM f.forecast_date) AS INT) + 1 = m.dow""".stripMargin
 
   /** Forecast horizon (days) for [[forecastHorizon]] — the reference's
@@ -458,6 +465,12 @@ object Forecast {
 
   private[graft] def writeForecastModelOf(base: DataFrame, modelPath: String): Unit =
     olsStatsExact(base).write.mode("overwrite").parquet(modelPath)
+
+  /** The persisted-model frame ([[writeForecastModel]]'s content) for
+    * sinks that manage their own layout — the pipeline writes it through
+    * the shared staged sink like every other layer. */
+  def forecastModelFrame(spark: SparkSession, dir: String): DataFrame =
+    olsStatsExact(joined(spark, dir))
 
   /** Fold a NEW batch of observations into a persisted model without
     * re-scanning history: the batch reduces to its own exact partials

@@ -408,19 +408,30 @@ object TextAnalysis {
     * constant. The thresholds frame is language-cardinality — broadcast
     * onto the scored scan; at corpus scale this is one extra
     * group-cardinality aggregation over the same kernel pass. */
+  /** The deduped scored corpus restricted to confident language IDs —
+    * the frame both threshold derivation and adaptive cleaning consume
+    * (the pipeline persists floors from it, then cleans with them). */
+  def scoredCorpus(spark: SparkSession, dir: String): DataFrame =
+    scoredDocs(spark, dir).filter(col("pred_lang") =!= "und")
+
+  /** Apply precomputed per-language quality floors (any frame with
+    * `(pred_lang, q_low)` — e.g. the pipeline's persisted
+    * corpus_thresholds layer) to a scored corpus. */
+  def corpusCleanWithFloors(scored: DataFrame, floors: DataFrame): DataFrame =
+    scored
+      .join(broadcast(floors.select(col("pred_lang"), col("q_low"))), Seq("pred_lang"))
+      .filter(col("quality_score") >= col("q_low"))
+      .select(col("doc_id"), col("pred_lang"), col("quality_score"), col("n_bpe_tokens"))
+
   def corpusCleanAdaptive(spark: SparkSession, dir: String): DataFrame = {
     // the scored subtree (dedup agg + semi-join + kernel scan) feeds both
     // the threshold aggregation and the final probe side; the lazy
     // checkpoint computes it once (same pattern as Dedup.shingleSets)
-    val scored = scoredDocs(spark, dir).filter(col("pred_lang") =!= "und")
-      .localCheckpoint(eager = false)
+    val scored = scoredCorpus(spark, dir).localCheckpoint(eager = false)
     val th = scored
       .groupBy(col("pred_lang"))
       .agg(percentile(col("quality_score"), lit(QualityQuantile)).as("q_low"))
-    scored
-      .join(broadcast(th), Seq("pred_lang"))
-      .filter(col("quality_score") >= col("q_low"))
-      .select(col("doc_id"), col("pred_lang"), col("quality_score"), col("n_bpe_tokens"))
+    corpusCleanWithFloors(scored, th)
   }
 
   val corpusCleanAdaptiveOracle: String =
