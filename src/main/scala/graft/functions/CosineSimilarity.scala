@@ -145,6 +145,7 @@ object GraftFunctions {
   val MinHashName = "graft_minhash_sigs"
   val ShingleSetName = "graft_shingle_set"
   val TextStatsName = "graft_text_stats"
+  val AsOfLookupName = "graft_asof_lookup"
 
   // Sessions already registered — createOrReplaceTempFunction is itself
   // idempotent, but every call past the first logs a "replaced a
@@ -204,6 +205,10 @@ object GraftFunctions {
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       TextStatsName,
       (exprs: Seq[Expression]) => TextStats(exprs.head),
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      AsOfLookupName,
+      (exprs: Seq[Expression]) => AsOfLookup(exprs.head, exprs(1)),
       "built-in")
     val rules = classic.experimental.extraOptimizations
     if (!rules.contains(graft.plans.CosineFusionRule))

@@ -59,8 +59,52 @@ object AsOf {
       .withColumnRenamed("_asof", valueCol)
   }
 
+  /** Broadcast as-of: same semantics as [[asofJoin]] (latest
+    * right.timeCol <= left.timeCol per key; max value on duplicate
+    * (key, time) right rows), for the common case where the reference
+    * series is DIM-SIZED (fx rates, price indices): the series collapses
+    * to one sorted array per key, broadcasts, and each fact row resolves
+    * its rate map-side with an array scan — the fact side never
+    * shuffles or sorts, which at 100 TB removes the only fact-volume
+    * stage the union+window form has. Use [[asofJoin]] when the series
+    * side is itself fact-scale. (GraftProps asserts the two forms agree
+    * on arbitrary inputs.) */
+  def asofJoinBroadcast(
+      facts: DataFrame,
+      rates: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valueCol: String): DataFrame = {
+    // null-valued updates carry no information in either form (the
+    // window's `last` ignores them); null-timed rows are dropped here by
+    // contract (an update without an effective time is meaningless)
+    val series = rates
+      .filter(col(timeCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(
+        col(timeCol).cast(LongType).as("_t"),
+        col(valueCol).cast(DoubleType).as("_v"))))
+        .as("_series"))
+    // latest element with _t <= fact time via the native binary-search
+    // expression (ascending (time, value) sort makes the last qualifying
+    // element max-time, max-value on ties — exactly asofJoin's `last` +
+    // value-ascending tie policy). log2(n) compares per fact row in one
+    // codegen'd call, vs the aggregate/filter HOF composition's O(n)
+    // lambda machinery.
+    graft.functions.GraftFunctions.ensureRegistered(facts.sparkSession)
+    val lookup = call_function(graft.functions.GraftFunctions.AsOfLookupName,
+      col("_series"), col(timeCol).cast(LongType))
+    facts
+      .join(broadcast(series), Seq(keyCol), "left")
+      .withColumn(valueCol, lookup)
+      .drop("_series")
+  }
+
   /** q_asof_rates — line items priced with the latest quarterly reference
-    * rate (per brand) published on-or-before their ship month. */
+    * rate (per brand) published on-or-before their ship month. The
+    * reference series is brand x quarter (dim-sized by construction), so
+    * this runs the broadcast form: the 600k-row fact side is never
+    * shuffled or sorted. */
   def asofRates(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables
       .lineitem(spark, dir)
@@ -81,7 +125,7 @@ object AsOf {
       .filter(pmod(col("t"), lit(3)) === 0)
       .groupBy(col("brand"), col("t"))
       .agg(meanOf(sum(dec2(col("price"))).cast(DoubleType), cnt).as("rate"))
-    asofJoin(facts, rates, "brand", "t", "rate")
+    asofJoinBroadcast(facts, rates, "brand", "t", "rate")
       .filter(col("rate").isNotNull)
       .select(col("l_orderkey"), col("l_linenumber"), col("brand"), col("t"),
         col("price"), col("rate"),

@@ -61,6 +61,22 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  property("broadcast as-of equals the union+window as-of") =
+    forAll(rowsGen, rowsGen) { (factRows, rateRows) =>
+      (factRows.nonEmpty && rateRows.nonEmpty) ==> {
+        val facts = spark.createDataFrame(
+          factRows.zipWithIndex.map { case ((k, t, _), i) => (k, t, i.toLong) })
+          .toDF("key", "t", "fid")
+        // duplicate (key, t) rate rows allowed on purpose: both forms
+        // must resolve the tie to the same (max) value
+        val rates = spark.createDataFrame(rateRows).toDF("key", "t", "rate")
+        def m(d: org.apache.spark.sql.DataFrame) =
+          d.collect().map(r => r.getAs[Long]("fid") -> Option(r.getAs[Any]("rate"))).toMap
+        m(operators.AsOf.asofJoin(facts, rates, "key", "t", "rate")) ==
+          m(operators.AsOf.asofJoinBroadcast(facts, rates, "key", "t", "rate"))
+      }
+    }
+
   property("saltedCountDistinct equals exact countDistinct") =
     forAll(rowsGen) { rows =>
       rows.isEmpty || {

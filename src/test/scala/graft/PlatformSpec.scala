@@ -510,6 +510,27 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
       DotProduct(v, v),
       L2SquaredDistance(v, v),
       TextStats(s))
+    // as-of lookup compiles and agrees with interpreted eval, incl. the
+    // no-qualifying-element null
+    locally {
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      import org.apache.spark.sql.types.{LongType, StructType, StructField, DoubleType}
+      val seriesT = org.apache.spark.sql.types.ArrayType(StructType(Seq(
+        StructField("_t", LongType, nullable = false),
+        StructField("_v", DoubleType, nullable = false))))
+      val arr = BoundReference(0, seriesT, nullable = true)
+      val t = BoundReference(1, LongType, nullable = true)
+      val ex = AsOfLookup(arr, t)
+      val proj = GenerateUnsafeProjection.generate(Seq(ex))
+      def row(ts: Seq[(Long, Double)], q: Long) = new GenericInternalRow(Array[Any](
+        new GenericArrayData(ts.map { case (a, b) =>
+          new GenericInternalRow(Array[Any](a, b)): Any }.toArray), q))
+      val r1 = row(Seq(1L -> 10.0, 3L -> 30.0, 3L -> 31.0, 7L -> 70.0), 5L)
+      assert(proj(r1).getDouble(0) == 31.0) // max time <= 5, max value on tie
+      assert(ex.eval(r1).asInstanceOf[Double] == 31.0)
+      val r0 = row(Seq(4L -> 40.0), 2L)
+      assert(proj(r0).isNullAt(0) && ex.eval(r0) == null) // nothing prior
+    }
     // generate() THROWS on janino failure — no silent interpreted fallback
     val proj = GenerateUnsafeProjection.generate(exprs)
     val row = new GenericInternalRow(Array[Any](
