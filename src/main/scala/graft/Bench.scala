@@ -4,13 +4,26 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: one JSON line of per-query wall times at the target
   * scale factor. Each query is first run once at sf0.001 so codegen/JIT
-  * warmup is not attributed to the measured run (the measured numbers are
-  * steady-state throughput, which is what a long-running cluster sees).
+  * warmup is not attributed to the measured run, then timed for
+  * `SPARK_GRAFT_BENCH_ITERS` iterations (default 3) at the target SF.
+  * The reported per-query number is the MEDIAN of those runs; the
+  * `spread` map carries min/max so a regression can be told apart from
+  * single-run noise (r3's apparent 1.8x regressions on untouched
+  * operators were unresolvable at n=1).
   */
 object Bench {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n == 0) 0.0
+    else if (n % 2 == 1) s(n / 2)
+    else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
     val cpus = GraftSession.cpus
     val spark = GraftSession.builder("graft-bench").master(s"local[$cpus]").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -20,15 +33,21 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(name)(spark, sfDir).count() }
+        catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      (name, median(times), times.min, times.max)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val spread = results
+      .map { case (k, _, mn, mx) => "\"" + k + "\":[" + mn + "," + mx + "]" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"iters":$iters,"sf":"$sfDir"}"""
     spark.stop()
     // the JSON goes to a file AND is printed as the process's last stdout
     // line (after spark.stop(), so no executor/log4j output can interleave

@@ -146,6 +146,7 @@ object GraftFunctions {
   val ShingleSetName = "graft_shingle_set"
   val TextStatsName = "graft_text_stats"
   val AsOfLookupName = "graft_asof_lookup"
+  val TopKName = "graft_topk"
 
   // Sessions already registered — createOrReplaceTempFunction is itself
   // idempotent, but every call past the first logs a "replaced a
@@ -209,6 +210,10 @@ object GraftFunctions {
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       AsOfLookupName,
       (exprs: Seq[Expression]) => AsOfLookup(exprs.head, exprs(1)),
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      TopKName,
+      (exprs: Seq[Expression]) => TopKCollect.fromArgs(exprs),
       "built-in")
     val rules = classic.experimental.extraOptimizations
     if (!rules.contains(graft.plans.CosineFusionRule))

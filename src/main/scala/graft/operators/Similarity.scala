@@ -49,10 +49,14 @@ object Similarity {
 
   case class Scored(query_id: Long, neighbor_id: Long, cosine: Double)
 
-  /** Bounded per-query top-k: each map task keeps at most k scored rows
-    * per query (map-side combine via `reduce`), partial heaps merge at
-    * reduce side — the same pattern as [[TopK.TopKRowsAgg]]. Deterministic
-    * ordering: cosine desc, ties broken by neighbor_id asc. */
+  /** Typed bounded per-query top-k — kept ONLY as the independent
+    * reference implementation the native kernel is spec-checked against
+    * (production ranking goes through [[graft.functions.TopKCollect]];
+    * this List-buffer form pays an ExpressionEncoder round-trip per
+    * partial-merge). Each map task keeps at most k scored rows per query
+    * (map-side combine via `reduce`), partial heaps merge at reduce side.
+    * Deterministic ordering: cosine desc, ties broken by neighbor_id
+    * asc. */
   class TopKScoredAgg(k: Int)
       extends org.apache.spark.sql.expressions.Aggregator[Scored, List[Scored], List[Scored]] {
     private val ord: Ordering[Scored] =
@@ -86,7 +90,28 @@ object Similarity {
     * with rank numbers — no Window over the scored set. NULL cosines
     * (zero-norm vectors, which have no defined similarity) are excluded
     * before ranking. */
-  private def topkRanked(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def topkRanked(scored: DataFrame, k: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(scored.sparkSession)
+    scored
+      .filter(col("cosine").isNotNull)
+      .groupBy(col("query_id").cast(LongType).as("query_id"))
+      .agg(call_function(
+        GraftFunctions.TopKName,
+        col("cosine"),
+        col("vec_id").cast(LongType),
+        lit(0L),
+        lit(k)).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(
+        col("query_id"),
+        col("col.id_a").as("neighbor_id"),
+        col("col.score").as("cosine"),
+        (col("pos") + 1).cast("int").as("rk"))
+  }
+
+  /** The typed-Aggregator ranking path — spec-only reference the native
+    * kernel form of [[topkRanked]] is property-checked against. */
+  private[graft] def topkRankedRef(scored: DataFrame, k: Int): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
     scored

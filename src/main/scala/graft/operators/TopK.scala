@@ -56,7 +56,11 @@ object TopK {
 
   case class LiRow(brand: String, l_orderkey: Long, l_linenumber: Int, price: Double)
 
-  /** Typed bounded-top-k aggregator: each map task keeps only k rows per
+  /** Typed bounded-top-k aggregator — kept ONLY as the independent
+    * reference implementation the native kernel is spec-checked against
+    * (its `List` buffer pays an ExpressionEncoder round-trip per
+    * partial-merge; production ranking goes through
+    * [[graft.functions.TopKCollect]]). Each map task keeps only k rows per
     * group, so the shuffle moves O(groups x k) rows instead of the whole
     * fact — THE scalable form of per-group top-k (a `row_number()` window
     * over raw fact rows sorts every partition and shuffles everything).
@@ -90,30 +94,31 @@ object TopK {
   }
 
   /** q_topk_rows — 3 highest-priced raw line items per brand via the
-    * bounded aggregator (no window sort over the fact). */
+    * native bounded-heap aggregate (no window sort over the fact, no
+    * Dataset encoder round-trip: the whole query stays in Tungsten rows
+    * and the heap buffer is three primitive arrays — see
+    * [[graft.functions.TopKCollect]]). */
   def topkRows(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     val li = Tables
       .lineitem(spark, dir)
       .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
     val p = broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")))
-    val rows = li
-      .join(p, col("l_partkey") === col("p_partkey"))
-      .select(
-        col("p_brand").as("brand"),
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(call_function(
+        graft.functions.GraftFunctions.TopKName,
+        col("l_extendedprice"),
         col("l_orderkey"),
-        col("l_linenumber"),
-        col("l_extendedprice").as("price"))
-      .as[LiRow]
-    rows
-      .groupByKey(_.brand)
-      .agg(new TopKRowsAgg(k).toColumn.name("top"))
-      .flatMap { case (brand, top) =>
-        top.zipWithIndex.map { case (r, i) =>
-          (brand, r.l_orderkey, r.l_linenumber, r.price, i + 1)
-        }
-      }
-      .toDF("brand", "l_orderkey", "l_linenumber", "price", "rk")
+        col("l_linenumber").cast("long"),
+        lit(k)).as("top"))
+      .select(col("brand"), posexplode(col("top")))
+      .select(
+        col("brand"),
+        col("col.id_a").as("l_orderkey"),
+        col("col.id_b").cast("int").as("l_linenumber"),
+        col("col.score").as("price"),
+        (col("pos") + 1).cast("int").as("rk"))
   }
 
   val topkRowsOracle: String =

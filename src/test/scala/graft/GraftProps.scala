@@ -215,4 +215,30 @@ object GraftProps extends Properties("graft") {
         a < b && j >= 0.0 && j <= 1.0
       }
     }
+
+  // random scored sets with heavy ties (few distinct scores) so the
+  // (score, id) tie-break ordering is actually exercised, under multiple
+  // partitionings so partial-heap merges happen
+  private val scoredGen: Gen[List[(Long, Long, Double)]] =
+    Gen.listOfN(
+      80,
+      for {
+        q <- Gen.chooseNum(0L, 3L)
+        n <- Gen.chooseNum(0L, 40L)
+        s <- Gen.oneOf(0.1, 0.25, 0.25, 0.5, 0.9)
+      } yield (q, n, s))
+
+  property("native topk kernel matches the typed Aggregator reference") =
+    forAll(scoredGen, Gen.oneOf(1, 3, 7)) { (rows, k) =>
+      rows.isEmpty || {
+        // one score per (query, neighbor): a neighbor must rank once
+        val df = spark.createDataFrame(rows).toDF("query_id", "vec_id", "cosine")
+          .groupBy("query_id", "vec_id").agg(max("cosine").as("cosine"))
+          .repartition(5)
+        def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+        key(operators.Similarity.topkRanked(df, k)) ==
+          key(operators.Similarity.topkRankedRef(df, k))
+      }
+    }
 }
