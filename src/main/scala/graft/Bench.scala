@@ -27,7 +27,11 @@ object Bench {
     val cpus = GraftSession.cpus
     val spark = GraftSession.builder("graft-bench").master(s"local[$cpus]").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional comma-separated query-name filter for targeted re-measures
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, warmDir).count()
       catch { case _: Throwable => () }

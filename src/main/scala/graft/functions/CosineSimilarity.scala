@@ -147,6 +147,7 @@ object GraftFunctions {
   val TextStatsName = "graft_text_stats"
   val AsOfLookupName = "graft_asof_lookup"
   val TopKName = "graft_topk"
+  val TopKMeanName = "graft_topk_mean"
 
   // Sessions already registered — createOrReplaceTempFunction is itself
   // idempotent, but every call past the first logs a "replaced a
@@ -214,6 +215,10 @@ object GraftFunctions {
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       TopKName,
       (exprs: Seq[Expression]) => TopKCollect.fromArgs(exprs),
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      TopKMeanName,
+      (exprs: Seq[Expression]) => TopKMeanCollect.fromArgs(exprs),
       "built-in")
     val rules = classic.experimental.extraOptimizations
     if (!rules.contains(graft.plans.CosineFusionRule))

@@ -3,7 +3,7 @@ package graft.functions
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -91,16 +91,36 @@ case class TopKCollect(
 
   override def createAggregationBuffer(): TopKHeap = new TopKHeap(k)
 
-  override def update(buf: TopKHeap, input: InternalRow): TopKHeap = {
-    val s = score.eval(input)
-    if (s != null) {
-      val a = idA.eval(input)
-      val b = idB.eval(input)
-      buf.insert(
-        s.asInstanceOf[Double],
-        if (a == null) 0L else a.asInstanceOf[Long],
-        if (b == null) 0L else b.asInstanceOf[Long])
+  // unboxed fast path when the ranking inputs are plain column reads
+  // (operators pre-project casts into a codegen'd Project): rejected rows
+  // then cost two primitive reads and one compare, with zero boxing
+  @transient private lazy val fastPath: (InternalRow, TopKHeap) => Unit =
+    (score, idA, idB) match {
+      case (sr: BoundReference, ar: BoundReference, br: BoundReference)
+          if sr.dataType == DoubleType && ar.dataType == LongType &&
+            br.dataType == LongType =>
+        (row, buf) =>
+          if (!row.isNullAt(sr.ordinal)) {
+            val a = if (row.isNullAt(ar.ordinal)) 0L else row.getLong(ar.ordinal)
+            val b = if (row.isNullAt(br.ordinal)) 0L else row.getLong(br.ordinal)
+            buf.insert(row.getDouble(sr.ordinal), a, b)
+          }
+      case _ =>
+        (row, buf) => {
+          val s = score.eval(row)
+          if (s != null) {
+            val a = idA.eval(row)
+            val b = idB.eval(row)
+            buf.insert(
+              s.asInstanceOf[Double],
+              if (a == null) 0L else a.asInstanceOf[Long],
+              if (b == null) 0L else b.asInstanceOf[Long])
+          }
+        }
     }
+
+  override def update(buf: TopKHeap, input: InternalRow): TopKHeap = {
+    fastPath(input, buf)
     buf
   }
 
@@ -169,5 +189,209 @@ object TopKCollect {
           s"graft_topk k must be an INT literal, got ${other.sql}")
     }
     TopKCollect(exprs(0), exprs(1), exprs(2), k)
+  }
+
+  private[functions] def kLiteral(name: String, e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other =>
+      throw new IllegalArgumentException(s"$name k must be an INT literal, got ${other.sql}")
+  }
+}
+
+/** Open-addressing long→(sum, count) map on primitive parallel arrays —
+  * the buffer of [[TopKMeanCollect]]. Bounded by the sub-key cardinality
+  * of one group (suppliers of one brand), not by input rows.
+  */
+final class KeyedSumCount(initialCapacity: Int = 64) {
+  private var cap = Integer.highestOneBit(math.max(initialCapacity, 16) * 2 - 1)
+  var keys = new Array[Long](cap)
+  var used = new Array[Boolean](cap)
+  var sums = new Array[Long](cap)
+  var cnts = new Array[Long](cap)
+  var size = 0
+
+  @inline private def slot(k: Long): Int = {
+    var i = (scala.util.hashing.byteswap64(k) & (cap - 1)).toInt
+    while (used(i) && keys(i) != k) i = (i + 1) & (cap - 1)
+    i
+  }
+
+  def add(k: Long, sum: Long, cnt: Long): Unit = {
+    if (size * 2 >= cap) grow()
+    val i = slot(k)
+    if (!used(i)) { used(i) = true; keys(i) = k; size += 1 }
+    sums(i) += sum
+    cnts(i) += cnt
+  }
+
+  private def grow(): Unit = {
+    val (ok, ou, os, oc, ocap) = (keys, used, sums, cnts, cap)
+    cap = ocap * 2
+    keys = new Array[Long](cap); used = new Array[Boolean](cap)
+    sums = new Array[Long](cap); cnts = new Array[Long](cap)
+    size = 0
+    var i = 0
+    while (i < ocap) {
+      if (ou(i)) add(ok(i), os(i), oc(i))
+      i += 1
+    }
+  }
+
+  def foreachEntry(f: (Long, Long, Long) => Unit): Unit = {
+    var i = 0
+    while (i < cap) {
+      if (used(i)) f(keys(i), sums(i), cnts(i))
+      i += 1
+    }
+  }
+}
+
+/** Single-shuffle grouped-mean top-k:
+  * `graft_topk_mean(sub_key, cents, k)` aggregated per group →
+  * `array<struct<id bigint, avg double, n bigint>>`: the k sub-keys with
+  * the LOWEST mean (cents/100/n — "cheapest markets"), ordered mean ASC
+  * then sub-key ASC.
+  *
+  * The two-level formulation (`groupBy(group, sub_key).agg(avg)` then a
+  * per-group rank) pays two exchanges: one for the (group, sub_key)
+  * aggregate and one to re-cluster by group for ranking. This kernel
+  * aggregates per GROUP with the sub-key totals in an open-addressing
+  * primitive map, so map-side combine still reduces input to per-task
+  * (group × sub_key) partials, but the shuffle clusters by group
+  * directly — ONE exchange, no second agg stage, no sort. Buffer memory
+  * is one (long, long, long) triple per live sub-key of the group —
+  * bounded by dimension cardinality (e.g. suppliers per brand), the same
+  * bound the two-level aggregate's hash table had.
+  *
+  * Mean math is kept bit-identical to the long-cents discipline
+  * ([[Exact.sumCents2]] composed with [[Exact.meanOf]]):
+  * `(sum.toDouble / 100.0) / n.toDouble`. NULL cents still count toward
+  * `n` (COUNT(*) semantics, matching the composed form where the decimal
+  * sum skips NULLs but `cnt` does not).
+  */
+case class TopKMeanCollect(
+    subKey: Expression,
+    cents: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KeyedSumCount] {
+
+  require(k > 0, s"graft_topk_mean requires k > 0, got $k")
+
+  override def children: Seq[Expression] = Seq(subKey, cents)
+
+  override def nullable: Boolean = false
+
+  override def dataType: DataType = TopKMeanCollect.ResultType
+
+  override def prettyName: String = "graft_topk_mean"
+
+  override def createAggregationBuffer(): KeyedSumCount = new KeyedSumCount()
+
+  // unboxed fast path: after binding, non-nullable long children are
+  // plain BoundReferences (the operator pre-projects the cents math into
+  // a codegen'd Project), so update can read primitives straight off the
+  // UnsafeRow instead of boxing two Longs per input row
+  @transient private lazy val fastPath: (InternalRow, KeyedSumCount) => Unit =
+    (subKey, cents) match {
+      case (kr: BoundReference, cr: BoundReference)
+          if kr.dataType == LongType && cr.dataType == LongType =>
+        (row, buf) =>
+          if (!row.isNullAt(kr.ordinal)) {
+            val c = if (row.isNullAt(cr.ordinal)) 0L else row.getLong(cr.ordinal)
+            buf.add(row.getLong(kr.ordinal), c, 1L)
+          }
+      case _ =>
+        (row, buf) => {
+          val key = subKey.eval(row)
+          if (key != null) {
+            val c = cents.eval(row)
+            buf.add(key.asInstanceOf[Long], if (c == null) 0L else c.asInstanceOf[Long], 1L)
+          }
+        }
+    }
+
+  override def update(buf: KeyedSumCount, input: InternalRow): KeyedSumCount = {
+    fastPath(input, buf)
+    buf
+  }
+
+  override def merge(buf: KeyedSumCount, other: KeyedSumCount): KeyedSumCount = {
+    other.foreachEntry((k, s, c) => buf.add(k, s, c))
+    buf
+  }
+
+  override def eval(buf: KeyedSumCount): Any = {
+    val n = buf.size
+    val ids = new Array[Long](n)
+    val avgs = new Array[Double](n)
+    val cnts = new Array[Long](n)
+    var i = 0
+    buf.foreachEntry { (key, sum, cnt) =>
+      ids(i) = key
+      avgs(i) = (sum.toDouble / 100.0) / cnt.toDouble
+      cnts(i) = cnt
+      i += 1
+    }
+    // k is small: one bounded selection pass instead of a full sort
+    val heap = new TopKHeap(math.min(k, n))
+    i = 0
+    while (i < n) {
+      // mean ASC via score = -avg (negation is IEEE-exact); idx rides
+      // along so the winning entries can be read back
+      heap.insert(-avgs(i), ids(i), i)
+      i += 1
+    }
+    val out = new Array[Any](heap.size)
+    i = 0
+    while (i < heap.size) {
+      val src = heap.bs(i).toInt
+      out(i) = InternalRow(heap.as(i), avgs(src), cnts(src))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: KeyedSumCount): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 24)
+    bb.putInt(buf.size)
+    buf.foreachEntry((k, s, c) => { bb.putLong(k); bb.putLong(s); bb.putLong(c) })
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KeyedSumCount = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val buf = new KeyedSumCount(math.max(n, 16))
+    var i = 0
+    while (i < n) {
+      buf.add(bb.getLong(), bb.getLong(), bb.getLong())
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKMeanCollect =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKMeanCollect =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(subKey = newChildren(0), cents = newChildren(1))
+}
+
+object TopKMeanCollect {
+  val ResultType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("avg", DoubleType, nullable = false),
+      StructField("n", LongType, nullable = false))),
+    containsNull = false)
+
+  def fromArgs(exprs: Seq[Expression]): TopKMeanCollect = {
+    require(exprs.length == 3, s"graft_topk_mean expects 3 arguments, got ${exprs.length}")
+    TopKMeanCollect(exprs(0), exprs(1), TopKCollect.kLiteral("graft_topk_mean", exprs(2)))
   }
 }

@@ -32,24 +32,48 @@ object TopK {
     * supplier dim never touches the fact at all). Identical result:
     * `s_suppkey -> s_name` is the supplier primary key. */
   def topkPerGroup(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     val li = Tables
       .lineitem(spark, dir)
       .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
     val p = broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")))
     val s = broadcast(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name")))
-    val perMarket = li
-      .join(p, col("l_partkey") === col("p_partkey"))
-      .groupBy(col("p_brand").as("brand"), col("l_suppkey"))
-      // long-cents sum: bit-equal to the decimal form (group totals are
-      // far below the 2^53-cent budget) with a plain-long combine buffer
-      .agg(meanOf(sumCents2(col("l_extendedprice")), cnt).as("avg_price"), cnt.as("n_obs"))
+    // Single-shuffle grouped-mean ranking ([[graft.functions
+    // .TopKMeanCollect]]): the aggregate groups by brand ONLY, carrying
+    // per-supplier (long-cents sum, count) partials in a primitive map —
+    // map-side combine reduces the fact exactly as the two-level
+    // `groupBy(brand, suppkey)` did, but the plan pays ONE exchange (by
+    // brand) instead of two plus a rank window/sort. Mean math stays the
+    // bit-exact long-cents form (sum/100.0/n). Ordering: mean ASC, then
+    // suppkey ASC — identical to the oracle's market_name tie-break
+    // because s_name embeds the zero-padded suppkey ('Supplier#%09d',
+    // TPC-H spec 4.2.3), so lexicographic name order IS numeric key
+    // order. The supplier name attaches by broadcast AFTER ranking (k x
+    // brands rows), so the dim never touches the fact.
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      // cents are materialized by a codegen'd Project BEFORE the
+      // aggregate: a TypedImperativeAggregate evaluates its child
+      // expressions interpreted per input row, so the decimal cast chain
+      // must not live inside the agg (measured ~30% of the query)
+      .select(
+        col("p_brand").as("brand"),
+        col("l_suppkey").cast("long").as("suppkey"),
+        (dec2(col("l_extendedprice")) * lit(100)).cast("long").as("cents"))
+      .groupBy(col("brand"))
+      .agg(call_function(
+        graft.functions.GraftFunctions.TopKMeanName,
+        col("suppkey"),
+        col("cents"),
+        lit(k)).as("top"))
+      .select(col("brand"), posexplode(col("top")))
+      .select(
+        col("brand"),
+        col("col.id").as("l_suppkey"),
+        col("col.avg").as("avg_price"),
+        col("col.n").as("n_obs"),
+        (col("pos") + 1).cast("int").as("rk"))
       .join(s, col("l_suppkey") === col("s_suppkey"))
-      .select(col("brand"), col("s_name").as("market_name"), col("avg_price"), col("n_obs"))
-    val w = Window.partitionBy(col("brand")).orderBy(col("avg_price"), col("market_name"))
-    perMarket
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("brand"), col("market_name"), col("avg_price"), col("n_obs"), col("rk"))
+      .select(col("brand"), col("s_name").as("market_name"), col("avg_price"), col("n_obs"), col("rk"))
   }
 
   // ------------------------------------------------- bounded-heap variant
@@ -105,12 +129,19 @@ object TopK {
       .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
     val p = broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")))
     li.join(p, col("l_partkey") === col("p_partkey"))
-      .groupBy(col("p_brand").as("brand"))
+      // casts pre-projected so the agg's children are bare column reads
+      // (unboxed update fast path — see TopKCollect)
+      .select(
+        col("p_brand").as("brand"),
+        col("l_extendedprice").as("price"),
+        col("l_orderkey"),
+        col("l_linenumber").cast("long").as("ln"))
+      .groupBy(col("brand"))
       .agg(call_function(
         graft.functions.GraftFunctions.TopKName,
-        col("l_extendedprice"),
+        col("price"),
         col("l_orderkey"),
-        col("l_linenumber").cast("long"),
+        col("ln"),
         lit(k)).as("top"))
       .select(col("brand"), posexplode(col("top")))
       .select(
