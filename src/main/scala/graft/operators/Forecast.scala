@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.Exact._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -431,6 +432,145 @@ object Forecast {
         "forecast",
         col("intercept") + col("slope") * col("x_future") + col("seasonal_idx"))
       .select(col("brand"), col("month"), col("seasonal_idx"), col("forecast"))
+  }
+
+  // ------------------------------------------------- rank-by-forecast top-k
+
+  /** q_topk_forecast — products ranked by MEAN FORECASTED price: the
+    * reference's actual "best products" semantics
+    * (`server/pages/best_products.py::forecast_best_products` ranks by
+    * `forecast["yhat"].mean()` ascending, filtering negative forecasts —
+    * `forecast_utils.py:118-135`; `forecast_market_prices` at :56-66 does
+    * the same per market). Composes the trend + monthly-seasonality model
+    * with the top-k rank in ONE pass:
+    *
+    * Over the 12 months after each group's last observation, every
+    * calendar month occurs exactly once, so the horizon's mean yhat has
+    * the closed form `intercept + slope*(max_x + 6.5) + (Σ idx_m)/12` —
+    * no future-grid explode at all. The per-month seasonal sums pivot
+    * into the SAME aggregation as the OLS stats (map-side-combined,
+    * group-cardinality output), and the 12-term index sum folds in fixed
+    * month order so Spark and the oracle run the identical IEEE sequence.
+    * A month absent from a group's history contributes index 0 (the
+    * additive-model fallback, as in [[forecastHorizon]]).
+    *
+    * Scale shape: one aggregation over the fact → one row per group; the
+    * rank window sees only group-cardinality rows (bounded by the
+    * product dimension, same as every dashboard "best N" surface). */
+  def forecastTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val base = joined(spark, dir)
+    val nD = col("n").cast(DoubleType)
+    val sxD = col("sx").cast(DoubleType)
+    val aggs: Seq[Column] =
+      Seq(
+        cnt.as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(dec2(col("y"))).cast(DoubleType).as("sy"),
+        sum(xDec * dec2(col("y"))).cast(DoubleType).as("sxy"),
+        max(col("x")).as("max_x")) ++
+        (1 to 12).flatMap { m =>
+          Seq(
+            sum(when(col("m") === m, dec2(col("y")))).cast(DoubleType).as(s"sy$m"),
+            count(when(col("m") === m, lit(1))).as(s"n$m"))
+        }
+    val fitted = base
+      .groupBy(col("brand"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("slope", slopeCol)
+      .withColumn("intercept", (col("sy") - col("slope") * sxD) / nD)
+      .withColumn("mean_all", col("sy") / nD)
+    val idxSum = (1 to 12)
+      .map(m => coalesce(
+        col(s"sy$m") / col(s"n$m").cast(DoubleType) - col("mean_all"), lit(0.0)))
+      .reduce(_ + _) // left fold in month order — mirrored textually in SQL
+    val ranked = fitted
+      .withColumn(
+        "mean_yhat",
+        col("intercept") + col("slope") * (col("max_x").cast(DoubleType) + lit(6.5)) +
+          idxSum / lit(12.0))
+      .filter(col("mean_yhat") > 0)
+    val w = Window.orderBy(col("mean_yhat"), col("brand"))
+    ranked
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("brand"), col("n"), col("mean_yhat"), col("rk"))
+  }
+
+  /** Spec-only reference for [[forecastTopK]]'s closed form: the explicit
+    * 12-row future grid for one brand, averaged driver-side. */
+  private[graft] def seasonalForecastHorizonMeanFor(
+      spark: SparkSession, dir: String, brand: String): Double = {
+    val base = joined(spark, dir).filter(col("brand") === brand)
+    val s = olsStats(base)
+      .withColumn("slope", slopeCol)
+      .withColumn(
+        "intercept",
+        (col("sy") - col("slope") * col("sx").cast(DoubleType)) / col("n").cast(DoubleType))
+      .withColumn("mean_all", col("sy") / col("n").cast(DoubleType))
+      .collect()(0)
+    val slope = s.getAs[Double]("slope")
+    val intercept = s.getAs[Double]("intercept")
+    val meanAll = s.getAs[Double]("mean_all")
+    val maxX = s.getAs[Long]("max_x")
+    val mm = base.groupBy(col("m"))
+      .agg(meanOf(sum(dec2(col("y"))).cast(DoubleType), cnt).as("mean_month"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val yhats = (1 to 12).map { d =>
+      val x = maxX + d
+      val calMonth = (x % 12).toInt + 1 // x = (year-1995)*12 + month-1
+      intercept + slope * x + mm.get(calMonth).map(_ - meanAll).getOrElse(0.0)
+    }
+    yhats.sum / 12.0
+  }
+
+  val forecastTopKOracle: String = {
+    val idxSumSql = (1 to 12)
+      .map(m => s"COALESCE(sy$m / CAST(n$m AS DOUBLE) - mean_all, 0.0)")
+      .reduce((a, b) => s"($a + $b)")
+    val monthAggs = (1 to 12).map { m =>
+      s"""    CAST(SUM(CASE WHEN m = $m THEN CAST(y AS DECIMAL(18,2)) END) AS DOUBLE) AS sy$m,
+         |    COUNT(CASE WHEN m = $m THEN 1 END) AS n$m""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT p_brand AS brand,
+       |    (CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) - 1995) * 12
+       |      + CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) - 1 AS x,
+       |    CAST(EXTRACT(month FROM l_shipdate) AS INT) AS m,
+       |    l_extendedprice AS y
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |), stats AS (
+       |  SELECT brand, COUNT(*) AS n,
+       |    CAST(SUM(x) AS BIGINT) AS sx,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+       |    CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(x AS DECIMAL(10,0)) * CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+       |    CAST(MAX(x) AS BIGINT) AS max_x,
+       |$monthAggs
+       |  FROM base GROUP BY brand
+       |), fitted AS (
+       |  SELECT *,
+       |    (sy - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+       |    sy / CAST(n AS DOUBLE) AS mean_all
+       |  FROM (
+       |    SELECT *,
+       |      CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+       |      THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+       |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |      ELSE NULL END AS slope
+       |    FROM stats
+       |  )
+       |), scored AS (
+       |  SELECT brand, n,
+       |    intercept + slope * (CAST(max_x AS DOUBLE) + 6.5)
+       |      + $idxSumSql / 12.0 AS mean_yhat
+       |  FROM fitted
+       |)
+       |SELECT brand, n, mean_yhat, rk FROM (
+       |  SELECT brand, n, mean_yhat,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY mean_yhat, brand) AS INT) AS rk
+       |  FROM scored WHERE mean_yhat > 0
+       |) WHERE rk <= 10""".stripMargin
   }
 
   // ------------------------------------------------- fitted-model persistence

@@ -41,6 +41,19 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.filter("avg_price > p2").count() == 0)
   }
 
+  test("rank-by-forecast composes the seasonal model mean with an ascending rank") {
+    val df = operators.Forecast.forecastTopK(spark, sf).collect().sortBy(_.getInt(3))
+    assert(df.nonEmpty && df.length <= 10)
+    assert(df.map(_.getInt(3)).toSeq == (1 to df.length)) // dense ranks from 1
+    assert(df.forall(_.getDouble(2) > 0)) // negative forecasts filtered
+    assert(df.map(_.getDouble(2)).toSeq == df.map(_.getDouble(2)).toSeq.sorted) // cheapest first
+    // closed form == explicit 12-row horizon mean for one brand
+    val brand = df.head.getString(0)
+    val sf12 = operators.Forecast.seasonalForecastHorizonMeanFor(spark, sf, brand)
+    assert(math.abs(df.head.getDouble(2) - sf12) < 1e-6,
+      s"closed-form mean ${df.head.getDouble(2)} vs explicit-grid mean $sf12")
+  }
+
   test("forecast from a persisted model is bit-identical to a fresh fit") {
     val path = java.nio.file.Files.createTempDirectory("graftfc").toString + "/model"
     operators.Forecast.writeForecastModel(spark, sf, path)
