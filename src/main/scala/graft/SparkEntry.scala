@@ -36,6 +36,7 @@ object SparkEntry {
     "q_forecast_changepoint" -> ((s, dir) => Forecast.forecastChangepoint(s, dir)),
     "q_forecast_horizon" -> ((s, dir) => Forecast.forecastHorizon(s, dir)),
     "q_topk_forecast" -> ((s, dir) => Forecast.forecastTopK(s, dir)),
+    "q_forecast_recency" -> ((s, dir) => Forecast.forecastRecency(s, dir)),
     "q_seasonal_forecast" -> ((s, dir) => Forecast.seasonalForecast(s, dir)),
     "q_covariate_corr" -> ((s, dir) => Stats.covariateCorr(s, dir)),
     "q_hdi_volatility" -> ((s, dir) => Stats.hdiVolatility(s, dir)),
@@ -99,6 +100,7 @@ object SparkEntry {
     "q_forecast_changepoint" -> Forecast.forecastChangepointOracle,
     "q_forecast_horizon" -> Forecast.forecastHorizonOracle,
     "q_topk_forecast" -> Forecast.forecastTopKOracle,
+    "q_forecast_recency" -> Forecast.forecastRecencyOracle,
     "q_seasonal_forecast" -> Forecast.seasonalForecastOracle,
     "q_covariate_corr" -> Stats.covariateCorrOracle,
     "q_hdi_volatility" -> Stats.hdiVolatilityOracle,

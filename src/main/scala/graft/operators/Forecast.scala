@@ -406,6 +406,130 @@ object Forecast {
        |LEFT JOIN dowm w ON f.brand = w.db AND CAST(EXTRACT(dow FROM f.forecast_date) AS INT) + 1 = w.dow
        |LEFT JOIN monthm m ON f.brand = m.mb AND CAST(EXTRACT(month FROM f.forecast_date) AS INT) = m.month""".stripMargin
 
+  /** q_forecast_recency — data-recency horizons, the reference's
+    * `calculate_forecast_periods` (`server/forecast_utils.py:37-42`):
+    * `periods = (today − last observation).days + 365`, floored at 365 —
+    * a group whose data went stale forecasts a LONGER horizon so the
+    * series still reaches a year past "now". "Today" is the corpus as-of
+    * date (the global max observed day — deterministic, no wall clock),
+    * so horizons stretch per group exactly as the reference's do against
+    * the live date. Model shape is [[forecastHorizon]]'s trend + weekly +
+    * yearly additive composition; the as-of scalar joins in by broadcast
+    * (1 row), and each group explodes `horizon` future days instead of a
+    * fixed 365. */
+  def forecastRecency(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables
+      .lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_shipdate"))
+    val p = broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")))
+    val epoch = lit("1995-01-01").cast(DateType)
+    val base = li.join(p, col("l_partkey") === col("p_partkey"))
+      .select(
+        col("p_brand").as("brand"),
+        datediff(col("l_shipdate"), epoch).cast(LongType).as("x"),
+        dayofweek(col("l_shipdate")).as("dow"),
+        month(col("l_shipdate")).as("m"),
+        col("l_extendedprice").as("y"))
+    val trend = olsStats(base)
+      .withColumn("slope", slopeCol)
+      .withColumn(
+        "intercept",
+        (col("sy") - col("slope") * col("sx").cast(DoubleType)) / col("n").cast(DoubleType))
+      .withColumn("mean_all", col("sy") / col("n").cast(DoubleType))
+      .select(col("brand"), col("slope"), col("intercept"), col("mean_all"), col("max_x"))
+    val dowMeans = base
+      .groupBy(col("brand").as("db"), col("dow"))
+      .agg(meanOf(sum(dec2(col("y"))).cast(DoubleType), cnt).as("mean_dow"))
+    val monthMeans = base
+      .groupBy(col("brand").as("mb"), col("m").as("month"))
+      .agg(meanOf(sum(dec2(col("y"))).cast(DoubleType), cnt).as("mean_month"))
+    val asof = base.agg(max(col("x")).as("asof_x"))
+    val futures = trend
+      .crossJoin(broadcast(asof)) // 1-row scalar — broadcast, never a shuffle
+      .withColumn(
+        "horizon",
+        greatest(col("asof_x") - col("max_x") + lit(HorizonDays), lit(HorizonDays.toLong))
+          .cast(IntegerType))
+      .withColumn("day_offset", explode(sequence(lit(1), col("horizon"))))
+      .withColumn("x_future", col("max_x") + col("day_offset"))
+      .withColumn("forecast_date", date_add(epoch, col("x_future").cast(IntegerType)))
+      .withColumn("fdow", dayofweek(col("forecast_date")))
+      .withColumn("fmonth", month(col("forecast_date")))
+    futures
+      .join(broadcast(dowMeans),
+        col("brand") === col("db") && col("fdow") === col("dow"), "left")
+      .join(broadcast(monthMeans),
+        col("brand") === col("mb") && col("fmonth") === col("month"), "left")
+      .withColumn("weekly_idx", coalesce(col("mean_dow") - col("mean_all"), lit(0.0)))
+      .withColumn("yearly_idx", coalesce(col("mean_month") - col("mean_all"), lit(0.0)))
+      .withColumn(
+        "forecast",
+        col("intercept") + col("slope") * col("x_future").cast(DoubleType) +
+          col("weekly_idx") + col("yearly_idx"))
+      .select(col("brand"), col("horizon"), col("day_offset"), col("forecast_date"),
+        col("forecast"))
+  }
+
+  val forecastRecencyOracle: String =
+    s"""WITH base AS (
+       |  SELECT p_brand AS brand,
+       |    CAST(DATE_DIFF('day', DATE '1995-01-01', l_shipdate) AS BIGINT) AS x,
+       |    CAST(EXTRACT(dow FROM l_shipdate) AS INT) + 1 AS dow,
+       |    CAST(EXTRACT(month FROM l_shipdate) AS INT) AS m,
+       |    l_extendedprice AS y
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |), stats AS (
+       |  SELECT brand, COUNT(*) AS n,
+       |    CAST(SUM(x) AS BIGINT) AS sx,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+       |    CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(x AS DECIMAL(10,0)) * CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+       |    CAST(MAX(x) AS BIGINT) AS max_x
+       |  FROM base GROUP BY brand
+       |), trend AS (
+       |  SELECT brand, slope,
+       |    (sy - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+       |    sy / CAST(n AS DOUBLE) AS mean_all, max_x
+       |  FROM (
+       |    SELECT brand, n, sx, sy, max_x,
+       |      CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+       |      THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+       |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |      ELSE NULL END AS slope
+       |    FROM stats
+       |  )
+       |), dowm AS (
+       |  SELECT brand AS db, dow,
+       |    CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_dow
+       |  FROM base GROUP BY brand, dow
+       |), monthm AS (
+       |  SELECT brand AS mb, m AS month,
+       |    CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_month
+       |  FROM base GROUP BY brand, m
+       |), asof_now AS (
+       |  SELECT MAX(x) AS asof_x FROM base
+       |), futures AS (
+       |  SELECT brand, slope, intercept, mean_all, max_x,
+       |    CAST(horizon AS INT) AS horizon,
+       |    CAST(UNNEST(GENERATE_SERIES(1, horizon)) AS INT) AS day_offset
+       |  FROM (
+       |    SELECT t.*, GREATEST(a.asof_x - t.max_x + $HorizonDays, $HorizonDays) AS horizon
+       |    FROM trend t, asof_now a
+       |  )
+       |), grid AS (
+       |  SELECT brand, slope, intercept, mean_all, horizon, day_offset,
+       |    max_x + day_offset AS x_future,
+       |    DATE '1995-01-01' + CAST(max_x + day_offset AS INTEGER) AS forecast_date
+       |  FROM futures
+       |)
+       |SELECT g.brand, g.horizon, g.day_offset, g.forecast_date,
+       |  g.intercept + g.slope * CAST(g.x_future AS DOUBLE)
+       |    + COALESCE(w.mean_dow - g.mean_all, 0.0)
+       |    + COALESCE(m.mean_month - g.mean_all, 0.0) AS forecast
+       |FROM grid g
+       |LEFT JOIN dowm w ON g.brand = w.db AND CAST(EXTRACT(dow FROM g.forecast_date) AS INT) + 1 = w.dow
+       |LEFT JOIN monthm m ON g.brand = m.mb AND CAST(EXTRACT(month FROM g.forecast_date) AS INT) = m.month""".stripMargin
+
   /** q_seasonal_forecast — trend + additive month-of-year seasonality:
     * forecast for each month of the year after each brand's last
     * observed month. Seasonal index = (month mean) - (overall mean). */

@@ -54,6 +54,21 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"closed-form mean ${df.head.getDouble(2)} vs explicit-grid mean $sf12")
   }
 
+  test("recency horizons stretch stale groups to asof + 365 with exact row counts") {
+    import org.apache.spark.sql.functions._
+    val df = operators.Forecast.forecastRecency(spark, sf)
+    val perBrand = df.groupBy("brand")
+      .agg(max("horizon").as("h"), count(lit(1)).as("rows"),
+        max("day_offset").as("max_off"))
+      .collect()
+    assert(perBrand.nonEmpty)
+    perBrand.foreach { r =>
+      assert(r.getAs[Int]("h") >= 365, s"horizon below floor: $r")
+      assert(r.getAs[Long]("rows") == r.getAs[Int]("h").toLong, s"row count != horizon: $r")
+      assert(r.getAs[Int]("max_off") == r.getAs[Int]("h"), s"offsets don't cover horizon: $r")
+    }
+  }
+
   test("forecast from a persisted model is bit-identical to a fresh fit") {
     val path = java.nio.file.Files.createTempDirectory("graftfc").toString + "/model"
     operators.Forecast.writeForecastModel(spark, sf, path)
