@@ -144,6 +144,7 @@ object GraftFunctions {
   val SimHashName = "graft_simhash64"
   val MinHashName = "graft_minhash_sigs"
   val ShingleSetName = "graft_shingle_set"
+  val WordSetName = "graft_word_set"
   val TextStatsName = "graft_text_stats"
   val AsOfLookupName = "graft_asof_lookup"
   val TopKName = "graft_topk"
@@ -203,6 +204,12 @@ object GraftFunctions {
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       ShingleSetName,
       (exprs: Seq[Expression]) => ShingleHashSet(exprs.head, MinHashKernel.ShingleN),
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      WordSetName,
+      // n = 1: the distinct word-hash set (a 1-shingle IS a word) — the
+      // IDF-SimHash tokenization, deduplicated inside the scan
+      (exprs: Seq[Expression]) => ShingleHashSet(exprs.head, 1),
       "built-in")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       TextStatsName,

@@ -293,25 +293,42 @@ object Dedup {
     * ±log(N/df) per bit instead of ±1, so corpus-wide boilerplate
     * (df ≈ N, weight ≈ 0) stops dominating the signature and content
     * words decide it. Unlike the unweighted kernel this needs corpus
-    * document frequencies, so it is a DataFrame pipeline: one pass for
-    * df (vocabulary-cardinality, map-side combined — at production scale
-    * this table is a reusable corpus asset), one hash-keyed join, one
-    * 64-sum aggregate per doc. Words with df > N/2 are dropped outright
-    * (weight < log 2 ≈ noise), which also bounds the join. */
+    * document frequencies, so it is a DataFrame pipeline over ONE
+    * tokenized materialization (per-doc distinct word-hash sets from the
+    * scan kernel, lazily checkpointed): a df pass
+    * (vocabulary-cardinality, map-side combined — at production scale
+    * this table is a reusable corpus asset), a hash-keyed join against
+    * the PRUNED vocabulary (1 < df <= N/2: singleton terms cannot be
+    * shared by any pair, df > N/2 terms weigh < log 2 ≈ noise), and one
+    * 64-sum aggregate per doc. Pruning before the join is what keeps the
+    * vocabulary broadcastable; see the body comment. */
   def simhashIdfSignatures(docs: DataFrame): DataFrame = {
-    val words = docs
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    // ONE tokenization materialization feeds everything: the word-set
+    // kernel emits each doc's DISTINCT word hashes inside the scan (no
+    // distinct shuffle of the exploded token stream — the same shape as
+    // [[shingleSets]]), and the lazy checkpoint lets the df pass and the
+    // weighting pass share that single computation.
+    val sets = docs
       .select(col("doc_id"),
-        explode(split(regexp_replace(trim(col("text")), "\\s+", " "), " ")).as("word"))
-      .select(col("doc_id"), xxhash64(col("word")).as("h"))
-      .distinct()
+        call_function(graft.functions.GraftFunctions.WordSetName, col("text")).as("hs"))
+      .localCheckpoint(eager = false)
+    val words = sets.select(col("doc_id"), explode(col("hs")).as("h"))
     // the corpus size enters the plan as a broadcast scalar, NOT a
     // driver-side count(): building this DataFrame stays lazy (the
     // Catalog laziness contract), and the cross join is 1 row
-    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val nDocs = sets.agg(countDistinct(col("doc_id")).as("n_docs"))
+    // Vocabulary pruning BEFORE the join, both ends: df = 1 terms occur
+    // in exactly one document, so they cannot be shared by any pair —
+    // for a pairing signature they only push singletons apart, and
+    // dropping them caps the vocabulary (on real corpora the df = 1 tail
+    // IS most of the vocabulary: typos, ids, hashes). df > N/2 terms are
+    // boilerplate with weight < log 2 ≈ noise. The pruned vocabulary is
+    // small enough for AQE to broadcast the join on any realistic corpus.
     val weights = words.groupBy(col("h"))
       .agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
-      .filter(col("df") * 2 <= col("n_docs"))
+      .filter(col("df") > 1 && col("df") * 2 <= col("n_docs"))
       .select(col("h"),
         log(col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)).as("w"))
     val weighted = words.join(weights, Seq("h"))
