@@ -139,6 +139,7 @@ object GraftFunctions {
   val CosineName = "graft_cosine"
   val DotName = "graft_dot"
   val L2Name = "graft_l2sq"
+  val ArgminL2Name = "graft_argmin_l2"
   val HplaneIndexName = "graft_hplane_index"
   val HplaneProbeName = "graft_hplane_probe"
   val SimHashName = "graft_simhash64"
@@ -180,6 +181,10 @@ object GraftFunctions {
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       L2Name,
       (exprs: Seq[Expression]) => L2SquaredDistance(exprs.head, exprs(1)),
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      ArgminL2Name,
+      (exprs: Seq[Expression]) => ArgminL2(exprs.head, exprs(1)),
       "built-in")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       HplaneIndexName,
@@ -241,6 +246,11 @@ object GraftFunctions {
   def graftDot(a: Column, b: Column): Column = call_function(DotName, a, b)
 
   def graftL2sq(a: Column, b: Column): Column = call_function(L2Name, a, b)
+
+  /** 0-based nearest-centroid index (first wins ties) — one compiled
+    * loop over an array-of-vectors column or literal. */
+  def graftArgminL2(vec: Column, cents: Column): Column =
+    call_function(ArgminL2Name, vec, cents)
 }
 
 /** `SparkSessionExtensions` hook: enables

@@ -69,6 +69,97 @@ case class DotProduct(left: Expression, right: Expression) extends VectorPairKer
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused nearest-centroid assignment: `graft_argmin_l2(vec, cents)` over
+  * a vector and an array-of-vectors column returns the 0-based index of
+  * the centroid with the smallest squared L2 distance (first index wins
+  * ties — identical to `array_position(dists, array_min(dists)) - 1`
+  * over per-centroid kernel results). ONE compiled loop over cells and
+  * components; the frame-native Lloyd fit ([[graft.operators.Similarity
+  * .ivfFit]]) evaluates this per corpus row per round, where a
+  * `transform()` HOF would pay interpreted per-element lambda dispatch
+  * at NList kernel calls per row. */
+case class ArgminL2(left: Expression, right: Expression) extends BinaryExpression {
+  private def vecElemIsDouble: Option[Boolean] = left.dataType match {
+    case ArrayType(FloatType, _) => Some(false)
+    case ArrayType(DoubleType, _) => Some(true)
+    case _ => None
+  }
+
+  private def centsOk: Boolean = right.dataType match {
+    case ArrayType(ArrayType(DoubleType, _), _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (vecElemIsDouble.isDefined && centsOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float|double>, array<array<double>>), " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "graft_argmin_l2"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val cents = b.asInstanceOf[ArrayData]
+    val vd = vecElemIsDouble.get
+    var best = -1
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < cents.numElements()) {
+      val cv = cents.getArray(c)
+      val n = math.min(v.numElements(), cv.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = (if (vd) v.getDouble(i) else v.getFloat(i).toDouble) - cv.getDouble(i)
+        acc += d * d
+        i += 1
+      }
+      if (acc < bestD) { bestD = acc; best = c }
+      c += 1
+    }
+    if (best < 0) null else best
+  }
+
+  override def nullable: Boolean = true
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val cv = ctx.freshName("cv")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val vGet =
+        if (vecElemIsDouble.contains(true)) s"$a.getDouble($i)"
+        else s"(double) $a.getFloat($i)"
+      s"""
+         |int $best = -1;
+         |double $bestD = Double.POSITIVE_INFINITY;
+         |for (int $c = 0; $c < $b.numElements(); $c++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cv = $b.getArray($c);
+         |  int $n = java.lang.Math.min($a.numElements(), $cv.numElements());
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = $vGet - $cv.getDouble($i);
+         |    $acc += $d * $d;
+         |  }
+         |  if ($acc < $bestD) { $bestD = $acc; $best = $c; }
+         |}
+         |if ($best < 0) { ${ev.isNull} = true; } else { ${ev.value} = $best; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Fused squared L2 distance: sum((a[i]-b[i])^2) in one pass. */
 case class L2SquaredDistance(left: Expression, right: Expression) extends VectorPairKernel {
   override def prettyName: String = "graft_l2sq"

@@ -224,38 +224,65 @@ object Similarity {
   private def l2sq(v: Column, centroid: Array[Double]): Column =
     GraftFunctions.graftL2sq(v, array(centroid.map(lit(_)): _*))
 
-  /** Train an IVF coarse quantizer with Lloyd iterations. Centroids are
-    * MODEL STATE (NList x dim doubles) — collecting them to the driver
-    * each round is legitimate and O(KB); the assignment and update passes
-    * stay fully distributed. Init is deterministic (first NList vectors by
-    * id), updates are means, ties in assignment break to the lowest
-    * centroid index. */
+  /** Trained centroids as a nested array literal for the compiled
+    * argmin assignment kernel ([[graft.functions.ArgminL2]]). */
+  private def centsLit(centroids: Array[Array[Double]]): Column =
+    array(centroids.map(c => array(c.map(lit(_)): _*)): _*)
+
+  /** Train an IVF coarse quantizer with Lloyd iterations, FRAME-NATIVE:
+    * the centroids live as a (cid, cvec) DataFrame throughout training —
+    * each round collapses them into ONE row (sorted array of cvecs) that
+    * cross-joins onto the corpus by broadcast, so assignment is a
+    * row-local argmin (zero corpus shuffle, exactly like the literal
+    * form) and the component-mean update is one map-side-combined
+    * aggregate of per-cell partials. Nothing reaches the driver until the
+    * FINAL model collect — at production NList x dim (e.g. 65k x 768 ≈
+    * 50M weights) the per-round state stays distributed, where a
+    * per-iteration collect would bottleneck the driver.
+    *
+    * Determinism is unchanged from the literal form: init is the first
+    * NList vectors by id, updates are decimal-exact component means
+    * (avg() over raw floats would be partition-order-dependent), ties in
+    * assignment break to the lowest centroid index, and empty cells keep
+    * their previous centroid. Each round's tiny centroid frame is
+    * eagerly checkpointed (one distributed job per Lloyd round — the
+    * iteration itself, not driver traffic) so plans stay bounded. */
   def ivfFit(corpus: DataFrame, nList: Int = IvfNList, iters: Int = IvfIters): Array[Array[Double]] = {
-    var centroids: Array[Array[Double]] = corpus
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+    var cents: DataFrame = corpus
       .orderBy(col("vec_id")).limit(nList)
-      .select(col("vec")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .select((row_number().over(w) - 1).as("cid"),
+        transform(col("vec"), x => x.cast(DoubleType)).as("cvec"))
+      .localCheckpoint()
     for (_ <- 0 until iters) {
-      val dists = array(centroids.map(c => l2sq(col("vec"), c)): _*)
-      val assigned = corpus.withColumn(
-        "cid", array_position(dists, array_min(dists)).cast(IntegerType) - 1)
-      // decimal-exact component means: avg() over raw floats would be
-      // partition-order-dependent and make trained centroids (and thus
-      // search results) vary across runs/retries
-      val dims = assigned
+      val packed = cents
+        .groupBy()
+        .agg(transform(array_sort(collect_list(struct(col("cid"), col("cvec")))),
+          s => s.getField("cvec")).as("cents"))
+      val assigned = corpus
+        .crossJoin(broadcast(packed)) // ONE row — the model state rides the plan
+        .withColumn("cid", GraftFunctions.graftArgminL2(col("vec"), col("cents")))
+      val updates = assigned
         .select(col("cid"), posexplode(col("vec")))
         .groupBy(col("cid"), col("pos"))
         .agg((sum(col("col").cast(DecimalType(28, 9))).cast(DoubleType) /
           count(lit(1)).cast(DoubleType)).as("m"))
-        .collect()
-      val next = Array.fill(centroids.length)(new Array[Double](centroids(0).length))
-      val seen = Array.fill(centroids.length)(false)
-      dims.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2); seen(r.getInt(0)) = true
-      }
-      centroids = centroids.indices.map(i => if (seen(i)) next(i) else centroids(i)).toArray
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("new_cvec"))
+      // lazy: each round's centroid frame materializes once inside the
+      // final collect's job graph (two consumers — next round's packed
+      // broadcast and the empty-cell fallback join) instead of paying an
+      // eager job barrier per Lloyd round
+      cents = cents
+        .join(updates, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("new_cvec"), col("cvec")).as("cvec"))
+        .localCheckpoint(eager = false)
     }
-    centroids
+    // the ONLY driver collect: the trained model (NList x dim), ordered
+    cents.orderBy(col("cid")).collect()
+      .map(_.getSeq[Double](1).toArray)
   }
 
   /** q_knn_ivf — IVF search: corpus sharded into NList inverted lists by
@@ -274,9 +301,8 @@ object Similarity {
   private[graft] def knnIvfOf(corpus: DataFrame, centroids: Array[Array[Double]],
       k: Int = 10): DataFrame = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
-    val dists = array(centroids.map(c => l2sq(col("vec"), c)): _*)
-    val listed = corpus.withColumn(
-      "cid", array_position(dists, array_min(dists)).cast(IntegerType) - 1)
+    val listed = corpus.withColumn("cid",
+      GraftFunctions.graftArgminL2(col("vec"), centsLit(centroids)))
     val probeIdx = {
       // indices of the NProbe smallest distances: sort (dist, idx) structs
       val pairs = array(centroids.zipWithIndex.map { case (c, i) =>
@@ -312,9 +338,8 @@ object Similarity {
       indexPath: String, nList: Int = IvfNList): Array[Array[Double]] = {
     GraftFunctions.ensureRegistered(spark)
     val centroids = ivfFit(corpus, nList)
-    val dists = array(centroids.map(c => l2sq(col("vec"), c)): _*)
     corpus
-      .withColumn("cid", array_position(dists, array_min(dists)).cast(IntegerType) - 1)
+      .withColumn("cid", GraftFunctions.graftArgminL2(col("vec"), centsLit(centroids)))
       .write.mode("overwrite").partitionBy("cid").parquet(indexPath)
     writeIvfModel(spark, indexPath, centroids, corpus.count())
     centroids
@@ -367,9 +392,8 @@ object Similarity {
   def appendIvfIndex(spark: SparkSession, batch: DataFrame, indexPath: String): Unit = {
     GraftFunctions.ensureRegistered(spark)
     val (centroids, _) = readIvfModel(spark, indexPath)
-    val dists = array(centroids.map(c => l2sq(col("vec"), c)): _*)
     batch
-      .withColumn("cid", array_position(dists, array_min(dists)).cast(IntegerType) - 1)
+      .withColumn("cid", GraftFunctions.graftArgminL2(col("vec"), centsLit(centroids)))
       .write.mode("append").partitionBy("cid").parquet(indexPath)
   }
 
@@ -393,10 +417,9 @@ object Similarity {
     else {
       val snap = corpus.localCheckpoint() // sever from the files we rewrite
       val centroids = ivfFit(snap, nList, iters)
-      val dists = array(centroids.map(c => l2sq(col("vec"), c)): _*)
       val tmp = indexPath.stripSuffix("/") + "_tmp"
       snap
-        .withColumn("cid", array_position(dists, array_min(dists)).cast(IntegerType) - 1)
+        .withColumn("cid", GraftFunctions.graftArgminL2(col("vec"), centsLit(centroids)))
         .write.mode("overwrite").partitionBy("cid").parquet(tmp)
       val conf = spark.sparkContext.hadoopConfiguration
       val idx = new org.apache.hadoop.fs.Path(indexPath)

@@ -228,6 +228,26 @@ object GraftProps extends Properties("graft") {
         s <- Gen.oneOf(0.1, 0.25, 0.25, 0.5, 0.9)
       } yield (q, n, s))
 
+  property("argmin-l2 kernel matches the array_position formulation incl. ties") =
+    forAll(
+      Gen.listOfN(20, Gen.listOfN(4, Gen.chooseNum(-2, 2).map(_.toDouble))),
+      Gen.listOfN(5, Gen.listOfN(4, Gen.chooseNum(-2, 2).map(_.toDouble)))) { (vecs, cents) =>
+      vecs.nonEmpty && cents.nonEmpty ==> {
+        functions.GraftFunctions.ensureRegistered(spark)
+        val df = spark.createDataFrame(vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) })
+          .toDF("vec_id", "vec")
+        val centsArr = cents.map(_.toArray).toArray
+        val centsLit = array(centsArr.map(c => array(c.map(lit(_)): _*)): _*)
+        val distsLit = array(centsArr.map(c =>
+          functions.GraftFunctions.graftL2sq(col("vec"), array(c.map(lit(_)): _*))): _*)
+        val both = df.select(
+          functions.GraftFunctions.graftArgminL2(col("vec"), centsLit).as("kernel"),
+          (array_position(distsLit, array_min(distsLit)).cast("int") - 1).as("ref"))
+          .collect()
+        both.forall(r => r.getInt(0) == r.getInt(1))
+      }
+    }
+
   property("native topk kernel matches the typed Aggregator reference") =
     forAll(scoredGen, Gen.oneOf(1, 3, 7)) { (rows, k) =>
       rows.isEmpty || {
