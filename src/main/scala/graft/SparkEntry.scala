@@ -64,6 +64,7 @@ object SparkEntry {
     "q_quality_thresholds" -> ((s, dir) => TextAnalysis.qualityThresholds(s, dir)),
     "q_corpus_clean_adaptive" -> ((s, dir) => TextAnalysis.corpusCleanAdaptive(s, dir)),
     "q_winnow_fingerprint" -> ((s, dir) => TextAnalysis.winnowFingerprint(s, dir)),
+    "q_text_bpe" -> ((s, dir) => TextAnalysis.textBpe(s, dir)),
     "q_dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashDedup(s, dir)),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhashDedup(s, dir)),
@@ -130,8 +131,9 @@ object SparkEntry {
     "q_distinct_slices" -> Catalog.distinctSlicesOracle
     // q_dedup_minhash, q_dedup_simhash, q_knn_lsh, q_knn_ivf,
     // q_dedup_embedding, q_winnow_fingerprint, q_pack_sequences,
-    // q_pack_bucketed: not SQL-expressible
-    // (xxhash64 signatures / LSH plane constants / trained model state);
-    // driver records rows-only checks, specs carry correctness.
+    // q_pack_bucketed, q_text_bpe: not SQL-expressible
+    // (xxhash64 signatures / LSH plane constants / trained model state /
+    // iterative BPE merge learning); driver records rows-only checks,
+    // specs carry correctness.
   )
 }

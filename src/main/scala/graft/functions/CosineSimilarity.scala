@@ -150,6 +150,7 @@ object GraftFunctions {
   val AsOfLookupName = "graft_asof_lookup"
   val TopKName = "graft_topk"
   val TopKMeanName = "graft_topk_mean"
+  val BpeCountName = "graft_bpe_count"
 
   // Sessions already registered — createOrReplaceTempFunction is itself
   // idempotent, but every call past the first logs a "replaced a
@@ -231,6 +232,10 @@ object GraftFunctions {
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       TopKMeanName,
       (exprs: Seq[Expression]) => TopKMeanCollect.fromArgs(exprs),
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      BpeCountName,
+      (exprs: Seq[Expression]) => BpeTokenCount(exprs.head, exprs(1)),
       "built-in")
     val rules = classic.experimental.extraOptimizations
     if (!rules.contains(graft.plans.CosineFusionRule))

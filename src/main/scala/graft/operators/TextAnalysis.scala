@@ -23,6 +23,55 @@ object TextAnalysis {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
 
+  // --------------------------------------------- BPE merge-table tokenizer
+
+  /** Merge-table size for [[bpeTrain]] (GPT-2 trains 50k; the harness
+    * corpus saturates far earlier). */
+  val BpeMerges = 200
+
+  /** Vocabulary cap for training: top-V words by corpus frequency. Bounds
+    * the driver-side merge-learning state at any corpus size — the tail
+    * beyond the cap is singleton noise that earns no merges anyway. */
+  val BpeVocabCap = 10000
+
+  /** Train a BPE merge table on a corpus: the corpus-scale work is ONE
+    * map-side-combined word-frequency aggregation (with multiplicity —
+    * BPE counts occurrences, not documents); the classical merge loop
+    * (Sennrich et al. 2016) then runs over the capped vocabulary table —
+    * model fitting at vocabulary cardinality, the same state-vs-data
+    * line as IVF centroid training. Deterministic: frequency ties in the
+    * vocab cut and in merge selection both break lexicographically. */
+  def bpeTrain(docsDf: DataFrame, numMerges: Int = BpeMerges,
+      vocabCap: Int = BpeVocabCap): Array[String] = {
+    val wc = docsDf
+      .select(explode(split(regexp_replace(trim(col("text")), "\\s+", " "), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(vocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    graft.functions.BpeKernel.train(wc, numMerges)
+  }
+
+  /** q_text_bpe — tokenizer-TRUE token counts: the corpus-trained merge
+    * table applied per document by the codegen'd
+    * [[graft.functions.BpeTokenCount]] kernel (the merge table rides the
+    * plan as a foldable literal, like IVF centroids). Reported next to
+    * the whitespace count so budget drift of the regex approximation is
+    * visible. Training runs Spark jobs at plan-BUILD time — registered
+    * as model-bearing in [[graft.Catalog]]. */
+  def textBpe(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val d = docs(spark, dir)
+    val merges = bpeTrain(d)
+    d.select(
+      col("doc_id"),
+      call_function(
+        graft.functions.GraftFunctions.BpeCountName,
+        col("text"),
+        typedlit(merges.toSeq)).as("n_bpe_tokens"))
+  }
+
   /** q_dedup_exact — exact content dedup via md5 hash: every hash group's
     * canonical (min) doc id and copy count. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =

@@ -327,6 +327,29 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       Tables.documents(spark, sf).count())
   }
 
+  test("bpe tokenization: trained merges compress, counts bounded by symbols") {
+    import org.apache.spark.sql.functions._
+    val d = graft.Tables.documents(spark, sf)
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // no-merge baseline: every code point of every word is its own token
+    val baseline = d.select(col("doc_id"),
+      call_function(graft.functions.GraftFunctions.BpeCountName,
+        col("text"), typedlit(Seq.empty[String])).as("n0"))
+    val trained = operators.TextAnalysis.textBpe(spark, sf)
+    val both = trained.join(baseline, "doc_id").collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val (bpe, base) = (r.getAs[Int]("n_bpe_tokens"), r.getAs[Int]("n0"))
+      assert(bpe >= 0 && bpe <= base, s"merges must never increase counts: $r")
+    }
+    // the trained table actually fires on the corpus it was trained on
+    val sums = both.map(r => (r.getAs[Int]("n_bpe_tokens").toLong, r.getAs[Int]("n0").toLong))
+    assert(sums.map(_._1).sum < sums.map(_._2).sum, "trained merges never applied")
+    // deterministic across retrains
+    val again = operators.TextAnalysis.bpeTrain(d).toSeq
+    assert(again == operators.TextAnalysis.bpeTrain(d).toSeq)
+  }
+
   test("winnow sketch covers short docs and tail-position minima") {
     // operator reads from a dir; exercise semantics via a temp write
     val tmp = java.nio.file.Files.createTempDirectory("graftwin").toString

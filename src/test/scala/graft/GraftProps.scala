@@ -248,6 +248,66 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  // independent naive BPE: list-of-strings symbols, scala-collection ops —
+  // no shared code with the kernel's array/hashmap implementation
+  private def naiveBpeCountWord(word: String, merges: List[(String, String)]): Int = {
+    var syms = word.map(_.toString).toList
+    var changed = true
+    while (changed && syms.length >= 2) {
+      val ranked = syms.zip(syms.tail).zipWithIndex
+        .flatMap { case (p, _) => merges.zipWithIndex.find(_._1 == p).map(_._2) }
+      if (ranked.isEmpty) changed = false
+      else {
+        val (a, b) = merges(ranked.min)
+        val out = scala.collection.mutable.ListBuffer[String]()
+        var rest = syms
+        while (rest.nonEmpty) rest match {
+          case x :: y :: t if x == a && y == b => out += (x + y); rest = t
+          case x :: t => out += x; rest = t
+          case Nil => ()
+        }
+        syms = out.toList
+      }
+    }
+    syms.length
+  }
+
+  private val bpeWordGen: Gen[String] =
+    Gen.chooseNum(0, 8).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+
+  property("bpe kernel count matches the naive list reference under any merge table") =
+    forAll(
+      Gen.listOfN(12, bpeWordGen),
+      Gen.listOfN(6, Gen.zip(Gen.oneOf("a", "b", "c", "ab", "bc"), Gen.oneOf("a", "b", "c", "ca")))) {
+      (wordLists, merges) =>
+        val mergeStrs = merges.distinct.map { case (a, b) => s"$a $b" }
+        val text = wordLists.mkString(" ")
+        val df = spark.createDataFrame(Seq((1L, text))).toDF("doc_id", "text")
+        functions.GraftFunctions.ensureRegistered(spark)
+        val got = df.select(call_function(
+          functions.GraftFunctions.BpeCountName, col("text"), typedlit(mergeStrs)))
+          .collect()(0).getInt(0)
+        val mergePairs = mergeStrs.map { s =>
+          val Array(a, b) = s.split(" ", 2); (a, b)
+        }
+        // the same normalization the kernel applies: whitespace words
+        val words = text.trim.split("\\s+", -1).toList match {
+          case l if text.trim.isEmpty => List("")
+          case l => l
+        }
+        val want = words.map(w => naiveBpeCountWord(w, mergePairs)).sum
+        got == want
+    }
+
+  property("bpe training learns the most frequent pair first and is deterministic") =
+    forAll(Gen.listOfN(8, Gen.zip(bpeWordGen.suchThat(_.length >= 2), Gen.chooseNum(1L, 9L)))) {
+      wcs =>
+        val t1 = functions.BpeKernel.train(wcs, 10).toSeq
+        val t2 = functions.BpeKernel.train(wcs, 10).toSeq
+        // deterministic, and every merge is a "a b" pair of non-empty symbols
+        t1 == t2 && t1.forall(m => m.split(" ", 2).forall(_.nonEmpty))
+    }
+
   property("native topk kernel matches the typed Aggregator reference") =
     forAll(scoredGen, Gen.oneOf(1, 3, 7)) { (rows, k) =>
       rows.isEmpty || {

@@ -531,6 +531,32 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
       val r0 = row(Seq(4L -> 40.0), 2L)
       assert(proj(r0).isNullAt(0) && ex.eval(r0) == null) // nothing prior
     }
+    // bpe count compiles with the rank table as a reference object and
+    // agrees with interpreted eval
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val merges = Literal.create(Seq("a b", "ab c"), ArrayType(StringType))
+      val ex = BpeTokenCount(s, merges)
+      val proj = GenerateUnsafeProjection.generate(Seq(ex))
+      val r = new GenericInternalRow(Array[Any](UTF8String.fromString("abc abc xyz")))
+      // abc: a+b -> ab, ab+c -> abc = 1 token each; xyz: no merges = 3
+      assert(proj(r).getInt(0) == 5)
+      assert(ex.eval(r) == 5)
+    }
+    // argmin-l2 compiles; nearest centroid wins, first index on ties
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.types.DoubleType
+      val cents = Literal.create(
+        Seq(Seq(0.0, 0.0, 0.0), Seq(0.5, -0.25, 0.75), Seq(0.5, -0.25, 0.75)),
+        ArrayType(ArrayType(DoubleType)))
+      val ex = ArgminL2(v, cents)
+      val proj2 = GenerateUnsafeProjection.generate(Seq(ex))
+      val r = new GenericInternalRow(Array[Any](null,
+        new GenericArrayData(Array(0.5f, -0.25f, 0.75f))))
+      assert(proj2(r).getInt(0) == 1)
+      assert(ex.eval(r) == 1)
+    }
     // generate() THROWS on janino failure — no silent interpreted fallback
     val proj = GenerateUnsafeProjection.generate(exprs)
     val row = new GenericInternalRow(Array[Any](
