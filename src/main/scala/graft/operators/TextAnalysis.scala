@@ -435,12 +435,29 @@ object TextAnalysis {
     * swap in `approx_percentile` — a mergeable one-pass sketch with the
     * same API shape — which the spec bounds against the exact form. */
   def qualityThresholds(spark: SparkSession, dir: String): DataFrame =
+    qualityThresholds(spark, dir, approx = false)
+
+  /** Sketch accuracy for the approx path: rank error <= 1/accuracy. */
+  val ApproxPercentileAccuracy = 10000
+
+  /** `approx = true` is the 100 TB swap: exact `percentile` buffers every
+    * group value (fine at language-group cardinality on the harness;
+    * unbounded memory against a 100 TB corpus), while
+    * `approx_percentile`'s mergeable sketch holds O(accuracy) per group
+    * with rank error <= 1/[[ApproxPercentileAccuracy]] — the spec bounds
+    * the observed rank drift against the exact quantile. The exact form
+    * stays the default because it is what the DuckDB QUANTILE_CONT hash
+    * oracle matches bit-for-bit. */
+  def qualityThresholds(spark: SparkSession, dir: String, approx: Boolean): DataFrame =
     scoredDocs(spark, dir)
       .filter(col("pred_lang") =!= "und")
       .groupBy(col("pred_lang"))
       .agg(
         count(lit(1)).as("n_docs"),
-        percentile(col("quality_score"), lit(QualityQuantile)).as("q_low"))
+        (if (approx)
+           approx_percentile(col("quality_score"), lit(QualityQuantile),
+             lit(ApproxPercentileAccuracy))
+         else percentile(col("quality_score"), lit(QualityQuantile))).as("q_low"))
 
   val qualityThresholdsOracle: String =
     s"""WITH scored AS (

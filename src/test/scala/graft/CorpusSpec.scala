@@ -327,6 +327,35 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       Tables.documents(spark, sf).count())
   }
 
+  test("approx quality thresholds: rank drift bounded vs the exact quantile") {
+    import org.apache.spark.sql.functions._
+    val exact = operators.TextAnalysis.qualityThresholds(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val approx = operators.TextAnalysis.qualityThresholds(spark, sf, approx = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    val scored = operators.TextAnalysis.scoredCorpus(spark, sf)
+      .select(col("pred_lang"), col("quality_score")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val q = operators.TextAnalysis.QualityQuantile
+    approx.foreach { case (lang, qa) =>
+      val scores = scored.filter(_._1 == lang).map(_._2)
+      val n = scores.length.toDouble
+      // the sketch guarantees rank error <= 1/accuracy; at harness group
+      // sizes the value it returns is a real element, so its empirical
+      // rank must straddle the target quantile within that error plus
+      // one element of discreteness
+      val eps = 1.0 / operators.TextAnalysis.ApproxPercentileAccuracy + 1.0 / n
+      val below = scores.count(_ < qa) / n
+      val atOrBelow = scores.count(_ <= qa) / n
+      assert(below <= q + eps, s"$lang: approx q ranks too high ($below > $q + $eps)")
+      assert(atOrBelow >= q - eps, s"$lang: approx q ranks too low ($atOrBelow < $q - $eps)")
+      // and the value itself stays close to the exact interpolated quantile
+      assert(math.abs(qa - exact(lang)) <= 0.05,
+        s"$lang: approx $qa vs exact ${exact(lang)}")
+    }
+  }
+
   test("bpe tokenization: trained merges compress, counts bounded by symbols") {
     import org.apache.spark.sql.functions._
     val d = graft.Tables.documents(spark, sf)
