@@ -298,18 +298,58 @@ object Similarity {
   /** In-memory IVF search core over any (vec_id, vec) frame with a given
     * quantizer — [[knnIvf]] composes it with [[ivfFit]]; the index
     * lifecycle specs run it against appended/refreshed corpora. */
+  /** Probe-cell ranking by raw centroid distance — the classical IVF
+    * probe order, kept as the spec baseline for [[probeIdxByMargin]]. */
+  private[graft] def probeIdxByDistance(centroids: Array[Array[Double]],
+      qvec: Column, nProbe: Int): Column = {
+    val pairs = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(l2sq(qvec, c).as("d"), lit(i).as("i"))
+    }: _*)
+    transform(slice(array_sort(pairs), 1, nProbe), p => p.getField("i"))
+  }
+
+  /** Probe-cell ranking by BOUNDARY MARGIN: after the nearest cell, rank
+    * candidates by the query's distance to the bisecting hyperplane
+    * between the nearest centroid c0 and candidate ci —
+    * `(d²(q,ci) − d²(q,c0)) / (2·‖ci − c0‖)` — rather than by raw
+    * centroid distance (the multi-probe refinement of Lu et al.'s
+    * multi-probe LSH applied to a coarse quantizer). A neighbor lost to
+    * cell ci sits across that boundary, at distance >= the margin, so
+    * small-margin cells are where lost neighbors actually are: a big
+    * far-away cell whose boundary cuts close to the query outranks a
+    * tight nearby cell whose boundary doesn't. Recall at fixed NProbe
+    * degrades no worse than distance order (spec-gated >=). Pairwise
+    * centroid norms are model state (NList² doubles), precomputed
+    * driver-side and folded into the plan as literals. */
+  private[graft] def probeIdxByMargin(centroids: Array[Array[Double]],
+      qvec: Column, nProbe: Int): Column = {
+    def norm(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val cdist = centroids.map(a => centroids.map(b => norm(a, b)))
+    val dArr = array(centroids.map(c => l2sq(qvec, c)): _*)
+    val near = GraftFunctions.graftArgminL2(qvec, centsLit(centroids))
+    val dNear = element_at(dArr, near + 1)
+    val pairs = array(centroids.indices.map { i =>
+      val cd = element_at(array(cdist(i).map(lit(_)): _*), near + 1)
+      val margin = when(lit(i) === near, lit(Double.NegativeInfinity))
+        // duplicate centroids (cd = 0) carry no boundary — probe them
+        // right after the primary cell rather than dividing by zero
+        .otherwise(when(cd > 0,
+          (element_at(dArr, lit(i) + 1) - dNear) / (lit(2.0) * cd))
+          .otherwise(lit(0.0)))
+      struct(margin.as("m"), lit(i).as("i"))
+    }: _*)
+    transform(slice(array_sort(pairs), 1, nProbe), p => p.getField("i"))
+  }
+
   private[graft] def knnIvfOf(corpus: DataFrame, centroids: Array[Array[Double]],
-      k: Int = 10): DataFrame = {
+      k: Int = 10, marginProbes: Boolean = true): DataFrame = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
     val listed = corpus.withColumn("cid",
       GraftFunctions.graftArgminL2(col("vec"), centsLit(centroids)))
-    val probeIdx = {
-      // indices of the NProbe smallest distances: sort (dist, idx) structs
-      val pairs = array(centroids.zipWithIndex.map { case (c, i) =>
-        struct(l2sq(col("qvec"), c).as("d"), lit(i).as("i"))
-      }: _*)
-      transform(slice(array_sort(pairs), 1, IvfNProbe), p => p.getField("i"))
-    }
+    val probeIdx =
+      if (marginProbes) probeIdxByMargin(centroids, col("qvec"), IvfNProbe)
+      else probeIdxByDistance(centroids, col("qvec"), IvfNProbe)
     val queries = corpus
       .filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
@@ -449,12 +489,7 @@ object Similarity {
   def knnIvfIndexed(spark: SparkSession, dir: String, indexPath: String,
       centroids: Array[Array[Double]], k: Int = 10): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
-    val probeIdx = {
-      val pairs = array(centroids.zipWithIndex.map { case (c, i) =>
-        struct(l2sq(col("qvec"), c).as("d"), lit(i).as("i"))
-      }: _*)
-      transform(slice(array_sort(pairs), 1, IvfNProbe), p => p.getField("i"))
-    }
+    val probeIdx = probeIdxByMargin(centroids, col("qvec"), IvfNProbe)
     val queries = emb(spark, dir)
       .filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"))

@@ -327,6 +327,24 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       Tables.documents(spark, sf).count())
   }
 
+  test("margin-ranked probes: recall vs brute >= distance-ranked at equal NProbe") {
+    import org.apache.spark.sql.functions.col
+    val full = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").as("vec"))
+    val cents = operators.Similarity.ivfFit(full)
+    val brute = operators.Similarity.knnBrute(spark, sf, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got intersect brute).size.toDouble / brute.size
+    }
+    val margin = recall(operators.Similarity.knnIvfOf(full, cents, marginProbes = true))
+    val distance = recall(operators.Similarity.knnIvfOf(full, cents, marginProbes = false))
+    assert(margin >= distance,
+      s"margin probe order lost recall: margin=$margin distance=$distance")
+    assert(margin > 0.5, s"ivf recall degenerate: $margin")
+  }
+
   test("approx quality thresholds: rank drift bounded vs the exact quantile") {
     import org.apache.spark.sql.functions._
     val exact = operators.TextAnalysis.qualityThresholds(spark, sf)
