@@ -45,22 +45,26 @@ object Bench {
       }
       (name, median(times), times.min, times.max)
     }
-    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + med }
+    def f(x: Double): String = "%.4f".format(x) // 0.1ms precision keeps the line short
+    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + f(med) }
       .mkString("{", ",", "}")
     val spread = results
-      .map { case (k, _, mn, mx) => "\"" + k + "\":[" + mn + "," + mx + "]" }
+      .map { case (k, _, mn, mx) => "\"" + k + "\":[" + f(mn) + "," + f(mx) + "]" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"iters":$iters,"sf":"$sfDir"}"""
+    val total = f(results.map(_._2).sum)
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iters,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"iters":$iters,"sf":"$sfDir"}"""
     spark.stop()
-    // the JSON goes to a file AND is printed as the process's last stdout
-    // line (after spark.stop(), so no executor/log4j output can interleave
-    // with it — r1's bench line was unparseable for exactly that reason)
+    // full JSON (with spread) goes to a file; the process's last stdout
+    // line is the COMPACT medians-only form (after spark.stop(), so no
+    // executor/log4j output can interleave with it). The driver captures
+    // a bounded stdout tail — r4/r5's spread-bearing line overflowed it
+    // and clipped mid-line, nulling the driver's parse.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get(outPath), json.getBytes("UTF-8"))
+      java.nio.file.Paths.get(outPath), full.getBytes("UTF-8"))
     catch { case _: java.io.IOException => () }
-    println(json)
+    println(compact)
     System.out.flush()
   }
 }

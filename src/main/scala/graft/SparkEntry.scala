@@ -71,7 +71,7 @@ object SparkEntry {
     "q_dedup_simhash_idf" -> ((s, dir) => Dedup.simhashIdfDedup(s, dir)),
     "q_knn_brute" -> ((s, dir) => Similarity.knnBrute(s, dir)),
     "q_knn_lsh" -> ((s, dir) => Similarity.knnLsh(s, dir)),
-    "q_knn_ivf" -> ((s, dir) => Similarity.knnIvf(s, dir)),
+    "q_knn_ivf" -> ((s, dir) => Similarity.knnIvfServe(s, dir)),
     "q_dedup_embedding" -> ((s, dir) => Similarity.embeddingDedup(s, dir)),
     "q_distinct_slices" -> ((s, dir) => Catalog.distinctSlices(s, dir))
   )

@@ -220,6 +220,47 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaIndex == direct, "indexed search diverged from in-memory IVF")
   }
 
+  test("driver-side probe ranking is bit-identical to the expression form") {
+    import org.apache.spark.sql.functions.col
+    val full = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").as("vec"))
+    val cents = operators.Similarity.ivfFit(full)
+    val nProbe = operators.Similarity.IvfNProbe
+    val exprProbes = full.filter(col("vec_id") < 8)
+      .select(col("vec_id"),
+        operators.Similarity.probeIdxByMargin(cents, col("vec"), nProbe).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    val driverProbes = full.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("vec")).collect()
+      .map(r => r.getLong(0) ->
+        operators.Similarity.probeCellsDriver(cents, r.getSeq[Float](1).toArray, nProbe).toList)
+      .toMap
+    assert(driverProbes == exprProbes,
+      s"driver probe order diverged from expression form:\n$driverProbes\nvs\n$exprProbes")
+  }
+
+  test("ivf serve: cold call builds the generation, warm call reuses it, both equal in-memory ivf") {
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmrf)
+      f.delete(); ()
+    }
+    val servePath = operators.Similarity.ivfServePath(sf)
+    rmrf(new java.io.File(servePath))
+    rmrf(new java.io.File(servePath + "_model"))
+    def resultSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val direct = resultSet(operators.Similarity.knnIvf(spark, sf))
+    val cold = resultSet(operators.Similarity.knnIvfServe(spark, sf))
+    assert(cold == direct, "cold serve (fresh build) diverged from in-memory IVF")
+    // warm call must NOT rewrite the generation: model files untouched
+    val modelDir = new java.io.File(servePath + "_model")
+    val stamp = modelDir.listFiles.map(f => f.getName -> f.lastModified).toMap
+    val warm = resultSet(operators.Similarity.knnIvfServe(spark, sf))
+    assert(warm == direct, "warm serve diverged from in-memory IVF")
+    assert(modelDir.listFiles.map(f => f.getName -> f.lastModified).toMap == stamp,
+      "warm serve rewrote the index generation instead of reusing it")
+  }
+
   test("adaptive clean keeps the top quality mass per language; approx sketch tracks exact floors") {
     import org.apache.spark.sql.functions._
     val th = operators.TextAnalysis.qualityThresholds(spark, sf).collect()
