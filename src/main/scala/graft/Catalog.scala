@@ -63,6 +63,75 @@ object Catalog {
       |UNION ALL
       |SELECT DISTINCT 'market' AS dim, s_name AS value FROM supplier""".stripMargin
 
+  /** q_column_profile — the dataset viewer's column statistics panel
+    * (`server/pages/dataset_viewer.py:32-52` `show_data_statistics`):
+    * per column, dtype / non-null / null / distinct counts plus the
+    * record total, over the browsing extract. ONE aggregate over the
+    * frame — Catalyst plans the N count-distincts via a single Expand
+    * pass with map-side partials, not per-column jobs; the per-column
+    * rows are then unpivoted from the one aggregate row. Counts are
+    * exact; [[columnProfileApprox]] is the 100 TB swap (HLL sketches,
+    * no Expand multiplication), spec-gated within its rsd. */
+  def columnProfile(df: org.apache.spark.sql.DataFrame, approx: Boolean = false): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val fields = df.schema.fields.toSeq
+    val nd: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (approx) approx_count_distinct(_) else count_distinct(_)
+    val aggs = count(lit(1)).as("total_records") +:
+      fields.flatMap(f => Seq(
+        count(col(f.name)).as(s"__nn_${f.name}"),
+        nd(col(f.name)).as(s"__nd_${f.name}")))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = fields.zipWithIndex.map { case (f, i) =>
+      struct(
+        lit(i).as("ordinal"),
+        lit(f.name).as("column_name"),
+        lit(f.dataType.sql).as("data_type"),
+        col(s"__nn_${f.name}").as("non_null"),
+        (col("total_records") - col(s"__nn_${f.name}")).as("nulls"),
+        col(s"__nd_${f.name}").as("distinct_vals"),
+        col("total_records"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** The 100 TB form of [[columnProfile]]: `approx_count_distinct` HLL
+    * sketches merge associatively in one ordinary pass — no Expand
+    * row multiplication, no exact-distinct shuffle per column. */
+  def columnProfileApprox(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    columnProfile(df, approx = true)
+
+  /** The browsing extract's static column inventory, shared by the
+    * operator's oracle renderer and the schema-drift spec (names and
+    * Spark SQL type strings must match [[StarSchema.mlExtract]]). */
+  private[graft] val MlExtractProfileCols: Seq[(String, String)] = Seq(
+    "l_orderkey" -> "BIGINT",
+    "l_linenumber" -> "INT",
+    "constructed_date" -> "DATE",
+    "product_name" -> "STRING",
+    "country" -> "STRING",
+    "price" -> "DOUBLE",
+    "price_usd" -> "DOUBLE")
+
+  /** Oracle for q_column_profile, rendered from the SAME column
+    * inventory the Spark side profiles — per-column UNION ALL branches
+    * over one aggregate CTE, dtype strings emitted as identical
+    * literals on both sides. */
+  val columnProfileOracle: String = {
+    val aggExprs = "COUNT(*) AS total" +: MlExtractProfileCols.zipWithIndex.flatMap {
+      case ((name, _), i) =>
+        Seq(s"COUNT($name) AS nn$i", s"COUNT(DISTINCT $name) AS nd$i")
+    }
+    val branches = MlExtractProfileCols.zipWithIndex.map { case ((name, dt), i) =>
+      s"SELECT $i AS ordinal, '$name' AS column_name, '$dt' AS data_type, " +
+        s"nn$i AS non_null, total - nn$i AS nulls, nd$i AS distinct_vals, " +
+        s"total AS total_records FROM agg"
+    }
+    s"""WITH base AS (${operators.StarSchema.mlExtractOracle}),
+       |agg AS (SELECT ${aggExprs.mkString(", ")} FROM base)
+       |${branches.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   def register(spark: SparkSession, dir: String, materializeModels: Boolean = false): Unit = {
     TableLoaders.foreach { case (name, load) =>
       load(spark, dir).createOrReplaceTempView(name)

@@ -73,7 +73,8 @@ object SparkEntry {
     "q_knn_lsh" -> ((s, dir) => Similarity.knnLsh(s, dir)),
     "q_knn_ivf" -> ((s, dir) => Similarity.knnIvfServe(s, dir)),
     "q_dedup_embedding" -> ((s, dir) => Similarity.embeddingDedup(s, dir)),
-    "q_distinct_slices" -> ((s, dir) => Catalog.distinctSlices(s, dir))
+    "q_distinct_slices" -> ((s, dir) => Catalog.distinctSlices(s, dir)),
+    "q_column_profile" -> ((s, dir) => Catalog.columnProfile(StarSchema.mlExtract(s, dir)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -128,7 +129,8 @@ object SparkEntry {
     "q_corpus_clean_adaptive" -> TextAnalysis.corpusCleanAdaptiveOracle,
     "q_dedup_ngram" -> Dedup.ngramJaccardOracle,
     "q_knn_brute" -> Similarity.knnBruteOracle,
-    "q_distinct_slices" -> Catalog.distinctSlicesOracle
+    "q_distinct_slices" -> Catalog.distinctSlicesOracle,
+    "q_column_profile" -> Catalog.columnProfileOracle
     // q_dedup_minhash, q_dedup_simhash, q_knn_lsh, q_knn_ivf,
     // q_dedup_embedding, q_winnow_fingerprint, q_pack_sequences,
     // q_pack_bucketed, q_text_bpe: not SQL-expressible

@@ -237,4 +237,45 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // window starts are hour-aligned
     assert(df.filter("window_start_ms % 3600000 != 0").count() == 0)
   }
+
+  test("column profile counts nulls and distincts per column, one row per column") {
+    import spark.implicits._
+    val frame = Seq(
+      (Some(1), Some("a")), (Some(1), None), (None, Some("b")), (Some(2), Some("a"))
+    ).toDF("num", "txt")
+    val prof = Catalog.columnProfile(frame).collect()
+      .map(r => r.getString(1) -> ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(prof.keySet == Set("num", "txt"))
+    assert(prof("num") == ((3L, 1L, 2L, 4L)), s"num profile wrong: ${prof("num")}")
+    assert(prof("txt") == ((3L, 1L, 2L, 4L)), s"txt profile wrong: ${prof("txt")}")
+    // dtype strings come from the Spark schema
+    val types = Catalog.columnProfile(frame).collect()
+      .map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(types == Map("num" -> "INT", "txt" -> "STRING"))
+  }
+
+  test("column profile: static oracle inventory matches the live ml-extract schema") {
+    val live = operators.StarSchema.mlExtract(spark, sf)
+      .schema.fields.map(f => f.name -> f.dataType.sql).toSeq
+    assert(live == Catalog.MlExtractProfileCols,
+      s"ml-extract schema drifted from the oracle inventory:\n$live")
+  }
+
+  test("column profile approx swap tracks exact distincts within hll rsd") {
+    val frame = operators.StarSchema.mlExtract(spark, sf)
+    def profile(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(1) -> ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val exact = profile(Catalog.columnProfile(frame))
+    val approx = profile(Catalog.columnProfileApprox(frame))
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (name, (nn, nl, nd)) =>
+      val (ann, anl, and) = approx(name)
+      // null/non-null counts stay exact in the approx form
+      assert(ann == nn && anl == nl, s"$name: approx swapped exact counts")
+      // approx_count_distinct default rsd is 0.05; allow 3x for small-n
+      assert(math.abs(and - nd) <= math.max(3, (nd * 0.15).toLong),
+        s"$name: approx distinct $and too far from exact $nd")
+    }
+  }
 }
