@@ -169,6 +169,25 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  // the precondition for TopK.topkPerGroup's pure-FP cents projection:
+  // on exact 2-decimal money values (any sign, up to 9 digits), the
+  // fused floor(x*100 + 0.5) form lands on the same cent as the decimal
+  // cast chain. NOT true of arbitrary doubles — operators over full-
+  // precision data must keep the decimal form.
+  property("fp cents match decimal cents on 2-decimal money values") =
+    forAll(Gen.listOfN(64, Gen.chooseNum(-999999999L, 999999999L))) { centsIn =>
+      centsIn.isEmpty || {
+        import graft.functions.Exact._
+        val df = spark.createDataFrame(centsIn.map(c => Tuple1(c / 100.0)))
+          .toDF("v")
+        val both = df.select(
+          (dec2(col("v")) * lit(100)).cast("long").as("dec"),
+          floor(col("v") * lit(100) + lit(0.5)).as("fp"))
+          .collect()
+        both.forall(r => r.getLong(0) == r.getLong(1))
+      }
+    }
+
   property("text-stats kernel matches the regex formulation") =
     forAll(Gen.listOfN(8, statsTextGen)) { texts =>
       val df = docsDf(texts)
