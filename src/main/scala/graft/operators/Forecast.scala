@@ -582,7 +582,17 @@ object Forecast {
     * rank window sees only group-cardinality rows (bounded by the
     * product dimension, same as every dashboard "best N" surface). */
   def forecastTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    // Cents are materialized by a codegen'd Project BEFORE the aggregate
+    // (same fused-FP fast path as TopK.topkPerGroup, precondition
+    // property-tested in GraftProps): the 13 decimal sum buffers (sy, sxy,
+    // 12 monthly) become plain long sums, and the per-row decimal multiply
+    // xDec * dec2(y) becomes a long multiply. Each surfaced double is
+    // bit-equal to the decimal form while a group's cents-weighted sum
+    // stays under 2^53 (see Exact.sumCents2's budget note) — at a scale
+    // where a single brand's Σ|x|·cents could exceed that, restore the
+    // decimal buffers.
     val base = joined(spark, dir)
+      .withColumn("cents", floor(col("y") * lit(100) + lit(0.5)))
     val nD = col("n").cast(DoubleType)
     val sxD = col("sx").cast(DoubleType)
     val aggs: Seq[Column] =
@@ -590,12 +600,13 @@ object Forecast {
         cnt.as("n"),
         sum(col("x")).as("sx"),
         sum(col("x") * col("x")).as("sxx"),
-        sum(dec2(col("y"))).cast(DoubleType).as("sy"),
-        sum(xDec * dec2(col("y"))).cast(DoubleType).as("sxy"),
+        (sum(col("cents")).cast(DoubleType) / lit(100.0)).as("sy"),
+        (sum(col("x") * col("cents")).cast(DoubleType) / lit(100.0)).as("sxy"),
         max(col("x")).as("max_x")) ++
         (1 to 12).flatMap { m =>
           Seq(
-            sum(when(col("m") === m, dec2(col("y")))).cast(DoubleType).as(s"sy$m"),
+            (sum(when(col("m") === m, col("cents"))).cast(DoubleType) / lit(100.0))
+              .as(s"sy$m"),
             count(when(col("m") === m, lit(1))).as(s"n$m"))
         }
     val fitted = base

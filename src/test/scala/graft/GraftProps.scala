@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import org.scalacheck.{Gen, Prop, Properties, Test}
 import org.scalacheck.Prop.{forAll, propBoolean}
 
@@ -185,6 +186,28 @@ object GraftProps extends Properties("graft") {
           floor(col("v") * lit(100) + lit(0.5)).as("fp"))
           .collect()
         both.forall(r => r.getLong(0) == r.getLong(1))
+      }
+    }
+
+  // the x-weighted variant used by Forecast.forecastTopK's sxy buffer:
+  // summing x*cents as LONG and scaling once at the end is bit-equal to
+  // the exact decimal sum of x*y cast to double (the oracle's form),
+  // while the weighted cents total stays under 2^53.
+  property("weighted long-cents sum matches the decimal product sum") =
+    forAll(Gen.listOfN(64, Gen.zip(
+      Gen.chooseNum(-60L, 60L), Gen.chooseNum(-999999999L, 999999999L)))) { rows =>
+      rows.isEmpty || {
+        import graft.functions.Exact._
+        val df = spark.createDataFrame(rows.map { case (x, c) => (x, c / 100.0) })
+          .toDF("x", "v")
+        val both = df.agg(
+          sum(col("x").cast(DecimalType(10, 0)) * dec2(col("v")))
+            .cast("double").as("dec"),
+          (sum(col("x") * floor(col("v") * lit(100) + lit(0.5)))
+            .cast("double") / lit(100.0)).as("fp"))
+          .collect()(0)
+        java.lang.Double.doubleToRawLongBits(both.getDouble(0)) ==
+          java.lang.Double.doubleToRawLongBits(both.getDouble(1))
       }
     }
 
