@@ -1,13 +1,15 @@
 package graft.operators
 
 /** Pure-JVM media container codecs — REAL byte-level parsers/writers, no
-  * native libraries. The sandbox has no perceptual codecs (JPEG/H.264),
-  * but uncompressed containers are just bytes: binary PPM (P6) for
-  * images, RIFF/WAV PCM-16 for audio, and back-to-back PPM frames for
-  * video (the MJPEG pattern with raw frames). These let the multimodal
-  * stages do genuine decode/transform work — header parsing, dimension
+  * native libraries: binary PPM (P6) for uncompressed images, RIFF/WAV
+  * PCM-16 for audio, back-to-back PPM frames for video (the MJPEG
+  * pattern with raw frames), and — via the JDK's built-in `javax.imageio`
+  * plugins, so still no external dependency — PNG and JPEG for
+  * compressed images ([[ImageIoCodec]]). These let the multimodal stages
+  * do genuine decode/transform work — header parsing, dimension
   * validation, pixel-grid resampling, sample-domain features — with the
-  * stub codec remaining ONLY as the stand-in for compressed formats.
+  * stub codec remaining ONLY as the stand-in for formats outside that
+  * set (H.264 et al.).
   */
 object PpmCodec {
   /** Strict binary-PPM header: `P6\n<w> <h>\n255\n` + w*h*3 RGB bytes. */
@@ -180,5 +182,90 @@ object WavCodec {
       wi += 1
     }
     out
+  }
+}
+
+/** Compressed-image codec over the JDK's built-in `javax.imageio` PNG and
+  * JPEG plugins — no external dependency, pure JVM, executor-safe (the
+  * disk-backed stream cache is disabled so decode never touches local
+  * tmp). Decoded pixels surface in the SAME packed-RGB shape as
+  * [[PpmCodec]], so every downstream stage (features, resample, frame
+  * split) is container-agnostic.
+  *
+  * Adversarial-payload posture (multimodal corpora are untrusted bytes):
+  * the reader parses the HEADER first and rejects images whose claimed
+  * raster exceeds [[ImageIoCodec.MaxPixels]] BEFORE any pixel allocation
+  * — a crafted IHDR claiming a 10^9-pixel image must yield None, not an
+  * executor OOM — and every plugin exception (truncated stream, bad CRC,
+  * malformed markers) is caught to None, never thrown.
+  */
+object ImageIoCodec {
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Pixel cap applied from the header, before raster allocation: 64 MPx
+    * ≈ 192 MB packed RGB, far above any sane training-corpus image and
+    * far below an executor heap. */
+  val MaxPixels: Long = 64L * 1024 * 1024
+
+  /** Decode PNG/JPEG (or any other installed ImageIO plugin format) to
+    * (width, height, packed RGB) — None for unparseable, truncated,
+    * oversized, or non-image payloads. */
+  def decode(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (payload.length < 8) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return None
+          val img = reader.read(0)
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          val rgb = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            rgb(3 * i) = ((p >> 16) & 0xFF).toByte
+            rgb(3 * i + 1) = ((p >> 8) & 0xFF).toByte
+            rgb(3 * i + 2) = (p & 0xFF).toByte
+            i += 1
+          }
+          Some((w, h, rgb))
+        } finally reader.dispose()
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Encode packed RGB as PNG (lossless: [[decode]] of the result gives
+    * back the exact pixels — spec-asserted). */
+  def encodePng(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] =
+    encodeVia("png", w, h, rgb)
+
+  /** Encode packed RGB as baseline JPEG (lossy: decode approximates the
+    * input; dimensions and container validity are exact). */
+  def encodeJpeg(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] =
+    encodeVia("jpg", w, h, rgb)
+
+  private def encodeVia(fmt: String, w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"rgb length ${rgb.length} != $w x $h x 3")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
+    var i = 0
+    while (i < px.length) {
+      px(i) = ((rgb(3 * i) & 0xFF) << 16) |
+        ((rgb(3 * i + 1) & 0xFF) << 8) | (rgb(3 * i + 2) & 0xFF)
+      i += 1
+    }
+    img.setRGB(0, 0, w, h, px, 0, w)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, fmt, bos)
+    require(ok, s"no ImageIO writer for $fmt")
+    bos.toByteArray
   }
 }

@@ -8,16 +8,17 @@ import org.apache.spark.sql.types._
   * payloads with typed metadata, plus decode / feature-extract / resize /
   * frame-sample stages as batched per-partition transforms.
   *
-  * Codec honesty boundary: uncompressed container formats are REAL here —
-  * binary PPM images, RIFF/WAV PCM-16 audio, and concatenated-PPM-frame
-  * video are parsed, validated, resampled and feature-extracted at the
-  * byte level ([[PpmCodec]], [[WavCodec]]; [[transcode]] wraps raw
-  * ingest bytes into those containers). Only COMPRESSED perceptual
-  * codecs (JPEG/H.264/...) remain stubbed ([[StubCodec]]) because the
-  * environment ships no codec libraries; payloads that fail container
-  * parsing fall back to the stub's deterministic byte-level transforms,
-  * and a production deployment swaps the stub for a JNI/javacpp codec
-  * without touching the plan.
+  * Codec honesty boundary: image and audio containers are REAL here —
+  * binary PPM, PNG and baseline JPEG images (the JDK's own `javax.imageio`
+  * plugins, no external dependency — [[ImageIoCodec]]), RIFF/WAV PCM-16
+  * audio, and concatenated-PPM-frame video are parsed, validated,
+  * resampled and feature-extracted at the pixel/sample level
+  * ([[PpmCodec]], [[WavCodec]]; [[transcode]] wraps raw ingest bytes
+  * into a format mix of those containers). Only codecs the JVM does not
+  * ship (H.264/Opus/...) remain stubbed ([[StubCodec]]); payloads that
+  * fail every container parse fall back to the stub's deterministic
+  * byte-level transforms, and a production deployment swaps the stub for
+  * a JNI/javacpp codec without touching the plan.
   *
   * Scale notes: payloads never pass through a shuffle — every stage is a
   * narrow `mapPartitions` so a 100 TB media corpus streams partition-by-
@@ -114,9 +115,11 @@ object Multimodal {
   }
 
   /** Transcode raw ingest bytes into REAL containers (the ingest →
-    * transcode step of a media pipeline): images become binary PPMs with
-    * the metadata's dimensions, audio becomes 16 kHz PCM-16 WAV, video
-    * becomes nFrames back-to-back PPM frames. Sample data derives
+    * transcode step of a media pipeline): images become binary PPMs, PNGs
+    * or baseline JPEGs (round-robin by media id — a training corpus's
+    * image column is mixed-format, and downstream stages must not care)
+    * with the metadata's dimensions, audio becomes 16 kHz PCM-16 WAV,
+    * video becomes nFrames back-to-back PPM frames. Sample data derives
     * deterministically from the raw payload, so downstream stages do
     * genuine byte-level container parsing. Narrow mapPartitions — no
     * shuffle. */
@@ -127,8 +130,12 @@ object Multimodal {
         val seed = java.util.Arrays.hashCode(m.payload).toLong ^ (m.media_id << 32)
         val payload = m.meta.kind match {
           case "image" =>
-            PpmCodec.encode(m.meta.width, m.meta.height,
-              byteStream(seed, m.meta.width * m.meta.height * 3))
+            val rgb = byteStream(seed, m.meta.width * m.meta.height * 3)
+            (m.media_id / 3) % 3 match {
+              case 1 => ImageIoCodec.encodePng(m.meta.width, m.meta.height, rgb)
+              case 2 => ImageIoCodec.encodeJpeg(m.meta.width, m.meta.height, rgb)
+              case _ => PpmCodec.encode(m.meta.width, m.meta.height, rgb)
+            }
           case "audio" =>
             val bytes = byteStream(seed, math.max(2, (m.payload.length * 2) & ~1))
             val samples = new Array[Short](bytes.length / 2)
@@ -153,16 +160,17 @@ object Multimodal {
   }
 
   /** Decode + feature-extract, batched per partition (no shuffle): real
-    * container parsing (PPM pixel statistics, WAV sample-domain energy/
-    * zero-crossings); payloads that are not parseable containers (raw
-    * ingest bytes, compressed formats) fall back to the stub. */
+    * container parsing (PPM/PNG/JPEG pixel statistics, WAV sample-domain
+    * energy/zero-crossings); payloads that are not parseable containers
+    * (raw ingest bytes, formats outside the codec set) fall back to the
+    * stub. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaItem].mapPartitions { it =>
       it.map { m =>
         val feats = m.meta.kind match {
           case "image" | "video" =>
-            PpmCodec.decode(m.payload).map { case (w, h, rgb) => PpmCodec.features(w, h, rgb) }
+            decodeImage(m.payload).map { case (w, h, rgb) => PpmCodec.features(w, h, rgb) }
           case "audio" =>
             WavCodec.decode(m.payload).map { case (_, samples) => WavCodec.features(samples) }
           case _ => None
@@ -174,9 +182,11 @@ object Multimodal {
   }
 
   /** Resize image payloads: REAL nearest-neighbor resampling on the
-    * decoded pixel grid for PPM payloads (output is a valid PPM with the
-    * new dimensions); stub byte re-striding for unparseable payloads.
-    * Non-images pass through. */
+    * decoded pixel grid for PPM/PNG/JPEG payloads (a PPM source stays a
+    * valid PPM with the new dimensions; compressed sources re-encode as
+    * PNG — lossless, so the resampled pixels round-trip exactly); stub
+    * byte re-striding for unparseable payloads. Non-images pass
+    * through. */
   def resizeImages(spark: SparkSession, media: DataFrame, outW: Int, outH: Int): Dataset[MediaItem] = {
     import spark.implicits._
     media.as[MediaItem].mapPartitions { it =>
@@ -185,13 +195,22 @@ object Multimodal {
           val resized = PpmCodec.decode(m.payload) match {
             case Some((w, h, rgb)) =>
               PpmCodec.encode(outW, outH, PpmCodec.resizeNearest(w, h, rgb, outW, outH))
-            case None => StubCodec.resize(m.payload, outW, outH)
+            case None => ImageIoCodec.decode(m.payload) match {
+              case Some((w, h, rgb)) =>
+                ImageIoCodec.encodePng(outW, outH, PpmCodec.resizeNearest(w, h, rgb, outW, outH))
+              case None => StubCodec.resize(m.payload, outW, outH)
+            }
           }
           MediaItem(m.media_id, resized, m.meta.copy(width = outW, height = outH))
         } else m
       }
     }
   }
+
+  /** Container-agnostic image decode: strict PPM first (cheap header
+    * probe), then the ImageIO plugins (PNG/JPEG). */
+  private[operators] def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    PpmCodec.decode(payload).orElse(ImageIoCodec.decode(payload))
 
   /** Sample every `every`-th frame of video payloads (one output row per
     * sampled frame). Concatenated-PPM payloads are split at REAL frame

@@ -292,15 +292,24 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!scan.contains("payload") || !scan.contains("ReadSchema: struct<media_id:bigint,payload"))
   }
 
-  test("multimodal codecs: real PPM/WAV containers round-trip through decode/resize/frames") {
-    import graft.operators.{PpmCodec, WavCodec}
+  test("multimodal codecs: real PPM/PNG/JPEG/WAV containers round-trip through decode/resize/frames") {
+    import graft.operators.{ImageIoCodec, PpmCodec, WavCodec}
     val media = Multimodal.transcode(spark, Multimodal.fromDocuments(Tables.documents(spark, sf)))
     val items = media.collect()
-    // every image payload is a well-formed PPM whose header matches the metadata
-    items.filter(_.meta.kind == "image").foreach { m =>
-      val dec = PpmCodec.decode(m.payload)
+    // every image payload is a well-formed container whose dimensions
+    // match the metadata — and the corpus genuinely mixes formats: PPM,
+    // PNG (\x89PNG magic) and JPEG (\xFF\xD8 SOI marker) all present
+    val images = items.filter(_.meta.kind == "image")
+    def isPng(p: Array[Byte]) = p.length > 8 && (p(0) & 0xFF) == 0x89 && p(1) == 'P'
+    def isJpeg(p: Array[Byte]) = p.length > 2 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8
+    assert(images.exists(m => isPng(m.payload)), "no PNG payloads in the transcode mix")
+    assert(images.exists(m => isJpeg(m.payload)), "no JPEG payloads in the transcode mix")
+    assert(images.exists(m => m.payload.startsWith("P6".getBytes("US-ASCII"))),
+      "no PPM payloads in the transcode mix")
+    images.foreach { m =>
+      val dec = PpmCodec.decode(m.payload).orElse(ImageIoCodec.decode(m.payload))
       assert(dec.exists { case (w, h, _) => w == m.meta.width && h == m.meta.height },
-        s"media ${m.media_id}: bad PPM container")
+        s"media ${m.media_id}: bad image container")
     }
     // audio payloads are valid PCM-16 WAV at the metadata sample rate
     items.filter(_.meta.kind == "audio").foreach { m =>
@@ -309,12 +318,20 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
         rate == m.meta.sampleRateHz && samples.nonEmpty },
         s"media ${m.media_id}: bad WAV container")
     }
-    // resize does real pixel-grid resampling: output is a valid 8x8 PPM
+    // resize does real pixel-grid resampling: every output decodes as a
+    // valid 8x8 image (PPM stays PPM; compressed sources re-encode PNG)
     Multimodal.resizeImages(spark, media.toDF(), 8, 8).collect()
       .filter(_.meta.kind == "image").foreach { m =>
-        val dec = PpmCodec.decode(m.payload)
+        val dec = PpmCodec.decode(m.payload).orElse(ImageIoCodec.decode(m.payload))
         assert(dec.exists { case (w, h, rgb) => w == 8 && h == 8 && rgb.length == 192 })
       }
+    // PNG is lossless: encode -> decode gives back the exact pixels; and a
+    // JPEG round-trip preserves dimensions through a real DCT codec
+    val rgb3x2 = Array.tabulate[Byte](18)(i => (i * 13).toByte)
+    assert(ImageIoCodec.decode(ImageIoCodec.encodePng(3, 2, rgb3x2))
+      .exists { case (w, h, px) => w == 3 && h == 2 && px.sameElements(rgb3x2) })
+    assert(ImageIoCodec.decode(ImageIoCodec.encodeJpeg(3, 2, rgb3x2))
+      .exists { case (w, h, px) => w == 3 && h == 2 && px.length == 18 })
     // video frames split at real container boundaries: each a standalone PPM,
     // every 2nd frame of the metadata's frame count
     val frames = Multimodal.sampleFrames(spark, media.toDF(), every = 2).collect()
@@ -344,7 +361,29 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     garbage.foreach { g =>
       assert(P.decode(g).isEmpty, "PPM decode must reject garbage")
       assert(W.decode(g).isEmpty, "WAV decode must reject garbage")
+      assert(ImageIoCodec.decode(g).isEmpty, "ImageIO decode must reject garbage")
     }
+    // truncated PNG: valid signature + header, body cut mid-stream
+    assert(ImageIoCodec.decode(
+      ImageIoCodec.encodePng(4, 4, new Array[Byte](48)).take(30).toArray).isEmpty,
+      "truncated PNG must decode to None, not throw")
+    // decompression bomb: a well-formed IHDR (correct CRC) claiming a
+    // 65535x65535 raster — the pixel cap must reject it from the HEADER,
+    // before any multi-GB allocation
+    val bomb = {
+      val sig = Array[Int](0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
+      val ihdrBody = java.nio.ByteBuffer.allocate(17)
+        .put("IHDR".getBytes("US-ASCII"))
+        .putInt(65535).putInt(65535)         // width, height
+        .put(8.toByte).put(2.toByte)          // bit depth, RGB color type
+        .put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
+        .array()
+      val crc = new java.util.zip.CRC32(); crc.update(ihdrBody)
+      java.nio.ByteBuffer.allocate(8 + 4 + 17 + 4)
+        .put(sig).putInt(13).put(ihdrBody).putInt(crc.getValue.toInt).array()
+    }
+    assert(ImageIoCodec.decode(bomb).isEmpty,
+      "oversized-raster PNG must be rejected from the header")
   }
 
   test("column cleaning and schema generation mirror the reference parser") {
