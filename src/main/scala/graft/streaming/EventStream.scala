@@ -116,68 +116,23 @@ object EventStream {
         applyRollupBatch(batch, batchId, stateDir)
       }
 
-  private val Marker = "_last_batch"
-
-  private def markerOf(dir: java.nio.file.Path): Option[Long] = {
-    val f = dir.resolve(Marker)
-    if (!java.nio.file.Files.exists(f)) None
-    else
-      // partial marker writes parse as None -> the directory is treated
-      // as incomplete instead of crashing every restart
-      scala.util.Try(
-        new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toLong).toOption
-  }
-
   /** One rollup-batch application — the testable core of
     * [[incrementalRollupSink]] (replay and crash-recovery paths are
     * exercised directly in PlatformSpec, which a live streaming query
     * cannot do). */
-  private[graft] def applyRollupBatch(batch: DataFrame, batchId: Long, stateDir: String): Unit = {
-    val spark = batch.sparkSession
-    val state = java.nio.file.Paths.get(stateDir)
-    val tmp = java.nio.file.Paths.get(stateDir + "_tmp")
-    val stateMarker = if (java.nio.file.Files.exists(state)) markerOf(state) else None
-    val tmpMarker =
-      if (java.nio.file.Files.exists(tmp.resolve("_SUCCESS"))) markerOf(tmp) else None
-    // crash recovery by marker comparison: tmp wins only if it is a
-    // COMPLETE, NEWER merge (a crash mid-delete of the old state dir
-    // leaves it present-but-partial; the finished tmp must still win)
-    if (tmpMarker.exists(t => stateMarker.forall(t > _))) {
-      deleteRecursively(state)
-      java.nio.file.Files.move(tmp, state)
-    } else if (java.nio.file.Files.exists(tmp))
-      deleteRecursively(tmp) // stale or older partial write
-    // idempotent replay: this batch is already folded into the state
-    val applied = if (java.nio.file.Files.exists(state)) markerOf(state) else None
-    if (applied.exists(_ >= batchId))
-      logger.warn(
-        s"incrementalRollupSink: skipping batch $batchId (already applied " +
-          s"through ${applied.get}); if this stream was restarted with a " +
-          "fresh checkpoint over an existing state dir, clear the state dir")
-    else {
-      val slice = batch.select(
-        col("event_type").as("brand"),
-        year(col("ts")).as("year"),
-        month(col("ts")).as("month"),
-        col("value").as("price"))
-      val partial = graft.operators.Incremental.partialMonthly(slice)
-      val merged =
-        if (java.nio.file.Files.exists(state))
-          graft.operators.Incremental.merge(
-            Seq(spark.read.parquet(stateDir), partial))
-        else partial
-      merged.write.mode("overwrite").parquet(tmp.toString)
-      java.nio.file.Files.write(tmp.resolve(Marker), batchId.toString.getBytes("UTF-8"))
-      deleteRecursively(state)
-      java.nio.file.Files.move(tmp, state)
-    }
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
-        .foreach(java.nio.file.Files.delete)
+  private[graft] def applyRollupBatch(batch: DataFrame, batchId: Long, stateDir: String): Unit =
+    StreamStateStore.applyBatch(batch.sparkSession, batchId, stateDir, "incrementalRollupSink") {
+      prevState =>
+        val slice = batch.select(
+          col("event_type").as("brand"),
+          year(col("ts")).as("year"),
+          month(col("ts")).as("month"),
+          col("value").as("price"))
+        val partial = graft.operators.Incremental.partialMonthly(slice)
+        prevState match {
+          case Some(prev) => graft.operators.Incremental.merge(Seq(prev, partial))
+          case None => partial
+        }
     }
 
   /** Gap sessionization with explicit per-user state and event-time

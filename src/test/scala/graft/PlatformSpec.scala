@@ -272,6 +272,42 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming quality floors: histogram state is batch-exact, replay-safe, and bounds the exact quantile") {
+    import graft.streaming.QualityFloors
+    val scored = operators.TextAnalysis.scoredCorpus(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graftfloors").toString + "/state"
+    def floorsMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // three micro-batches; the maintained state must equal the one-shot
+    // histogram of everything seen BIT-EXACTLY (count sums are
+    // associative -> no drift across micro-batches, ever)
+    (0 to 2).foreach(i =>
+      QualityFloors.applyFloorBatch(scored.filter(col("doc_id") % 3 === i), i, dir))
+    val inc = floorsMap(QualityFloors.currentFloors(spark, dir))
+    val oneShot = floorsMap(QualityFloors.floorsOf(QualityFloors.partialHistogram(scored)))
+    assert(inc == oneShot)
+    // at-least-once replay: re-applying an already-folded batch is a no-op
+    QualityFloors.applyFloorBatch(scored.filter(col("doc_id") % 3 === 2), 2, dir)
+    assert(floorsMap(QualityFloors.currentFloors(spark, dir)) == inc)
+    // accuracy: per language the floor is the lower bucket edge of the
+    // exact order statistic at rank floor(q*(n-1)) — at most one bucket
+    // width below it, and never above (so adaptive cleaning with
+    // streamed floors can only keep slightly MORE than batch cleaning,
+    // never silently drop extra documents)
+    val perLang = scored.select("pred_lang", "quality_score").collect()
+      .groupBy(_.getString(0)).map { case (l, rows) => l -> rows.map(_.getDouble(1)).sorted }
+    assert(perLang.nonEmpty && perLang.keySet == inc.keySet)
+    perLang.foreach { case (lang, vs) =>
+      val (nDocs, est) = inc(lang)
+      assert(nDocs == vs.length)
+      val vLo = vs(math.floor(
+        operators.TextAnalysis.QualityQuantile * (vs.length - 1)).toInt)
+      assert(est <= vLo + 1e-12, s"$lang: floor $est above order statistic $vLo")
+      assert(vLo - est <= 1.0 / QualityFloors.Buckets + 1e-12,
+        s"$lang: floor $est drifted more than a bucket below $vLo")
+    }
+  }
+
   test("multimodal: features are fixed-dim, frames only from videos, resize is metadata-true") {
     val media = Multimodal.fromDocuments(Tables.documents(spark, sf))
     val nDocs = Tables.documents(spark, sf).count()
