@@ -35,7 +35,10 @@ object Reshape {
       // under the 2^53-cent budget even at fact scale)
       .agg((sumCents2(col("l_extendedprice")) /
         count(lit(1)).cast(DoubleType)).as("avg"))
-    (1 to 12).foldLeft(pivoted)((df, m) => df.withColumnRenamed(s"$m", s"m$m"))
+    // one Project for all 12 renames — a withColumnRenamed fold stacks
+    // 12 nested plans the analyzer pays for on every reuse (unpivot
+    // consumes this frame too)
+    pivoted.select(col("brand") +: (1 to 12).map(m => col(s"$m").as(s"m$m")): _*)
   }
 
   val pivotMonthlyOracle: String = {
@@ -58,7 +61,9 @@ object Reshape {
       monthCols.map(col).toArray,
       "month_name",
       "avg_price")
-      .withColumn("month", regexp_extract(col("month_name"), "^m([0-9]+)$", 1).cast(IntegerType))
+      // month number from the column name's fixed "m<N>" shape — no
+      // per-row regex machinery for a static rename
+      .withColumn("month", substring(col("month_name"), 2, 2).cast(IntegerType))
       .filter(col("avg_price").isNotNull)
       .select(col("brand"), col("month"), col("avg_price"))
   }
