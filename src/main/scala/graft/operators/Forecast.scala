@@ -715,7 +715,7 @@ object Forecast {
     * model state: every column is an associative exact aggregate (counts,
     * integer sums, decimal sums, max), so partials from a new data batch
     * fold in by summation without touching history. */
-  private def olsStatsExact(df: DataFrame): DataFrame =
+  private[graft] def olsStatsExact(df: DataFrame): DataFrame =
     df.groupBy(col("brand"))
       .agg(
         cnt.as("n"),
@@ -747,6 +747,11 @@ object Forecast {
   def forecastModelFrame(spark: SparkSession, dir: String): DataFrame =
     olsStatsExact(joined(spark, dir))
 
+  /** The model's observation input shape (brand, x, m, y) — what the
+    * streaming model sink consumes per micro-batch. */
+  private[graft] def observationsFrame(spark: SparkSession, dir: String): DataFrame =
+    joined(spark, dir)
+
   /** Fold a NEW batch of observations into a persisted model without
     * re-scanning history: the batch reduces to its own exact partials
     * (one group-cardinality aggregation), which sum with the stored
@@ -759,8 +764,17 @@ object Forecast {
 
   private[graft] def mergeForecastModelOf(base: DataFrame, modelPath: String): Unit = {
     val spark = base.sparkSession
-    val add = olsStatsExact(base)
-    val merged = spark.read.parquet(modelPath)
+    val merged =
+      mergeStatsFrames(spark.read.parquet(modelPath), olsStatsExact(base))
+    // sever from the files about to be overwritten
+    merged.localCheckpoint().write.mode("overwrite").parquet(modelPath)
+  }
+
+  /** Exact associative merge of two model-statistics frames — also the
+    * per-micro-batch fold of the streaming model sink
+    * (`graft.streaming.ForecastModelSink`). */
+  private[graft] def mergeStatsFrames(prev: DataFrame, add: DataFrame): DataFrame = {
+    val merged = prev
       .unionByName(add)
       .groupBy(col("brand"))
       .agg(
@@ -771,11 +785,9 @@ object Forecast {
         sum(col("sxy_dec")).as("sxy_dec"),
         sum(col("syy_dec")).as("syy_dec"),
         max(col("max_x")).as("max_x"))
-    // restore the canonical model schema (sums widen decimal precision),
-    // and sever from the files about to be overwritten
-    val canonical = merged.select(
+    // restore the canonical model schema (sums widen decimal precision)
+    merged.select(
       add.schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-    canonical.localCheckpoint().write.mode("overwrite").parquet(modelPath)
   }
 
   /** Next-month forecast from a persisted model — [[forecastLinear]]

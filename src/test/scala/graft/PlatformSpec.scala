@@ -272,6 +272,26 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming forecast model: maintained stats serve forecasts bit-identical to a fresh fit") {
+    import graft.streaming.ForecastModelSink
+    val obs = operators.Forecast.observationsFrame(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graftfmodel").toString + "/state"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    // three micro-batches by month index; the maintained model must equal
+    // one-shot training on everything seen, EXACTLY (decimal sums incl.)
+    (0 to 2).foreach(i =>
+      ForecastModelSink.applyModelBatch(obs.filter(pmod(col("x"), lit(3)) === i), i, dir))
+    val oneShot = rows(operators.Forecast.forecastModelFrame(spark, sf))
+    assert(rows(spark.read.parquet(dir)) == oneShot)
+    // at-least-once replay: re-applying an already-folded batch is a no-op
+    ForecastModelSink.applyModelBatch(obs.filter(pmod(col("x"), lit(3)) === 2), 2, dir)
+    assert(rows(spark.read.parquet(dir)) == oneShot)
+    // forecasts served from the streamed model are bit-identical to the
+    // batch operator's fresh fact-scan fit
+    assert(rows(operators.Forecast.forecastFromModel(spark, dir)) ==
+      rows(operators.Forecast.forecastLinear(spark, sf)))
+  }
+
   test("streaming quality floors: histogram state is batch-exact, replay-safe, and bounds the exact quantile") {
     import graft.streaming.QualityFloors
     val scored = operators.TextAnalysis.scoredCorpus(spark, sf)
