@@ -45,7 +45,10 @@ object Bench {
       }
       (name, median(times), times.min, times.max)
     }
-    def f(x: Double): String = "%.4f".format(x) // 0.1ms precision keeps the line short
+    // 0.1ms precision keeps the line short; Locale.ROOT because the
+    // default-locale format would emit decimal COMMAS on a comma-decimal
+    // host locale — invalid JSON on the one line that must stay parseable
+    def f(x: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, x)
     val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + f(med) }
       .mkString("{", ",", "}")
     val spread = results

@@ -202,10 +202,13 @@ object WavCodec {
 object ImageIoCodec {
   javax.imageio.ImageIO.setUseCache(false)
 
-  /** Pixel cap applied from the header, before raster allocation: 64 MPx
-    * ≈ 192 MB packed RGB, far above any sane training-corpus image and
-    * far below an executor heap. */
-  val MaxPixels: Long = 64L * 1024 * 1024
+  /** Pixel cap applied from the header, before raster allocation. Peak
+    * decode memory is ~11 bytes/pixel HELD SIMULTANEOUSLY (the plugin's
+    * BufferedImage raster + the getRGB int array + the packed-RGB
+    * output), so 16 MPx ≈ 180 MB peak per in-flight image — above any
+    * sane training-corpus image, and bounded enough that a few
+    * concurrent task threads on one executor cannot OOM it. */
+  val MaxPixels: Long = 16L * 1024 * 1024
 
   /** Decode PNG/JPEG (or any other installed ImageIO plugin format) to
     * (width, height, packed RGB) — None for unparseable, truncated,

@@ -299,26 +299,55 @@ object Similarity {
     * only when absent or stale — the deployment shape, where quantizer
     * training is amortized over every search instead of paid per call
     * (training from scratch inside the query was measuring index BUILD,
-    * not search). The index generation is keyed by the corpus row count
-    * persisted in the model sidecar, so a corpus swap under the same dir
-    * triggers a rebuild; results are bit-identical to [[knnIvf]] either
-    * way (same deterministic Lloyd fit, and the persisted f64 model
-    * round-trips exactly through parquet). */
+    * not search). The index generation is keyed by a FINGERPRINT of the
+    * corpus files' metadata (names, lengths, modification times — a
+    * driver-side listing, no data scan), persisted in the model sidecar:
+    * any corpus swap under the same dir changes the fingerprint and
+    * triggers a rebuild — including an equal-row-count content swap,
+    * which a count-based key would silently serve stale. Results are
+    * bit-identical to [[knnIvf]] either way (same deterministic Lloyd
+    * fit, and the persisted f64 model round-trips exactly through
+    * parquet). The freshness probe is ONE sidecar read whose centroids
+    * are reused for the search itself. */
   def knnIvfServe(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val indexPath = ivfServePath(dir)
-    val corpus = emb(spark, dir)
-    val fresh =
-      try readIvfModel(spark, indexPath)._2 == corpus.count()
-      catch { case _: Exception => false } // no generation yet
-    if (!fresh) writeIvfIndexOf(spark, corpus, indexPath)
-    knnIvfIndexed(spark, dir, indexPath, readIvfModel(spark, indexPath)._1, k)
+    val fp = corpusFingerprint(spark, dir)
+    val stored =
+      try Some(readIvfModelFull(spark, indexPath))
+      catch { case scala.util.control.NonFatal(_) => None } // no generation yet
+    val centroids = stored match {
+      case Some((cents, _, Some(storedFp))) if storedFp == fp => cents
+      case _ => writeIvfIndexOf(spark, emb(spark, dir), indexPath, fingerprint = Some(fp))
+    }
+    knnIvfIndexed(spark, dir, indexPath, centroids, k)
   }
 
-  /** Serving-index location for a corpus dir, inside the local warehouse
-    * (one generation per corpus dir; sanitized so nested sf dirs do not
-    * collide). */
-  private[graft] def ivfServePath(dir: String): String =
-    "spark-warehouse/ivf_serve_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+  /** Driver-side metadata fingerprint of the corpus parquet (file names,
+    * lengths, modification times — an FS listing, never a data scan):
+    * the serve path's staleness key. */
+  private[graft] def corpusFingerprint(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statuses =
+      (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq else Seq(fs.getFileStatus(p)))
+        .filter(_.isFile)
+        .sortBy(_.getPath.getName)
+    statuses.foldLeft(1125899906842597L) { (h, s) =>
+      ((h * 31 + s.getPath.getName.hashCode) * 31 + s.getLen) * 31 + s.getModificationTime
+    }
+  }
+
+  /** Serving-index location for a corpus dir, inside the local warehouse.
+    * The readable sanitized name is suffixed with a digest of the RAW dir
+    * string: sanitization alone maps distinct dirs (`a/b` vs `a_b`) to
+    * the same path, and two corpora must never serve each other's
+    * index. */
+  private[graft] def ivfServePath(dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
+    "spark-warehouse/ivf_serve_" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + digest
+  }
 
   /** In-memory IVF search core over any (vec_id, vec) frame with a given
     * quantizer — [[knnIvf]] composes it with [[ivfFit]]; the index
@@ -346,11 +375,16 @@ object Similarity {
     * degrades no worse than distance order (spec-gated >=). Pairwise
     * centroid norms are model state (NList² doubles), precomputed
     * driver-side and folded into the plan as literals. */
+  /** Pairwise centroid distance — ONE definition shared by the
+    * expression-form probe ranking and its driver-side serving twin: the
+    * persisted==in-memory contract requires the same arithmetic in the
+    * same order on both paths. */
+  private def centroidDist(a: Array[Double], b: Array[Double]): Double =
+    math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+
   private[graft] def probeIdxByMargin(centroids: Array[Array[Double]],
       qvec: Column, nProbe: Int): Column = {
-    def norm(a: Array[Double], b: Array[Double]): Double =
-      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
-    val cdist = centroids.map(a => centroids.map(b => norm(a, b)))
+    val cdist = centroids.map(a => centroids.map(b => centroidDist(a, b)))
     val dArr = array(centroids.map(c => l2sq(qvec, c)): _*)
     val near = GraftFunctions.graftArgminL2(qvec, centsLit(centroids))
     val dNear = element_at(dArr, near + 1)
@@ -400,13 +434,14 @@ object Similarity {
   /** Frame-based core of [[writeIvfIndex]] — the index lifecycle specs
     * build indexes over corpus subsets through it. */
   private[graft] def writeIvfIndexOf(spark: SparkSession, corpus: DataFrame,
-      indexPath: String, nList: Int = IvfNList): Array[Array[Double]] = {
+      indexPath: String, nList: Int = IvfNList,
+      fingerprint: Option[Long] = None): Array[Array[Double]] = {
     GraftFunctions.ensureRegistered(spark)
     val centroids = ivfFit(corpus, nList)
     corpus
       .withColumn("cid", GraftFunctions.graftArgminL2(col("vec"), centsLit(centroids)))
       .write.mode("overwrite").partitionBy("cid").parquet(indexPath)
-    writeIvfModel(spark, indexPath, centroids, corpus.count())
+    writeIvfModel(spark, indexPath, centroids, corpus.count(), fingerprint)
     centroids
   }
 
@@ -419,31 +454,50 @@ object Similarity {
   private[graft] def ivfModelPath(indexPath: String): String =
     indexPath.stripSuffix("/") + "_model"
 
-  /** Row (cid = -1, pos = 0) carries the trained-count; real centroid
-    * weights are (cid >= 0, pos, w). Counts are exact in a double below
-    * 2^53 — far beyond any vector count this index addresses. */
-  private def writeIvfModel(spark: SparkSession, indexPath: String,
-      centroids: Array[Array[Double]], trainedCount: Long): Unit = {
+  /** Row (cid = -1, pos = 0) carries the trained-count; rows (cid = -2,
+    * pos = 0/1) carry the corpus fingerprint's unsigned 32-bit halves
+    * (each half is exact in a double; one double cannot hold 64 bits);
+    * real centroid weights are (cid >= 0, pos, w). Counts are exact in a
+    * double below 2^53 — far beyond any vector count this index
+    * addresses. */
+  private[graft] def writeIvfModel(spark: SparkSession, indexPath: String,
+      centroids: Array[Array[Double]], trainedCount: Long,
+      fingerprint: Option[Long] = None): Unit = {
     import spark.implicits._
     val rows = centroids.zipWithIndex.flatMap { case (c, i) =>
       c.zipWithIndex.map { case (w, p) => (i, p, w) }
-    }.toSeq :+ ((-1, 0, trainedCount.toDouble))
+    }.toSeq ++ Seq((-1, 0, trainedCount.toDouble)) ++
+      fingerprint.toSeq.flatMap(fp => Seq(
+        (-2, 0, (fp & 0xFFFFFFFFL).toDouble),
+        (-2, 1, (fp >>> 32).toDouble)))
     rows.toDF("cid", "pos", "w")
       .coalesce(1).write.mode("overwrite").parquet(ivfModelPath(indexPath))
   }
 
   /** (centroids, trainedCount) persisted next to a materialized index. */
   def readIvfModel(spark: SparkSession, indexPath: String): (Array[Array[Double]], Long) = {
+    val (cents, n, _) = readIvfModelFull(spark, indexPath)
+    (cents, n)
+  }
+
+  /** [[readIvfModel]] plus the build-time corpus fingerprint (None for
+    * sidecars written without one). */
+  private[graft] def readIvfModelFull(spark: SparkSession, indexPath: String)
+      : (Array[Array[Double]], Long, Option[Long]) = {
     val rows = spark.read.parquet(ivfModelPath(indexPath)).collect()
     val trainedCount = rows.find(r => r.getInt(0) == -1)
       .map(_.getDouble(2).toLong)
       .getOrElse(sys.error(s"no trained-count row in ${ivfModelPath(indexPath)}"))
+    val fpHalves = rows.filter(_.getInt(0) == -2)
+      .map(r => r.getInt(1) -> r.getDouble(2).toLong).toMap
+    val fingerprint =
+      for (lo <- fpHalves.get(0); hi <- fpHalves.get(1)) yield (hi << 32) | lo
     val cells = rows.filter(_.getInt(0) >= 0)
     val nList = cells.map(_.getInt(0)).max + 1
     val dim = cells.map(_.getInt(1)).max + 1
     val centroids = Array.fill(nList)(new Array[Double](dim))
     cells.foreach(r => centroids(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-    (centroids, trainedCount)
+    (centroids, trainedCount, fingerprint)
   }
 
   /** Append a batch of new vectors to a materialized index WITHOUT
@@ -525,8 +579,6 @@ object Similarity {
       while (i < n) { val d = q(i).toDouble - c(i); acc += d * d; i += 1 }
       acc
     }
-    def norm(a: Array[Double], b: Array[Double]): Double =
-      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
     val d = centroids.map(l2sqTo)
     var near = 0
     var bestD = Double.PositiveInfinity
@@ -536,7 +588,7 @@ object Similarity {
       val m =
         if (i == near) Double.NegativeInfinity
         else {
-          val cd = norm(centroids(i), centroids(near))
+          val cd = centroidDist(centroids(i), centroids(near))
           if (cd > 0) (d(i) - d(near)) / (2.0 * cd) else 0.0
         }
       (m, i)

@@ -20,8 +20,6 @@ import java.sql.Timestamp
   */
 object EventStream {
 
-  @transient private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
-
   case class Event(user_id: Long, event_id: Long, ts: Timestamp, event_type: String, value: Double)
 
   case class Rate(key: Long, rate_ts: Timestamp, rate: Double)

@@ -50,6 +50,11 @@ object QualityFloors {
   def partialHistogram(scored: DataFrame): DataFrame =
     scored
       .filter(col("pred_lang") =!= "und")
+      // null/NaN scores are EXCLUDED, matching the batch operator whose
+      // percentile() ignores them — bucketing them (null falls to 0
+      // through greatest's null-skip, NaN casts to 0) would inflate
+      // bucket 0 and drag floors down
+      .filter(col("quality_score").isNotNull && !isnan(col("quality_score")))
       .groupBy(col("pred_lang"), bucketOf(col("quality_score")).as("bucket"))
       .agg(count(lit(1)).as("n"))
 

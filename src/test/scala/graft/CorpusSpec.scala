@@ -259,6 +259,38 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(warm == direct, "warm serve diverged from in-memory IVF")
     assert(modelDir.listFiles.map(f => f.getName -> f.lastModified).toMap == stamp,
       "warm serve rewrote the index generation instead of reusing it")
+    // staleness is keyed on the corpus CONTENT fingerprint, not row count:
+    // a sidecar whose fingerprint no longer matches (an equal-row-count
+    // corpus swap) must trigger a rebuild, and the rebuilt serve must
+    // still equal the in-memory result
+    val (cents, n, Some(fp)) =
+      operators.Similarity.readIvfModelFull(spark, servePath): @unchecked
+    operators.Similarity.writeIvfModel(spark, servePath, cents, n, Some(fp + 1))
+    val rebuilt = resultSet(operators.Similarity.knnIvfServe(spark, sf))
+    assert(rebuilt == direct, "post-rebuild serve diverged from in-memory IVF")
+    assert(operators.Similarity.readIvfModelFull(spark, servePath)._3.contains(fp),
+      "fingerprint mismatch did not trigger an index rebuild")
+  }
+
+  test("ivf serve keys: fingerprint tracks file metadata; distinct dirs never share a serve path") {
+    // sanitization alone maps a/b and a_b to the same name — the digest
+    // suffix must keep them apart
+    assert(operators.Similarity.ivfServePath("data/sf1") !=
+      operators.Similarity.ivfServePath("data_sf1"))
+    // same-length same-name content swap: only the mtime differs, and the
+    // fingerprint must still change
+    val tmp = java.nio.file.Files.createTempDirectory("graftfp")
+    val corpus = java.nio.file.Paths.get(sf, "embeddings.parquet")
+    val src =
+      if (java.nio.file.Files.isDirectory(corpus))
+        java.nio.file.Files.list(corpus).iterator().next()
+      else corpus
+    val dst = tmp.resolve("embeddings.parquet")
+    java.nio.file.Files.copy(src, dst)
+    val fp1 = operators.Similarity.corpusFingerprint(spark, tmp.toString)
+    assert(dst.toFile.setLastModified(dst.toFile.lastModified + 123000))
+    val fp2 = operators.Similarity.corpusFingerprint(spark, tmp.toString)
+    assert(fp1 != fp2, "mtime-only corpus change did not change the fingerprint")
   }
 
   test("adaptive clean keeps the top quality mass per language; approx sketch tracks exact floors") {
