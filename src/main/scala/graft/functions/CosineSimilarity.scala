@@ -151,6 +151,7 @@ object GraftFunctions {
   val TopKName = "graft_topk"
   val TopKMeanName = "graft_topk_mean"
   val BpeCountName = "graft_bpe_count"
+  val RepStatsName = "graft_rep_stats"
 
   // Sessions already registered — createOrReplaceTempFunction is itself
   // idempotent, but every call past the first logs a "replaced a
@@ -236,6 +237,10 @@ object GraftFunctions {
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       BpeCountName,
       (exprs: Seq[Expression]) => BpeTokenCount(exprs.head, exprs(1)),
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      RepStatsName,
+      (exprs: Seq[Expression]) => RepStats(exprs.head),
       "built-in")
     val rules = classic.experimental.extraOptimizations
     if (!rules.contains(graft.plans.CosineFusionRule))

@@ -513,3 +513,90 @@ case class MinHashSigs(child: Expression) extends TextKernelExpr {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Single-pass repetition counters (Gopher-style repetition signals,
+  * Rae et al. 2021 §A1.1, arXiv:2112.11446).
+  *
+  * Tokenization is [[TextNorm.wordsDirect]] — the trim/collapse/split
+  * semantics every text operator and every DuckDB oracle in this repo
+  * shares (an empty document yields ONE empty word, exactly like
+  * `string_split` on the normalized empty string). Counters:
+  *
+  *  - `n_words`            = token count (>= 1 by the split contract)
+  *  - `n_distinct_words`   = distinct tokens (exact strings, no hashing
+  *                           — a hash collision here would silently bend
+  *                           a fraction instead of failing the oracle)
+  *  - `top_word_count`     = occurrences of the modal token
+  *  - `n_bigrams`          = n_words - 1 (0 for one-word docs)
+  *  - `n_distinct_bigrams` = distinct adjacent word pairs
+  *
+  * The derived fractions (duplicate-word / top-word / duplicate-bigram)
+  * are computed OUTSIDE the kernel from these exact integers, as
+  * `(a - b) / a` double divisions — one IEEE operation on exact ints,
+  * so Spark and the DuckDB oracle agree bitwise.
+  */
+object RepStatsKernel {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  val schema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{StructField, IntegerType => I}
+    org.apache.spark.sql.types.StructType(Seq(
+      StructField("n_words", I, nullable = false),
+      StructField("n_distinct_words", I, nullable = false),
+      StructField("top_word_count", I, nullable = false),
+      StructField("n_bigrams", I, nullable = false),
+      StructField("n_distinct_bigrams", I, nullable = false)))
+  }
+
+  def compute(text: UTF8String): InternalRow = {
+    val words = TextNorm.wordsDirect(text.toString)
+    val n = words.length
+    val counts = new java.util.HashMap[String, Integer](n * 2)
+    var top = 0
+    var i = 0
+    while (i < n) {
+      val c = counts.merge(words(i), Integer.valueOf(1), (a, b) => Integer.valueOf(a + b))
+      if (c > top) top = c
+      i += 1
+    }
+    var nd2 = 0
+    if (n >= 2) {
+      val grams = new java.util.HashSet[String]((n - 1) * 2)
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n - 1) {
+        sb.setLength(0)
+        sb.append(words(j)).append(' ').append(words(j + 1))
+        grams.add(sb.toString)
+        j += 1
+      }
+      nd2 = grams.size
+    }
+    val out = new GenericInternalRow(5)
+    out.setInt(0, n)
+    out.setInt(1, counts.size)
+    out.setInt(2, top)
+    out.setInt(3, if (n >= 2) n - 1 else 0)
+    out.setInt(4, nd2)
+    out
+  }
+}
+
+/** graft_rep_stats(text): STRUCT of the 5 repetition counters (see
+  * [[RepStatsKernel]]). One string scan; zero shuffles — the explode +
+  * two-level groupBy reference formulation pays two full shuffles of the
+  * exploded token stream to produce the same five integers. */
+case class RepStats(child: Expression) extends TextKernelExpr {
+  override def dataType: DataType = RepStatsKernel.schema
+  override def prettyName: String = "graft_rep_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    RepStatsKernel.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RepStatsKernel.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1,0 +1,367 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-curation operators a large-scale training-data pipeline needs
+  * beyond dedup/quality: benchmark decontamination, repetition signals,
+  * deterministic stratified sampling, and word-rarity scoring.
+  *
+  * Reference scope: the reference's curation surface ends at
+  * clean/dedup/split (`dags/` transforms); these four are the mandated
+  * LLM-pipeline additions, specified against their public descriptions —
+  * n-gram decontamination (Brown et al. 2020 §C, arXiv:2005.14165),
+  * repetition filters (Rae et al. 2021 §A1.1, arXiv:2112.11446),
+  * stratified subsampling, and document-frequency rarity scoring.
+  */
+object Curation {
+  import Dedup.ShingleN
+
+  /** Contamination drop threshold: a train doc sharing >= this fraction
+    * of its shingles with the eval split is flagged. */
+  val ContaminationMax = 0.2
+
+  // Gopher-style repetition ceilings, adapted to the harness corpus so
+  // the keep flag splits it non-degenerately (the published thresholds
+  // assume web text, not a 30-word-vocabulary synthetic corpus).
+  val DupWordMax = 0.55
+  val TopWordMax = 0.12
+  val DupBigramMax = 0.35
+
+  /** Per-stratum sample size of [[sampleStratified]]. */
+  val SampleN = 5
+
+  /** A word is "rare" when it appears in at most this fraction of the
+    * corpus's documents — corpus-relative because an absolute df cutoff
+    * is meaningless across scales (df(word) grows linearly with corpus
+    * size for a fixed vocabulary). */
+  val RareDfFrac = 0.1
+
+  // ------------------------------------------------------- contamination
+
+  /** q_contamination — n-gram benchmark decontamination: for every train
+    * doc (md5 content split, [[TextAnalysis.trainSplitOf]]), the count
+    * and fraction of its distinct [[Dedup.ShingleN]]-word shingles that
+    * also occur anywhere in the eval ("test") split, and a drop flag at
+    * [[ContaminationMax]].
+    *
+    * Scale shape: both sides' shingle sets come from ONE kernel scan
+    * ([[Dedup.shingleSets]], checkpointed), joined on 8-byte shingle
+    * hashes. The eval side is `broadcast()` — in production the eval
+    * split is a fixed benchmark suite, orders of magnitude smaller than
+    * the corpus, so the contamination pass is a map-only broadcast
+    * semi-join + one partial-aggregated count per train doc no matter
+    * how large the corpus is. (If an eval side ever outgrew broadcast,
+    * removing the hint leaves the identical plan running as a shuffled
+    * hash join.) Hash-collision caveat as in [[Dedup.shingleSets]]: the
+    * oracle counts raw shingle strings, so a 64-bit collision surfaces
+    * as a loud hash-parity failure, not silent drift.
+    */
+  def contamination(spark: SparkSession, dir: String): DataFrame =
+    contaminationOf(Tables.documents(spark, dir))
+
+  /** DataFrame core of [[contamination]] — any (doc_id, text) frame. */
+  def contaminationOf(d: DataFrame): DataFrame = {
+    val split = TextAnalysis.trainSplitOf(d).select(col("doc_id"), col("split"))
+    val sets = Dedup.shingleSets(d).join(split, "doc_id")
+    val ev = sets
+      .filter(col("split") === "test")
+      .select(explode(col("hs")).as("h"))
+      .distinct()
+    val tr = sets.filter(col("split") === "train")
+    val shared = tr
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .join(broadcast(ev), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    val rate =
+      coalesce(col("c"), lit(0L)).cast(DoubleType) / col("n_shingles").cast(DoubleType)
+    tr.select(col("doc_id"), size(col("hs")).as("n_shingles"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_shingles"),
+        coalesce(col("c"), lit(0L)).as("n_contaminated"),
+        rate.as("contamination_rate"),
+        (rate >= ContaminationMax).as("flag_drop"))
+  }
+
+  val contaminationOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN SUBSTRING(md5(text), 1, 2) < 'cc' THEN 'train'
+       |      WHEN SUBSTRING(md5(text), 1, 2) < 'e6' THEN 'val'
+       |      ELSE 'test' END AS split
+       |  FROM documents
+       |), words AS (
+       |  SELECT doc_id, split,
+       |    STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' ') AS w
+       |  FROM d
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, split, shingle FROM (
+       |    SELECT doc_id, split,
+       |      UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - ${ShingleN - 1}),
+       |        i -> ARRAY_TO_STRING(w[i:i+${ShingleN - 1}], ' '))) AS shingle
+       |    FROM words WHERE LEN(w) >= $ShingleN
+       |  )
+       |), ev AS (
+       |  SELECT DISTINCT shingle FROM sh WHERE split = 'test'
+       |), tr AS (
+       |  SELECT doc_id, shingle FROM sh WHERE split = 'train'
+       |), sizes AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_shingles FROM tr GROUP BY 1
+       |), shared AS (
+       |  SELECT doc_id, COUNT(*) AS c FROM tr JOIN ev USING (shingle) GROUP BY 1
+       |)
+       |SELECT s.doc_id, s.n_shingles,
+       |  CAST(COALESCE(c, 0) AS BIGINT) AS n_contaminated,
+       |  CAST(COALESCE(c, 0) AS DOUBLE) / CAST(s.n_shingles AS DOUBLE)
+       |    AS contamination_rate,
+       |  CAST(COALESCE(c, 0) AS DOUBLE) / CAST(s.n_shingles AS DOUBLE)
+       |    >= $ContaminationMax AS flag_drop
+       |FROM sizes s LEFT JOIN shared USING (doc_id)""".stripMargin
+
+  // ---------------------------------------------------- repetition stats
+
+  /** Derived repetition fractions + keep flag from the five exact
+    * counters. Each fraction is `(a - b) / a` — integer subtraction then
+    * ONE double division, so Spark and DuckDB agree bitwise. One-word
+    * docs have no bigrams: dup_bigram_frac is NULL and the keep flag
+    * treats the bigram test as passed (mirrored COALESCE in the oracle).
+    */
+  private def repFractions(base: DataFrame): DataFrame = {
+    val dup = (col("n_words") - col("n_distinct_words")).cast(DoubleType) /
+      col("n_words").cast(DoubleType)
+    val top = col("top_word_count").cast(DoubleType) / col("n_words").cast(DoubleType)
+    val dup2 = when(
+      col("n_bigrams") > 0,
+      (col("n_bigrams") - col("n_distinct_bigrams")).cast(DoubleType) /
+        col("n_bigrams").cast(DoubleType))
+    base.select(
+      col("doc_id"),
+      col("n_words"),
+      dup.as("dup_word_frac"),
+      top.as("top_word_frac"),
+      dup2.as("dup_bigram_frac"),
+      (dup <= DupWordMax && top <= TopWordMax &&
+        coalesce(dup2 <= DupBigramMax, lit(true))).as("keep"))
+  }
+
+  /** q_repetition_stats — Gopher-style per-document repetition signals:
+    * duplicate-word fraction, top-word fraction, duplicate-bigram
+    * fraction, and a keep flag at the adapted ceilings.
+    *
+    * The five exact counters come from the single-pass
+    * [[graft.functions.RepStatsKernel]] inside the scan projection —
+    * zero shuffles at any corpus size (the explode + two-level groupBy
+    * reference formulation, kept for the spec, pays two shuffles of the
+    * exploded token stream). */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame =
+    repetitionStatsOf(Tables.documents(spark, dir))
+
+  /** DataFrame core of [[repetitionStats]] — any (doc_id, text) frame. */
+  def repetitionStatsOf(d: DataFrame): DataFrame = {
+    GraftFunctions.ensureRegistered(d.sparkSession)
+    repFractions(
+      d.select(
+        col("doc_id"),
+        call_function(GraftFunctions.RepStatsName, col("text")).as("rs"))
+        .select(col("doc_id"), col("rs.*")))
+  }
+
+  /** The explode + aggregate reference formulation [[repetitionStats]]'s
+    * kernel is spec-checked against (identical five counters, two
+    * shuffles — never the production path). */
+  private[graft] def repetitionStatsAgg(docs: DataFrame): DataFrame = {
+    val words = docs.select(
+      col("doc_id"),
+      split(regexp_replace(trim(col("text")), "\\s+", " "), " ").as("w"))
+    val wc = words
+      .select(col("doc_id"), explode(col("w")).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c"))
+    val ws = wc
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).cast(IntegerType).as("n_words"),
+        count(lit(1)).cast(IntegerType).as("n_distinct_words"),
+        max(col("c")).cast(IntegerType).as("top_word_count"))
+    val g2s = words
+      .filter(size(col("w")) >= 2)
+      .select(
+        col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> concat_ws(' ', slice(w, i, 2)))"))
+          .as("g"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast(IntegerType).as("n_bigrams"),
+        countDistinct(col("g")).cast(IntegerType).as("n_distinct_bigrams"))
+    repFractions(
+      ws.join(g2s, Seq("doc_id"), "left")
+        .na.fill(0, Seq("n_bigrams", "n_distinct_bigrams")))
+  }
+
+  val repetitionStatsOracle: String =
+    s"""WITH words AS (
+       |  SELECT doc_id,
+       |    STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' ') AS w
+       |  FROM documents
+       |), wc AS (
+       |  SELECT doc_id, word, COUNT(*) AS c FROM (
+       |    SELECT doc_id, UNNEST(w) AS word FROM words
+       |  ) GROUP BY 1, 2
+       |), ws AS (
+       |  SELECT doc_id, CAST(SUM(c) AS INT) AS n_words,
+       |    CAST(COUNT(*) AS INT) AS n_distinct_words,
+       |    CAST(MAX(c) AS INT) AS top_word_count
+       |  FROM wc GROUP BY 1
+       |), g2s AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
+       |    CAST(COUNT(DISTINCT g) AS INT) AS n_distinct_bigrams
+       |  FROM (
+       |    SELECT doc_id,
+       |      UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - 1),
+       |        i -> ARRAY_TO_STRING(w[i:i+1], ' '))) AS g
+       |    FROM words WHERE LEN(w) >= 2
+       |  ) GROUP BY 1
+       |), base AS (
+       |  SELECT ws.doc_id, n_words, n_distinct_words, top_word_count,
+       |    COALESCE(n_bigrams, 0) AS n_bigrams,
+       |    COALESCE(n_distinct_bigrams, 0) AS n_distinct_bigrams
+       |  FROM ws LEFT JOIN g2s ON ws.doc_id = g2s.doc_id
+       |)
+       |SELECT doc_id, n_words,
+       |  CAST(n_words - n_distinct_words AS DOUBLE) / CAST(n_words AS DOUBLE)
+       |    AS dup_word_frac,
+       |  CAST(top_word_count AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_word_frac,
+       |  CASE WHEN n_bigrams > 0 THEN
+       |    CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+       |  END AS dup_bigram_frac,
+       |  (CAST(n_words - n_distinct_words AS DOUBLE) / CAST(n_words AS DOUBLE)
+       |     <= $DupWordMax
+       |   AND CAST(top_word_count AS DOUBLE) / CAST(n_words AS DOUBLE) <= $TopWordMax
+       |   AND COALESCE(CASE WHEN n_bigrams > 0 THEN
+       |         CAST(n_bigrams - n_distinct_bigrams AS DOUBLE)
+       |           / CAST(n_bigrams AS DOUBLE)
+       |       END <= $DupBigramMax, TRUE)) AS keep
+       |FROM base""".stripMargin
+
+  // ------------------------------------------------- stratified sampling
+
+  /** q_sample_stratified — deterministic balanced subsample: the
+    * [[SampleN]] documents with the smallest md5 content keys per
+    * (lang, source) stratum. Content-keyed like the train split, so the
+    * sample is stable under re-partitioning, re-ordering and re-runs —
+    * the property that makes an audit sample reproducible at any scale.
+    *
+    * Scale shape: per-stratum bounded heaps ([[graft.functions
+    * .TopKCollect]]) with map-side combine — the shuffle carries
+    * O(strata x SampleN x tasks) rows, never the corpus, and there is no
+    * per-stratum sort anywhere (a rank Window would sort every stratum
+    * in full). The 13-hex-digit (52-bit) key prefix fits a double
+    * exactly, so the heap's primitive score slot ranks it bit-exactly;
+    * doc_id breaks the (practically unreachable) key ties on both sides.
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    sampleStratifiedOf(Tables.documents(spark, dir))
+
+  /** DataFrame core of [[sampleStratified]] — any (doc_id, text, lang,
+    * source) frame. */
+  def sampleStratifiedOf(d: DataFrame): DataFrame = {
+    GraftFunctions.ensureRegistered(d.sparkSession)
+    val key = conv(substring(md5(col("text")), 1, 13), 16, 10).cast(DoubleType)
+    d.select(col("lang"), col("source"), col("doc_id"), key.as("k"))
+      .groupBy(col("lang"), col("source"))
+      .agg(call_function(
+        GraftFunctions.TopKName,
+        -col("k"),
+        col("doc_id"),
+        col("doc_id"),
+        lit(SampleN)).as("top"))
+      .select(col("lang"), col("source"), posexplode(col("top")))
+      .select(
+        col("lang"),
+        col("source"),
+        col("col.id_a").as("doc_id"),
+        (col("pos") + 1).cast(IntegerType).as("sample_rank"))
+  }
+
+  val sampleStratifiedOracle: String =
+    s"""SELECT lang, source, doc_id, sample_rank FROM (
+       |  SELECT lang, source, doc_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY lang, source
+       |      ORDER BY SUBSTRING(md5(text), 1, 13), doc_id) AS INT) AS sample_rank
+       |  FROM documents
+       |) WHERE sample_rank <= $SampleN""".stripMargin
+
+  // ----------------------------------------------------- rarity scoring
+
+  /** q_rarity_score — document-frequency rarity profile: for each doc,
+    * over its DISTINCT words, the mean and minimum corpus document
+    * frequency and the count of rare words (df <= [[RareDfFrac]] of the
+    * corpus) — the signal that flags both boilerplate (high mean df)
+    * and gibberish/OCR noise (many near-df-1 words) for curation.
+    *
+    * Scale shape: per-doc distinct word sets come from the
+    * [[graft.functions.ShingleHashSet]] n=1 kernel (one scan, hashes
+    * not strings on the wire); df is one partial-aggregated count over
+    * the exploded sets; the df join is a long-key shuffle hash join that
+    * AQE turns into a broadcast while the vocabulary is small. All
+    * aggregates are integer (order-independent); mean_df is one double
+    * division. Hash-collision caveat as in [[Dedup.shingleSets]] — the
+    * oracle computes df over raw strings, so a collision fails parity
+    * loudly. */
+  def rarityScore(spark: SparkSession, dir: String): DataFrame =
+    rarityScoreOf(Tables.documents(spark, dir))
+
+  /** DataFrame core of [[rarityScore]] — any (doc_id, text) frame. */
+  def rarityScoreOf(d: DataFrame): DataFrame = {
+    GraftFunctions.ensureRegistered(d.sparkSession)
+    val posts = d
+      .select(
+        col("doc_id"),
+        call_function(GraftFunctions.WordSetName, col("text")).as("ws"))
+      .select(col("doc_id"), explode(col("ws")).as("h"))
+    val df = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // corpus size as a broadcast scalar (one row), never a collect
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val isRare = col("df").cast(DoubleType) <=
+      lit(RareDfFrac) * col("n_docs").cast(DoubleType)
+    posts
+      .join(df, Seq("h"))
+      .crossJoin(broadcast(nDocs))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_distinct_words"),
+        min(col("df")).as("min_df"),
+        (sum(col("df")).cast(DoubleType) / count(lit(1)).cast(DoubleType))
+          .as("mean_df"),
+        sum(when(isRare, 1L).otherwise(0L)).as("n_rare"))
+  }
+
+  val rarityScoreOracle: String =
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id, word FROM (
+       |    SELECT doc_id,
+       |      UNNEST(STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' '))
+       |        AS word
+       |    FROM documents
+       |  )
+       |), dfq AS (
+       |  SELECT word, COUNT(*) AS df FROM tok GROUP BY 1
+       |), nd AS (
+       |  SELECT COUNT(*) AS n_docs FROM documents
+       |)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+       |  CAST(MIN(df) AS BIGINT) AS min_df,
+       |  CAST(SUM(df) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_df,
+       |  CAST(SUM(CASE WHEN CAST(df AS DOUBLE)
+       |    <= $RareDfFrac * CAST(n_docs AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_rare
+       |FROM tok JOIN dfq USING (word) CROSS JOIN nd
+       |GROUP BY doc_id""".stripMargin
+}

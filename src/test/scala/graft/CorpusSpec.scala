@@ -544,4 +544,80 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     val two = df.select(norm(col("text")).as("fp")).distinct().count()
     assert(two == 1, "normalization should collapse formatting variants")
   }
+
+  /** Driver-side replica of [[operators.TextAnalysis.trainSplitOf]]'s md5
+    * content split, used to PLANT docs into chosen splits. */
+  private def splitOf(text: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes("UTF-8"))
+    val key = f"${d(0) & 0xff}%02x"
+    if (key < "cc") "train" else if (key < "e6") "val" else "test"
+  }
+
+  /** Finds a salt word making `salt + base` land in the wanted split —
+    * deterministic (first matching index wins). */
+  private def salted(base: String, want: String): String =
+    Iterator.from(0).map(i => s"salt$i $base").find(t => splitOf(t) == want).get
+
+  test("contamination flags the planted train copy of an eval doc, not bystanders") {
+    val shared = (1 to 40).map(i => s"w$i").mkString(" ")
+    val trainDup = salted(shared, "train") // shares 36+ 5-grams with evalDoc
+    val evalDoc = salted(shared, "test")
+    val bystander = salted((1 to 40).map(i => s"b$i").mkString(" "), "train")
+    val df = spark.createDataFrame(Seq(
+      (1L, trainDup), (2L, evalDoc), (3L, bystander))).toDF("doc_id", "text")
+    val rows = operators.Curation.contaminationOf(df)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(rows.keySet == Set(1L, 3L), "output is the train split only")
+    val (n1, c1, rate1, flag1) = rows(1L)
+    assert(c1 > 0 && c1 <= n1 && rate1 > 0.9 && flag1,
+      s"planted near-copy must be flagged: $rows")
+    val (_, c3, rate3, flag3) = rows(3L)
+    assert(c3 == 0L && rate3 == 0.0 && !flag3, "bystander must stay clean")
+  }
+
+  test("contamination invariants hold corpus-wide") {
+    val res = operators.Curation.contamination(spark, sf).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      val (n, c, rate, flag) =
+        (r.getInt(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))
+      assert(c >= 0 && c <= n, s"0 <= n_contaminated <= n_shingles: $r")
+      assert(math.abs(rate - c.toDouble / n) == 0.0, s"rate consistent: $r")
+      assert(flag == (rate >= operators.Curation.ContaminationMax), s"flag: $r")
+    }
+  }
+
+  test("stratified sample: per-stratum sizes, contiguous ranks, partition-invariant") {
+    val d = Tables.documents(spark, sf)
+    val strata = d.groupBy("lang", "source").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def runOn(parts: Int) = operators.Curation
+      .sampleStratifiedOf(d.repartition(parts))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .sortBy(identity)
+    val one = runOn(1)
+    val many = runOn(17)
+    assert(one.toSeq == many.toSeq, "content-keyed sample is partition-invariant")
+    val byStratum = one.groupBy(t => (t._1, t._2))
+    byStratum.foreach { case (k, rows) =>
+      val expect = math.min(operators.Curation.SampleN.toLong, strata(k))
+      assert(rows.length.toLong == expect, s"stratum $k size")
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length).toSeq,
+        s"ranks contiguous in $k")
+    }
+  }
+
+  test("rarity score invariants: rare counts bounded, min <= mean") {
+    val res = operators.Curation.rarityScore(spark, sf).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      val (nd, minDf, meanDf, nRare) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))
+      assert(nRare >= 0 && nRare <= nd, s"n_rare bounded: $r")
+      assert(minDf >= 1 && minDf.toDouble <= meanDf, s"min <= mean: $r")
+    }
+  }
 }

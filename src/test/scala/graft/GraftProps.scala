@@ -126,6 +126,18 @@ object GraftProps extends Properties("graft") {
         setMap(operators.Dedup.shingleHashesAgg(df))
     }
 
+  property("rep-stats kernel matches the explode+aggregate formulation") =
+    forAll(Gen.listOfN(6, textGen)) { texts =>
+      val df = docsDf(texts)
+      // full row compare: exact counters, derived double fractions
+      // (bit-equal — both sides divide the same exact ints once), the
+      // NULL dup_bigram_frac of one-word docs, and the keep flag
+      def m(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      m(operators.Curation.repetitionStatsOf(df)) ==
+        m(operators.Curation.repetitionStatsAgg(df))
+    }
+
   property("minhash kernel matches the aggregate formulation") =
     forAll(Gen.listOfN(6, textGen)) { texts =>
       val df = docsDf(texts)
