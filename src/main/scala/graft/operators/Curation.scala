@@ -65,8 +65,22 @@ object Curation {
 
   /** DataFrame core of [[contamination]] — any (doc_id, text) frame. */
   def contaminationOf(d: DataFrame): DataFrame = {
-    val split = TextAnalysis.trainSplitOf(d).select(col("doc_id"), col("split"))
-    val sets = Dedup.shingleSets(d).join(split, "doc_id")
+    GraftFunctions.ensureRegistered(d.sparkSession)
+    // split key and shingle set in ONE scan projection — joining the
+    // trainSplitOf frame back on doc_id costs a corpus x corpus
+    // sort-merge join for a value derivable from the same row. The key
+    // expression is trainSplitOf's, so assignments match q_train_split
+    // exactly; the lazy checkpoint lets eval grams and train postings
+    // both read the one kernel scan.
+    val key = substring(md5(col("text").cast(BinaryType)), 1, 2)
+    val sets = d
+      .select(
+        col("doc_id"),
+        when(key < "cc", "train").when(key < "e6", "val").otherwise("test")
+          .as("split"),
+        call_function(GraftFunctions.ShingleSetName, col("text")).as("hs"))
+      .filter(col("hs").isNotNull)
+      .localCheckpoint(eager = false)
     val ev = sets
       .filter(col("split") === "test")
       .select(explode(col("hs")).as("h"))

@@ -610,6 +610,45 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pq knn: high recall vs brute force; serve generation reused and bit-equal") {
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmrf)
+      f.delete(); ()
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val brute = rows(operators.Similarity.knnBrute(spark, sf))
+      .map(t => (t._1, t._2))
+    val direct = rows(operators.Similarity.knnPq(spark, sf))
+    val recall = brute.intersect(direct.map(t => (t._1, t._2))).size.toDouble / brute.size
+    assert(recall >= 0.9, s"PQ recall@10 after exact re-rank: $recall")
+    // recalled pairs carry EXACT cosines (re-rank re-scores true vectors)
+    val bruteScores = rows(operators.Similarity.knnBrute(spark, sf))
+      .map(t => (t._1, t._2) -> t._3).toMap
+    direct.foreach { case (q, n, c, _) =>
+      bruteScores.get((q, n)).foreach(b =>
+        assert(b == c, s"re-ranked cosine of ($q,$n) diverged from exact"))
+    }
+    // serve: cold builds the generation, warm reuses it, both == direct
+    val servePath = operators.Similarity.pqServePath(sf)
+    rmrf(new java.io.File(servePath))
+    rmrf(new java.io.File(servePath + "_model"))
+    val cold = rows(operators.Similarity.knnPqServe(spark, sf))
+    assert(cold == direct, "cold PQ serve diverged from the from-scratch form")
+    val modelDir = new java.io.File(servePath + "_model")
+    val stamp = modelDir.listFiles.map(f => f.getName -> f.lastModified).toMap
+    val warm = rows(operators.Similarity.knnPqServe(spark, sf))
+    assert(warm == direct, "warm PQ serve diverged")
+    assert(modelDir.listFiles.map(f => f.getName -> f.lastModified).toMap == stamp,
+      "warm PQ serve rewrote the generation instead of reusing it")
+    // codes are bounded by the codebook size
+    import org.apache.spark.sql.functions.{col, explode}
+    val bad = spark.read.parquet(servePath)
+      .select(explode(col("codes")).as("c"))
+      .filter(col("c") < 0 || col("c") >= operators.Similarity.PqK).count()
+    assert(bad == 0L, "PQ code out of [0, PqK)")
+  }
+
   test("rarity score invariants: rare counts bounded, min <= mean") {
     val res = operators.Curation.rarityScore(spark, sf).collect()
     assert(res.nonEmpty)
