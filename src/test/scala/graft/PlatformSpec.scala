@@ -328,6 +328,47 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming dedup admission: id-ordered stream equals batch dedupExact, replay-safe, first-arrival canonical") {
+    import graft.streaming.DedupAdmission
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graftadmit").toString + "/state"
+    def storeMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // id-ordered 3-way split: the maintained store must equal the batch
+    // operator over everything seen (min-per-hash in the first batch
+    // containing a hash IS the global min)
+    val n = docs.count()
+    val bounds = Seq(0L, n / 3, 2 * n / 3, n + 1)
+    (0 to 2).foreach { i =>
+      DedupAdmission.applyAdmissionBatch(
+        docs.filter(col("doc_id") >= bounds(i) && col("doc_id") < bounds(i + 1)), i, dir)
+    }
+    val inc = storeMap(DedupAdmission.currentStore(spark, dir))
+    val batch = storeMap(operators.TextAnalysis.dedupExact(spark, sf))
+    assert(inc == batch, "id-ordered streamed store diverged from batch dedupExact")
+    // replay: re-applying the last batch is a no-op
+    DedupAdmission.applyAdmissionBatch(
+      docs.filter(col("doc_id") >= bounds(2)), 2, dir)
+    assert(storeMap(DedupAdmission.currentStore(spark, dir)) == inc)
+    // first-arrival contract under ADVERSARIAL order: feed a duplicate of
+    // an already-admitted text with a SMALLER doc_id — the canonical id
+    // must not change, but the copy count must
+    val victim = DedupAdmission.currentStore(spark, dir)
+      .orderBy(col("keep_doc_id").desc).select("content_hash", "keep_doc_id", "n_copies")
+      .head()
+    val dupText = docs.filter(col("doc_id") === victim.getLong(1))
+      .select("text").head().getString(0)
+    val late = spark.createDataFrame(Seq((-1L, dupText))).toDF("doc_id", "text")
+    DedupAdmission.applyAdmissionBatch(late, 3, dir)
+    val after = storeMap(DedupAdmission.currentStore(spark, dir))
+    assert(after(victim.getString(0))._1 == victim.getLong(1),
+      "late duplicate evicted the admitted canonical")
+    assert(after(victim.getString(0))._2 == victim.getLong(2) + 1,
+      "late duplicate did not bump the copy count")
+    // store size tracks distinct content, not stream length
+    assert(after.size == inc.size)
+  }
+
   test("multimodal: features are fixed-dim, frames only from videos, resize is metadata-true") {
     val media = Multimodal.fromDocuments(Tables.documents(spark, sf))
     val nDocs = Tables.documents(spark, sf).count()
