@@ -68,16 +68,15 @@ object Curation {
     GraftFunctions.ensureRegistered(d.sparkSession)
     // split key and shingle set in ONE scan projection — joining the
     // trainSplitOf frame back on doc_id costs a corpus x corpus
-    // sort-merge join for a value derivable from the same row. The key
-    // expression is trainSplitOf's, so assignments match q_train_split
-    // exactly; the lazy checkpoint lets eval grams and train postings
-    // both read the one kernel scan.
-    val key = substring(md5(col("text").cast(BinaryType)), 1, 2)
+    // sort-merge join for a value derivable from the same row. The split
+    // expression IS TextAnalysis's (shared Column helpers), so
+    // assignments match q_train_split by construction; the lazy
+    // checkpoint lets eval grams and train postings both read the one
+    // kernel scan.
     val sets = d
       .select(
         col("doc_id"),
-        when(key < "cc", "train").when(key < "e6", "val").otherwise("test")
-          .as("split"),
+        TextAnalysis.splitCol(TextAnalysis.splitKeyCol).as("split"),
         call_function(GraftFunctions.ShingleSetName, col("text")).as("hs"))
       .filter(col("hs").isNotNull)
       .localCheckpoint(eager = false)
@@ -335,11 +334,15 @@ object Curation {
   /** DataFrame core of [[rarityScore]] — any (doc_id, text) frame. */
   def rarityScoreOf(d: DataFrame): DataFrame = {
     GraftFunctions.ensureRegistered(d.sparkSession)
+    // lazy checkpoint: the kernel-scan subtree feeds TWO consumers (the
+    // df aggregation and the postings join probe side) — without it the
+    // per-row word-set kernel runs over the corpus twice
     val posts = d
       .select(
         col("doc_id"),
         call_function(GraftFunctions.WordSetName, col("text")).as("ws"))
       .select(col("doc_id"), explode(col("ws")).as("h"))
+      .localCheckpoint(eager = false)
     val df = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // corpus size as a broadcast scalar (one row), never a collect
     val nDocs = d.agg(count(lit(1)).as("n_docs"))

@@ -341,13 +341,15 @@ object Similarity {
     * The readable sanitized name is suffixed with a digest of the RAW dir
     * string: sanitization alone maps distinct dirs (`a/b` vs `a_b`) to
     * the same path, and two corpora must never serve each other's
-    * index. */
-  private[graft] def ivfServePath(dir: String): String = {
+    * index. Shared by the IVF and PQ families (distinct prefixes). */
+  private def servePath(prefix: String, dir: String): String = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
-    "spark-warehouse/ivf_serve_" +
+    "spark-warehouse/" + prefix +
       dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + digest
   }
+
+  private[graft] def ivfServePath(dir: String): String = servePath("ivf_serve_", dir)
 
   /** In-memory IVF search core over any (vec_id, vec) frame with a given
     * quantizer — [[knnIvf]] composes it with [[ivfFit]]; the index
@@ -721,12 +723,7 @@ object Similarity {
 
   /** Serving-index location for a corpus dir's PQ codes (sibling
     * namespace to [[ivfServePath]] — the two indexes never collide). */
-  private[graft] def pqServePath(dir: String): String = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
-    "spark-warehouse/pq_serve_" +
-      dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + digest
-  }
+  private[graft] def pqServePath(dir: String): String = servePath("pq_serve_", dir)
 
   /** Build the PQ index generation: train codebooks, write the coded
     * corpus (vec_id, codes) as parquet, persist the model through the
@@ -738,15 +735,33 @@ object Similarity {
     corpus.select(col("vec_id"), pqCodesCol(books).as("codes"))
       .write.mode("overwrite").parquet(indexPath)
     writeIvfModel(spark, indexPath, books.flatten, corpus.count(), fingerprint)
+    // geometry stamp (cid = -3: pos 0 -> PqM, pos 1 -> PqK), appended as
+    // its own tiny file: IVF readers ignore cid < -2 rows, and a crash
+    // between the two writes leaves a stamp-less sidecar that fails the
+    // read probe -> rebuild (never a wrong-shaped regroup)
+    import spark.implicits._
+    Seq((-3, 0, PqM.toDouble), (-3, 1, PqK.toDouble)).toDF("cid", "pos", "w")
+      .coalesce(1).write.mode("append").parquet(ivfModelPath(indexPath))
     books
   }
 
   /** Codebooks from a PQ model sidecar (regrouped from the flat cid
-    * encoding of [[writePqIndexOf]]). */
+    * encoding of [[writePqIndexOf]]). The geometry check is EXACT
+    * (PqM x PqK), not just divisibility: a sidecar written under retuned
+    * constants must fail this probe — the serve path then rebuilds —
+    * rather than regroup into wrong-shaped books whose out-of-range
+    * code lookups would kill (ANSI) or silently NULL every search. */
   private[graft] def readPqBooks(spark: SparkSession, indexPath: String)
       : (Array[Array[Array[Double]]], Option[Long]) = {
     val (flat, _, fp) = readIvfModelFull(spark, indexPath)
-    require(flat.length % PqK == 0, s"PQ sidecar has ${flat.length} rows, not a multiple of $PqK")
+    val geo = spark.read.parquet(ivfModelPath(indexPath))
+      .filter(col("cid") === -3).collect()
+      .map(r => r.getInt(1) -> r.getDouble(2).toInt).toMap
+    require(geo.get(0).contains(PqM) && geo.get(1).contains(PqK),
+      s"PQ sidecar geometry ${geo.get(0)}x${geo.get(1)} != current $PqM x $PqK " +
+        "(constants retuned? the serve path rebuilds on this failure)")
+    require(flat.length == PqM * PqK,
+      s"PQ sidecar has ${flat.length} codebook rows, expected $PqM x $PqK")
     (flat.grouped(PqK).toArray, fp)
   }
 

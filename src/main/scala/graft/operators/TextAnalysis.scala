@@ -343,15 +343,24 @@ object TextAnalysis {
   def trainSplit(spark: SparkSession, dir: String): DataFrame =
     trainSplitOf(docs(spark, dir))
 
+  /** The content split key over a `text` column — THE single definition
+    * every split consumer shares (q_train_split, q_contamination): a
+    * boundary or key-derivation change here moves them together, never
+    * silently apart. */
+  private[graft] def splitKeyCol: Column =
+    substring(md5(col("text").cast(BinaryType)), 1, 2)
+
+  /** Split assignment from a [[splitKeyCol]] value. */
+  private[graft] def splitCol(key: Column): Column =
+    when(key < "cc", "train").when(key < "e6", "val").otherwise("test")
+
   /** DataFrame core of [[trainSplit]] — the pipeline chains it over the
     * CLEANED corpus rather than raw documents. */
-  def trainSplitOf(docsDf: DataFrame): DataFrame = {
-    val key = substring(md5(col("text").cast(BinaryType)), 1, 2)
+  def trainSplitOf(docsDf: DataFrame): DataFrame =
     docsDf.select(
       col("doc_id"),
-      key.as("split_key"),
-      when(key < "cc", "train").when(key < "e6", "val").otherwise("test").as("split"))
-  }
+      splitKeyCol.as("split_key"),
+      splitCol(splitKeyCol).as("split"))
 
   val trainSplitOracle: String =
     """SELECT doc_id, SUBSTRING(md5(text), 1, 2) AS split_key,

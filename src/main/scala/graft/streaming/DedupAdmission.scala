@@ -41,8 +41,8 @@ object DedupAdmission {
 
   /** Fold one batch into a previous store: first arrival keeps its
     * canonical id; later duplicates only bump the copy count. */
-  private[graft] def mergeStore(prev: DataFrame, cur: DataFrame): DataFrame = {
-    val merged = prev
+  private[graft] def mergeStore(prev: DataFrame, cur: DataFrame): DataFrame =
+    prev
       .unionByName(cur)
       .groupBy(col("content_hash"))
       .agg(
@@ -50,8 +50,6 @@ object DedupAdmission {
         // but groupBy does not preserve order — carry arrival explicitly
         min_by(col("keep_doc_id"), col("arrival")).as("keep_doc_id"),
         sum(col("n_copies")).as("n_copies"))
-    merged
-  }
 
   /** One micro-batch application — the testable core of [[sink]]. */
   private[graft] def applyAdmissionBatch(
