@@ -23,9 +23,11 @@ object Catalog {
     * q_knn_ivf trains the IVF coarse quantizer (Lloyd iterations),
     * q_dedup_resolve runs the star-contraction loop plus verification,
     * q_text_bpe trains the BPE merge table, q_knn_pq builds (or
-    * freshness-probes) the persisted PQ code generation. */
+    * freshness-probes) the persisted PQ code generation,
+    * q_quality_classifier runs gradient-descent training. */
   val ModelBearing: Set[String] =
-    Set("q_knn_ivf", "q_dedup_resolve", "q_text_bpe", "q_knn_pq")
+    Set("q_knn_ivf", "q_dedup_resolve", "q_text_bpe", "q_knn_pq",
+      "q_quality_classifier")
   /** Loaders shared with the operators (memoized plans, and the events
     * nanos-as-long conf is applied before parquet schema resolution). */
   val TableLoaders: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(

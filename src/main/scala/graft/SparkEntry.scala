@@ -79,7 +79,8 @@ object SparkEntry {
     "q_repetition_stats" -> ((s, dir) => Curation.repetitionStats(s, dir)),
     "q_sample_stratified" -> ((s, dir) => Curation.sampleStratified(s, dir)),
     "q_rarity_score" -> ((s, dir) => Curation.rarityScore(s, dir)),
-    "q_knn_pq" -> ((s, dir) => Similarity.knnPqServe(s, dir))
+    "q_knn_pq" -> ((s, dir) => Similarity.knnPqServe(s, dir)),
+    "q_quality_classifier" -> ((s, dir) => QualityModel.qualityClassifierServe(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -144,7 +145,8 @@ object SparkEntry {
     // q_dedup_embedding, q_winnow_fingerprint, q_pack_sequences,
     // q_pack_bucketed, q_text_bpe: not SQL-expressible
     // (xxhash64 signatures / LSH plane constants / trained model state /
-    // iterative BPE merge learning); driver records rows-only checks,
-    // specs carry correctness.
+    // iterative BPE merge learning); q_quality_classifier: iterative
+    // gradient descent. Driver records rows-only checks, specs carry
+    // correctness.
   )
 }

@@ -322,11 +322,13 @@ object Similarity {
     knnIvfIndexed(spark, dir, indexPath, centroids, k)
   }
 
-  /** Driver-side metadata fingerprint of the corpus parquet (file names,
-    * lengths, modification times — an FS listing, never a data scan):
-    * the serve path's staleness key. */
-  private[graft] def corpusFingerprint(spark: SparkSession, dir: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+  /** Driver-side metadata fingerprint of a corpus table's parquet (file
+    * names, lengths, modification times — an FS listing, never a data
+    * scan): the serve paths' staleness key. Shared by every
+    * model-serving surface (IVF, PQ, the quality classifier). */
+  private[graft] def corpusFingerprint(spark: SparkSession, dir: String,
+      table: String = "embeddings.parquet"): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val statuses =
       (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq else Seq(fs.getFileStatus(p)))
@@ -342,7 +344,7 @@ object Similarity {
     * string: sanitization alone maps distinct dirs (`a/b` vs `a_b`) to
     * the same path, and two corpora must never serve each other's
     * index. Shared by the IVF and PQ families (distinct prefixes). */
-  private def servePath(prefix: String, dir: String): String = {
+  private[graft] def servePath(prefix: String, dir: String): String = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
     "spark-warehouse/" + prefix +

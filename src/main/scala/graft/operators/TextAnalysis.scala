@@ -155,7 +155,7 @@ object TextAnalysis {
     * by q_text_quality and the composed q_corpus_clean. Arithmetic is
     * identical to the regex formulation (same casts, same order), so the
     * doubles are bit-identical. */
-  private def qualityScoreOf(ts: Column): Column = {
+  private[graft] def qualityScoreOf(ts: Column): Column = {
     val nWords = ts.getField("n_words").cast(DoubleType)
     val nStops = ts.getField("n_stops").cast(DoubleType)
     val nPunct = ts.getField("n_punct").cast(DoubleType)

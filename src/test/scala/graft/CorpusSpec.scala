@@ -649,6 +649,53 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad == 0L, "PQ code out of [0, PqK)")
   }
 
+  test("quality classifier: partition-invariant training, converging loss, beats majority class") {
+    import operators.QualityModel
+    val d = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val feats = QualityModel.featureFrame(d)
+    // bit-identical weights under any input partitioning: decimal
+    // gradient/Hessian sums are associative, the solve is driver-side
+    val w4 = QualityModel.fitQualityLr(QualityModel.featureFrame(d.repartition(4)))
+    val w32 = QualityModel.fitQualityLr(QualityModel.featureFrame(d.repartition(32)))
+    assert(w4.toSeq == w32.toSeq, "training depends on partitioning")
+    // Newton steps actually fit: loss collapses from ln2
+    val l0 = QualityModel.logLoss(feats, Array.fill(w4.length)(0.0))
+    val l1 = QualityModel.logLoss(feats, w4)
+    assert(l0 > 0.69 && l1 < 0.1, s"loss $l0 -> $l1 did not converge")
+    // the distilled model reproduces the weak labels far above the
+    // majority-class rate (predict-all-keep), i.e. it learned the
+    // boundary, not the prior
+    val res = operators.QualityModel.qualityClassifier(spark, sf).cache()
+    val n = res.count().toDouble
+    val acc = res.filter(col("keep") === (col("weak_label") > 0.5)).count() / n
+    val posRate = res.filter(col("weak_label") > 0.5).count() / n
+    assert(acc >= 0.95 && acc > posRate, s"acc $acc vs majority $posRate")
+    res.unpersist()
+    // scoring with literal weights is a pure scan projection — the plan
+    // that scores 100 TB must have NO exchange
+    val plan = QualityModel.scoreQualityLr(d, w4).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scoring shuffles:\n$plan")
+    // serve: cold call trains + persists, warm call reuses the sidecar,
+    // both bit-equal to the from-scratch form
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmrf)
+      f.delete(); ()
+    }
+    val servePath = QualityModel.lrServePath(sf)
+    rmrf(new java.io.File(servePath))
+    def resRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2), r.getDouble(3))).toSet
+    val direct = resRows(operators.QualityModel.qualityClassifier(spark, sf))
+    val cold = resRows(operators.QualityModel.qualityClassifierServe(spark, sf))
+    assert(cold == direct, "cold LR serve diverged from from-scratch training")
+    val sidecar = new java.io.File(servePath)
+    val stamp = sidecar.listFiles.map(f => f.getName -> f.lastModified).toMap
+    val warm = resRows(operators.QualityModel.qualityClassifierServe(spark, sf))
+    assert(warm == direct, "warm LR serve diverged")
+    assert(sidecar.listFiles.map(f => f.getName -> f.lastModified).toMap == stamp,
+      "warm LR serve rewrote the sidecar instead of reusing it")
+  }
+
   test("rarity score invariants: rare counts bounded, min <= mean") {
     val res = operators.Curation.rarityScore(spark, sf).collect()
     assert(res.nonEmpty)
