@@ -37,6 +37,17 @@ object Tables {
     perSession.getOrElseUpdate((dir, name), spark.read.parquet(s"$dir/$name.parquet"))
   }
 
+  /** Drop the memoized plan for one table so the next load re-lists its
+    * files. The model-serving paths call this when a corpus fingerprint
+    * mismatch proves the files changed under the dir — training a fresh
+    * model through a plan pinned to the OLD file listing would fail (or
+    * silently read stale data) and then be stamped with the NEW
+    * fingerprint. */
+  private[graft] def invalidate(spark: SparkSession, dir: String, name: String): Unit = {
+    val m = plans.get(spark)
+    if (m != null) { m.remove((dir, name)); () }
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "customer")

@@ -59,7 +59,11 @@ object QualityModel {
         f(ts.getField("n_stops"), ts.getField("n_words")).as("f_stop"),
         f(ts.getField("n_punct"), ts.getField("n_chars")).as("f_punct"),
         f(ts.getField("n_letters"), ts.getField("n_chars")).as("f_letter"),
-        f(ts.getField("n_digit_runs"), ts.getField("n_ws_tokens")).as("f_digit"),
+        // clamped: a token like "a1b2c3" holds several digit runs, so the
+        // raw ratio exceeds 1 on digit-dense docs — the clamp keeps the
+        // documented [0, 1] feature scale true
+        least(f(ts.getField("n_digit_runs"), ts.getField("n_ws_tokens")), lit(1.0))
+          .as("f_digit"),
         lit(1.0).as("f_bias"),
         (TextAnalysis.qualityScoreOf(ts) >= LabelFloor).cast(DoubleType).as("y"))
   }
@@ -76,6 +80,9 @@ object QualityModel {
   def fitQualityLr(feats0: DataFrame, iters: Int = LrIters, ridge: Double = LrRidge): Array[Double] = {
     // one kernel scan total: iterations re-read the checkpointed frame
     val feats = feats0.localCheckpoint(eager = true)
+    // loud precondition beats the NPE a null SUM-over-zero-rows would
+    // throw from inside the first Newton step's row decode
+    require(feats.limit(1).count() > 0, "cannot fit a quality model on an empty corpus")
     val d = FeatNames.length
     var w = Array.fill(d)(0.0)
     for (_ <- 0 until iters) {
@@ -141,6 +148,7 @@ object QualityModel {
     val row = feats.agg(
       sum(loss.cast(DecimalType(38, 18))).cast(DoubleType).as("s"),
       count(lit(1)).as("n")).head()
+    require(row.getLong(1) > 0, "log-loss of an empty frame is undefined")
     row.getDouble(0) / row.getLong(1)
   }
 
@@ -210,6 +218,10 @@ object QualityModel {
     val w = stored match {
       case Some((ws, storedFp)) if storedFp == fp => ws
       case _ =>
+        // the fingerprint mismatch proves the files changed — drop the
+        // memoized plan so training reads the CURRENT listing, not one
+        // pinned to deleted part files
+        Tables.invalidate(spark, dir, "documents")
         val ws = fitQualityLr(featureFrame(Tables.documents(spark, dir)))
         writeLrModel(spark, path, ws, fp)
         ws

@@ -317,7 +317,11 @@ object Similarity {
       catch { case scala.util.control.NonFatal(_) => None } // no generation yet
     val centroids = stored match {
       case Some((cents, _, Some(storedFp))) if storedFp == fp => cents
-      case _ => writeIvfIndexOf(spark, emb(spark, dir), indexPath, fingerprint = Some(fp))
+      case _ =>
+        // mismatch proves the corpus files changed: drop the memoized
+        // plan so the rebuild reads the current listing
+        Tables.invalidate(spark, dir, "embeddings")
+        writeIvfIndexOf(spark, emb(spark, dir), indexPath, fingerprint = Some(fp))
     }
     knnIvfIndexed(spark, dir, indexPath, centroids, k)
   }
@@ -487,11 +491,20 @@ object Similarity {
   /** [[readIvfModel]] plus the build-time corpus fingerprint (None for
     * sidecars written without one). */
   private[graft] def readIvfModelFull(spark: SparkSession, indexPath: String)
+      : (Array[Array[Double]], Long, Option[Long]) =
+    decodeModelRows(readModelRows(spark, indexPath))
+
+  /** ONE sidecar read, shared by the IVF decode and the PQ geometry
+    * probe — the freshness check stays a single Spark job. */
+  private[graft] def readModelRows(spark: SparkSession, indexPath: String)
+      : Array[org.apache.spark.sql.Row] =
+    spark.read.parquet(ivfModelPath(indexPath)).collect()
+
+  private[graft] def decodeModelRows(rows: Array[org.apache.spark.sql.Row])
       : (Array[Array[Double]], Long, Option[Long]) = {
-    val rows = spark.read.parquet(ivfModelPath(indexPath)).collect()
     val trainedCount = rows.find(r => r.getInt(0) == -1)
       .map(_.getDouble(2).toLong)
-      .getOrElse(sys.error(s"no trained-count row in ${ivfModelPath(indexPath)}"))
+      .getOrElse(sys.error("no trained-count row in the model sidecar"))
     val fpHalves = rows.filter(_.getInt(0) == -2)
       .map(r => r.getInt(1) -> r.getDouble(2).toLong).toMap
     val fingerprint =
@@ -755,9 +768,9 @@ object Similarity {
     * code lookups would kill (ANSI) or silently NULL every search. */
   private[graft] def readPqBooks(spark: SparkSession, indexPath: String)
       : (Array[Array[Array[Double]]], Option[Long]) = {
-    val (flat, _, fp) = readIvfModelFull(spark, indexPath)
-    val geo = spark.read.parquet(ivfModelPath(indexPath))
-      .filter(col("cid") === -3).collect()
+    val rows = readModelRows(spark, indexPath)
+    val (flat, _, fp) = decodeModelRows(rows)
+    val geo = rows.filter(_.getInt(0) == -3)
       .map(r => r.getInt(1) -> r.getDouble(2).toInt).toMap
     require(geo.get(0).contains(PqM) && geo.get(1).contains(PqK),
       s"PQ sidecar geometry ${geo.get(0)}x${geo.get(1)} != current $PqM x $PqK " +
@@ -782,7 +795,11 @@ object Similarity {
       catch { case scala.util.control.NonFatal(_) => None } // no generation yet
     val books = stored match {
       case Some((b, Some(storedFp))) if storedFp == fp => b
-      case _ => writePqIndexOf(spark, emb(spark, dir), indexPath, Some(fp))
+      case _ =>
+        // mismatch proves the corpus files changed: drop the memoized
+        // plan so the rebuild reads the current listing
+        Tables.invalidate(spark, dir, "embeddings")
+        writePqIndexOf(spark, emb(spark, dir), indexPath, Some(fp))
     }
     knnPqOf(spark, dir, spark.read.parquet(indexPath), books, k)
   }
