@@ -80,7 +80,8 @@ object SparkEntry {
     "q_sample_stratified" -> ((s, dir) => Curation.sampleStratified(s, dir)),
     "q_rarity_score" -> ((s, dir) => Curation.rarityScore(s, dir)),
     "q_knn_pq" -> ((s, dir) => Similarity.knnPqServe(s, dir)),
-    "q_quality_classifier" -> ((s, dir) => QualityModel.qualityClassifierServe(s, dir))
+    "q_quality_classifier" -> ((s, dir) => QualityModel.qualityClassifierServe(s, dir)),
+    "q_dedup_embedding_resolve" -> ((s, dir) => Similarity.embeddingDedupResolve(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

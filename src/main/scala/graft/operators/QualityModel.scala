@@ -68,8 +68,14 @@ object QualityModel {
         (TextAnalysis.qualityScoreOf(ts) >= LabelFloor).cast(DoubleType).as("y"))
   }
 
+  /** w·x as the fused dot-product kernel over a `typedLit` weight array:
+    * the weights enter codegen as a REFERENCED object, not inline
+    * constants, so the generated source is identical across Newton
+    * iterations and the codegen cache serves every step after the first
+    * (the per-weight `lit` sum recompiled ~1s of janino per iteration —
+    * corpus-size-independent, but 8x per fit). */
   private def marginOf(w: Array[Double]): Column =
-    FeatNames.zip(w).map { case (n, wj) => col(n) * lit(wj) }.reduce(_ + _)
+    GraftFunctions.graftDot(array(FeatNames.map(col): _*), typedLit(w.toSeq))
 
   /** Train the classifier: IRLS — each Newton step is ONE aggregate
     * computing the gradient X'(y-p) and the Hessian upper triangle

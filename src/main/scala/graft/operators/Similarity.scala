@@ -804,6 +804,20 @@ object Similarity {
     knnPqOf(spark, dir, spark.read.parquet(indexPath), books, k)
   }
 
+  /** q_dedup_embedding_resolve — keep-one-copy canonicalization over the
+    * embedding near-dup graph: [[embeddingDedup]] pairs resolved to
+    * connected-component canonical ids by the same large-star/small-star
+    * loop the text pipeline uses ([[Dedup.resolveComponents]] — O(log n)
+    * rounds, distributed label verification). The cross-modal
+    * counterpart of q_dedup_resolve: text near-dups catch verbatim
+    * copies, embedding near-dups catch paraphrases — a curation
+    * pipeline resolves BOTH graphs to canonical sets. */
+  def embeddingDedupResolve(spark: SparkSession, dir: String): DataFrame =
+    Dedup.resolveComponents(
+      embeddingDedup(spark, dir)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("canonical_id"))
+
   /** q_dedup_embedding — embedding-cosine near-dup pairs via LSH-banded
     * candidate generation (threshold tuned to the harness corpus, which
     * has no planted >0.9 pairs — see SURVEY §2B). */

@@ -58,6 +58,20 @@ object Stress {
         transform(col("eb"), x => x.cast("double"))).as("c"))
         .agg(count(when(col("c") > 0.9, 1))).collect()(0).getLong(0)
     }
+
+    // r6 curation operators over the same replicated corpus: repetition
+    // is the scan-rate baseline (zero shuffles); contamination's eval
+    // side stays ~original-corpus-sized while the train side scales;
+    // rarity's vocab (df) side does not grow with replication at all;
+    // the classifier trains on 10x rows with the same 8-aggregate
+    // schedule. Each should scale ~linearly in the replicated rows.
+    time("repetition_stats") { Curation.repetitionStatsOf(docs10).count() }
+    time("contamination") { Curation.contaminationOf(docs10).count() }
+    time("rarity_score") { Curation.rarityScoreOf(docs10).count() }
+    time("sample_stratified") { Curation.sampleStratifiedOf(docs10).count() }
+    time("quality_lr_fit") {
+      QualityModel.fitQualityLr(QualityModel.featureFrame(docs10)).length.toLong
+    }
     spark.stop()
   }
 }

@@ -696,6 +696,20 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       "warm LR serve rewrote the sidecar instead of reusing it")
   }
 
+  test("embedding dedup resolve: endpoints co-labeled with the component min id") {
+    val pairs = operators.Similarity.embeddingDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = operators.Similarity.embeddingDedupResolve(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.nonEmpty && pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across components")
+    }
+    labels.foreach { case (id, c) => assert(c <= id, s"canonical $c above member $id") }
+    // every canonical id labels itself
+    labels.values.toSet.foreach((c: Long) => assert(labels(c) == c))
+  }
+
   test("rarity score invariants: rare counts bounded, min <= mean") {
     val res = operators.Curation.rarityScore(spark, sf).collect()
     assert(res.nonEmpty)
