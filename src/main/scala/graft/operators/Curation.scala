@@ -311,6 +311,84 @@ object Curation {
        |  FROM documents
        |) WHERE sample_rank <= $SampleN""".stripMargin
 
+  // ----------------------------------------------------- tf-idf terms
+
+  /** Top terms per document. */
+  val TfIdfTopK = 5
+
+  /** q_tfidf_terms — per-document top-[[TfIdfTopK]] characteristic terms
+    * by a RATIONAL tf-idf: score = tf x n_docs / df. The classical
+    * ln(n/df) idf is transcendental — two engines' `ln` can differ in
+    * the last ulp, which a hash oracle would catch — while the rational
+    * form is one exact integer product and ONE IEEE division, bit-equal
+    * everywhere, and induces the same per-document ranking as ln for
+    * fixed tf ordering needs (monotone in n/df).
+    *
+    * Scale shape: tf is one map-side-combined count over the exploded
+    * token stream; the df join is the same 8-byte-key join as
+    * [[rarityScore]] (AQE-broadcast while the vocabulary is small); the
+    * final rank is a window PARTITIONED BY doc_id — per-partition groups
+    * are doc-vocabulary-sized (bounded by document length, never corpus
+    * length), so the sort is per-group tiny at any corpus size. Word
+    * strings, not hashes, travel this pipeline: the output carries the
+    * term itself, and the oracle's tie-break (score desc, term asc) must
+    * order REAL strings identically. */
+  def tfidfTerms(spark: SparkSession, dir: String): DataFrame =
+    tfidfTermsOf(Tables.documents(spark, dir))
+
+  /** DataFrame core of [[tfidfTerms]] — any (doc_id, text) frame. */
+  def tfidfTermsOf(d: DataFrame): DataFrame = {
+    val words = d.select(
+      col("doc_id"),
+      explode(split(regexp_replace(trim(col("text")), "\\s+", " "), " ")).as("term"))
+    // ONE corpus-scale explode: tf's (doc, term) output IS the distinct
+    // pair set, so df derives from it (re-exploding the corpus for a
+    // DISTINCT paid a second scan + shuffle); lazy checkpoint because
+    // tf feeds both the df aggregate and the scoring join
+    val tf = words.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(df, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn(
+        "score",
+        (col("tf") * col("n_docs")).cast(DoubleType) / col("df").cast(DoubleType))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TfIdfTopK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rk"))
+  }
+
+  val tfidfTermsOracle: String =
+    s"""WITH words AS (
+       |  SELECT doc_id,
+       |    UNNEST(STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' '))
+       |      AS term
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY 1, 2
+       |), dfq AS (
+       |  SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM words)
+       |  GROUP BY 1
+       |), nd AS (
+       |  SELECT COUNT(*) AS n_docs FROM documents
+       |), scored AS (
+       |  SELECT doc_id, term, tf, df,
+       |    CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score
+       |  FROM tf JOIN dfq USING (term) CROSS JOIN nd
+       |)
+       |SELECT doc_id, term, tf, df, score, rk FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, term) AS INT) AS rk
+       |  FROM scored
+       |) WHERE rk <= $TfIdfTopK""".stripMargin
+
   // ----------------------------------------------------- rarity scoring
 
   /** q_rarity_score — document-frequency rarity profile: for each doc,
