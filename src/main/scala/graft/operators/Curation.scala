@@ -389,6 +389,95 @@ object Curation {
        |  FROM scored
        |) WHERE rk <= $TfIdfTopK""".stripMargin
 
+  // ----------------------------------------------------- collocations
+
+  /** Minimum bigram count for collocation candidacy (noise floor). */
+  val CollocMinCount = 5
+  /** Collocations reported. */
+  val CollocTopK = 50
+
+  /** q_collocations — statistical phrase mining: the corpus's top
+    * bigrams by RATIONAL lift, lift = N x c(ab) / (c_left(a) x
+    * c_right(b)) over the adjacent-pair stream (N = total bigrams,
+    * c_left/c_right = the token's count in first/second position). The
+    * log-free form of PMI: same ranking (log is monotone), no
+    * transcendental — each side is two IEEE multiplies and one divide
+    * over exact counts, in the same order in Spark and the oracle, so
+    * the hash gate holds. Casts to double BEFORE multiplying: at
+    * 100 TB, count products overflow int64 (1e12 x 1e12), while the
+    * double product is the same well-defined IEEE value everywhere.
+    *
+    * Scale shape: one corpus-scale explode of adjacent pairs, one
+    * map-side-combined count per bigram; position counts derive from
+    * the bigram counts (vocab-sized input); the final rank sorts only
+    * the >= [[CollocMinCount]] survivors (bounded by vocab², and by the
+    * noise floor far below that). */
+  def collocations(spark: SparkSession, dir: String): DataFrame =
+    collocationsOf(Tables.documents(spark, dir))
+
+  /** DataFrame core of [[collocations]] — any (doc_id, text) frame. */
+  def collocationsOf(d: DataFrame): DataFrame = {
+    val words = d.select(
+      split(regexp_replace(trim(col("text")), "\\s+", " "), " ").as("w"))
+    val pairs = words
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] as a, w[i] as b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val cab = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+      .localCheckpoint(eager = false)
+    val ca = cab.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+    val cb = cab.groupBy(col("b")).agg(sum(col("cab")).as("cb"))
+    val n = cab.agg(sum(col("cab")).as("n_pairs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lift").desc, col("a").asc, col("b").asc)
+    cab
+      .filter(col("cab") >= CollocMinCount)
+      .join(ca, Seq("a"))
+      .join(cb, Seq("b"))
+      .crossJoin(broadcast(n))
+      .withColumn(
+        "lift",
+        (col("n_pairs").cast(DoubleType) * col("cab").cast(DoubleType)) /
+          (col("ca").cast(DoubleType) * col("cb").cast(DoubleType)))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= CollocTopK)
+      .select(col("a"), col("b"), col("cab"), col("ca"), col("cb"),
+        col("lift"), col("rk"))
+  }
+
+  val collocationsOracle: String =
+    s"""WITH words AS (
+       |  SELECT STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' ') AS w
+       |  FROM documents
+       |), pairs AS (
+       |  SELECT g[1] AS a, g[2] AS b FROM (
+       |    SELECT UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - 1),
+       |      i -> [w[i], w[i+1]])) AS g
+       |    FROM words WHERE LEN(w) >= 2
+       |  )
+       |), cabq AS (
+       |  SELECT a, b, COUNT(*) AS cab FROM pairs GROUP BY 1, 2
+       |), caq AS (
+       |  SELECT a, CAST(SUM(cab) AS BIGINT) AS ca FROM cabq GROUP BY 1
+       |), cbq AS (
+       |  SELECT b, CAST(SUM(cab) AS BIGINT) AS cb FROM cabq GROUP BY 1
+       |), nq AS (
+       |  SELECT CAST(SUM(cab) AS BIGINT) AS n_pairs FROM cabq
+       |), scored AS (
+       |  SELECT a, b, cab, ca, cb,
+       |    (CAST(n_pairs AS DOUBLE) * CAST(cab AS DOUBLE)) /
+       |      (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)) AS lift
+       |  FROM cabq JOIN caq USING (a) JOIN cbq USING (b) CROSS JOIN nq
+       |  WHERE cab >= $CollocMinCount
+       |)
+       |SELECT a, b, cab, ca, cb, lift, rk FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (
+       |    ORDER BY lift DESC, a, b) AS INT) AS rk
+       |  FROM scored
+       |) WHERE rk <= $CollocTopK""".stripMargin
+
   // ----------------------------------------------------- rarity scoring
 
   /** q_rarity_score — document-frequency rarity profile: for each doc,
