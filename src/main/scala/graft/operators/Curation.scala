@@ -191,7 +191,7 @@ object Curation {
   private[graft] def repetitionStatsAgg(docs: DataFrame): DataFrame = {
     val words = docs.select(
       col("doc_id"),
-      split(regexp_replace(trim(col("text")), "\\s+", " "), " ").as("w"))
+      TextAnalysis.wsTokens(col("text")).as("w"))
     val wc = words
       .select(col("doc_id"), explode(col("w")).as("word"))
       .groupBy(col("doc_id"), col("word"))
@@ -338,9 +338,13 @@ object Curation {
 
   /** DataFrame core of [[tfidfTerms]] — any (doc_id, text) frame. */
   def tfidfTermsOf(d: DataFrame): DataFrame = {
+    // empty tokens (empty/whitespace-only docs split to [""]) must not
+    // rank as a "characteristic term" — filtered on both sides, the
+    // vocabTop precedent
     val words = d.select(
       col("doc_id"),
-      explode(split(regexp_replace(trim(col("text")), "\\s+", " "), " ")).as("term"))
+      explode(TextAnalysis.wsTokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
     // ONE corpus-scale explode: tf's (doc, term) output IS the distinct
     // pair set, so df derives from it (re-exploding the corpus for a
     // DISTINCT paid a second scan + shuffle); lazy checkpoint because
@@ -352,9 +356,13 @@ object Curation {
     val scored = tf
       .join(df, Seq("term"))
       .crossJoin(broadcast(nDocs))
+      // each factor cast to double BEFORE the product: tf x n_docs as
+      // int64 overflows at warehouse scale (1e8 x 1e11), and ANSI mode
+      // would kill the query on the one degenerate document
       .withColumn(
         "score",
-        (col("tf") * col("n_docs")).cast(DoubleType) / col("df").cast(DoubleType))
+        (col("tf").cast(DoubleType) * col("n_docs").cast(DoubleType)) /
+          col("df").cast(DoubleType))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term").asc)
@@ -367,10 +375,12 @@ object Curation {
 
   val tfidfTermsOracle: String =
     s"""WITH words AS (
-       |  SELECT doc_id,
-       |    UNNEST(STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' '))
-       |      AS term
-       |  FROM documents
+       |  SELECT doc_id, term FROM (
+       |    SELECT doc_id,
+       |      UNNEST(STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' '))
+       |        AS term
+       |    FROM documents
+       |  ) WHERE term <> ''
        |), tf AS (
        |  SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY 1, 2
        |), dfq AS (
@@ -380,7 +390,7 @@ object Curation {
        |  SELECT COUNT(*) AS n_docs FROM documents
        |), scored AS (
        |  SELECT doc_id, term, tf, df,
-       |    CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score
+       |    CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score
        |  FROM tf JOIN dfq USING (term) CROSS JOIN nd
        |)
        |SELECT doc_id, term, tf, df, score, rk FROM (
@@ -409,27 +419,37 @@ object Curation {
     *
     * Scale shape: one corpus-scale explode of adjacent pairs, one
     * map-side-combined count per bigram; position counts derive from
-    * the bigram counts (vocab-sized input); the final rank sorts only
-    * the >= [[CollocMinCount]] survivors (bounded by vocab², and by the
-    * noise floor far below that). */
+    * the bigram counts (vocab-sized input); the global top-k runs as
+    * orderBy().limit() — per-partition heads merged (TakeOrdered), so
+    * even billions of >= [[CollocMinCount]] survivors never funnel into
+    * one task; only the final <= [[CollocTopK]] rows see a rank
+    * window. */
   def collocations(spark: SparkSession, dir: String): DataFrame =
     collocationsOf(Tables.documents(spark, dir))
 
   /** DataFrame core of [[collocations]] — any (doc_id, text) frame. */
   def collocationsOf(d: DataFrame): DataFrame = {
     val words = d.select(
-      split(regexp_replace(trim(col("text")), "\\s+", " "), " ").as("w"))
+      TextAnalysis.wsTokens(col("text")).as("w"))
+    // bigrams touching the empty token (empty/whitespace-edge docs)
+    // carry no phrase signal — filtered on both sides
     val pairs = words
       .filter(size(col("w")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] as a, w[i] as b))"))
         .as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= "" && col("b") =!= "")
     val cab = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
       .localCheckpoint(eager = false)
     val ca = cab.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
     val cb = cab.groupBy(col("b")).agg(sum(col("cab")).as("cb"))
     val n = cab.agg(sum(col("cab")).as("n_pairs"))
+    // global top-k via orderBy().limit() — TakeOrdered merges per-
+    // partition heads, so billions of noise-floor survivors never land
+    // on one task (an unpartitioned rank Window would single-partition
+    // the whole survivor set); the rank numbers then come from a window
+    // over the <= CollocTopK collected rows only
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("lift").desc, col("a").asc, col("b").asc)
     cab
@@ -441,8 +461,9 @@ object Curation {
         "lift",
         (col("n_pairs").cast(DoubleType) * col("cab").cast(DoubleType)) /
           (col("ca").cast(DoubleType) * col("cb").cast(DoubleType)))
+      .orderBy(col("lift").desc, col("a").asc, col("b").asc)
+      .limit(CollocTopK)
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= CollocTopK)
       .select(col("a"), col("b"), col("cab"), col("ca"), col("cb"),
         col("lift"), col("rk"))
   }
@@ -456,7 +477,7 @@ object Curation {
        |    SELECT UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - 1),
        |      i -> [w[i], w[i+1]])) AS g
        |    FROM words WHERE LEN(w) >= 2
-       |  )
+       |  ) WHERE g[1] <> '' AND g[2] <> ''
        |), cabq AS (
        |  SELECT a, b, COUNT(*) AS cab FROM pairs GROUP BY 1, 2
        |), caq AS (

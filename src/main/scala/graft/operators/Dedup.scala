@@ -69,7 +69,7 @@ object Dedup {
   private[graft] def shingleHashesAgg(docs: DataFrame): DataFrame = {
     val words = docs.select(
       col("doc_id"),
-      split(regexp_replace(trim(col("text")), "\\s+", " "), " ").as("w"))
+      TextAnalysis.wsTokens(col("text")).as("w"))
     words
       .filter(size(col("w")) >= ShingleN)
       .select(
@@ -273,7 +273,7 @@ object Dedup {
   private[graft] def simhashSignaturesAgg(docs: DataFrame): DataFrame = {
     val words = docs
       .select(col("doc_id"),
-        explode(split(regexp_replace(trim(col("text")), "\\s+", " "), " ")).as("word"))
+        explode(TextAnalysis.wsTokens(col("text"))).as("word"))
       .select(col("doc_id"), xxhash64(col("word")).as("h"))
       .distinct()
     val bitSums = (0 until SimHashBits).map { i =>

@@ -44,7 +44,7 @@ object TextAnalysis {
   def bpeTrain(docsDf: DataFrame, numMerges: Int = BpeMerges,
       vocabCap: Int = BpeVocabCap): Array[String] = {
     val wc = docsDf
-      .select(explode(split(regexp_replace(trim(col("text")), "\\s+", " "), " ")).as("w"))
+      .select(explode(wsTokens(col("text"))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w"))
@@ -300,7 +300,7 @@ object TextAnalysis {
       .documents(spark, dir)
       .select(
         col("doc_id"),
-        split(regexp_replace(trim(col("text")), "\\s+", " "), " ").as("w"))
+        wsTokens(col("text")).as("w"))
       .filter(size(col("w")) >= k)
     val grams = words.select(
       col("doc_id"),
@@ -342,6 +342,18 @@ object TextAnalysis {
     * scalar projection — scan speed at any corpus size. */
   def trainSplit(spark: SparkSession, dir: String): DataFrame =
     trainSplitOf(docs(spark, dir))
+
+  /** Whitespace tokenization of a text column — trim, collapse `\s+`
+    * runs, split on single spaces — THE single Column definition every
+    * token-level operator shares (tf/df, bigrams, shingle reference
+    * forms, BPE vocab). The oracle-parity contract requires each use
+    * site's SQL mirror (`STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\s+',
+    * ' ', 'g'), ' ')`) to stay byte-equivalent to this expression; one
+    * definition makes per-operator drift impossible. An empty document
+    * yields ONE empty token (split semantics) — consumers that must not
+    * rank empty tokens filter them explicitly, mirrored in their SQL. */
+  private[graft] def wsTokens(c: Column): Column =
+    split(regexp_replace(trim(c), "\\s+", " "), " ")
 
   /** The content split key over a `text` column — THE single definition
     * every split consumer shares (q_train_split, q_contamination): a

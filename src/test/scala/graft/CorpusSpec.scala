@@ -710,6 +710,40 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     labels.values.toSet.foreach((c: Long) => assert(labels(c) == c))
   }
 
+  test("tfidf terms: ranks dense and ordered, no empty terms, score consistent") {
+    val rows = operators.Curation.tfidfTerms(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2.nonEmpty), "empty token ranked as a term")
+    val n = Tables.documents(spark, sf).count().toDouble
+    rows.foreach { case (_, _, tf, df, score, _) =>
+      assert(score == tf.toDouble * n / df.toDouble, "score != tf*n/df")
+    }
+    rows.groupBy(_._1).foreach { case (doc, ts) =>
+      assert(ts.length <= operators.Curation.TfIdfTopK, s"doc $doc over K")
+      val byRank = ts.sortBy(_._6)
+      assert(byRank.map(_._6).toSeq == (1 to ts.length).toSeq, s"doc $doc ranks not dense")
+      // rank order == (score desc, term asc)
+      val resorted = ts.sortBy(t => (-t._5, t._2))
+      assert(resorted.map(_._6).toSeq == (1 to ts.length).toSeq, s"doc $doc order")
+    }
+  }
+
+  test("collocations: bounded top-k by lift, counts consistent, no empty endpoints") {
+    val rows = operators.Curation.collocations(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getInt(6)))
+    assert(rows.nonEmpty && rows.length <= operators.Curation.CollocTopK)
+    assert(rows.forall(t => t._1.nonEmpty && t._2.nonEmpty), "empty endpoint")
+    assert(rows.forall(_._3 >= operators.Curation.CollocMinCount), "below noise floor")
+    assert(rows.forall(t => t._3 <= t._4 && t._3 <= t._5), "cab exceeds a position count")
+    val byRank = rows.sortBy(_._7)
+    assert(byRank.map(_._7).toSeq == (1 to rows.length).toSeq, "ranks not dense")
+    val resorted = rows.sortBy(t => (-t._6, t._1, t._2))
+    assert(resorted.map(_._7).toSeq == (1 to rows.length).toSeq, "rank order != lift desc")
+  }
+
   test("rarity score invariants: rare counts bounded, min <= mean") {
     val res = operators.Curation.rarityScore(spark, sf).collect()
     assert(res.nonEmpty)
