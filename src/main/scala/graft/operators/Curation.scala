@@ -399,6 +399,54 @@ object Curation {
        |  FROM scored
        |) WHERE rk <= $TfIdfTopK""".stripMargin
 
+  // ----------------------------------------------------- pii scrubbing
+
+  /** PII patterns chosen for ENGINE PORTABILITY: character classes,
+    * word boundaries and bounded quantifiers only — constructs
+    * java.util.regex (Spark) and RE2 (DuckDB) match identically, so the
+    * hash oracle can gate the scrub. No catastrophic-backtracking
+    * shapes. */
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePat = "\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b"
+
+  /** q_pii_scrub — PII redaction, the compliance pass every shipped
+    * training corpus runs: emails, IPv4 addresses and NANP-style phone
+    * numbers replaced by typed placeholders, with per-kind match counts
+    * (counted on the ORIGINAL text; replacements apply in a fixed
+    * email -> ip -> phone order, identical in the oracle, so overlap
+    * resolution is deterministic). A pure per-row scalar projection —
+    * scan speed at any corpus size, nothing to shuffle. The harness
+    * corpus contains no PII, so the oracle verifies the no-false-
+    * positive property end-to-end; redaction behavior itself is
+    * spec-tested on planted PII. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    piiScrubOf(Tables.documents(spark, dir))
+
+  /** DataFrame core of [[piiScrub]] — any (doc_id, text) frame. */
+  def piiScrubOf(d: DataFrame): DataFrame =
+    d.select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailPat, "<EMAIL>"),
+          Ipv4Pat, "<IP>"),
+        PhonePat, "<PHONE>").as("scrubbed_text"),
+      regexp_count(col("text"), lit(EmailPat)).as("n_emails"),
+      regexp_count(col("text"), lit(Ipv4Pat)).as("n_ips"),
+      regexp_count(col("text"), lit(PhonePat)).as("n_phones"))
+
+  val piiScrubOracle: String =
+    s"""SELECT doc_id,
+       |  REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
+       |    '$EmailPat', '<EMAIL>', 'g'),
+       |    '$Ipv4Pat', '<IP>', 'g'),
+       |    '$PhonePat', '<PHONE>', 'g') AS scrubbed_text,
+       |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '$EmailPat')) AS INT) AS n_emails,
+       |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '$Ipv4Pat')) AS INT) AS n_ips,
+       |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '$PhonePat')) AS INT) AS n_phones
+       |FROM documents""".stripMargin
+
   // ----------------------------------------------------- collocations
 
   /** Minimum bigram count for collocation candidacy (noise floor). */

@@ -744,6 +744,28 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(resorted.map(_._7).toSeq == (1 to rows.length).toSeq, "rank order != lift desc")
   }
 
+  test("pii scrub: planted PII redacted with exact counts, clean text untouched") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "contact bob.smith+x@ex-ample.co.uk or jane@a.io today"),
+      (2L, "server at 10.0.255.1 and 192.168.0.42 rebooted"),
+      (3L, "call 555-867-5309 or 555 867 5309 x99"),
+      (4L, "mixed a@b.co from 8.8.8.8 dial 123-456-7890"),
+      (5L, "clean text with no identifiers at all"),
+      (6L, "not-an-ip 1234.5.6.7890 and not@ an email"))).toDF("doc_id", "text")
+    val out = operators.Curation.piiScrubOf(df).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))))
+      .toMap
+    assert(out(1L) == (("contact <EMAIL> or <EMAIL> today", 2, 0, 0)))
+    assert(out(2L) == (("server at <IP> and <IP> rebooted", 0, 2, 0)))
+    assert(out(3L) == (("call <PHONE> or <PHONE> x99", 0, 0, 2)))
+    assert(out(4L) == (("mixed <EMAIL> from <IP> dial <PHONE>", 1, 1, 1)))
+    assert(out(5L) == (("clean text with no identifiers at all", 0, 0, 0)))
+    // 1234.5.6.7890: \b\d{1,3}\. cannot start inside the 4-digit run;
+    // 'not@ an' has no address tail — neither may redact
+    assert(out(6L)._2 == 0 && out(6L)._3 == 0 && out(6L)._4 == 0,
+      s"false positive: ${out(6L)}")
+  }
+
   test("rarity score invariants: rare counts bounded, min <= mean") {
     val res = operators.Curation.rarityScore(spark, sf).collect()
     assert(res.nonEmpty)
