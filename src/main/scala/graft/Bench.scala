@@ -45,17 +45,23 @@ object Bench {
       }
       (name, median(times), times.min, times.max)
     }
-    // 0.1ms precision keeps the line short; Locale.ROOT because the
-    // default-locale format would emit decimal COMMAS on a comma-decimal
-    // host locale — invalid JSON on the one line that must stay parseable
+    // Locale.ROOT because the default-locale format would emit decimal
+    // COMMAS on a comma-decimal host locale — invalid JSON on the one
+    // line that must stay parseable. The COMPACT line uses 1ms precision:
+    // at 71 queries the 0.1ms form ran 1858 chars, within ~70 of the
+    // driver's 2000-char tail capture (plus sbt's trailing [success]
+    // line) — the next operator added would have clipped it mid-line.
     def f(x: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, x)
+    def f3(x: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, x)
     val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + f(med) }
+      .mkString("{", ",", "}")
+    val qs3 = results.map { case (k, med, _, _) => "\"" + k + "\":" + f3(med) }
       .mkString("{", ",", "}")
     val spread = results
       .map { case (k, _, mn, mx) => "\"" + k + "\":[" + f(mn) + "," + f(mx) + "]" }
       .mkString("{", ",", "}")
     val total = f(results.map(_._2).sum)
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iters,"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs3,"iters":$iters,"sf":"$sfDir"}"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"iters":$iters,"sf":"$sfDir"}"""
     spark.stop()
     // full JSON (with spread) goes to a file; the process's last stdout
