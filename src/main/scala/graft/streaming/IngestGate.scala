@@ -1,0 +1,108 @@
+package graft.streaming
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, DoubleType}
+
+/** The composed streaming INGEST GATE an LLM data pipeline runs at the
+  * door: each micro-batch of documents is (1) exact-dedup-admitted
+  * against the persisted canonical store ([[DedupAdmission]] semantics)
+  * and (2) decontamination-screened against a FIXED eval/benchmark gram
+  * set (`operators.Curation.contamination` semantics — in production
+  * the benchmark suite is small and static, so it broadcasts). The
+  * maintained store carries, per content hash: the first-arrival
+  * canonical id, the fold-in copy count, and the canonical document's
+  * contamination flag — everything a downstream corpus build needs to
+  * SELECT clean, deduplicated training data without rescanning history.
+  *
+  * Batch equivalence (spec-asserted): under doc_id-ordered arrival the
+  * store is bit-identical to the one-shot batch computation
+  * ([[IngestGate.gateReference]]) over everything seen — the admission
+  * argument is [[DedupAdmission]]'s, and the contamination flag is a
+  * pure function of the document text and the static gram set, so it
+  * commutes with arrival order entirely.
+  *
+  * Scale notes: per batch, ONE kernel scan computes hash + shingle set;
+  * the gram screen is a broadcast semi-join + per-doc count (map-only
+  * on the batch side); the store merge is the same hash-keyed fold as
+  * [[DedupAdmission]]. State grows with distinct content seen.
+  */
+object IngestGate {
+
+  /** Per-row gate facts for one batch: content hash and contamination
+    * flag (shared-gram fraction >= `operators.Curation.ContaminationMax`;
+    * docs shorter than one shingle have no gram evidence and pass). */
+  private[graft] def batchFacts(batch: DataFrame, evalGrams: DataFrame): DataFrame = {
+    GraftFunctions.ensureRegistered(batch.sparkSession)
+    val sets = batch
+      .select(
+        col("doc_id"),
+        md5(col("text").cast(BinaryType)).as("content_hash"),
+        call_function(GraftFunctions.ShingleSetName, col("text")).as("hs"))
+      .localCheckpoint(eager = false)
+    val shared = sets
+      .filter(col("hs").isNotNull)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .join(broadcast(evalGrams.select(col("h"))), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    sets
+      .join(shared, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("content_hash"),
+        coalesce(
+          coalesce(col("n_shared"), lit(0L)).cast(DoubleType) /
+            size(col("hs")).cast(DoubleType) >=
+            graft.operators.Curation.ContaminationMax,
+          lit(false)).as("contaminated"))
+  }
+
+  /** One batch's canonical rows: per content hash, the smallest doc_id
+    * and ITS contamination flag, plus the batch copy count. */
+  private[graft] def batchCanonical(batch: DataFrame, evalGrams: DataFrame): DataFrame =
+    batchFacts(batch, evalGrams)
+      .groupBy(col("content_hash"))
+      .agg(
+        min(col("doc_id")).as("keep_doc_id"),
+        min_by(col("contaminated"), col("doc_id")).as("contaminated"),
+        count(lit(1)).as("n_copies"))
+
+  /** One micro-batch application — the testable core of [[sink]]. */
+  private[graft] def applyGateBatch(batch: DataFrame, evalGrams: DataFrame,
+      batchId: Long, stateDir: String): Unit =
+    StreamStateStore.applyBatch(
+      batch.sparkSession, batchId, stateDir, "ingestGateSink") {
+      case None => batchCanonical(batch, evalGrams)
+      case Some(prev) =>
+        prev.withColumn("arrival", lit(0))
+          .unionByName(batchCanonical(batch, evalGrams).withColumn("arrival", lit(1)))
+          .groupBy(col("content_hash"))
+          .agg(
+            min_by(col("keep_doc_id"), col("arrival")).as("keep_doc_id"),
+            min_by(col("contaminated"), col("arrival")).as("contaminated"),
+            sum(col("n_copies")).as("n_copies"))
+    }
+
+  /** The one-shot batch computation the streamed store must equal under
+    * id-ordered arrival — the spec's reference. */
+  private[graft] def gateReference(docs: DataFrame, evalGrams: DataFrame): DataFrame =
+    batchCanonical(docs, evalGrams)
+
+  /** The gate's store at `stateDir`: (content_hash, keep_doc_id,
+    * contaminated, n_copies). */
+  def currentStore(spark: org.apache.spark.sql.SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(stateDir)
+
+  /** foreachBatch sink gating a stream of (doc_id, text) documents
+    * against a static eval gram set (one `h` column of shingle
+    * hashes). */
+  def sink(docs: DataFrame, evalGrams: DataFrame, stateDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyGateBatch(batch, evalGrams, batchId, stateDir)
+      }
+}

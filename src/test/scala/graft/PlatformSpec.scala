@@ -369,6 +369,44 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.size == inc.size)
   }
 
+  test("streaming ingest gate: dedup + decontamination store equals the batch reference") {
+    import graft.streaming.IngestGate
+    val all = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    // static eval gram set: the md5-test split's distinct shingle hashes
+    // (the stand-in for a fixed benchmark suite)
+    val split = operators.TextAnalysis.trainSplitOf(all).select("doc_id", "split")
+    val evalDocs = all.join(split, "doc_id").filter(col("split") === "test")
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val evalGrams = evalDocs
+      .select(explode(call_function(
+        graft.functions.GraftFunctions.ShingleSetName, col("text"))).as("h"))
+      .distinct().localCheckpoint()
+    val incoming = all.join(split, "doc_id").filter(col("split") =!= "test")
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("graftgate").toString + "/state"
+    def storeMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2), r.getLong(3)))).toMap
+    val n = incoming.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val bounds = Seq(0L, n / 3, 2 * n / 3, n)
+    (0 to 2).foreach { i =>
+      IngestGate.applyGateBatch(
+        incoming.filter(col("doc_id") >= bounds(i) && col("doc_id") < bounds(i + 1)),
+        evalGrams, i, dir)
+    }
+    val inc = storeMap(IngestGate.currentStore(spark, dir))
+    val ref = storeMap(IngestGate.gateReference(incoming, evalGrams))
+    assert(inc == ref, "id-ordered streamed gate store diverged from the batch reference")
+    // the screen must actually fire on this corpus (near-dups straddle
+    // the content split), and pass clean docs
+    val flags = inc.values.map(_._2).toSeq
+    assert(flags.contains(true) && flags.contains(false),
+      s"degenerate contamination screen: $flags")
+    // replay is a no-op
+    IngestGate.applyGateBatch(
+      incoming.filter(col("doc_id") >= bounds(2)), evalGrams, 2, dir)
+    assert(storeMap(IngestGate.currentStore(spark, dir)) == inc)
+  }
+
   test("multimodal: features are fixed-dim, frames only from videos, resize is metadata-true") {
     val media = Multimodal.fromDocuments(Tables.documents(spark, sf))
     val nDocs = Tables.documents(spark, sf).count()
