@@ -68,10 +68,32 @@ object Pipeline {
     stage("corpus_clean")(clean)
     val cleanedDocs = Tables.documents(spark, sfDir)
       .join(spark.read.parquet(s"$outDir/corpus_clean").select("doc_id"), Seq("doc_id"), "left_semi")
-    stage("corpus_splits")(TextAnalysis.trainSplitOf(cleanedDocs))
-    stage("corpus_packed")(TextAnalysis.packSequencesBucketedOf(spark, cleanedDocs))
+    // r6 curation layers in the canonical shipping order: repetition
+    // screen -> benchmark decontamination -> PII scrub. Each persists
+    // its evidence (the flags/counts an audit asks for), and the
+    // downstream layers read only what survived.
+    stage("corpus_repetition")(Curation.repetitionStatsOf(cleanedDocs))
+    stage("corpus_decontamination")(Curation.contaminationOf(cleanedDocs))
+    val screened = cleanedDocs
+      .join(spark.read.parquet(s"$outDir/corpus_repetition")
+        .filter(org.apache.spark.sql.functions.col("keep")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .join(spark.read.parquet(s"$outDir/corpus_decontamination")
+        .filter(org.apache.spark.sql.functions.col("flag_drop")).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+    stage("corpus_pii")(Curation.piiScrubOf(screened))
+    // the SHIPPED text is the scrubbed text: splits key on it (content-
+    // keyed leakage safety applies to what ships), packs fill with it
+    val shipped = spark.read.parquet(s"$outDir/corpus_pii")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("scrubbed_text").as("text"))
+    stage("corpus_splits")(TextAnalysis.trainSplitOf(shipped))
+    stage("corpus_packed")(TextAnalysis.packSequencesBucketedOf(spark, shipped))
     stage("corpus_report")(TextAnalysis.corpusStatsOf(
       spark.read.parquet(s"$outDir/corpus_clean")))
+    // model layer: the distilled quality scorer (weights persist in the
+    // fingerprint-keyed sidecar; this stage records the scored corpus)
+    stage("quality_scores")(QualityModel.qualityClassifierServe(spark, sfDir))
     // persisted model state: forecast sufficient statistics (maintained
     // incrementally by mergeForecastModel on later batches)
     stage("forecast_model")(Forecast.forecastModelFrame(spark, sfDir))

@@ -547,20 +547,30 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = java.nio.file.Files.createTempDirectory("graftpipe").toString
     graft.Pipeline.run(spark, sf, out)
     val layers = Seq("dim_locality", "dim_date", "fact_rollup", "best_markets", "ml_data",
-      "corpus_thresholds", "corpus_clean", "corpus_splits", "corpus_packed", "corpus_report",
-      "forecast_model")
+      "corpus_thresholds", "corpus_clean", "corpus_repetition", "corpus_decontamination",
+      "corpus_pii", "corpus_splits", "corpus_packed", "corpus_report",
+      "quality_scores", "forecast_model")
     layers.foreach { l =>
       assert(spark.read.parquet(s"$out/$l").count() > 0, s"layer $l empty")
     }
-    // the curation layers are CHAINED: docs the clean stage dropped must
-    // not appear in split assignments or packed bins
-    val cleanIds = spark.read.parquet(s"$out/corpus_clean")
-      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the curation layers are CHAINED clean -> repetition screen ->
+    // decontamination -> PII scrub: what ships (splits, packs) is
+    // exactly the screened survivor set, nothing the screens dropped
+    def ids(l: String) = spark.read.parquet(s"$out/$l").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val cleanIds = ids("corpus_clean")
+    val keepIds = spark.read.parquet(s"$out/corpus_repetition")
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val dropIds = spark.read.parquet(s"$out/corpus_decontamination")
+      .filter(col("flag_drop")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val shipped = (cleanIds intersect keepIds) diff dropIds
+    assert(shipped.nonEmpty, "screens dropped the whole corpus")
+    assert(ids("corpus_pii") == shipped, "PII layer not the screened survivor set")
     Seq("corpus_splits", "corpus_packed").foreach { l =>
-      val ids = spark.read.parquet(s"$out/$l").select("doc_id")
-        .collect().map(_.getLong(0)).toSet
-      assert(ids == cleanIds, s"$l not chained off the cleaned corpus")
+      assert(ids(l) == shipped, s"$l not chained off the screened corpus")
     }
+    // screen evidence layers cover the cleaned corpus they screen
+    assert(ids("corpus_repetition") == cleanIds)
   }
 
   test("clean csv: malformed rows quarantined, non-ascii scrubbed") {
