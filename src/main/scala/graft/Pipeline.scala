@@ -66,27 +66,31 @@ object Pipeline {
       TextAnalysis.scoredCorpus(spark, sfDir),
       spark.read.parquet(s"$outDir/corpus_thresholds"))
     stage("corpus_clean")(clean)
+    import org.apache.spark.sql.functions.col
     val cleanedDocs = Tables.documents(spark, sfDir)
       .join(spark.read.parquet(s"$outDir/corpus_clean").select("doc_id"), Seq("doc_id"), "left_semi")
+      // three screening stages read this frame — one scan, not three
+      .localCheckpoint(eager = false)
     // r6 curation layers in the canonical shipping order: repetition
-    // screen -> benchmark decontamination -> PII scrub. Each persists
-    // its evidence (the flags/counts an audit asks for), and the
-    // downstream layers read only what survived.
+    // screen -> PII scrub -> benchmark decontamination. The scrub runs
+    // BEFORE every content-keyed decision (split assignment AND the
+    // decontamination screen key on md5 of the text), so the text that
+    // ships is the text that was screened — scrubbing after would let a
+    // PII rewrite flip a doc's split into train past a decontamination
+    // check that never saw it. Each stage persists its evidence (the
+    // flags/counts an audit asks for); downstream reads only survivors.
     stage("corpus_repetition")(Curation.repetitionStatsOf(cleanedDocs))
-    stage("corpus_decontamination")(Curation.contaminationOf(cleanedDocs))
-    val screened = cleanedDocs
+    val repKept = cleanedDocs
       .join(spark.read.parquet(s"$outDir/corpus_repetition")
-        .filter(org.apache.spark.sql.functions.col("keep")).select("doc_id"),
-        Seq("doc_id"), "left_semi")
+        .filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+    stage("corpus_pii")(Curation.piiScrubOf(repKept))
+    val scrubbed = spark.read.parquet(s"$outDir/corpus_pii")
+      .select(col("doc_id"), col("scrubbed_text").as("text"))
+      .localCheckpoint(eager = false)
+    stage("corpus_decontamination")(Curation.contaminationOf(scrubbed))
+    val shipped = scrubbed
       .join(spark.read.parquet(s"$outDir/corpus_decontamination")
-        .filter(org.apache.spark.sql.functions.col("flag_drop")).select("doc_id"),
-        Seq("doc_id"), "left_anti")
-    stage("corpus_pii")(Curation.piiScrubOf(screened))
-    // the SHIPPED text is the scrubbed text: splits key on it (content-
-    // keyed leakage safety applies to what ships), packs fill with it
-    val shipped = spark.read.parquet(s"$outDir/corpus_pii")
-      .select(org.apache.spark.sql.functions.col("doc_id"),
-        org.apache.spark.sql.functions.col("scrubbed_text").as("text"))
+        .filter(col("flag_drop")).select("doc_id"), Seq("doc_id"), "left_anti")
     stage("corpus_splits")(TextAnalysis.trainSplitOf(shipped))
     stage("corpus_packed")(TextAnalysis.packSequencesBucketedOf(spark, shipped))
     stage("corpus_report")(TextAnalysis.corpusStatsOf(

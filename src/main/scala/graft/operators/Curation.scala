@@ -412,11 +412,15 @@ object Curation {
 
   /** q_pii_scrub — PII redaction, the compliance pass every shipped
     * training corpus runs: emails, IPv4 addresses and NANP-style phone
-    * numbers replaced by typed placeholders, with per-kind match counts
-    * (counted on the ORIGINAL text; replacements apply in a fixed
-    * email -> ip -> phone order, identical in the oracle, so overlap
-    * resolution is deterministic). A pure per-row scalar projection —
-    * scan speed at any corpus size, nothing to shuffle. The harness
+    * numbers replaced by typed placeholders in a fixed email -> ip ->
+    * phone order. Each kind's count is taken on the text THAT STAGE
+    * actually ran on (the previous stage's output), so every count
+    * equals the number of placeholders its stage inserted — an audit
+    * reconciling counts against scrubbed_text always balances, even
+    * when a replacement creates a boundary the original text lacked
+    * (e.g. `a@b.co1.2.3.4`: the `<EMAIL>` placeholder exposes the IP,
+    * which the original-text count would have missed). A pure per-row
+    * scalar projection — scan speed at any corpus size. The harness
     * corpus contains no PII, so the oracle verifies the no-false-
     * positive property end-to-end; redaction behavior itself is
     * spec-tested on planted PII. */
@@ -424,17 +428,16 @@ object Curation {
     piiScrubOf(Tables.documents(spark, dir))
 
   /** DataFrame core of [[piiScrub]] — any (doc_id, text) frame. */
-  def piiScrubOf(d: DataFrame): DataFrame =
+  def piiScrubOf(d: DataFrame): DataFrame = {
+    val afterEmail = regexp_replace(col("text"), EmailPat, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Pat, "<IP>")
     d.select(
       col("doc_id"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col("text"), EmailPat, "<EMAIL>"),
-          Ipv4Pat, "<IP>"),
-        PhonePat, "<PHONE>").as("scrubbed_text"),
+      regexp_replace(afterIp, PhonePat, "<PHONE>").as("scrubbed_text"),
       regexp_count(col("text"), lit(EmailPat)).as("n_emails"),
-      regexp_count(col("text"), lit(Ipv4Pat)).as("n_ips"),
-      regexp_count(col("text"), lit(PhonePat)).as("n_phones"))
+      regexp_count(afterEmail, lit(Ipv4Pat)).as("n_ips"),
+      regexp_count(afterIp, lit(PhonePat)).as("n_phones"))
+  }
 
   val piiScrubOracle: String =
     s"""SELECT doc_id,
@@ -443,8 +446,12 @@ object Curation {
        |    '$Ipv4Pat', '<IP>', 'g'),
        |    '$PhonePat', '<PHONE>', 'g') AS scrubbed_text,
        |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '$EmailPat')) AS INT) AS n_emails,
-       |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '$Ipv4Pat')) AS INT) AS n_ips,
-       |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '$PhonePat')) AS INT) AS n_phones
+       |  CAST(LEN(REGEXP_EXTRACT_ALL(
+       |    REGEXP_REPLACE(text, '$EmailPat', '<EMAIL>', 'g'),
+       |    '$Ipv4Pat')) AS INT) AS n_ips,
+       |  CAST(LEN(REGEXP_EXTRACT_ALL(REGEXP_REPLACE(
+       |    REGEXP_REPLACE(text, '$EmailPat', '<EMAIL>', 'g'),
+       |    '$Ipv4Pat', '<IP>', 'g'), '$PhonePat')) AS INT) AS n_phones
        |FROM documents""".stripMargin
 
   // ----------------------------------------------------- collocations

@@ -39,17 +39,25 @@ object DedupAdmission {
       .groupBy(md5(col("text").cast(BinaryType)).as("content_hash"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** THE first-arrival store fold, shared by every admission-style sink
+    * ([[DedupAdmission]], [[IngestGate]]): rows group by content hash,
+    * each `carry` column keeps the EARLIEST arrival's value (groupBy
+    * does not preserve union order, so arrival is tagged explicitly),
+    * and copy counts add. */
+  private[graft] def firstArrivalFold(prev: DataFrame, cur: DataFrame,
+      carry: Seq[String]): DataFrame = {
+    val aggs = carry.map(c => min_by(col(c), col("arrival")).as(c)) :+
+      sum(col("n_copies")).as("n_copies")
+    prev.withColumn("arrival", lit(0))
+      .unionByName(cur.withColumn("arrival", lit(1)))
+      .groupBy(col("content_hash"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Fold one batch into a previous store: first arrival keeps its
     * canonical id; later duplicates only bump the copy count. */
   private[graft] def mergeStore(prev: DataFrame, cur: DataFrame): DataFrame =
-    prev
-      .unionByName(cur)
-      .groupBy(col("content_hash"))
-      .agg(
-        // first-arrival canonical: prev rows come first in the union,
-        // but groupBy does not preserve order — carry arrival explicitly
-        min_by(col("keep_doc_id"), col("arrival")).as("keep_doc_id"),
-        sum(col("n_copies")).as("n_copies"))
+    firstArrivalFold(prev, cur, carry = Seq("keep_doc_id"))
 
   /** One micro-batch application — the testable core of [[sink]]. */
   private[graft] def applyAdmissionBatch(
@@ -57,14 +65,9 @@ object DedupAdmission {
     StreamStateStore.applyBatch(
       batch.sparkSession, batchId, stateDir, "dedupAdmissionSink") {
       case None => batchCanonical(batch)
-      case Some(prev) =>
-        val cur = batchCanonical(batch)
-        // left-anti admission + count bump in ONE pass: group the union
-        // with prev tagged arrival 0, cur arrival 1 — min_by(arrival)
-        // keeps the store's canonical id wherever the hash was seen
-        mergeStore(
-          prev.withColumn("arrival", lit(0)),
-          cur.withColumn("arrival", lit(1)))
+      // left-anti admission + count bump in ONE pass: the shared fold
+      // keeps the store's canonical id wherever the hash was seen
+      case Some(prev) => mergeStore(prev, batchCanonical(batch))
     }
 
   /** The canonical store at `stateDir`'s current state — schema equals

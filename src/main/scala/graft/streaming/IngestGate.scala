@@ -44,7 +44,11 @@ object IngestGate {
     val shared = sets
       .filter(col("hs").isNotNull)
       .select(col("doc_id"), explode(col("hs")).as("h"))
-      .join(broadcast(evalGrams.select(col("h"))), Seq("h"))
+      // distinct defensively: a caller-built gram set with duplicate
+      // hashes would multiply n_shared past size(hs) and over-flag —
+      // Curation.contamination's eval side is distinct for the same
+      // reason
+      .join(broadcast(evalGrams.select(col("h")).distinct()), Seq("h"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
     sets
@@ -76,13 +80,8 @@ object IngestGate {
       batch.sparkSession, batchId, stateDir, "ingestGateSink") {
       case None => batchCanonical(batch, evalGrams)
       case Some(prev) =>
-        prev.withColumn("arrival", lit(0))
-          .unionByName(batchCanonical(batch, evalGrams).withColumn("arrival", lit(1)))
-          .groupBy(col("content_hash"))
-          .agg(
-            min_by(col("keep_doc_id"), col("arrival")).as("keep_doc_id"),
-            min_by(col("contaminated"), col("arrival")).as("contaminated"),
-            sum(col("n_copies")).as("n_copies"))
+        DedupAdmission.firstArrivalFold(prev, batchCanonical(batch, evalGrams),
+          carry = Seq("keep_doc_id", "contaminated"))
     }
 
   /** The one-shot batch computation the streamed store must equal under

@@ -751,7 +751,8 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, "call 555-867-5309 or 555 867 5309 x99"),
       (4L, "mixed a@b.co from 8.8.8.8 dial 123-456-7890"),
       (5L, "clean text with no identifiers at all"),
-      (6L, "not-an-ip 1234.5.6.7890 and not@ an email"))).toDF("doc_id", "text")
+      (6L, "not-an-ip 1234.5.6.7890 and not@ an email"),
+      (7L, "a@b.co1.2.3.4"))).toDF("doc_id", "text")
     val out = operators.Curation.piiScrubOf(df).collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))))
       .toMap
@@ -764,6 +765,10 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     // 'not@ an' has no address tail — neither may redact
     assert(out(6L)._2 == 0 && out(6L)._3 == 0 && out(6L)._4 == 0,
       s"false positive: ${out(6L)}")
+    // the <EMAIL> placeholder EXPOSES the glued IP (the original text
+    // had no word boundary before the 1) — counts are taken per stage,
+    // so they reconcile with the placeholders actually present
+    assert(out(7L) == (("<EMAIL><IP>", 1, 1, 0)), s"stage counts: ${out(7L)}")
   }
 
   test("rarity score invariants: rare counts bounded, min <= mean") {

@@ -554,8 +554,9 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(spark.read.parquet(s"$out/$l").count() > 0, s"layer $l empty")
     }
     // the curation layers are CHAINED clean -> repetition screen ->
-    // decontamination -> PII scrub: what ships (splits, packs) is
-    // exactly the screened survivor set, nothing the screens dropped
+    // PII scrub -> decontamination (scrub precedes every content-keyed
+    // decision): what ships (splits, packs) is exactly the screened
+    // survivor set, nothing the screens dropped
     def ids(l: String) = spark.read.parquet(s"$out/$l").select("doc_id")
       .collect().map(_.getLong(0)).toSet
     val cleanIds = ids("corpus_clean")
@@ -563,14 +564,18 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
     val dropIds = spark.read.parquet(s"$out/corpus_decontamination")
       .filter(col("flag_drop")).select("doc_id").collect().map(_.getLong(0)).toSet
-    val shipped = (cleanIds intersect keepIds) diff dropIds
+    assert(ids("corpus_pii") == (cleanIds intersect keepIds),
+      "PII layer must scrub exactly the repetition survivors")
+    val shipped = ids("corpus_pii") diff dropIds
     assert(shipped.nonEmpty, "screens dropped the whole corpus")
-    assert(ids("corpus_pii") == shipped, "PII layer not the screened survivor set")
     Seq("corpus_splits", "corpus_packed").foreach { l =>
       assert(ids(l) == shipped, s"$l not chained off the screened corpus")
     }
-    // screen evidence layers cover the cleaned corpus they screen
+    // screen evidence layers cover the corpus they screen: repetition
+    // over the clean set; decontamination over the SCRUBBED text's
+    // train split only (its rows are a subset of the scrubbed docs)
     assert(ids("corpus_repetition") == cleanIds)
+    assert(ids("corpus_decontamination").subsetOf(ids("corpus_pii")))
   }
 
   test("clean csv: malformed rows quarantined, non-ascii scrubbed") {
