@@ -114,6 +114,13 @@ object Dedup {
     val sets = shingleSets(docs)
     val postings = sets.select(col("doc_id"), explode(col("hs")).as("h"))
     val sh = postings.join(hotShingles(postings), Seq("h"), "left_anti")
+    jaccardPairsFrom(sh, threshold)
+  }
+
+  /** The verifier tail shared by [[ngramJaccard]] and
+    * [[ngramJaccardBucketed]]: from a deduplicated, hot-capped
+    * (doc_id, h) posting stream to thresholded Jaccard pairs. */
+  private def jaccardPairsFrom(sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val pairs = sh
       .join(
@@ -131,6 +138,34 @@ object Dedup {
           (col("na") + col("nb") - col("shared")).cast(DoubleType))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
+  }
+
+  /** Write the distinct per-doc shingle-hash postings as a table
+    * BUCKETED AND SORTED on `h` — the candidate join's shuffle paid
+    * ONCE at indexing time. At 100 TB this is the difference between
+    * re-shuffling the full posting stream on every dedup run and a
+    * bucket-local join over co-located files: the posting table is the
+    * dedup INDEX, maintained like the IVF inverted lists. */
+  def writeBucketedPostings(spark: SparkSession, docs: DataFrame,
+      table: String, path: String, numBuckets: Int = 16): Unit =
+    shingleHashes(docs)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, "h").sortBy("h")
+      .option("path", path).saveAsTable(table)
+
+  /** Bucketed-posting variant of [[ngramJaccard]]: the hot-cap df
+    * aggregation, the anti-join and BOTH sides of the candidate
+    * self-join are keyed on `h` — on a bucketed+sorted posting table
+    * every one of them is exchange-free and sort-free (bucket-local).
+    * The only shuffles left in the whole query are the doc-keyed
+    * aggregations, which no physical layout can avoid. PlatformSpec
+    * writes the table and pins the plan's exchange count; results are
+    * asserted equal to [[ngramJaccard]] on the same corpus. */
+  def ngramJaccardBucketed(spark: SparkSession, table: String,
+      threshold: Double = 0.8): DataFrame = {
+    val sh0 = spark.table(table)
+    val sh = sh0.join(hotShingles(sh0), Seq("h"), "left_anti")
+    jaccardPairsFrom(sh, threshold)
   }
 
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =

@@ -787,6 +787,43 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bucketed postings: dedup candidate join is exchange-free on the h side") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val tmp = java.nio.file.Files.createTempDirectory("graftpost").toString
+    operators.Dedup.writeBucketedPostings(
+      spark, Tables.documents(spark, sf), "sh_bucketed", s"$tmp/sh", numBuckets = 8)
+    val savedBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = operators.Dedup.ngramJaccardBucketed(spark, "sh_bucketed", threshold = 0.3)
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      // every h-keyed operation (hot-cap df agg, anti-join, candidate
+      // self-join) is bucket-local; the remaining exchanges are the
+      // doc-keyed aggregations and the final size joins, which no
+      // physical layout avoids: sizes agg, pairs agg, and the two
+      // doc-keyed joins of the verifier tail
+      assert(exchanges.size <= 5, s"h-side exchanges crept back in " +
+        s"(${exchanges.size}):\n" + df.queryExecution.executedPlan)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(h#"),
+        s"candidate join still shuffles on h:\n$plan")
+      val got = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = operators.Dedup
+        .ngramJaccard(Tables.documents(spark, sf), threshold = 0.3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, "bucketed variant diverged from the shuffle variant")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+      spark.sql("DROP TABLE IF EXISTS sh_bucketed")
+    }
+  }
+
   test("bucketed star join: co-located fact join is exchange-free, one rollup shuffle") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val tmp = java.nio.file.Files.createTempDirectory("graftbucket").toString
