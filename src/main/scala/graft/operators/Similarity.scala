@@ -804,6 +804,126 @@ object Similarity {
     knnPqOf(spark, dir, spark.read.parquet(indexPath), books, k)
   }
 
+  // --------------------------------------------------------------- IVF-PQ
+
+  /** Row-key offset for PQ codebook weights inside the fused index's
+    * ONE model sidecar: row (cid = -1000 - flatIdx, pos, w) carries
+    * codebook entry flatIdx = subspace * PqK + code, position pos. The
+    * IVF decode ignores all cid < 0 rows it doesn't name, so centroids
+    * and books ride the same parquet and the freshness probe stays a
+    * single read (a sibling books sidecar cost one extra Spark job per
+    * warm serve call). */
+  private val IvfPqBookBase = -1000
+
+  /** Build the FUSED billion-scale ANN index: the coarse quantizer
+    * partitions the corpus into inverted lists (`partitionBy(cid)`) and
+    * each row stores only its 8-byte PQ code — probes become
+    * partition-pruned scans of compressed codes, the FAISS IVFPQ layout.
+    * Codebooks train on the raw vectors (classical IVFPQ trains on
+    * residuals for tighter cells; the exact re-rank stage recovers what
+    * that refinement buys, so the simpler layout keeps encode/decode a
+    * shared code path with the flat PQ index). */
+  private[graft] def writeIvfPqIndexOf(spark: SparkSession, corpus: DataFrame,
+      indexPath: String, fingerprint: Option[Long] = None)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    GraftFunctions.ensureRegistered(spark)
+    val centroids = ivfFit(corpus)
+    val books = pqFit(corpus)
+    corpus
+      .select(
+        col("vec_id"),
+        GraftFunctions.graftArgminL2(col("vec"), centsLit(centroids)).as("cid"),
+        pqCodesCol(books).as("codes"))
+      .write.mode("overwrite").partitionBy("cid").parquet(indexPath)
+    writeIvfModel(spark, indexPath, centroids, corpus.count(), fingerprint)
+    // books appended into the SAME sidecar as negative-offset rows (a
+    // crash between the writes leaves a books-less sidecar that fails
+    // the read probe -> rebuild, never mixed generations)
+    import spark.implicits._
+    books.flatten.zipWithIndex
+      .flatMap { case (c, i) =>
+        c.zipWithIndex.map { case (wv, p) => (IvfPqBookBase - i, p, wv) }
+      }.toSeq.toDF("cid", "pos", "w")
+      .coalesce(1).write.mode("append").parquet(ivfModelPath(indexPath))
+    (centroids, books)
+  }
+
+  private[graft] def readIvfPqModels(spark: SparkSession, indexPath: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]], Option[Long]) = {
+    val rows = readModelRows(spark, indexPath)
+    val (cents, _, fp) = decodeModelRows(rows)
+    val bookCells = rows.filter(_.getInt(0) <= IvfPqBookBase)
+    val dsub = cents.head.length / PqM
+    require(bookCells.length == PqM * PqK * dsub,
+      s"IVF-PQ sidecar has ${bookCells.length} codebook cells, " +
+        s"expected $PqM x $PqK x $dsub (geometry retune? clear the generation)")
+    val flat = Array.fill(PqM * PqK)(new Array[Double](dsub))
+    bookCells.foreach { r =>
+      flat(IvfPqBookBase - r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+    }
+    (cents, flat.grouped(PqK).toArray, fp)
+  }
+
+  /** Search the fused index: driver-ranked probe cells prune the codes
+    * scan to NProbe partitions; ADC over PQ reconstructions shortlists
+    * within the probed lists; exact re-rank against raw vectors scores
+    * only the shortlist. At scale the corpus-side read is NProbe/NList
+    * of the codes (32x compressed) — the raw corpus is touched for 8
+    * query rows and O(queries x shortlist) re-rank lookups. */
+  def knnIvfPq(spark: SparkSession, dir: String, indexPath: String,
+      centroids: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      k: Int = 10): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val corpus = emb(spark, dir)
+    val probed = corpus
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("vec")).collect()
+      .map { r =>
+        val q = r.getSeq[Float](1).toArray
+        (r.getLong(0), probeCellsDriver(centroids, q, IvfNProbe))
+      }
+    val probedCells = probed.flatMap(_._2).distinct.toSeq
+    val queries = broadcast(
+      corpus.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("vec").as("qvec")))
+    val listed = spark.read.parquet(indexPath)
+      .filter(col("cid").isin(probedCells: _*))
+    val adc = listed
+      .withColumn("recon", pqReconCol(books))
+      .join(queries, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qvec"), col("recon")).as("cosine"))
+    val shortlist = topkRanked(adc, PqShortlist)
+      .select(col("query_id"), col("neighbor_id").as("vec_id"))
+    val exact = broadcast(shortlist)
+      .join(queries, Seq("query_id"))
+      .join(corpus, Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qvec"), col("vec")).as("cosine"))
+    topkRanked(exact, k)
+  }
+
+  /** Serving-index location for a corpus dir's fused IVF-PQ index. */
+  private[graft] def ivfPqServePath(dir: String): String = servePath("ivfpq_serve_", dir)
+
+  /** q_knn_ivfpq SERVING path — same fingerprint-keyed generation
+    * discipline as the flat PQ and IVF serves. */
+  def knnIvfPqServe(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val indexPath = ivfPqServePath(dir)
+    val fp = corpusFingerprint(spark, dir)
+    val stored =
+      try Some(readIvfPqModels(spark, indexPath))
+      catch { case scala.util.control.NonFatal(_) => None } // no generation yet
+    val (cents, books) = stored match {
+      case Some((c, b, Some(storedFp))) if storedFp == fp => (c, b)
+      case _ =>
+        Tables.invalidate(spark, dir, "embeddings")
+        writeIvfPqIndexOf(spark, emb(spark, dir), indexPath, Some(fp))
+    }
+    knnIvfPq(spark, dir, indexPath, cents, books, k)
+  }
+
   /** q_dedup_embedding_resolve — keep-one-copy canonicalization over the
     * embedding near-dup graph: [[embeddingDedup]] pairs resolved to
     * connected-component canonical ids by the same large-star/small-star

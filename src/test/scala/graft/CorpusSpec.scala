@@ -771,6 +771,40 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(7L) == (("<EMAIL><IP>", 1, 1, 0)), s"stage counts: ${out(7L)}")
   }
 
+  test("ivfpq knn: partition-pruned code probes, recall bounded, serve reuses generation") {
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmrf)
+      f.delete(); ()
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val servePath = operators.Similarity.ivfPqServePath(sf)
+    Seq("", "_model").foreach(s => rmrf(new java.io.File(servePath + s)))
+    val cold = operators.Similarity.knnIvfPqServe(spark, sf)
+    // probes must prune the codes scan at the PARTITION level
+    val plan = cold.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cid"), s"probe not pruning partitions:\n$plan")
+    val coldRows = rows(cold)
+    // recall: same bar as the flat IVF spec (candidates limited by the
+    // probed cells; the PQ shortlist + exact re-rank lose nothing more)
+    val brute = rows(operators.Similarity.knnBrute(spark, sf)).map(t => (t._1, t._2))
+    val hits = coldRows.map(t => (t._1, t._2)).count(brute.contains)
+    assert(hits * 4 >= brute.size, s"IVFPQ recall too low: $hits of ${brute.size}")
+    // re-ranked cosines are EXACT (they must match brute where recalled)
+    val bruteScores = rows(operators.Similarity.knnBrute(spark, sf))
+      .map(t => (t._1, t._2) -> t._3).toMap
+    coldRows.foreach { case (q, n, c, _) =>
+      bruteScores.get((q, n)).foreach(b => assert(b == c, s"($q,$n) cosine inexact"))
+    }
+    // warm serve reuses the generation bit-exactly
+    val modelDir = new java.io.File(servePath + "_model")
+    val stamp = modelDir.listFiles.map(f => f.getName -> f.lastModified).toMap
+    val warm = rows(operators.Similarity.knnIvfPqServe(spark, sf))
+    assert(warm == coldRows, "warm IVFPQ serve diverged")
+    assert(modelDir.listFiles.map(f => f.getName -> f.lastModified).toMap == stamp,
+      "warm IVFPQ serve rewrote the generation")
+  }
+
   test("rarity score invariants: rare counts bounded, min <= mean") {
     val res = operators.Curation.rarityScore(spark, sf).collect()
     assert(res.nonEmpty)
