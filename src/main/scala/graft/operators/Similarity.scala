@@ -717,7 +717,16 @@ object Similarity {
       .join(queries, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         cosine(col("qvec"), col("recon")).as("cosine"))
-    val shortlist = topkRanked(adc, PqShortlist)
+    pqRerank(adc, queries, corpus, k)
+  }
+
+  /** Shortlist + exact-re-rank tail shared by the flat-PQ and fused
+    * IVF-PQ searches: ADC-scored candidates heap down to [[PqShortlist]]
+    * per query, then ONLY the shortlist is re-scored against raw
+    * vectors. */
+  private def pqRerank(adcScored: DataFrame, queries: DataFrame,
+      corpus: DataFrame, k: Int): DataFrame = {
+    val shortlist = topkRanked(adcScored, PqShortlist)
       .select(col("query_id"), col("neighbor_id").as("vec_id"))
     val exact = broadcast(shortlist)
       .join(queries, Seq("query_id"))
@@ -836,14 +845,18 @@ object Similarity {
         pqCodesCol(books).as("codes"))
       .write.mode("overwrite").partitionBy("cid").parquet(indexPath)
     writeIvfModel(spark, indexPath, centroids, corpus.count(), fingerprint)
-    // books appended into the SAME sidecar as negative-offset rows (a
-    // crash between the writes leaves a books-less sidecar that fails
-    // the read probe -> rebuild, never mixed generations)
+    // books + the PqM x PqK geometry stamp appended into the SAME
+    // sidecar as negative-offset rows (a crash between the writes
+    // leaves a books-less sidecar that fails the read probe -> rebuild,
+    // never mixed generations; the stamp makes a constants retune fail
+    // the probe EXPLICITLY — the raw cell count is invariant to a
+    // PqM-only retune, since PqM x PqK x dsub = PqK x dim)
     import spark.implicits._
-    books.flatten.zipWithIndex
-      .flatMap { case (c, i) =>
-        c.zipWithIndex.map { case (wv, p) => (IvfPqBookBase - i, p, wv) }
-      }.toSeq.toDF("cid", "pos", "w")
+    val bookRows = books.flatten.zipWithIndex.flatMap { case (c, i) =>
+      c.zipWithIndex.map { case (wv, p) => (IvfPqBookBase - i, p, wv) }
+    }
+    (bookRows ++ Seq((-3, 0, PqM.toDouble), (-3, 1, PqK.toDouble)))
+      .toSeq.toDF("cid", "pos", "w")
       .coalesce(1).write.mode("append").parquet(ivfModelPath(indexPath))
     (centroids, books)
   }
@@ -852,11 +865,16 @@ object Similarity {
       : (Array[Array[Double]], Array[Array[Array[Double]]], Option[Long]) = {
     val rows = readModelRows(spark, indexPath)
     val (cents, _, fp) = decodeModelRows(rows)
+    val geo = rows.filter(_.getInt(0) == -3)
+      .map(r => r.getInt(1) -> r.getDouble(2).toInt).toMap
+    require(geo.get(0).contains(PqM) && geo.get(1).contains(PqK),
+      s"IVF-PQ sidecar geometry ${geo.get(0)}x${geo.get(1)} != current $PqM x $PqK " +
+        "(constants retuned? the serve path rebuilds on this failure)")
     val bookCells = rows.filter(_.getInt(0) <= IvfPqBookBase)
     val dsub = cents.head.length / PqM
     require(bookCells.length == PqM * PqK * dsub,
       s"IVF-PQ sidecar has ${bookCells.length} codebook cells, " +
-        s"expected $PqM x $PqK x $dsub (geometry retune? clear the generation)")
+        s"expected $PqM x $PqK x $dsub")
     val flat = Array.fill(PqM * PqK)(new Array[Double](dsub))
     bookCells.foreach { r =>
       flat(IvfPqBookBase - r.getInt(0))(r.getInt(1)) = r.getDouble(2)
@@ -865,43 +883,47 @@ object Similarity {
   }
 
   /** Search the fused index: driver-ranked probe cells prune the codes
-    * scan to NProbe partitions; ADC over PQ reconstructions shortlists
-    * within the probed lists; exact re-rank against raw vectors scores
-    * only the shortlist. At scale the corpus-side read is NProbe/NList
-    * of the codes (32x compressed) — the raw corpus is touched for 8
-    * query rows and O(queries x shortlist) re-rank lookups. */
+    * scan to the UNION of the queries' probed partitions, and each
+    * query's ADC pass joins ONLY its own NProbe cells (cid ===
+    * probe_cid) — per query the candidate set is NProbe/NList of the
+    * corpus, in 32x-compressed codes; exact re-rank against raw
+    * vectors scores only the shortlist. The raw corpus is touched for
+    * the 8 query rows and O(queries x shortlist) re-rank lookups. */
   def knnIvfPq(spark: SparkSession, dir: String, indexPath: String,
       centroids: Array[Array[Double]], books: Array[Array[Array[Double]]],
       k: Int = 10): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
     import spark.implicits._
     val corpus = emb(spark, dir)
+    // ONE collect serves probing AND the query frames (knnIvfIndexed's
+    // shape) — no second corpus scan for the same 8 rows
     val probed = corpus
       .filter(col("vec_id") < 8)
       .select(col("vec_id"), col("vec")).collect()
       .map { r =>
         val q = r.getSeq[Float](1).toArray
-        (r.getLong(0), probeCellsDriver(centroids, q, IvfNProbe))
+        (r.getLong(0), q, probeCellsDriver(centroids, q, IvfNProbe))
       }
-    val probedCells = probed.flatMap(_._2).distinct.toSeq
-    val queries = broadcast(
-      corpus.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("query_id"), col("vec").as("qvec")))
+    val probedCells = probed.flatMap(_._3).distinct.toSeq
+    // each query joins ONLY its own probed cells (cid === probe_cid):
+    // the union-of-cells filter alone would score every query against
+    // every probed partition — flat PQ with extra steps, and no IVF
+    // candidate restriction at all
+    val probeQueries = broadcast(probed.toSeq
+      .flatMap { case (id, q, cells) => cells.map(cid => (id, q.toSeq, cid)) }
+      .toDF("query_id", "qvec", "probe_cid"))
+    val queries = broadcast(probed.toSeq
+      .map { case (id, q, _) => (id, q.toSeq) }
+      .toDF("query_id", "qvec"))
     val listed = spark.read.parquet(indexPath)
       .filter(col("cid").isin(probedCells: _*))
     val adc = listed
       .withColumn("recon", pqReconCol(books))
-      .join(queries, col("vec_id") =!= col("query_id"))
+      .join(probeQueries, col("cid") === col("probe_cid"))
+      .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         cosine(col("qvec"), col("recon")).as("cosine"))
-    val shortlist = topkRanked(adc, PqShortlist)
-      .select(col("query_id"), col("neighbor_id").as("vec_id"))
-    val exact = broadcast(shortlist)
-      .join(queries, Seq("query_id"))
-      .join(corpus, Seq("vec_id"))
-      .select(col("query_id"), col("vec_id"),
-        cosine(col("qvec"), col("vec")).as("cosine"))
-    topkRanked(exact, k)
+    pqRerank(adc, queries, corpus, k)
   }
 
   /** Serving-index location for a corpus dir's fused IVF-PQ index. */

@@ -796,6 +796,15 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     coldRows.foreach { case (q, n, c, _) =>
       bruteScores.get((q, n)).foreach(b => assert(b == c, s"($q,$n) cosine inexact"))
     }
+    // the serve equals a from-scratch generation built independently
+    // (training is deterministic, so a corrupt regroup in either copy
+    // would break this equivalence loudly)
+    val tmpIdx = java.nio.file.Files.createTempDirectory("graftivfpq").toString + "/idx"
+    val (c2, b2) = operators.Similarity.writeIvfPqIndexOf(
+      spark, graft.Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding").as("vec")), tmpIdx)
+    assert(rows(operators.Similarity.knnIvfPq(spark, sf, tmpIdx, c2, b2)) == coldRows,
+      "serve diverged from an independent from-scratch build")
     // warm serve reuses the generation bit-exactly
     val modelDir = new java.io.File(servePath + "_model")
     val stamp = modelDir.listFiles.map(f => f.getName -> f.lastModified).toMap
@@ -803,6 +812,16 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(warm == coldRows, "warm IVFPQ serve diverged")
     assert(modelDir.listFiles.map(f => f.getName -> f.lastModified).toMap == stamp,
       "warm IVFPQ serve rewrote the generation")
+    // rebuild path: overwriting the sidecar (books rows lost, stale fp)
+    // must fail the read probe and trigger a full rebuild that again
+    // equals the original results
+    val (cents, n, Some(fp)) =
+      operators.Similarity.readIvfModelFull(spark, servePath): @unchecked
+    operators.Similarity.writeIvfModel(spark, servePath, cents, n, Some(fp + 1))
+    val rebuilt = rows(operators.Similarity.knnIvfPqServe(spark, sf))
+    assert(rebuilt == coldRows, "post-rebuild IVFPQ serve diverged")
+    assert(operators.Similarity.readIvfPqModels(spark, servePath)._3.contains(fp),
+      "sidecar corruption did not trigger a rebuild")
   }
 
   test("rarity score invariants: rare counts bounded, min <= mean") {
