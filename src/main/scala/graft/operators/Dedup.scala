@@ -171,6 +171,88 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramJaccard(Tables.documents(spark, dir))
 
+  // ------------------------------------- persisted posting index (serving)
+
+  /** Buckets for the serving posting index. 16 keeps every bucket-local
+    * task comfortably sized at harness scale; at corpus scale this knob
+    * scales with the posting volume exactly like IVF's list count. */
+  val PostingsBuckets = 16
+
+  /** Serving location for a corpus dir's posting index (same digest
+    * discipline as [[Similarity.servePath]]: distinct dirs never share). */
+  private[graft] def postingsServePath(dir: String): String =
+    new java.io.File(Similarity.servePath("postings_serve_", dir)).getAbsolutePath
+
+  /** Catalog name of the serving posting table. The name is digest-keyed
+    * (not sanitized-dir-keyed) because catalog identifiers are
+    * case-insensitive and length-limited where paths are not. */
+  private[graft] def postingsTableName(dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
+    s"graft_postings_$digest"
+  }
+
+  /** Ensure a FRESH posting-index generation exists for `dir` and is
+    * registered in the session catalog; returns the table name.
+    *
+    * Same fingerprint-keyed generation discipline as
+    * [[Similarity.knnIvfServe]]: the index is keyed by the corpus files'
+    * metadata fingerprint (names, lengths, mtimes — a driver-side
+    * listing, no data scan) persisted in a sidecar next to the table.
+    * Any corpus swap under the same dir changes the fingerprint and
+    * triggers a rebuild; a fresh generation written by an EARLIER session
+    * is re-registered over its existing files (bucket ids live in the
+    * file names, so the catalog entry restores the bucket spec without
+    * rewriting a byte). The shingle-kernel scan and the posting shuffle
+    * are thereby paid once per corpus generation instead of on every
+    * dedup run. */
+  private[graft] def ensurePostings(spark: SparkSession, dir: String,
+      numBuckets: Int = PostingsBuckets): String = {
+    val path = postingsServePath(dir)
+    val table = postingsTableName(dir)
+    val fpPath = path + "_model"
+    val fp = Similarity.corpusFingerprint(spark, dir, "documents.parquet")
+    val storedFp =
+      try Some(spark.read.parquet(fpPath).collect()(0).getLong(0))
+      catch {
+        case e if scala.util.control.NonFatal(e) =>
+          // absent on first build; anything else (corruption, permission)
+          // must be observable, not a silent rebuild loop
+          if (new java.io.File(fpPath).exists())
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .warn(s"posting-index sidecar $fpPath unreadable; rebuilding", e)
+          None
+      }
+    if (!storedFp.contains(fp)) {
+      // stale or absent: the corpus files changed, so drop the memoized
+      // plan pinned to the old file listing before re-reading
+      Tables.invalidate(spark, dir, "documents")
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      writeBucketedPostings(spark, Tables.documents(spark, dir), table, path, numBuckets)
+      // sidecar written only after the table write succeeded: a crash
+      // in between leaves a missing/stale sidecar -> rebuild, never a
+      // fresh-looking stale index
+      spark.range(1).select(lit(fp).as("fp"))
+        .coalesce(1).write.mode("overwrite").parquet(fpPath)
+    } else if (!spark.catalog.tableExists(table)) {
+      spark.sql(
+        s"""CREATE TABLE $table (doc_id BIGINT, h BIGINT) USING parquet
+           |CLUSTERED BY (h) SORTED BY (h) INTO $numBuckets BUCKETS
+           |LOCATION '$path'""".stripMargin)
+    }
+    table
+  }
+
+  /** q_dedup_ngram SERVING path: exact n-gram Jaccard verified over the
+    * PERSISTED bucketed posting index — the text scan, shingle kernel and
+    * posting shuffle are paid once at index time ([[ensurePostings]]),
+    * and every query run is bucket-local on `h` (the discipline that took
+    * q_knn_ivf 3.8 s -> 0.4 s, applied to the dedup family). Results are
+    * bit-identical to [[ngramJaccard]] (shared verifier tail). */
+  def ngramJaccardServe(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame =
+    ngramJaccardBucketed(spark, ensurePostings(spark, dir), threshold)
+
   val ngramJaccardOracle: String =
     s"""WITH words AS (
        |  SELECT doc_id, STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' ') AS w
@@ -573,6 +655,12 @@ object Dedup {
     * an n-gram near-dup pair. */
   def dedupResolve(spark: SparkSession, dir: String): DataFrame =
     resolveComponents(ngramJaccard(Tables.documents(spark, dir)))
+
+  /** q_dedup_resolve SERVING path — [[dedupResolve]] with candidate pairs
+    * from the persisted posting index ([[ngramJaccardServe]]) instead of
+    * a from-scratch shingle scan + posting shuffle. */
+  def dedupResolveServe(spark: SparkSession, dir: String): DataFrame =
+    resolveComponents(ngramJaccardServe(spark, dir))
 
   val dedupResolveOracle: String = {
     val pairsSql = ngramJaccardOracle.replace("\n", "\n  ")

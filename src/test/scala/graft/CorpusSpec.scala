@@ -272,6 +272,51 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       "fingerprint mismatch did not trigger an index rebuild")
   }
 
+  test("postings serve: cold builds, warm reuses, catalog loss re-registers, stale fp rebuilds") {
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmrf)
+      f.delete(); ()
+    }
+    val path = operators.Dedup.postingsServePath(sf)
+    val table = operators.Dedup.postingsTableName(sf)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    rmrf(new java.io.File(path)); rmrf(new java.io.File(path + "_model"))
+    def resultSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val direct = resultSet(operators.Dedup.ngramJaccard(spark, sf))
+    val cold = resultSet(operators.Dedup.ngramJaccardServe(spark, sf))
+    assert(cold == direct, "cold serve (fresh index build) diverged from the shuffle variant")
+    // warm call must NOT rewrite the generation: posting files untouched
+    val tableDir = new java.io.File(path)
+    def stampOf = tableDir.listFiles.map(f => f.getName -> f.lastModified).toMap
+    val stamp = stampOf
+    val warm = resultSet(operators.Dedup.ngramJaccardServe(spark, sf))
+    assert(warm == direct, "warm serve diverged")
+    assert(stampOf == stamp, "warm serve rewrote the posting index instead of reusing it")
+    // a NEW session loses the in-memory catalog but keeps the files: the
+    // serve path must re-register the existing generation, not rebuild it
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val reregistered = resultSet(operators.Dedup.ngramJaccardServe(spark, sf))
+    assert(reregistered == direct, "re-registered serve diverged")
+    assert(stampOf == stamp, "catalog re-registration rewrote the generation")
+    // staleness is keyed on the corpus fingerprint: a sidecar mismatch
+    // (equal-row-count corpus swap) must trigger a rebuild
+    val fpPath = path + "_model"
+    val storedFp = spark.read.parquet(fpPath).collect()(0).getLong(0)
+    spark.range(1).select(lit(storedFp + 1).as("fp"))
+      .coalesce(1).write.mode("overwrite").parquet(fpPath)
+    val rebuilt = resultSet(operators.Dedup.ngramJaccardServe(spark, sf))
+    assert(rebuilt == direct, "post-rebuild serve diverged")
+    assert(spark.read.parquet(fpPath).collect()(0).getLong(0) == storedFp,
+      "fingerprint mismatch did not trigger an index rebuild")
+    // resolve shares the serve path and must equal the from-scratch resolve
+    val rServe = operators.Dedup.dedupResolveServe(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rDirect = operators.Dedup.dedupResolve(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rServe == rDirect, "served resolve diverged from from-scratch resolve")
+  }
+
   test("ivf serve keys: fingerprint tracks file metadata; distinct dirs never share a serve path") {
     // sanitization alone maps a/b and a_b to the same name — the digest
     // suffix must keep them apart

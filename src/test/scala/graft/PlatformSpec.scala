@@ -824,6 +824,30 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("postings SERVE path inherits the exchange-free candidate join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val savedBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // serve resolves (and if needed builds) the fingerprint-keyed
+      // generation; the QUERY plan itself must stay bucket-local on h
+      val df = operators.Dedup.ngramJaccardServe(spark, sf, threshold = 0.3)
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.size <= 5, s"serve-path h-side exchanges crept back in " +
+        s"(${exchanges.size}):\n" + df.queryExecution.executedPlan)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(h#"),
+        s"serve-path candidate join shuffles on h:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+    }
+  }
+
   test("bucketed star join: co-located fact join is exchange-free, one rollup shuffle") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val tmp = java.nio.file.Files.createTempDirectory("graftbucket").toString
