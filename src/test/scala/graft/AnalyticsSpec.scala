@@ -220,6 +220,13 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // every (brand, month) present in the long form appears in the melt
     assert(melted.select("brand", "month").distinct().count() ==
       direct.select("brand", "month").distinct().count())
+    // the generic melt of the wide matrix reproduces the long form
+    // bit-exactly (pivot places each long cell; unpivot brings it back)
+    def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(cells(operators.Reshape.unpivotFrom(
+      operators.Reshape.pivotMonthly(spark, sf))) == cells(melted),
+      "unpivot(pivot(x)) diverged from the long aggregate")
   }
 
   test("sessionization: session count equals number of >30min gaps + users") {
