@@ -535,16 +535,26 @@ object Forecast {
     * observed month. Seasonal index = (month mean) - (overall mean). */
   def seasonalForecast(spark: SparkSession, dir: String): DataFrame = {
     val base = joined(spark, dir)
-    val trend = olsStats(base)
+    val monthly = base
+      .groupBy(col("brand").as("mb"), col("m").as("month"))
+      .agg(meanOf(sum(dec2(col("y"))).cast(DoubleType), cnt).as("mean_month"))
+    seasonalCore(seasonalTrend(olsStats(base)), monthly)
+  }
+
+  /** Trend columns the seasonal composition consumes, from any frame
+    * carrying the OLS stats names — shared by the fact-scan fit and the
+    * streamed-state serve so both run the identical IEEE sequence. */
+  private def seasonalTrend(stats: DataFrame): DataFrame =
+    stats
       .withColumn("slope", slopeCol)
       .withColumn(
         "intercept",
         (col("sy") - col("slope") * col("sx").cast(DoubleType)) / col("n").cast(DoubleType))
       .withColumn("mean_all", col("sy") / col("n").cast(DoubleType))
       .select(col("brand"), col("slope"), col("intercept"), col("mean_all"), col("max_x"))
-    val monthly = base
-      .groupBy(col("brand").as("mb"), col("m").as("month"))
-      .agg(meanOf(sum(dec2(col("y"))).cast(DoubleType), cnt).as("mean_month"))
+
+  /** Seasonal composition tail over (trend, per-month means). */
+  private def seasonalCore(trend: DataFrame, monthly: DataFrame): DataFrame =
     monthly
       .join(broadcast(trend), col("mb") === col("brand"))
       .withColumn("seasonal_idx", col("mean_month") - col("mean_all"))
@@ -556,7 +566,6 @@ object Forecast {
         "forecast",
         col("intercept") + col("slope") * col("x_future") + col("seasonal_idx"))
       .select(col("brand"), col("month"), col("seasonal_idx"), col("forecast"))
-  }
 
   // ------------------------------------------------- rank-by-forecast top-k
 
@@ -806,6 +815,113 @@ object Forecast {
         col("intercept") + col("slope") * (col("max_x") + 1).cast(DoubleType))
       .select(col("brand"), col("n"), col("slope"), col("intercept"), col("forecast_next"))
 
+  // ------------------------------------------ widened (per-x) model state
+
+  /** Per-(brand, x) exact rollup — the WIDENED streaming model state.
+    * Every forecast family's sufficient statistics are an exact LINEAR
+    * functional of this frame: trend moments (Σx·n_x, Σx²·n_x, Σy, Σx·y),
+    * monthly seasonal sums (calendar month = x mod 12 + 1 by the index
+    * definition), and changepoint hinge moments for knots at ANY
+    * location. The last point is why the state is per-x and not
+    * pre-hinged: knots move whenever a batch extends a group's x-range,
+    * so hinge sums are NOT associative under micro-batch merge — but the
+    * per-x rollup is, and hinge sums re-derive from it exactly.
+    * Cardinality: one row per (group, observed month index) — bounded by
+    * dims x calendar span, never by fact rows. */
+  private[graft] def xStatsExact(df: DataFrame): DataFrame =
+    df.groupBy(col("brand"), col("x"))
+      .agg(cnt.as("n_x"), sum(dec2(col("y"))).as("syx_dec"))
+
+  /** Exact associative merge of two per-x state frames (the
+    * micro-batch fold of `graft.streaming.ForecastModelSink`'s widened
+    * layer). */
+  private[graft] def mergeXStatsFrames(prev: DataFrame, add: DataFrame): DataFrame = {
+    val merged = prev
+      .unionByName(add)
+      .groupBy(col("brand"), col("x"))
+      .agg(sum(col("n_x")).as("n_x"), sum(col("syx_dec")).as("syx_dec"))
+    merged.select(
+      add.schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+  }
+
+  /** The widened state frame for a corpus dir (what the streaming sink
+    * maintains incrementally; batch jobs can persist it directly). */
+  private[graft] def xStatsFrame(spark: SparkSession, dir: String): DataFrame =
+    xStatsExact(joined(spark, dir))
+
+  /** syx_dec narrowed so decimal products with a (10,0) weight stay
+    * within precision 38 (10 + 27 + 1). A per-(brand, month-index) price
+    * sum needing more than 25 integer digits is beyond any physical
+    * corpus; the cast would overflow LOUDLY under ANSI if that ever
+    * changed. */
+  private def syxN: Column = col("syx_dec").cast(DecimalType(27, 2))
+
+  /** Group OLS stats derived exactly from the per-x state — the same
+    * VALUES [[olsStats]] computes from the fact scan (integer moments
+    * weighted by n_x; decimal sums re-summed, so the double casts see
+    * equal exact totals). syy is not per-x-derivable and not needed by
+    * the families served from this state. */
+  private def trendFromState(state: DataFrame): DataFrame =
+    state.groupBy(col("brand"))
+      .agg(
+        sum(col("n_x")).as("n"),
+        sum(col("x") * col("n_x")).as("sx"),
+        sum(col("x") * col("x") * col("n_x")).as("sxx"),
+        sum(col("syx_dec")).cast(DoubleType).as("sy"),
+        sum(xDec * syxN).cast(DoubleType).as("sxy"),
+        max(col("x")).as("max_x"))
+
+  /** q_seasonal_forecast served from the widened streaming state —
+    * BIT-IDENTICAL to the fact-scan fit (spec-gated): the trend and
+    * monthly means derive from the same exact totals, and the
+    * composition tail is the shared [[seasonalCore]]. */
+  private[graft] def seasonalForecastFromState(state: DataFrame): DataFrame = {
+    val monthly = state
+      .groupBy(col("brand").as("mb"),
+        (pmod(col("x"), lit(12L)) + 1).cast(IntegerType).as("month"))
+      .agg(meanOf(sum(col("syx_dec")).cast(DoubleType), sum(col("n_x"))).as("mean_month"))
+    seasonalCore(seasonalTrend(trendFromState(state)), monthly)
+  }
+
+  /** q_forecast_changepoint served from the widened streaming state —
+    * BIT-IDENTICAL to the fact-scan fit (spec-gated). Knots re-derive
+    * from the state's full x-range (so they sit exactly where a batch
+    * retrain would put them), hinge moments are n_x-weighted sums over
+    * the per-x rows, and the solve tail is the shared
+    * [[changepointSolve]]. */
+  private[graft] def forecastChangepointFromState(state: DataFrame): DataFrame = {
+    val rng = state.groupBy(col("brand").as("rb"))
+      .agg(min(col("x")).as("min_x"), max(col("x")).as("max_x"))
+    val feat = state
+      .join(broadcast(rng), col("brand") === col("rb"))
+      .select(col("brand"), col("x"), col("n_x"), col("syx_dec"), knotCol(1), knotCol(2))
+      .select(
+        col("brand"), col("x"), col("n_x"), col("syx_dec"), col("s1"), col("s2"),
+        greatest(col("x") - col("s1"), lit(0L)).as("h1"),
+        greatest(col("x") - col("s2"), lit(0L)).as("h2"))
+    val stats = feat
+      .groupBy(col("brand"))
+      .agg(
+        sum(col("n_x")).as("n"),
+        sum(col("x") * col("n_x")).as("sx"),
+        sum(col("h1") * col("n_x")).as("sh1"),
+        sum(col("h2") * col("n_x")).as("sh2"),
+        sum(col("x") * col("x") * col("n_x")).as("sxx"),
+        sum(col("x") * col("h1") * col("n_x")).as("sxh1"),
+        sum(col("x") * col("h2") * col("n_x")).as("sxh2"),
+        sum(col("h1") * col("h1") * col("n_x")).as("sh1h1"),
+        sum(col("h1") * col("h2") * col("n_x")).as("sh1h2"),
+        sum(col("h2") * col("h2") * col("n_x")).as("sh2h2"),
+        sum(col("syx_dec")).cast(DoubleType).as("sy"),
+        sum(xDec * syxN).cast(DoubleType).as("sxy"),
+        sum(col("h1").cast(DecimalType(10, 0)) * syxN).cast(DoubleType).as("sh1y"),
+        sum(col("h2").cast(DecimalType(10, 0)) * syxN).cast(DoubleType).as("sh2y"),
+        max(col("x")).as("max_x"),
+        max(col("s1")).as("s1"),
+        max(col("s2")).as("s2"))
+    changepointSolve(stats)
+  }
+
   // --------------------------------------------- piecewise (changepoint) trend
 
   /** Number of trend changepoints for [[forecastChangepoint]]; hinge
@@ -887,15 +1003,17 @@ object Forecast {
   /** DataFrame core of [[forecastChangepoint]] over any (brand, x: long,
     * y: decimal) frame — the planted-trend-break spec fits synthetic
     * series through it. */
+  /** Hinge-knot j for a group's observed x-range (see [[Changepoints]]). */
+  private def knotCol(j: Int): Column =
+    (col("min_x") + floor((col("max_x") - col("min_x")).cast(DoubleType) *
+      lit(8.0 * j) / lit(10.0 * Changepoints)).cast(LongType)).as(s"s$j")
+
   private[graft] def forecastChangepointOf(base: DataFrame): DataFrame = {
     val rng = base.groupBy(col("brand").as("rb"))
       .agg(min(col("x")).as("min_x"), max(col("x")).as("max_x"))
-    def sCol(j: Int): Column =
-      (col("min_x") + floor((col("max_x") - col("min_x")).cast(DoubleType) *
-        lit(8.0 * j) / lit(10.0 * Changepoints)).cast(LongType)).as(s"s$j")
     val feat = base
       .join(broadcast(rng), col("brand") === col("rb"))
-      .select(col("brand"), col("x"), col("y"), sCol(1), sCol(2))
+      .select(col("brand"), col("x"), col("y"), knotCol(1), knotCol(2))
       .select(
         col("brand"), col("x"), col("y"), col("s1"), col("s2"),
         greatest(col("x") - col("s1"), lit(0L)).as("h1"),
@@ -920,6 +1038,13 @@ object Forecast {
         max(col("x")).as("max_x"),
         max(col("s1")).as("s1"),
         max(col("s2")).as("s2"))
+    changepointSolve(stats)
+  }
+
+  /** Cramer-rule solve + next-month projection over any frame carrying
+    * the 14 hinge sufficient statistics — shared by the fact-scan fit
+    * and the streamed-state serve. */
+  private def changepointSolve(stats: DataFrame): DataFrame = {
     val doubled = stats.select(
       col("brand") +: col("n") +: col("s1") +: col("s2") +: col("max_x") +:
         (Seq("n", "sx", "sh1", "sh2", "sxx", "sxh1", "sxh2", "sh1h1", "sh1h2", "sh2h2")

@@ -290,6 +290,21 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     // batch operator's fresh fact-scan fit
     assert(rows(operators.Forecast.forecastFromModel(spark, dir)) ==
       rows(operators.Forecast.forecastLinear(spark, sf)))
+    // WIDENED state: the per-x layer serves the families whose group-level
+    // stats are not associative under merge — monthly seasonality and
+    // changepoint hinges (knots move when a batch extends the x-range) —
+    // bit-identical to the batch operators' fresh fits
+    assert(rows(ForecastModelSink.seasonalForecastFromState(spark, dir)) ==
+      rows(operators.Forecast.seasonalForecast(spark, sf)),
+      "streamed seasonal forecast diverged from the fact-scan fit")
+    assert(rows(ForecastModelSink.changepointForecastFromState(spark, dir)) ==
+      rows(operators.Forecast.forecastChangepoint(spark, sf)),
+      "streamed changepoint forecast diverged from the fact-scan fit")
+    // widened-layer replay idempotency (its own marker)
+    ForecastModelSink.applyModelBatch(obs.filter(pmod(col("x"), lit(3)) === 1), 1, dir)
+    assert(rows(ForecastModelSink.seasonalForecastFromState(spark, dir)) ==
+      rows(operators.Forecast.seasonalForecast(spark, sf)),
+      "replayed batch corrupted the widened state")
   }
 
   test("streaming quality floors: histogram state is batch-exact, replay-safe, and bounds the exact quantile") {
