@@ -152,6 +152,9 @@ object GraftFunctions {
   val TopKMeanName = "graft_topk_mean"
   val BpeCountName = "graft_bpe_count"
   val RepStatsName = "graft_rep_stats"
+  val KllName = "graft_kll"
+  val KllMergeName = "graft_kll_merge"
+  val KllQuantileName = "graft_kll_q"
 
   // Sessions already registered — createOrReplaceTempFunction is itself
   // idempotent, but every call past the first logs a "replaced a
@@ -241,6 +244,18 @@ object GraftFunctions {
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       RepStatsName,
       (exprs: Seq[Expression]) => RepStats(exprs.head),
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      KllName,
+      (exprs: Seq[Expression]) => KllAgg.fromArgs(exprs),
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      KllMergeName,
+      (exprs: Seq[Expression]) => KllMergeAgg.fromArgs(exprs),
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      KllQuantileName,
+      (exprs: Seq[Expression]) => KllQuantile(exprs.head, exprs(1)),
       "built-in")
     val rules = classic.experimental.extraOptimizations
     if (!rules.contains(graft.plans.CosineFusionRule))

@@ -7,30 +7,80 @@ import org.apache.spark.sql.types.IntegerType
 
 /** Streaming maintenance of the per-language quality floors that
   * `TextAnalysis.qualityThresholds` derives in batch: a `foreachBatch`
-  * sink folds each micro-batch of scored documents into a persisted
-  * per-(language, bucket) COUNT HISTOGRAM of quality scores, and the
-  * floor (the [[graft.operators.TextAnalysis.QualityQuantile]] quantile)
-  * is read off the cumulative histogram on demand.
+  * sink folds each micro-batch of scored documents into one persisted
+  * KLL QUANTILE SKETCH per language ([[graft.functions.KllSketch]]), and
+  * the floor (the [[graft.operators.TextAnalysis.QualityQuantile]]
+  * quantile) is read off the sketch on demand.
   *
-  * The histogram is the streaming-friendly quantile sketch: count sums
-  * are exact and associative, so the maintained state after any sequence
-  * of micro-batches is BIT-IDENTICAL to the histogram of everything seen
-  * (no drift across batches, and task retries are safe) — the same
-  * merge-exactness contract as the rollup sink. Accuracy is the
-  * quantization bound: the derived floor is the lower edge of the bucket
-  * holding the target order statistic, so it sits within
-  * 1/[[QualityFloors.Buckets]] BELOW the exact value (spec-asserted) —
-  * same epsilon-style guarantee shape as the batch operator's
-  * `approx_percentile` swap, but with a state table that is mergeable
-  * across micro-batches, executors, and restarts.
+  * The sketch is mergeable at BOTH grains a 100 TB stream needs:
+  * partial sketches combine map-side within a batch (the
+  * TypedImperativeAggregate merge — partitions), and the batch sketch
+  * folds into the stored one (`graft_kll_merge` — micro-batches), so
+  * per-batch cost is one group-cardinality aggregation and state is one
+  * ~k·log(n/k)·8-byte blob per language regardless of stream length.
+  * Error is uniform in RANK (worst-case n·H/k for the deterministic
+  * compactor, typically far less — spec-pinned per merge order), with no
+  * assumption that scores live in [0, 1]; an exact `n_docs` count column
+  * rides along so gate decisions see exact populations.
   *
-  * Scale notes: state is at most languages x [[QualityFloors.Buckets]]
-  * rows regardless of corpus size; the per-batch aggregation is map-side
-  * combined on (lang, bucket). Floors derive via a per-language window
-  * over <= [[QualityFloors.Buckets]] rows — dim-cardinality, never
-  * fact-scale.
+  * The fixed-bucket histogram formulation this replaced is kept below
+  * ([[partialHistogram]]/[[mergeHistograms]]/[[floorsOf]]) as the
+  * independent bit-exact reference the sketch path is spec-checked
+  * against: the histogram's floor is deterministic and merge-order-free,
+  * so any sketch drift past its bound fails loudly against it. Its
+  * weaknesses — a clamped [0, 1] domain and value-resolution (not rank)
+  * error — are why the sketch is the shipped state.
   */
 object QualityFloors {
+
+  /** Sketch capacity per compactor level. At k = 256 the deterministic
+    * worst-case rank error is ~3% at n = 10^5 and memory per language is
+    * a few KB; see [[graft.functions.KllSketch]] for the scaling. */
+  val SketchK = 256
+
+  private def q = graft.operators.TextAnalysis.QualityQuantile
+
+  /** The batch operator's population: confident language IDs, non-null
+    * non-NaN scores (percentile() ignores them; bucketing or sketching
+    * them would drag floors down). */
+  private def scoredPop(scored: DataFrame): DataFrame =
+    scored
+      .filter(col("pred_lang") =!= "und")
+      .filter(col("quality_score").isNotNull && !isnan(col("quality_score")))
+
+  /** One micro-batch's sketch partial: (pred_lang, n_docs, sketch). */
+  def partialSketch(scored: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(scored.sparkSession)
+    scoredPop(scored)
+      .groupBy(col("pred_lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        call_function(graft.functions.GraftFunctions.KllName,
+          col("quality_score"), lit(SketchK)).as("sketch"))
+  }
+
+  /** Merge sketch states: doc counts add exactly; sketches merge with
+    * bounded rank drift. */
+  def mergeSketchStates(prev: DataFrame, add: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(prev.sparkSession)
+    prev
+      .unionByName(add)
+      .groupBy(col("pred_lang"))
+      .agg(
+        sum(col("n_docs")).as("n_docs"),
+        call_function(graft.functions.GraftFunctions.KllMergeName,
+          col("sketch"), lit(SketchK)).as("sketch"))
+  }
+
+  /** Per-language floors from a sketch state frame. */
+  def sketchFloorsOf(state: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(state.sparkSession)
+    state.select(
+      col("pred_lang"),
+      col("n_docs"),
+      call_function(graft.functions.GraftFunctions.KllQuantileName,
+        col("sketch"), lit(q)).as("q_low"))
+  }
 
   /** Histogram resolution over the score range [0, 1]: the floor's
     * quantization error is below 1/Buckets ~ 0.002 on a 0-1 score —
@@ -45,16 +95,9 @@ object QualityFloors {
       greatest(lit(0), floor(score * Buckets).cast(IntegerType)))
 
   /** One micro-batch's histogram partial: (pred_lang, bucket, n) counts
-    * over scored docs (confident language IDs only, matching the batch
-    * operator's filter). */
+    * over scored docs — the REFERENCE formulation (see the object doc). */
   def partialHistogram(scored: DataFrame): DataFrame =
-    scored
-      .filter(col("pred_lang") =!= "und")
-      // null/NaN scores are EXCLUDED, matching the batch operator whose
-      // percentile() ignores them — bucketing them (null falls to 0
-      // through greatest's null-skip, NaN casts to 0) would inflate
-      // bucket 0 and drag floors down
-      .filter(col("quality_score").isNotNull && !isnan(col("quality_score")))
+    scoredPop(scored)
       .groupBy(col("pred_lang"), bucketOf(col("quality_score")).as("bucket"))
       .agg(count(lit(1)).as("n"))
 
@@ -88,14 +131,14 @@ object QualityFloors {
 
   /** The maintained floors at `stateDir`'s current state. */
   def currentFloors(spark: SparkSession, stateDir: String): DataFrame =
-    floorsOf(spark.read.parquet(stateDir))
+    sketchFloorsOf(spark.read.parquet(stateDir))
 
   /** One micro-batch application — the testable core of [[sink]], with
     * [[StreamStateStore]]'s replay-idempotency and crash-safe swap. */
   private[graft] def applyFloorBatch(batch: DataFrame, batchId: Long, stateDir: String): Unit =
     StreamStateStore.applyBatch(batch.sparkSession, batchId, stateDir, "qualityFloorSink") {
-      case Some(prev) => mergeHistograms(Seq(prev, partialHistogram(batch)))
-      case None => partialHistogram(batch)
+      case Some(prev) => mergeSketchStates(prev, partialSketch(batch))
+      case None => partialSketch(batch)
     }
 
   /** foreachBatch sink maintaining the floors continuously from a stream

@@ -96,6 +96,34 @@ object StressStream {
       println(f"[stress-stream] interval_join    ${sec}%7.2fs  ${total / sec}%,10.0f rows/s")
     } finally q.stop()
 
+    // quality-floor sketch sink: per-language KLL state under many
+    // micro-batches — throughput, state size (one blob per language),
+    // and floor sanity on a known-uniform score distribution
+    locally {
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files.createTempDirectory("stressfloors").toString + "/state"
+      val batches = 20
+      val rows = 200000L
+      val t0 = System.nanoTime()
+      (0 until batches).foreach { b =>
+        val batch = spark.range(b * rows, (b + 1) * rows)
+          .select(
+            col("id").as("doc_id"),
+            concat(lit("lang_"), pmod(col("id"), lit(7)).cast("string")).as("pred_lang"),
+            (pmod(xxhash64(col("id")), lit(1000000)).cast("double") / 1e6).as("quality_score"))
+        graft.streaming.QualityFloors.applyFloorBatch(batch, b.toLong, dir)
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val floors = graft.streaming.QualityFloors.currentFloors(spark, dir).collect()
+      val stateBytes = spark.read.parquet(dir)
+        .select(sum(length(col("sketch")))).collect()(0).getLong(0)
+      val total = batches * rows
+      val worstOff = floors.map(r => math.abs(
+        r.getDouble(2) - graft.operators.TextAnalysis.QualityQuantile)).max
+      println(f"[stress-stream] kll_floors       ${sec}%7.2fs  ${total / sec}%,10.0f docs/s  " +
+        f"state_bytes=$stateBytes  langs=${floors.length}  worst_floor_off=$worstOff%.4f")
+    }
+
     spark.stop()
   }
 }
