@@ -254,6 +254,61 @@ object ImageIoCodec {
   def encodeJpeg(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] =
     encodeVia("jpg", w, h, rgb)
 
+  /** Encode packed RGB as 24-bit BMP (lossless like PNG, zero
+    * compression — the dumbest real container in the mix, which is
+    * exactly why corpora contain it). */
+  def encodeBmp(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] =
+    encodeVia("bmp", w, h, rgb)
+
+  /** Encode packed RGB as GIF. Palettized: for images with <= 256
+    * distinct colors the palette is built from the EXACT colors (the
+    * JDK writer handed a direct-color image would quantize to the web
+    * palette even when the true palette fits), so decode round-trips the
+    * pixels; beyond 256 colors the writer's quantization applies and
+    * only dimensions are exact. */
+  def encodeGif(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"rgb length ${rgb.length} != $w x $h x 3")
+    val colors = new java.util.LinkedHashSet[Integer]()
+    var i = 0
+    while (i < w * h && colors.size <= 256) {
+      colors.add(((rgb(3 * i) & 0xFF) << 16) |
+        ((rgb(3 * i + 1) & 0xFF) << 8) | (rgb(3 * i + 2) & 0xFF))
+      i += 1
+    }
+    if (colors.size > 256) return encodeVia("gif", w, h, rgb)
+    val palette = new Array[Int](colors.size)
+    val it = colors.iterator()
+    var j = 0
+    while (it.hasNext) { palette(j) = it.next(); j += 1 }
+    val icm = new java.awt.image.IndexColorModel(
+      8, palette.length, palette, 0, false, -1, java.awt.image.DataBuffer.TYPE_BYTE)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    val px = new Array[Int](w * h)
+    i = 0
+    while (i < px.length) {
+      px(i) = 0xFF000000 | ((rgb(3 * i) & 0xFF) << 16) |
+        ((rgb(3 * i + 1) & 0xFF) << 8) | (rgb(3 * i + 2) & 0xFF)
+      i += 1
+    }
+    img.setRGB(0, 0, w, h, px, 0, w)
+    // write NON-interlaced explicitly: the JDK writer's default
+    // (interlaced) mode silently row-shifts images with fewer rows than
+    // the interlace pass structure (empirically: every image under ~25px
+    // with w > 2 decodes wrong; probed on Temurin 17) — a default
+    // ImageIO.write(img, "gif", ...) ships that corruption
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val p = writer.getDefaultWriteParam
+    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
   private def encodeVia(fmt: String, w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
     require(rgb.length == w * h * 3, s"rgb length ${rgb.length} != $w x $h x 3")
     val img = new java.awt.image.BufferedImage(

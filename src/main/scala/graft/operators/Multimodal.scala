@@ -9,13 +9,14 @@ import org.apache.spark.sql.types._
   * frame-sample stages as batched per-partition transforms.
   *
   * Codec honesty boundary: image and audio containers are REAL here —
-  * binary PPM, PNG and baseline JPEG images (the JDK's own `javax.imageio`
+  * binary PPM, PNG, baseline JPEG, 24-bit BMP and palettized GIF images
+  * (the JDK's own `javax.imageio`
   * plugins, no external dependency — [[ImageIoCodec]]), RIFF/WAV PCM-16
   * audio, and concatenated-PPM-frame video are parsed, validated,
   * resampled and feature-extracted at the pixel/sample level
   * ([[PpmCodec]], [[WavCodec]]; [[transcode]] wraps raw ingest bytes
   * into a format mix of those containers). Only codecs the JVM does not
-  * ship (H.264/Opus/...) remain stubbed ([[StubCodec]]); payloads that
+  * ship (true AV compression: H.264/Opus/...) remain stubbed ([[StubCodec]]); payloads that
   * fail every container parse fall back to the stub's deterministic
   * byte-level transforms, and a production deployment swaps the stub for
   * a JNI/javacpp codec without touching the plan.
@@ -115,8 +116,9 @@ object Multimodal {
   }
 
   /** Transcode raw ingest bytes into REAL containers (the ingest →
-    * transcode step of a media pipeline): images become binary PPMs, PNGs
-    * or baseline JPEGs (round-robin by media id — a training corpus's
+    * transcode step of a media pipeline): images become binary PPMs,
+    * PNGs, baseline JPEGs, BMPs or GIFs (round-robin by media id — a
+    * training corpus's
     * image column is mixed-format, and downstream stages must not care)
     * with the metadata's dimensions, audio becomes 16 kHz PCM-16 WAV,
     * video becomes nFrames back-to-back PPM frames. Sample data derives
@@ -131,9 +133,11 @@ object Multimodal {
         val payload = m.meta.kind match {
           case "image" =>
             val rgb = byteStream(seed, m.meta.width * m.meta.height * 3)
-            (m.media_id / 3) % 3 match {
+            (m.media_id / 3) % 5 match {
               case 1 => ImageIoCodec.encodePng(m.meta.width, m.meta.height, rgb)
               case 2 => ImageIoCodec.encodeJpeg(m.meta.width, m.meta.height, rgb)
+              case 3 => ImageIoCodec.encodeBmp(m.meta.width, m.meta.height, rgb)
+              case 4 => ImageIoCodec.encodeGif(m.meta.width, m.meta.height, rgb)
               case _ => PpmCodec.encode(m.meta.width, m.meta.height, rgb)
             }
           case "audio" =>
@@ -208,7 +212,7 @@ object Multimodal {
   }
 
   /** Container-agnostic image decode: strict PPM first (cheap header
-    * probe), then the ImageIO plugins (PNG/JPEG). */
+    * probe), then the ImageIO plugins (PNG/JPEG/BMP/GIF). */
   private[operators] def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     PpmCodec.decode(payload).orElse(ImageIoCodec.decode(payload))
 

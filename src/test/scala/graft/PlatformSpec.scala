@@ -307,39 +307,101 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
       "replayed batch corrupted the widened state")
   }
 
-  test("streaming quality floors: histogram state is batch-exact, replay-safe, and bounds the exact quantile") {
+  test("streaming quality floors: sketch state is replay-safe and rank-exact under capacity; histogram reference still bounds") {
     import graft.streaming.QualityFloors
     val scored = operators.TextAnalysis.scoredCorpus(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graftfloors").toString + "/state"
     def floorsMap(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
-    // three micro-batches; the maintained state must equal the one-shot
-    // histogram of everything seen BIT-EXACTLY (count sums are
-    // associative -> no drift across micro-batches, ever)
     (0 to 2).foreach(i =>
       QualityFloors.applyFloorBatch(scored.filter(col("doc_id") % 3 === i), i, dir))
     val inc = floorsMap(QualityFloors.currentFloors(spark, dir))
-    val oneShot = floorsMap(QualityFloors.floorsOf(QualityFloors.partialHistogram(scored)))
-    assert(inc == oneShot)
     // at-least-once replay: re-applying an already-folded batch is a no-op
     QualityFloors.applyFloorBatch(scored.filter(col("doc_id") % 3 === 2), 2, dir)
     assert(floorsMap(QualityFloors.currentFloors(spark, dir)) == inc)
-    // accuracy: per language the floor is the lower bucket edge of the
-    // exact order statistic at rank floor(q*(n-1)) — at most one bucket
-    // width below it, and never above (so adaptive cleaning with
-    // streamed floors can only keep slightly MORE than batch cleaning,
-    // never silently drop extra documents)
     val perLang = scored.select("pred_lang", "quality_score").collect()
       .groupBy(_.getString(0)).map { case (l, rows) => l -> rows.map(_.getDouble(1)).sorted }
     assert(perLang.nonEmpty && perLang.keySet == inc.keySet)
+    val qq = operators.TextAnalysis.QualityQuantile
     perLang.foreach { case (lang, vs) =>
       val (nDocs, est) = inc(lang)
+      // exact populations ride the state regardless of sketch error
       assert(nDocs == vs.length)
-      val vLo = vs(math.floor(
-        operators.TextAnalysis.QualityQuantile * (vs.length - 1)).toInt)
-      assert(est <= vLo + 1e-12, s"$lang: floor $est above order statistic $vLo")
-      assert(vLo - est <= 1.0 / QualityFloors.Buckets + 1e-12,
-        s"$lang: floor $est drifted more than a bucket below $vLo")
+      val target = math.floor(qq * (vs.length - 1)).toInt
+      if (vs.length < QualityFloors.SketchK)
+        // a population under the compactor capacity is stored verbatim:
+        // the streamed floor IS the exact order statistic
+        assert(est == vs(target), s"$lang: under-capacity sketch not exact ($est vs ${vs(target)})")
+      else {
+        // compacted: the floor's RANK must sit within the deterministic
+        // drift bound of the target (see KllSketch's n·H/k analysis)
+        val lo = vs.indexWhere(_ >= est)
+        val hi = vs.lastIndexWhere(_ <= est)
+        val drift =
+          if (lo <= target && target <= hi) 0
+          else math.min(math.abs(lo - target), math.abs(hi - target))
+        assert(drift <= math.max(1, (0.04 * vs.length).toInt),
+          s"$lang: sketch floor rank drifted $drift of ${vs.length}")
+      }
+    }
+    // the retired fixed-bucket histogram stays as the independent
+    // reference: merge-order-free bit-exact state whose floor bounds the
+    // exact order statistic from below by at most one bucket width
+    val parts = (0 to 2).map(i =>
+      QualityFloors.partialHistogram(scored.filter(col("doc_id") % 3 === i)))
+    val href = floorsMap(QualityFloors.floorsOf(QualityFloors.mergeHistograms(parts)))
+    assert(href == floorsMap(QualityFloors.floorsOf(QualityFloors.partialHistogram(scored))))
+    perLang.foreach { case (lang, vs) =>
+      val (_, est) = href(lang)
+      val vLo = vs(math.floor(qq * (vs.length - 1)).toInt)
+      assert(est <= vLo + 1e-12 && vLo - est <= 1.0 / QualityFloors.Buckets + 1e-12,
+        s"$lang: histogram reference floor $est out of bound vs $vLo")
+    }
+  }
+
+  test("kll sketch: quantile rank drift bounded under every merge order; exact under capacity; bytes round-trip") {
+    import graft.functions.KllSketch
+    val n = 60000
+    val k = 256
+    // deterministic uniform-ish values (byteswap64 as the hash mixer)
+    val vals = Array.tabulate(n)(i =>
+      (scala.util.hashing.byteswap64(i.toLong) >>> 11).toDouble / (1L << 53).toDouble)
+    val sorted = vals.sorted
+    val parts = vals.grouped(10000).toArray
+    def build(order: Seq[Int]): KllSketch = {
+      val sk = new KllSketch(k)
+      order.foreach { j =>
+        val p = new KllSketch(k)
+        parts(j).foreach(p.update)
+        sk.merge(p)
+      }
+      sk
+    }
+    val orders = Seq(0 until parts.length, (0 until parts.length).reverse,
+      Seq(2, 0, 5, 1, 4, 3))
+    for (o <- orders; q <- Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+      val sk = build(o)
+      assert(sk.count == n)
+      val est = sk.quantile(q)
+      val target = q * (n - 1)
+      val lo = sorted.indexWhere(_ >= est)
+      val hi = sorted.lastIndexWhere(_ <= est)
+      val drift =
+        if (lo <= target && target <= hi) 0.0
+        else math.min(math.abs(lo - target), math.abs(hi - target))
+      assert(drift <= 0.02 * n,
+        s"order $o q=$q: rank drift $drift exceeds 2% of $n")
+      // serialization round-trips the full state bit-exactly
+      val rt = KllSketch.fromBytes(sk.toBytes)
+      assert(java.util.Arrays.equals(rt.toBytes, sk.toBytes))
+      assert(rt.quantile(q) == est)
+    }
+    // under-capacity sketches are exact at every rank
+    val small = new KllSketch(k)
+    sorted.take(k - 1).foreach(small.update)
+    for (q <- Seq(0.0, 0.1, 0.5, 0.9, 1.0)) {
+      val exact = sorted.take(k - 1)(math.floor(q * (k - 2)).toInt)
+      assert(small.quantile(q) == exact, s"under-capacity q=$q")
     }
   }
 
@@ -452,8 +514,12 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     val images = items.filter(_.meta.kind == "image")
     def isPng(p: Array[Byte]) = p.length > 8 && (p(0) & 0xFF) == 0x89 && p(1) == 'P'
     def isJpeg(p: Array[Byte]) = p.length > 2 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8
+    def isBmp(p: Array[Byte]) = p.length > 2 && p(0) == 'B' && p(1) == 'M'
+    def isGif(p: Array[Byte]) = p.length > 4 && p.startsWith("GIF8".getBytes("US-ASCII"))
     assert(images.exists(m => isPng(m.payload)), "no PNG payloads in the transcode mix")
     assert(images.exists(m => isJpeg(m.payload)), "no JPEG payloads in the transcode mix")
+    assert(images.exists(m => isBmp(m.payload)), "no BMP payloads in the transcode mix")
+    assert(images.exists(m => isGif(m.payload)), "no GIF payloads in the transcode mix")
     assert(images.exists(m => m.payload.startsWith("P6".getBytes("US-ASCII"))),
       "no PPM payloads in the transcode mix")
     images.foreach { m =>
@@ -482,6 +548,24 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
       .exists { case (w, h, px) => w == 3 && h == 2 && px.sameElements(rgb3x2) })
     assert(ImageIoCodec.decode(ImageIoCodec.encodeJpeg(3, 2, rgb3x2))
       .exists { case (w, h, px) => w == 3 && h == 2 && px.length == 18 })
+    // BMP is lossless like PNG: exact pixels back
+    assert(ImageIoCodec.decode(ImageIoCodec.encodeBmp(3, 2, rgb3x2))
+      .exists { case (w, h, px) => w == 3 && h == 2 && px.sameElements(rgb3x2) },
+      "BMP round-trip not lossless")
+    // GIF palettizes: exact for a <= 256-color image, dimensions always
+    val gray3x2 = Array.tabulate[Byte](18)(i => (40 * (i / 3)).toByte) // 6 colors
+    assert(ImageIoCodec.decode(ImageIoCodec.encodeGif(3, 2, gray3x2))
+      .exists { case (w, h, px) => w == 3 && h == 2 && px.sameElements(gray3x2) },
+      "GIF round-trip not exact for a palette-sized image")
+    assert(ImageIoCodec.decode(ImageIoCodec.encodeGif(3, 2, rgb3x2))
+      .exists { case (w, h, px) => w == 3 && h == 2 && px.length == 18 })
+    // regression pin: the JDK GIF writer's default interlaced mode
+    // row-shifts tiny images (12x2 was the worst probed case) — the
+    // codec writes non-interlaced, so this must stay exact
+    val wide12x2 = Array.tabulate[Byte](72)(i => (51 * ((i / 3) % 6)).toByte)
+    assert(ImageIoCodec.decode(ImageIoCodec.encodeGif(12, 2, wide12x2))
+      .exists { case (w, h, px) => w == 12 && h == 2 && px.sameElements(wide12x2) },
+      "tiny wide GIF row-shifted — interlace regression")
     // video frames split at real container boundaries: each a standalone PPM,
     // every 2nd frame of the metadata's frame count
     val frames = Multimodal.sampleFrames(spark, media.toDF(), every = 2).collect()
