@@ -60,9 +60,20 @@ object Bench {
     val spread = results
       .map { case (k, _, mn, mx) => "\"" + k + "\":[" + f(mn) + "," + f(mx) + "]" }
       .mkString("{", ",", "}")
+    // the compact line's total is the sum of its own 3-decimal medians,
+    // so sum(queries) reconciles with value EXACTLY inside that document;
+    // the full file's value is the true-median sum rounded to 4 decimals
+    // (reconciles with its queries to within nq * 0.5e-4)
+    val total3 = f3(results.map(r => f3(r._2).toDouble).sum)
     val total = f(results.map(_._2).sum)
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs3,"iters":$iters,"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":$total3,"unit":"sec","queries":$qs3,"iters":$iters,"sf":"$sfDir"}"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"iters":$iters,"sf":"$sfDir"}"""
+    // the driver captures a bounded 2000-char stdout tail (minus sbt's
+    // ~70-char trailer): fail LOUDLY at the source when operator growth
+    // approaches the budget instead of letting the line clip mid-JSON
+    require(compact.length <= 1900,
+      s"compact bench line ${compact.length} chars — about to outgrow the " +
+        "driver's tail capture; shorten query keys or drop precision")
     spark.stop()
     // full JSON (with spread) goes to a file; the process's last stdout
     // line is the COMPACT medians-only form (after spark.stop(), so no

@@ -13,7 +13,25 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
 
-  def builder(appName: String): SparkSession.Builder =
+  /** Silence WindowExecBase's "No Partition Defined for Window" WARN.
+    * Every unpartitioned window in the engine is deliberate and audited
+    * at its call site: they run over dim-cardinality or post-limit frames
+    * (surrogate-key assignment over dims, rank over a top-50, centroid
+    * ids) that do NOT grow with fact volume, so the single partition is
+    * the correct plan — the blanket warning is noise that crowds real
+    * signals out of the driver's bounded log-tail capture. Scoped to the
+    * one logger; genuinely dangerous plans still surface in the plan
+    * audits (PlatformSpec pins windowless shapes for the fact-scale
+    * rankers). */
+  private def muteAuditedWindowWarn(): Unit =
+    try
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.window.WindowExecBase",
+        org.apache.logging.log4j.Level.ERROR)
+    catch { case scala.util.control.NonFatal(_) => () } // logging impl absent: nothing to mute
+
+  def builder(appName: String): SparkSession.Builder = {
+    muteAuditedWindowWarn()
     SparkSession
       .builder()
       .appName(appName)
@@ -26,6 +44,7 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+  }
 
   /** Local session for tests and ad-hoc runs. */
   def local(appName: String = "graft"): SparkSession = {

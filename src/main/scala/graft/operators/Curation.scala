@@ -54,9 +54,10 @@ object Curation {
     * split is a fixed benchmark suite, orders of magnitude smaller than
     * the corpus, so the contamination pass is a map-only broadcast
     * semi-join + one partial-aggregated count per train doc no matter
-    * how large the corpus is. (If an eval side ever outgrew broadcast,
-    * removing the hint leaves the identical plan running as a shuffled
-    * hash join.) Hash-collision caveat as in [[Dedup.shingleSets]]: the
+    * how large the corpus is. The broadcast is AQE's runtime choice, not
+    * a forced hint: an eval side that outgrows the threshold degrades to
+    * a shuffled hash join instead of OOMing the driver.
+    * Hash-collision caveat as in [[Dedup.shingleSets]]: the
     * oracle counts raw shingle strings, so a 64-bit collision surfaces
     * as a loud hash-parity failure, not silent drift.
     */
@@ -85,9 +86,15 @@ object Curation {
       .select(explode(col("hs")).as("h"))
       .distinct()
     val tr = sets.filter(col("split") === "train")
+    // no broadcast() hint here ON PURPOSE: AQE sees the eval side's REAL
+    // post-distinct size at runtime and broadcasts when it fits (the
+    // normal case — eval sets are curated and small), but an eval side
+    // that outgrows driver memory degrades to a shuffled hash join
+    // instead of OOMing the driver. A forced hint made that fallback
+    // claim a comment, not a behavior.
     val shared = tr
       .select(col("doc_id"), explode(col("hs")).as("h"))
-      .join(broadcast(ev), Seq("h"))
+      .join(ev, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("c"))
     val rate =
@@ -405,7 +412,18 @@ object Curation {
     * word boundaries and bounded quantifiers only — constructs
     * java.util.regex (Spark) and RE2 (DuckDB) match identically, so the
     * hash oracle can gate the scrub. No catastrophic-backtracking
-    * shapes. */
+    * shapes.
+    *
+    * Known recall/precision edges, all erring toward OVER-redaction
+    * (the safe direction for a compliance pass): the IPv4 pattern has
+    * no octet range check (999.999.999.999 redacts — RE2 portability
+    * rules out the alternation that would fix it cheaply), and the
+    * \b-anchored IP/phone patterns miss identifiers glued directly to
+    * other digits (`x1.2.3.4` has no boundary before `1`) — the
+    * a@b.co1.2.3.4 staging note below covers the placeholder-exposed
+    * variant. Counts can therefore overstate true PII; a corpus
+    * targeting release should treat these as screening counts and
+    * tighten octet ranges in a non-oracled pass. */
   val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val PhonePat = "\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b"

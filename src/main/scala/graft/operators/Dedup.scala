@@ -216,11 +216,7 @@ object Dedup {
       try Some(spark.read.parquet(fpPath).collect()(0).getLong(0))
       catch {
         case e if scala.util.control.NonFatal(e) =>
-          // absent on first build; anything else (corruption, permission)
-          // must be observable, not a silent rebuild loop
-          if (new java.io.File(fpPath).exists())
-            org.slf4j.LoggerFactory.getLogger(getClass)
-              .warn(s"posting-index sidecar $fpPath unreadable; rebuilding", e)
+          Similarity.warnUnreadableSidecar("posting-index", fpPath, e)
           None
       }
     if (!storedFp.contains(fp)) {

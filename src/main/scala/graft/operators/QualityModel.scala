@@ -220,7 +220,11 @@ object QualityModel {
     val fp = Similarity.corpusFingerprint(spark, dir, "documents.parquet")
     val stored =
       try Some(readLrModel(spark, path))
-      catch { case scala.util.control.NonFatal(_) => None } // no sidecar yet
+      catch {
+        case e if scala.util.control.NonFatal(e) =>
+          Similarity.warnUnreadableSidecar("quality-classifier", path, e)
+          None
+      }
     val w = stored match {
       case Some((ws, storedFp)) if storedFp == fp => ws
       case _ =>

@@ -314,7 +314,11 @@ object Similarity {
     val fp = corpusFingerprint(spark, dir)
     val stored =
       try Some(readIvfModelFull(spark, indexPath))
-      catch { case scala.util.control.NonFatal(_) => None } // no generation yet
+      catch {
+        case e if scala.util.control.NonFatal(e) =>
+          warnUnreadableSidecar("ivf", ivfModelPath(indexPath), e)
+          None
+      }
     val centroids = stored match {
       case Some((cents, _, Some(storedFp))) if storedFp == fp => cents
       case _ =>
@@ -325,6 +329,17 @@ object Similarity {
     }
     knnIvfIndexed(spark, dir, indexPath, centroids, k)
   }
+
+  /** Serve paths fall back to a rebuild when a model sidecar cannot be
+    * read; that is correct for "no generation yet" but must be
+    * OBSERVABLE when the cause is IO/permissions/corruption — otherwise
+    * a persistent error degrades into a silent full retrain on every
+    * call. Warns only when something exists at the path (absence is the
+    * normal cold start). */
+  private[graft] def warnUnreadableSidecar(what: String, path: String, e: Throwable): Unit =
+    if (new java.io.File(path).exists())
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"$what model sidecar at $path unreadable; rebuilding", e)
 
   /** Driver-side metadata fingerprint of a corpus table's parquet (file
     * names, lengths, modification times — an FS listing, never a data
@@ -801,7 +816,11 @@ object Similarity {
     val fp = corpusFingerprint(spark, dir)
     val stored =
       try Some(readPqBooks(spark, indexPath))
-      catch { case scala.util.control.NonFatal(_) => None } // no generation yet
+      catch {
+        case e if scala.util.control.NonFatal(e) =>
+          warnUnreadableSidecar("pq", ivfModelPath(indexPath), e)
+          None
+      }
     val books = stored match {
       case Some((b, Some(storedFp))) if storedFp == fp => b
       case _ =>
@@ -936,7 +955,11 @@ object Similarity {
     val fp = corpusFingerprint(spark, dir)
     val stored =
       try Some(readIvfPqModels(spark, indexPath))
-      catch { case scala.util.control.NonFatal(_) => None } // no generation yet
+      catch {
+        case e if scala.util.control.NonFatal(e) =>
+          warnUnreadableSidecar("ivf-pq", ivfModelPath(indexPath), e)
+          None
+      }
     val (cents, books) = stored match {
       case Some((c, b, Some(storedFp))) if storedFp == fp => (c, b)
       case _ =>

@@ -27,7 +27,13 @@ import org.apache.spark.sql.types.BinaryType
   * the batch plus one anti-join against the store on an 8+24-byte hash
   * key — the store side is bucketable/bloom-prunable at warehouse scale,
   * and state grows with DISTINCT content seen, never with stream length
-  * (duplicate-heavy streams converge). Admission runs no corpus scan.
+  * (duplicate-heavy streams converge). Admission runs no corpus scan —
+  * but note the WRITE side: [[StreamStateStore]]'s swap REWRITES the
+  * whole store every batch, so per-batch IO is O(distinct content), not
+  * O(batch). That is the harness state-store's limitation, not the
+  * operator's: on a transactional table format (the production shape
+  * the StreamStateStore doc names) the same fold is an upsert/MERGE
+  * touching only the batch's hash buckets.
   */
 object DedupAdmission {
 
