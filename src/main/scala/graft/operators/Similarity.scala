@@ -164,6 +164,59 @@ object Similarity {
       |  FROM scored
       |) WHERE rk <= 10""".stripMargin
 
+  // ------------------------------------------------- recall vs ground truth
+
+  private[graft] def gtServePath(dir: String): String = servePath("gt_serve_", dir)
+
+  /** Fingerprint-keyed brute-force ground truth for the standard query
+    * subset — maintained like the index generations ([[knnIvfServe]]):
+    * built once per corpus generation, invalidated by any file change.
+    * At corpus scale this is the standard ANN-benchmark discipline
+    * (ground truth is computed once and versioned with the corpus, e.g.
+    * the published BIGANN GT files), NOT a per-query brute scan. */
+  private[graft] def ensureGroundTruth(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    val path = gtServePath(dir)
+    val fpPath = path + "_model"
+    val fp = corpusFingerprint(spark, dir)
+    val storedFp =
+      try Some(spark.read.parquet(fpPath).collect()(0).getLong(0))
+      catch {
+        case e if scala.util.control.NonFatal(e) =>
+          warnUnreadableSidecar("ground-truth", fpPath, e)
+          None
+      }
+    if (!storedFp.contains(fp)) {
+      Tables.invalidate(spark, dir, "embeddings")
+      knnBrute(spark, dir, k).write.mode("overwrite").parquet(path)
+      spark.range(1).select(lit(fp).as("fp"))
+        .coalesce(1).write.mode("overwrite").parquet(fpPath)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** Append a per-query `recall_at_k` column to an approximate top-k
+    * result: |approx ∩ brute-top-k| / k against the persisted ground
+    * truth — a correctness number in EVERY served row, not only in
+    * specs. Cost at query time is a broadcast join against the
+    * (queries × k)-row ground truth; the brute scan is paid once per
+    * corpus generation by [[ensureGroundTruth]]. Queries the approx
+    * result drops entirely (no candidates) drop from recall too —
+    * cardinality is preserved exactly (left-join + group on the approx
+    * side only). */
+  private[graft] def withRecall(approx: DataFrame, spark: SparkSession,
+      dir: String, k: Int = 10): DataFrame = {
+    val gt = ensureGroundTruth(spark, dir, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val recall = approx
+      .select(col("query_id"), col("neighbor_id"))
+      .join(broadcast(gt), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg((coalesce(sum(col("hit")), lit(0L)).cast(DoubleType) /
+        lit(k.toDouble)).as("recall_at_k"))
+    approx.join(broadcast(recall), Seq("query_id"))
+  }
+
   // ------------------------------------------------------- LSH hyperplanes
 
   val LshBands: Int = Hyperplanes.Bands
@@ -209,7 +262,7 @@ object Similarity {
       .join(broadcast(queries), Seq("query_id"))
       .join(corpus, Seq("vec_id"))
       .select(col("query_id"), col("vec_id"), cosine(col("qvec"), col("vec")).as("cosine"))
-    topkRanked(scored, k)
+    withRecall(topkRanked(scored, k), spark, dir, k)
   }
 
   // ------------------------------------------------------------------ IVF
@@ -327,7 +380,7 @@ object Similarity {
         Tables.invalidate(spark, dir, "embeddings")
         writeIvfIndexOf(spark, emb(spark, dir), indexPath, fingerprint = Some(fp))
     }
-    knnIvfIndexed(spark, dir, indexPath, centroids, k)
+    withRecall(knnIvfIndexed(spark, dir, indexPath, centroids, k), spark, dir, k)
   }
 
   /** Serve paths fall back to a rebuild when a model sidecar cannot be
@@ -829,7 +882,7 @@ object Similarity {
         Tables.invalidate(spark, dir, "embeddings")
         writePqIndexOf(spark, emb(spark, dir), indexPath, Some(fp))
     }
-    knnPqOf(spark, dir, spark.read.parquet(indexPath), books, k)
+    withRecall(knnPqOf(spark, dir, spark.read.parquet(indexPath), books, k), spark, dir, k)
   }
 
   // --------------------------------------------------------------- IVF-PQ
@@ -966,7 +1019,7 @@ object Similarity {
         Tables.invalidate(spark, dir, "embeddings")
         writeIvfPqIndexOf(spark, emb(spark, dir), indexPath, Some(fp))
     }
-    knnIvfPq(spark, dir, indexPath, cents, books, k)
+    withRecall(knnIvfPq(spark, dir, indexPath, cents, books, k), spark, dir, k)
   }
 
   /** q_dedup_embedding_resolve — keep-one-copy canonicalization over the

@@ -272,6 +272,39 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       "fingerprint mismatch did not trigger an index rebuild")
   }
 
+  test("ANN ladder emits recall@k vs persisted ground truth, above pinned floors") {
+    val k = 10
+    val brute = operators.Similarity.knnBrute(spark, sf, k)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def check(name: String, df: org.apache.spark.sql.DataFrame, floor: Double): Unit = {
+      val rows = df.select("query_id", "neighbor_id", "recall_at_k").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.nonEmpty, s"$name returned nothing")
+      // the emitted recall equals an independent per-query computation
+      rows.groupBy(_._1).foreach { case (q, qRows) =>
+        val want = qRows.count(t => brute.contains((t._1, t._2))).toDouble / k
+        val emitted = qRows.map(_._3).distinct.toSeq
+        assert(emitted == Seq(want),
+          s"$name query $q: emitted recall ${emitted.mkString(",")} != computed $want")
+      }
+      // aggregate recall floor (hits over the full ground truth)
+      val hits = rows.count(t => brute.contains((t._1, t._2)))
+      assert(hits.toDouble / brute.size >= floor,
+        s"$name aggregate recall ${hits.toDouble / brute.size} below $floor")
+    }
+    check("lsh", operators.Similarity.knnLsh(spark, sf, k), 0.3)
+    check("ivf", operators.Similarity.knnIvfServe(spark, sf, k), 0.25)
+    check("pq", operators.Similarity.knnPqServe(spark, sf, k), 0.9)
+    check("ivfpq", operators.Similarity.knnIvfPqServe(spark, sf, k), 0.25)
+    // ground truth is generation-keyed: a second call reuses the sidecar
+    val gtDir = new java.io.File(operators.Similarity.gtServePath(sf))
+    val stamp = gtDir.listFiles.map(f => f.getName -> f.lastModified).toMap
+    operators.Similarity.knnLsh(spark, sf, k).count()
+    assert(gtDir.listFiles.map(f => f.getName -> f.lastModified).toMap == stamp,
+      "warm recall path rewrote the ground-truth generation")
+  }
+
   test("postings serve: cold builds, warm reuses, catalog loss re-registers, stale fp rebuilds") {
     def rmrf(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles.foreach(rmrf)
