@@ -26,7 +26,7 @@ object Bench {
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
     val cpus = GraftSession.cpus
     val spark = GraftSession.builder("graft-bench").master(s"local[$cpus]").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    GraftSession.tuneLogs(spark)
     // optional comma-separated query-name filter for targeted re-measures
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)

@@ -24,14 +24,18 @@ object GraftSession {
     * audits (PlatformSpec pins windowless shapes for the fact-scale
     * rankers). */
   private def muteAuditedWindowWarn(): Unit =
-    try
-      org.apache.logging.log4j.core.config.Configurator.setLevel(
-        "org.apache.spark.sql.execution.window.WindowExecBase",
-        org.apache.logging.log4j.Level.ERROR)
-    catch { case scala.util.control.NonFatal(_) => () } // logging impl absent: nothing to mute
+    try {
+      // this Spark build logs the warning from the concrete WindowExec
+      // logger; older/newer builds route it through WindowExecBase —
+      // mute both so the fix survives version drift
+      Seq(
+        "org.apache.spark.sql.execution.window.WindowExec",
+        "org.apache.spark.sql.execution.window.WindowExecBase"
+      ).foreach(org.apache.logging.log4j.core.config.Configurator.setLevel(
+        _, org.apache.logging.log4j.Level.ERROR))
+    } catch { case scala.util.control.NonFatal(_) => () } // logging impl absent: nothing to mute
 
   def builder(appName: String): SparkSession.Builder = {
-    muteAuditedWindowWarn()
     SparkSession
       .builder()
       .appName(appName)
@@ -46,10 +50,18 @@ object GraftSession {
       .config("spark.sql.parquet.aggregatePushdown", "true")
   }
 
+  /** Post-init log tuning shared by every entry point. Runs AFTER the
+    * session exists on purpose: Spark (re)configures log4j2 during
+    * startup, which wipes any per-logger override installed earlier. */
+  def tuneLogs(spark: SparkSession): Unit = {
+    spark.sparkContext.setLogLevel("WARN")
+    muteAuditedWindowWarn()
+  }
+
   /** Local session for tests and ad-hoc runs. */
   def local(appName: String = "graft"): SparkSession = {
     val spark = builder(appName).master(s"local[$cpus]").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    tuneLogs(spark)
     spark
   }
 }

@@ -9,7 +9,7 @@ object Verify {
     val spark = GraftSession.builder("graft-verify")
       .master(s"local[${GraftSession.cpus}]")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    GraftSession.tuneLogs(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

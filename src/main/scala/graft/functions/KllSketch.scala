@@ -5,7 +5,7 @@ import java.nio.ByteBuffer
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
@@ -174,9 +174,13 @@ case class KllAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[KllSketch] {
+    extends TypedImperativeAggregate[KllSketch] with ImplicitCastInputTypes {
 
   override def children: Seq[Expression] = Seq(child)
+  // float/decimal/int children are cast by the analyzer; a non-numeric
+  // child fails AT ANALYSIS with a type error, not at execution with a
+  // ClassCastException in update()
+  override def inputTypes: Seq[DataType] = Seq(DoubleType)
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
   override def prettyName: String = "graft_kll"
@@ -217,9 +221,11 @@ case class KllMergeAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[KllSketch] {
+    extends TypedImperativeAggregate[KllSketch] with ImplicitCastInputTypes {
 
   override def children: Seq[Expression] = Seq(child)
+  // a non-binary child is an analysis-time type error, not a runtime cast crash
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
   override def prettyName: String = "graft_kll_merge"
@@ -257,8 +263,9 @@ object KllMergeAgg {
   * runs over group-cardinality frames (one row per language/brand), never
   * inside a fact scan. */
 case class KllQuantile(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with CodegenFallback with ImplicitCastInputTypes {
 
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, DoubleType)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_kll_q"

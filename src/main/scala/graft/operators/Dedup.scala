@@ -499,8 +499,12 @@ object Dedup {
       .filter(col("doc_id") < col("doc_b"))
       .select(col("doc_id").as("doc_a"), col("doc_b"),
         bit_count(col("simhash").bitwiseXOR(col("simhash_b"))).as("hamming"))
-      .distinct()
+      // hamming cut BEFORE the dedup shuffle: most chunk-collision
+      // candidates fail it, so filtering first shrinks the distinct's
+      // exchange by the rejection factor (the filter is a cheap
+      // codegen'd bit_count over columns already in hand)
       .filter(col("hamming") <= HammingMax)
+      .distinct()
   }
 
   def simhashDedup(spark: SparkSession, dir: String): DataFrame =
@@ -532,7 +536,8 @@ object Dedup {
     * every original pair's endpoints share a label, and every label is
     * its component's minimum id — so a wrong labeling fails loudly rather
     * than emitting non-minimal canonical ids. */
-  def resolveComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+  def resolveComponents(pairs: DataFrame, maxIters: Int = 50,
+      verify: Boolean = false): DataFrame = {
     // Materialize the (possibly expensive) pair derivation ONCE and
     // truncate its lineage — the loop below must not re-derive candidate
     // pairs every iteration, and iterative plans must not grow unboundedly.
@@ -626,24 +631,31 @@ object Dedup {
       .unionAll(selfOnly)
       .localCheckpoint()
 
-    // distributed verification (scalar aggregates only, no row collects):
-    // (1) both endpoints of every original pair got the same label —
-    //     joined-row count, split-pair count and unlabeled-endpoint count
-    //     come from ONE execution of the verification join
-    val la = labels.select(col("doc_id").as("doc_a"), col("canonical_id").as("ca"))
-    val lb = labels.select(col("doc_id").as("doc_b"), col("canonical_id").as("cb"))
-    val check = p.join(la, "doc_a").join(lb, "doc_b")
-      .agg(
-        count(lit(1)).as("n"),
-        coalesce(sum(when(col("ca") =!= col("cb"), 1L).otherwise(0L)), lit(0L)).as("split"))
-      .collect()(0)
-    require(check.getLong(0) == p.count(), "component resolution: unlabeled endpoints")
-    require(check.getLong(1) == 0L,
-      "component resolution: pair endpoints in different components")
-    // (2) each label is the minimum doc_id of its component
-    require(labels.groupBy(col("canonical_id")).agg(min(col("doc_id")).as("mn"))
-      .filter(col("mn") =!= col("canonical_id")).isEmpty,
-      "component resolution: non-minimal canonical id")
+    // Distributed verification (scalar aggregates only, no row collects)
+    // is an AUDIT, not a serve-path step: it costs a verification join +
+    // two extra actions, which at corpus scale doubles the query. The
+    // convergence `require` above stays unconditional (wrong-but-silent
+    // is worse than loud); full label verification runs on every spec
+    // build via verify=true and on demand for explicit audits.
+    if (verify) {
+      // (1) both endpoints of every original pair got the same label —
+      //     joined-row count, split-pair count and unlabeled-endpoint
+      //     count come from ONE execution of the verification join
+      val la = labels.select(col("doc_id").as("doc_a"), col("canonical_id").as("ca"))
+      val lb = labels.select(col("doc_id").as("doc_b"), col("canonical_id").as("cb"))
+      val check = p.join(la, "doc_a").join(lb, "doc_b")
+        .agg(
+          count(lit(1)).as("n"),
+          coalesce(sum(when(col("ca") =!= col("cb"), 1L).otherwise(0L)), lit(0L)).as("split"))
+        .collect()(0)
+      require(check.getLong(0) == p.count(), "component resolution: unlabeled endpoints")
+      require(check.getLong(1) == 0L,
+        "component resolution: pair endpoints in different components")
+      // (2) each label is the minimum doc_id of its component
+      require(labels.groupBy(col("canonical_id")).agg(min(col("doc_id")).as("mn"))
+        .filter(col("mn") =!= col("canonical_id")).isEmpty,
+        "component resolution: non-minimal canonical id")
+    }
     labels
   }
 

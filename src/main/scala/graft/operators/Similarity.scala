@@ -166,7 +166,11 @@ object Similarity {
 
   // ------------------------------------------------- recall vs ground truth
 
-  private[graft] def gtServePath(dir: String): String = servePath("gt_serve_", dir)
+  /** k is part of the generation key: GT built at one depth must not be
+    * silently reused at another (k=20 over a k=10 file would cap hits at
+    * 10 against a denominator of 20). */
+  private[graft] def gtServePath(dir: String, k: Int): String =
+    servePath(s"gt_serve_k${k}_", dir)
 
   /** Fingerprint-keyed brute-force ground truth for the standard query
     * subset — maintained like the index generations ([[knnIvfServe]]):
@@ -176,7 +180,7 @@ object Similarity {
     * the published BIGANN GT files), NOT a per-query brute scan. */
   private[graft] def ensureGroundTruth(spark: SparkSession, dir: String,
       k: Int = 10): DataFrame = {
-    val path = gtServePath(dir)
+    val path = gtServePath(dir, k)
     val fpPath = path + "_model"
     val fp = corpusFingerprint(spark, dir)
     val storedFp =
@@ -206,15 +210,25 @@ object Similarity {
     * side only). */
   private[graft] def withRecall(approx: DataFrame, spark: SparkSession,
       dir: String, k: Int = 10): DataFrame = {
+    // Recall rides the SINGLE search pass: a broadcast left-join marks
+    // each emitted row as a ground-truth hit, and a window partitioned
+    // by query_id turns the marks into the per-query recall. The earlier
+    // aggregate-then-rejoin formulation referenced the approx frame
+    // twice, which re-planned and RE-EXECUTED the whole approximate
+    // search per serve call — at scale that doubles every ANN query.
+    // The window shuffles only the (queries × k)-row result frame, and
+    // the join cannot fan out (ground truth is unique per
+    // (query_id, neighbor_id)), so cardinality is preserved exactly;
+    // queries the approx search drops entirely drop from recall too.
     val gt = ensureGroundTruth(spark, dir, k)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-    val recall = approx
-      .select(col("query_id"), col("neighbor_id"))
+    approx
       .join(broadcast(gt), Seq("query_id", "neighbor_id"), "left")
-      .groupBy(col("query_id"))
-      .agg((coalesce(sum(col("hit")), lit(0L)).cast(DoubleType) /
-        lit(k.toDouble)).as("recall_at_k"))
-    approx.join(broadcast(recall), Seq("query_id"))
+      .withColumn("recall_at_k",
+        (sum(coalesce(col("hit"), lit(0L)))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("query_id")))
+          .cast(DoubleType) / lit(k.toDouble)))
+      .drop("hit")
   }
 
   // ------------------------------------------------------- LSH hyperplanes

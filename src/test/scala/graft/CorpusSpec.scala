@@ -88,7 +88,7 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("component resolution assigns the min id of each planted dup cluster") {
     val pairs = operators.Dedup.ngramJaccard(planted, threshold = 0.3)
       .select("doc_a", "doc_b")
-    val resolved = operators.Dedup.resolveComponents(pairs)
+    val resolved = operators.Dedup.resolveComponents(pairs, verify = true)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // docs 1,2,3 form one cluster (1-2 exact, 1-3 near) -> canonical 1
     assert(resolved(1L) == 1L && resolved(2L) == 1L && resolved(3L) == 1L)
@@ -100,7 +100,7 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a path graph is the adversarial case for min-label propagation
     // (diameter rounds); large-star/small-star must stay logarithmic
     val pairs = (1L until 1000L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val resolved = operators.Dedup.resolveComponents(pairs)
+    val resolved = operators.Dedup.resolveComponents(pairs, verify = true)
     assert(resolved.count() == 1000)
     assert(resolved.filter(col("canonical_id") =!= 1L).count() == 0)
     assert(operators.Dedup.lastResolveRounds < 20,
@@ -298,7 +298,7 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     check("pq", operators.Similarity.knnPqServe(spark, sf, k), 0.9)
     check("ivfpq", operators.Similarity.knnIvfPqServe(spark, sf, k), 0.25)
     // ground truth is generation-keyed: a second call reuses the sidecar
-    val gtDir = new java.io.File(operators.Similarity.gtServePath(sf))
+    val gtDir = new java.io.File(operators.Similarity.gtServePath(sf, k))
     val stamp = gtDir.listFiles.map(f => f.getName -> f.lastModified).toMap
     operators.Similarity.knnLsh(spark, sf, k).count()
     assert(gtDir.listFiles.map(f => f.getName -> f.lastModified).toMap == stamp,

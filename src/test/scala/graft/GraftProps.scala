@@ -239,7 +239,7 @@ object GraftProps extends Properties("graft") {
       // a singleton component and must still be labeled
       pairs.nonEmpty ==> {
         val df = spark.createDataFrame(pairs).toDF("doc_a", "doc_b")
-        val got = operators.Dedup.resolveComponents(df)
+        val got = operators.Dedup.resolveComponents(df, verify = true)
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         // driver-side union-find (union smaller root wins -> root is the
         // component minimum)
