@@ -239,6 +239,58 @@ object Dedup {
     table
   }
 
+  /** Incrementally maintain the posting index after an ingest: append
+    * ONLY the new documents' postings into the existing bucketed
+    * generation, then advance the fingerprint sidecar to the corpus'
+    * post-append fingerprint so the next [[ensurePostings]] serves the
+    * appended generation instead of rebuilding from scratch.
+    *
+    * This is the batch analogue of a scheduled daily ingest (reference:
+    * dags/raw/ingest_kaggle_data.py appends each day's rows and the
+    * downstream models refresh incrementally): at 100 TB a full posting
+    * rebuild re-scans and re-shuffles the entire corpus to index a
+    * day's delta, while the append scans only the delta and writes new
+    * bucket files next to the existing ones (bucket ids live in file
+    * names, so the bucket spec — and the exchange-free candidate join —
+    * survives; per-file sort holds and Spark re-sorts bucket-locally
+    * where a downstream plan needs it).
+    *
+    * Call AFTER the new document files land in `dir`, passing exactly
+    * the newly-landed docs. Contract: `newDocs` holds doc_ids not yet
+    * indexed — re-appending an indexed doc would double its postings
+    * (the same contract an append-only ingest log already guarantees).
+    * Hot-shingle capping is unaffected: dfs aggregate at query time over
+    * the full posting table, so a shingle crossing [[HotShingleCap]]
+    * because of appended docs is dropped exactly as in a fresh build.
+    * Crash safety matches the build path: the sidecar advances only
+    * after the append commits, so a crash in between leaves a stale
+    * sidecar and the next ensure falls back to a full rebuild — never a
+    * fresh-looking index missing rows. */
+  def appendPostings(spark: SparkSession, dir: String, newDocs: DataFrame,
+      numBuckets: Int = PostingsBuckets): String = {
+    val path = postingsServePath(dir)
+    val table = postingsTableName(dir)
+    val fpPath = path + "_model"
+    require(new java.io.File(path).exists(),
+      s"no posting generation at $path to append into — run ensurePostings first")
+    if (!spark.catalog.tableExists(table))
+      spark.sql(
+        s"""CREATE TABLE $table (doc_id BIGINT, h BIGINT) USING parquet
+           |CLUSTERED BY (h) SORTED BY (h) INTO $numBuckets BUCKETS
+           |LOCATION '$path'""".stripMargin)
+    shingleHashes(newDocs)
+      .write.mode("append").format("parquet")
+      .bucketBy(numBuckets, "h").sortBy("h")
+      .option("path", path).saveAsTable(table)
+    // the delta files are already in `dir`: re-list it and stamp the
+    // sidecar with the post-append fingerprint
+    Tables.invalidate(spark, dir, "documents")
+    val fp = Similarity.corpusFingerprint(spark, dir, "documents.parquet")
+    spark.range(1).select(lit(fp).as("fp"))
+      .coalesce(1).write.mode("overwrite").parquet(fpPath)
+    table
+  }
+
   /** q_dedup_ngram SERVING path: exact n-gram Jaccard verified over the
     * PERSISTED bucketed posting index — the text scan, shingle kernel and
     * posting shuffle are paid once at index time ([[ensurePostings]]),

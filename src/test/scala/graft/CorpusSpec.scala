@@ -350,6 +350,46 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rServe == rDirect, "served resolve diverged from from-scratch resolve")
   }
 
+  test("postings append: delta-only indexing equals a from-scratch build, old buckets untouched") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftappend").toString
+    val docs = graft.Tables.documents(spark, sf)
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    base.write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    operators.Dedup.ensurePostings(spark, tmp)
+    val path = operators.Dedup.postingsServePath(tmp)
+    // data files only: _SUCCESS markers (and their .crc shadows)
+    // legitimately refresh on append
+    def stampOf = new java.io.File(path).listFiles
+      .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+      .map(f => f.getName -> f.lastModified).toMap
+    val pre = stampOf
+    // the ingest lands the delta files in the corpus dir FIRST, then the
+    // index absorbs exactly that delta
+    delta.write.mode("append").parquet(tmp + "/documents.parquet")
+    operators.Dedup.appendPostings(spark, tmp, delta)
+    val post = stampOf
+    pre.foreach { case (n, m) =>
+      assert(post.get(n).contains(m), s"append rewrote existing bucket file $n")
+    }
+    assert(post.size > pre.size, "append wrote no new bucket files")
+    def resultSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // append-then-serve == a from-scratch scan over the full corpus
+    val served = resultSet(operators.Dedup.ngramJaccardServe(spark, tmp))
+    val scratch = resultSet(operators.Dedup.ngramJaccard(spark, tmp))
+    assert(served == scratch, "appended index diverged from a from-scratch scan")
+    assert(served.nonEmpty, "planted near-dups missing from the appended corpus")
+    // the serve saw the advanced fingerprint: no rebuild happened
+    assert(stampOf == post, "serve after append rebuilt the generation")
+    // resolve rides the same appended generation
+    val rServe = operators.Dedup.dedupResolveServe(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rDirect = operators.Dedup.dedupResolve(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rServe == rDirect, "resolve over appended index diverged")
+  }
+
   test("ivf serve keys: fingerprint tracks file metadata; distinct dirs never share a serve path") {
     // sanitization alone maps a/b and a_b to the same name — the digest
     // suffix must keep them apart
