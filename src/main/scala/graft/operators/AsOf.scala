@@ -132,6 +132,98 @@ object AsOf {
         (col("price") / col("rate")).as("price_rel"))
   }
 
+  // --------------------------------------- incremental enrichment sidecar
+
+  /** Resolve an append-only enrichment log to its CURRENT view: per
+    * (key, time), the value delivered by the latest refresh wins. The
+    * log is the batch twin of a cached HTTP enrichment fetcher
+    * (reference: dags/raw/fetch_coordinates_and_weather.py and
+    * fetch_currencies.py append each refresh's observations and
+    * re-deliver corrections): refreshes only ever APPEND rows tagged
+    * with a monotonically increasing refresh id, so corrections are new
+    * rows, not updates — the layout an object store actually supports
+    * at 100 TB. Resolution is one max_by partial aggregate (map-side
+    * combinable, one shuffle of the dim-sized log). */
+  def resolveEnrichment(log: DataFrame, keyCol: String, timeCol: String,
+      valueCol: String, refreshCol: String = "refresh"): DataFrame =
+    log.groupBy(col(keyCol), col(timeCol))
+      .agg(max_by(col(valueCol), col(refreshCol)).as(valueCol))
+
+  /** q_enrich_attach — orders enriched with a per-nation monthly price
+    * indicator maintained INCREMENTALLY: an initial quarterly backfill
+    * (refresh 0, computed over the half of orders with even keys — the
+    * data available at first fetch) plus a later corrective refresh
+    * (refresh 1) that restates every second quarter from complete data.
+    * The resolved sidecar attaches as-of (latest published month <= the
+    * order's month, per nation) via the broadcast form: the fact side
+    * never shuffles, the sidecar is dim-sized (nation x quarter).
+    *
+    * Unlike [[asofRates]] the series here is a REFRESH LOG, so the query
+    * exercises the full enrichment loop: append -> latest-refresh-wins
+    * resolution -> as-of attach — the reference's fetch-cache-join
+    * pipeline as one declarative plan. */
+  def enrichAttach(spark: SparkSession, dir: String): DataFrame = {
+    val c = broadcast(Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey")))
+    val facts = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderdate"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_nationkey").as("nation"),
+        ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1)
+          .cast(LongType).as("t"),
+        col("o_orderkey"),
+        col("o_totalprice").as("price"))
+    val quarters = facts.filter(pmod(col("t"), lit(3)) === 0)
+    // refresh 0: quarterly backfill over the initially-available half
+    val prelim = quarters
+      .filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .groupBy(col("nation"), col("t"))
+      .agg(meanOf(sumd2(col("price")), cnt).as("v"))
+      .withColumn("refresh", lit(0))
+    // refresh 1: corrective restatement of every second quarter, full data
+    val corrective = quarters
+      .filter(pmod(col("t"), lit(6)) === 0)
+      .groupBy(col("nation"), col("t"))
+      .agg(meanOf(sumd2(col("price")), cnt).as("v"))
+      .withColumn("refresh", lit(1))
+    // the append-only sidecar log, resolved to latest-refresh-wins
+    val resolved = resolveEnrichment(
+      prelim.unionByName(corrective), "nation", "t", "v")
+      .withColumnRenamed("v", "rate")
+    asofJoinBroadcast(facts, resolved, "nation", "t", "rate")
+      .filter(col("rate").isNotNull)
+      .select(col("o_orderkey"), col("nation"), col("t"), col("price"),
+        col("rate"), (col("price") / col("rate")).as("price_rel"))
+  }
+
+  val enrichAttachOracle: String =
+    """WITH facts AS (
+      |  SELECT c_nationkey AS nation,
+      |    (CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) - 1995) * 12
+      |      + CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) - 1 AS t,
+      |    o_orderkey, o_totalprice AS price
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |), quarters AS (
+      |  SELECT * FROM facts WHERE t % 3 = 0
+      |), sidecar AS (
+      |  SELECT nation, t, 0 AS refresh,
+      |    CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS v
+      |  FROM quarters WHERE o_orderkey % 2 = 0 GROUP BY nation, t
+      |  UNION ALL
+      |  SELECT nation, t, 1 AS refresh,
+      |    CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS v
+      |  FROM quarters WHERE t % 6 = 0 GROUP BY nation, t
+      |), resolved AS (
+      |  SELECT nation, t, ARG_MAX(v, refresh) AS rate
+      |  FROM sidecar GROUP BY nation, t
+      |)
+      |SELECT f.o_orderkey, f.nation, f.t, f.price, r.rate,
+      |  f.price / r.rate AS price_rel
+      |FROM facts f ASOF JOIN resolved r
+      |  ON f.nation = r.nation AND f.t >= r.t""".stripMargin
+
   val asofRatesOracle: String =
     """WITH facts AS (
       |  SELECT p_brand AS brand,

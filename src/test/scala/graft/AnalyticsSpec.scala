@@ -212,6 +212,27 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("lonely").isEmpty)    // key with no rates -> null
   }
 
+  test("enrichment log resolution: latest refresh wins, uncorrected rows survive") {
+    val log = spark.createDataFrame(Seq(
+      ("k", 0L, 0L, 1.0),  // backfill
+      ("k", 0L, 1L, 2.0),  // correction restates (k, 0) -> must win
+      ("k", 3L, 0L, 3.0),  // never corrected -> backfill value survives
+      ("j", 0L, 1L, 9.0)   // key arriving only at refresh 1
+    )).toDF("key", "t", "refresh", "v")
+    val got = operators.AsOf.resolveEnrichment(log, "key", "t", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == Map(("k", 0L) -> 2.0, ("k", 3L) -> 3.0, ("j", 0L) -> 9.0))
+    // attach sees the resolved view: a fact between publications gets the
+    // corrected value, not the superseded backfill
+    val facts = spark.createDataFrame(Seq(("k", 2L, "f"))).toDF("key", "t", "id")
+    val attached = operators.AsOf.asofJoinBroadcast(
+      facts,
+      operators.AsOf.resolveEnrichment(log, "key", "t", "v").withColumnRenamed("v", "rate"),
+      "key", "t", "rate")
+      .collect().map(r => r.getAs[String]("id") -> r.getAs[Double]("rate")).toMap
+    assert(attached == Map("f" -> 2.0))
+  }
+
   test("pivot then unpivot round-trips the monthly averages") {
     val direct = operators.Seasonal.monthlyTrend(spark, sf)
       .groupBy("brand", "month")
