@@ -914,21 +914,31 @@ object Similarity {
     * partitions the corpus into inverted lists (`partitionBy(cid)`) and
     * each row stores only its 8-byte PQ code — probes become
     * partition-pruned scans of compressed codes, the FAISS IVFPQ layout.
-    * Codebooks train on the raw vectors (classical IVFPQ trains on
-    * residuals for tighter cells; the exact re-rank stage recovers what
-    * that refinement buys, so the simpler layout keeps encode/decode a
-    * shared code path with the flat PQ index). */
+    * Codebooks train on and encode RESIDUALS x − c(cid) (the IVFADC
+    * refinement): within a cell the residual distribution is centered
+    * and much tighter than the raw corpus, so the same 8-byte budget
+    * spends its 256 codes per subspace on a smaller volume — higher
+    * reconstruction fidelity, better ADC shortlists at equal code size.
+    * Decode adds the cell centroid back ([[knnIvfPq]]), so re-rank
+    * semantics are unchanged. */
   private[graft] def writeIvfPqIndexOf(spark: SparkSession, corpus: DataFrame,
       indexPath: String, fingerprint: Option[Long] = None)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     GraftFunctions.ensureRegistered(spark)
     val centroids = ivfFit(corpus)
-    val books = pqFit(corpus)
-    corpus
-      .select(
-        col("vec_id"),
-        GraftFunctions.graftArgminL2(col("vec"), centsLit(centroids)).as("cid"),
-        pqCodesCol(books).as("codes"))
+    // cell assignment + residual in one projection; the lazy checkpoint
+    // lets PQ training's multi-pass Lloyd iterations re-read the
+    // residual frame instead of re-running the argmin kernel per pass
+    val residuals = corpus
+      .select(col("vec_id"), col("vec"),
+        GraftFunctions.graftArgminL2(col("vec"), centsLit(centroids)).as("cid"))
+      .select(col("vec_id"), col("cid"),
+        zip_with(col("vec"), element_at(centsLit(centroids), col("cid") + 1),
+          (x, c) => x.cast(DoubleType) - c).as("vec"))
+      .localCheckpoint(eager = false)
+    val books = pqFit(residuals)
+    residuals
+      .select(col("vec_id"), col("cid"), pqCodesCol(books).as("codes"))
       .write.mode("overwrite").partitionBy("cid").parquet(indexPath)
     writeIvfModel(spark, indexPath, centroids, corpus.count(), fingerprint)
     // books + the PqM x PqK geometry stamp appended into the SAME
@@ -936,12 +946,14 @@ object Similarity {
     // leaves a books-less sidecar that fails the read probe -> rebuild,
     // never mixed generations; the stamp makes a constants retune fail
     // the probe EXPLICITLY — the raw cell count is invariant to a
-    // PqM-only retune, since PqM x PqK x dsub = PqK x dim)
+    // PqM-only retune, since PqM x PqK x dsub = PqK x dim). Stamp pos 2
+    // marks residual encoding: a pre-residual generation fails the read
+    // probe and rebuilds — its codes decode under different semantics.
     import spark.implicits._
     val bookRows = books.flatten.zipWithIndex.flatMap { case (c, i) =>
       c.zipWithIndex.map { case (wv, p) => (IvfPqBookBase - i, p, wv) }
     }
-    (bookRows ++ Seq((-3, 0, PqM.toDouble), (-3, 1, PqK.toDouble)))
+    (bookRows ++ Seq((-3, 0, PqM.toDouble), (-3, 1, PqK.toDouble), (-3, 2, 1.0)))
       .toSeq.toDF("cid", "pos", "w")
       .coalesce(1).write.mode("append").parquet(ivfModelPath(indexPath))
     (centroids, books)
@@ -956,6 +968,9 @@ object Similarity {
     require(geo.get(0).contains(PqM) && geo.get(1).contains(PqK),
       s"IVF-PQ sidecar geometry ${geo.get(0)}x${geo.get(1)} != current $PqM x $PqK " +
         "(constants retuned? the serve path rebuilds on this failure)")
+    require(geo.get(2).contains(1),
+      "IVF-PQ sidecar predates residual encoding — its codes decode under " +
+        "raw-vector semantics; the serve path rebuilds on this failure")
     val bookCells = rows.filter(_.getInt(0) <= IvfPqBookBase)
     val dsub = cents.head.length / PqM
     require(bookCells.length == PqM * PqK * dsub,
@@ -1003,8 +1018,12 @@ object Similarity {
       .toDF("query_id", "qvec"))
     val listed = spark.read.parquet(indexPath)
       .filter(col("cid").isin(probedCells: _*))
+    // residual decode: x ≈ c(cid) + PQ(residual codes) — the centroid
+    // add is one codegen'd zip_with over the already-projected recon
     val adc = listed
-      .withColumn("recon", pqReconCol(books))
+      .withColumn("recon",
+        zip_with(element_at(centsLit(centroids), col("cid") + 1),
+          pqReconCol(books), (c, r) => c + r))
       .join(probeQueries, col("cid") === col("probe_cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),

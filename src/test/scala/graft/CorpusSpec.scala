@@ -390,6 +390,73 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rServe == rDirect, "resolve over appended index diverged")
   }
 
+  test("ivfpq residual encoding: tighter reconstruction and no worse ADC ranking than raw-book PQ") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val corpus = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").as("vec"))
+    val cents = operators.Similarity.ivfFit(corpus)
+    val cl = typedLit(cents.map(_.toSeq).toSeq)
+    val residuals = corpus
+      .select(col("vec_id"),
+        graft.functions.GraftFunctions.graftArgminL2(col("vec"), cl).as("cid"),
+        col("vec"))
+      .select(col("vec_id"), col("cid"),
+        zip_with(col("vec"), element_at(cl, col("cid") + 1),
+          (x, c) => x.cast("double") - c).as("vec"))
+      .localCheckpoint()
+    // equal code size by construction: same PqM x PqK books either way
+    val rawBooks = operators.Similarity.pqFit(corpus)
+    val resBooks = operators.Similarity.pqFit(residuals)
+    def reconOf(df: org.apache.spark.sql.DataFrame,
+        books: Array[Array[Array[Double]]], addCent: Boolean) = {
+      val coded = df.select(col("vec_id"), col("vec"),
+        (if (addCent) col("cid") else lit(0)).as("cid"))
+        .withColumn("codes", operators.Similarity.pqCodesCol(books))
+      val rec = operators.Similarity.pqReconCol(books)
+      coded.select(col("vec_id"),
+        (if (addCent) zip_with(element_at(cl, col("cid") + 1), rec, (c, r) => c + r)
+         else rec).as("recon"))
+    }
+    val rawRecon = reconOf(corpus, rawBooks, addCent = false)
+    val resRecon = reconOf(residuals, resBooks, addCent = true)
+    def collectVecs(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.select(col("vec_id"), col(c)).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Any](1).map {
+          case d: Double => d; case f: Float => f.toDouble
+        }.toArray).toMap
+    val orig = collectVecs(corpus, "vec")
+    val raw = collectVecs(rawRecon, "recon")
+    val res = collectVecs(resRecon, "recon")
+    def mse(recon: Map[Long, Array[Double]]) = orig.iterator.map { case (id, v) =>
+      v.zip(recon(id)).map { case (a, b) => (a - b) * (a - b) }.sum
+    }.sum / orig.size
+    val (rawMse, resMse) = (mse(raw), mse(res))
+    // residuals concentrate each cell around its centroid, so the same
+    // 8-byte budget reconstructs measurably tighter (IVFADC's rationale).
+    // The synthetic harness embeddings barely cluster — the observed gain
+    // here is ~10%; clustered real corpora gain far more — so the pinned
+    // margin is 5%: strict, but below the corpus' incidental structure.
+    assert(resMse < rawMse * 0.95,
+      f"residual reconstruction $resMse%.5f not measurably below raw $rawMse%.5f")
+    // ADC ranking fidelity: top-10-by-reconstructed-cosine hits vs exact
+    // top-10, summed over the standard queries — residual >= raw
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def topk(q: Long, vecs: Map[Long, Array[Double]]) = orig.keys
+      .filter(_ != q).toSeq
+      .sortBy(n => (-cos(orig(q), vecs(n)), n)).take(10).toSet
+    val queries = orig.keys.filter(_ < 8)
+    def hits(vecs: Map[Long, Array[Double]]) = queries.map { q =>
+      (topk(q, orig) intersect topk(q, vecs)).size
+    }.sum
+    val (rawHits, resHits) = (hits(raw), hits(res))
+    assert(resHits >= rawHits,
+      s"residual ADC ranking ($resHits hits) fell below raw-book ranking ($rawHits)")
+  }
+
   test("ivf serve keys: fingerprint tracks file metadata; distinct dirs never share a serve path") {
     // sanitization alone maps a/b and a_b to the same name — the digest
     // suffix must keep them apart
