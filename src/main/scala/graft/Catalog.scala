@@ -101,7 +101,12 @@ object Catalog {
 
   /** The 100 TB form of [[columnProfile]]: `approx_count_distinct` HLL
     * sketches merge associatively in one ordinary pass — no Expand
-    * row multiplication, no exact-distinct shuffle per column. */
+    * row multiplication, no exact-distinct shuffle per column. HLL is
+    * deliberately NOT unified onto the engine's KLL sketch (the
+    * quantile surfaces' shared state, [[graft.functions.KllSketch]]):
+    * distinct counting is a cardinality estimation problem and KLL is a
+    * rank/quantile sketch — the two are information-theoretically
+    * different summaries, so each surface gets the sketch built for it. */
   def columnProfileApprox(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     columnProfile(df, approx = true)
 

@@ -147,6 +147,23 @@ final class KllSketch(val k: Int) {
 }
 
 object KllSketch {
+  /** The engine-wide compactor capacity: one constant shared by every
+    * quantile surface (batch approx thresholds, streaming floors), so
+    * their sketches MERGE — a batch-built sketch can seed a streaming
+    * state dir and vice versa. See the class doc for the error scaling
+    * at this k. */
+  val DefaultK = 256
+
+  /** Deterministic worst-case RELATIVE rank error of a k-sketch over n
+    * updates: 0 while the population fits one compactor level (stored
+    * verbatim — the quantile is the exact order statistic), else H/k
+    * with H the populated-level count (the class doc's n·H/k bound,
+    * divided by n). Spec code uses this instead of re-deriving the
+    * analysis per call site. */
+  def rankErrorBound(n: Long, k: Int = DefaultK): Double =
+    if (n <= k) 0.0
+    else (math.floor(math.log(n.toDouble / k) / math.log(2.0)) + 2.0) / k
+
   def fromBytes(bytes: Array[Byte]): KllSketch = {
     val bb = ByteBuffer.wrap(bytes)
     val s = new KllSketch(bb.getInt())

@@ -458,27 +458,37 @@ object TextAnalysis {
   def qualityThresholds(spark: SparkSession, dir: String): DataFrame =
     qualityThresholds(spark, dir, approx = false)
 
-  /** Sketch accuracy for the approx path: rank error <= 1/accuracy. */
-  val ApproxPercentileAccuracy = 10000
-
   /** `approx = true` is the 100 TB swap: exact `percentile` buffers every
     * group value (fine at language-group cardinality on the harness;
-    * unbounded memory against a 100 TB corpus), while
-    * `approx_percentile`'s mergeable sketch holds O(accuracy) per group
-    * with rank error <= 1/[[ApproxPercentileAccuracy]] — the spec bounds
-    * the observed rank drift against the exact quantile. The exact form
-    * stays the default because it is what the DuckDB QUANTILE_CONT hash
-    * oracle matches bit-for-bit. */
-  def qualityThresholds(spark: SparkSession, dir: String, approx: Boolean): DataFrame =
-    scoredDocs(spark, dir)
+    * unbounded memory against a 100 TB corpus), while the engine's OWN
+    * mergeable KLL sketch ([[graft.functions.KllSketch]], the same
+    * aggregate maintaining the STREAMING floors) holds O(k·log(n/k))
+    * state per group with the deterministic rank-error bound
+    * `KllSketch.rankErrorBound` — the spec bounds the observed drift
+    * against the exact quantile. One sketch for every quantile surface
+    * means batch-built and stream-maintained states merge. The exact
+    * form stays the default because it is what the DuckDB QUANTILE_CONT
+    * hash oracle matches bit-for-bit. */
+  def qualityThresholds(spark: SparkSession, dir: String, approx: Boolean): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val grouped = scoredDocs(spark, dir)
       .filter(col("pred_lang") =!= "und")
       .groupBy(col("pred_lang"))
-      .agg(
+    if (approx)
+      grouped
+        .agg(
+          count(lit(1)).as("n_docs"),
+          call_function(graft.functions.GraftFunctions.KllName,
+            col("quality_score"),
+            lit(graft.functions.KllSketch.DefaultK)).as("sketch"))
+        .select(col("pred_lang"), col("n_docs"),
+          call_function(graft.functions.GraftFunctions.KllQuantileName,
+            col("sketch"), lit(QualityQuantile)).as("q_low"))
+    else
+      grouped.agg(
         count(lit(1)).as("n_docs"),
-        (if (approx)
-           approx_percentile(col("quality_score"), lit(QualityQuantile),
-             lit(ApproxPercentileAccuracy))
-         else percentile(col("quality_score"), lit(QualityQuantile))).as("q_low"))
+        percentile(col("quality_score"), lit(QualityQuantile)).as("q_low"))
+  }
 
   val qualityThresholdsOracle: String =
     s"""WITH scored AS (

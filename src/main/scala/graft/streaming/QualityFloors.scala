@@ -33,10 +33,12 @@ import org.apache.spark.sql.types.IntegerType
   */
 object QualityFloors {
 
-  /** Sketch capacity per compactor level. At k = 256 the deterministic
-    * worst-case rank error is ~3% at n = 10^5 and memory per language is
-    * a few KB; see [[graft.functions.KllSketch]] for the scaling. */
-  val SketchK = 256
+  /** Sketch capacity per compactor level — the engine-wide constant
+    * ([[graft.functions.KllSketch.DefaultK]]), shared with the batch
+    * approx-threshold path so batch and streaming sketches merge. At
+    * k = 256 the deterministic worst-case rank error is ~3% at n = 10^5
+    * and memory per language is a few KB. */
+  val SketchK: Int = graft.functions.KllSketch.DefaultK
 
   private def q = graft.operators.TextAnalysis.QualityQuantile
 

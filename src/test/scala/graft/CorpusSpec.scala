@@ -617,11 +617,12 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     approx.foreach { case (lang, qa) =>
       val scores = scored.filter(_._1 == lang).map(_._2)
       val n = scores.length.toDouble
-      // the sketch guarantees rank error <= 1/accuracy; at harness group
-      // sizes the value it returns is a real element, so its empirical
-      // rank must straddle the target quantile within that error plus
-      // one element of discreteness
-      val eps = 1.0 / operators.TextAnalysis.ApproxPercentileAccuracy + 1.0 / n
+      // the KLL sketch's deterministic rank-error bound (0 while a group
+      // fits one compactor level — stored verbatim); the returned value
+      // is a real element, so its empirical rank must straddle the
+      // target quantile within that bound plus one element of
+      // discreteness
+      val eps = graft.functions.KllSketch.rankErrorBound(scores.length.toLong) + 1.0 / n
       val below = scores.count(_ < qa) / n
       val atOrBelow = scores.count(_ <= qa) / n
       assert(below <= q + eps, s"$lang: approx q ranks too high ($below > $q + $eps)")

@@ -874,15 +874,20 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(CosineSimilarity(v, v, hofCompat = true).eval(zrow).asInstanceOf[Double].isNaN)
   }
 
-  test("knn rankers use bounded-heap aggregation — no Window over scored rows") {
+  test("knn rankers use bounded-heap aggregation — no ordered Window over scored rows") {
     Seq(
       "brute" -> operators.Similarity.knnBrute(spark, sf, 10),
       "lsh" -> operators.Similarity.knnLsh(spark, sf, 10),
       "ivf" -> operators.Similarity.knnIvf(spark, sf, 10)).foreach { case (name, df) =>
+      // the scale-killer shape is a rank()/row_number() window ORDERING
+      // the full scored candidate set; withRecall's unordered per-query
+      // sum over the already-k-limited result frame is a bounded
+      // aggregation and stays allowed
       val wins = df.queryExecution.optimizedPlan.collect {
-        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.orderSpec.nonEmpty => w
       }
-      assert(wins.isEmpty, s"knn $name plan ranks via Window — scale-killer")
+      assert(wins.isEmpty, s"knn $name plan ranks via ordered Window — scale-killer")
     }
   }
 
