@@ -27,13 +27,14 @@ import org.apache.spark.sql.types.BinaryType
   * the batch plus one anti-join against the store on an 8+24-byte hash
   * key — the store side is bucketable/bloom-prunable at warehouse scale,
   * and state grows with DISTINCT content seen, never with stream length
-  * (duplicate-heavy streams converge). Admission runs no corpus scan —
-  * but note the WRITE side: [[StreamStateStore]]'s swap REWRITES the
-  * whole store every batch, so per-batch IO is O(distinct content), not
-  * O(batch). That is the harness state-store's limitation, not the
-  * operator's: on a transactional table format (the production shape
-  * the StreamStateStore doc names) the same fold is an upsert/MERGE
-  * touching only the batch's hash buckets.
+  * (duplicate-heavy streams converge). Admission runs no corpus scan.
+  * The WRITE side comes in two layouts: [[sink]] swaps the whole store
+  * per batch (simple, O(distinct content) IO — fine while the store is
+  * small), and [[sinkBucketed]] maintains a hash-partitioned store where
+  * a batch rewrites ONLY its touched buckets
+  * ([[StreamStateStore.applyBatchBucketed]]) — per-batch IO
+  * O(batch x store/buckets), the upsert/MERGE shape a transactional
+  * table format provides, expressed on plain parquet.
   */
 object DedupAdmission {
 
@@ -76,8 +77,44 @@ object DedupAdmission {
       case Some(prev) => mergeStore(prev, batchCanonical(batch))
     }
 
+  /** Bucket count for the PARTITIONED store ([[sinkBucketed]]). Sized so
+    * a harness bucket holds a few hundred hashes; at warehouse scale
+    * this knob scales with distinct-content volume exactly like the
+    * posting index's bucket count. */
+  val StoreBuckets = 32
+
+  /** One micro-batch against the BUCKETED store: per-batch IO is
+    * O(content in the touched buckets), not O(store) — the fix for the
+    * whole-store rewrite caveat in the object doc. Same first-arrival
+    * fold; the bucket column rides the rows (hash-functional on
+    * content_hash, so carrying it through the fold is exact) and the
+    * partitioned write routes each bucket to its own directory. */
+  private[graft] def applyAdmissionBatchBucketed(
+      batch: DataFrame, batchId: Long, stateDir: String,
+      nBuckets: Int = StoreBuckets): Unit =
+    StreamStateStore.applyBatchBucketed(
+      batch.sparkSession, batchId, stateDir, "dedupAdmissionSink",
+      keyCol = "content_hash", nBuckets)(batchCanonical(batch)) {
+      case (None, cur) => cur
+      case (Some(prev), cur) =>
+        firstArrivalFold(prev, cur, carry = Seq("keep_doc_id", "b"))
+    }
+
+  /** foreachBatch sink over the bucketed store — the at-scale variant of
+    * [[sink]]: same admitted store (modulo the extra `b` column), batch
+    * cost independent of store size. */
+  def sinkBucketed(docs: DataFrame, stateDir: String,
+      nBuckets: Int = StoreBuckets)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyAdmissionBatchBucketed(batch, batchId, stateDir, nBuckets)
+      }
+
   /** The canonical store at `stateDir`'s current state — schema equals
-    * `dedupExact`'s output (content_hash, keep_doc_id, n_copies). */
+    * `dedupExact`'s output (content_hash, keep_doc_id, n_copies), plus
+    * the `b` bucket column when the state is the bucketed layout. */
   def currentStore(spark: org.apache.spark.sql.SparkSession, stateDir: String): DataFrame =
     spark.read.parquet(stateDir)
 

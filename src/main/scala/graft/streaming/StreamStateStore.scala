@@ -83,4 +83,111 @@ private[graft] object StreamStateStore {
       java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
         .foreach(java.nio.file.Files.delete)
     }
+
+  // --------------------------------------------- bucketed (partitioned) state
+
+  /** BUCKETED state: the fix for the whole-store rewrite caveat above.
+    * State lives as hash-partitioned `b=<n>` directories (standard
+    * partition layout — `spark.read.parquet(stateDir)` restores `b` as a
+    * column and readers are unchanged), each bucket carries its OWN
+    * `_last_batch` marker, and a micro-batch rewrites ONLY the buckets
+    * its keys land in: per-batch IO drops from O(distinct content ever
+    * seen) to O(content in the touched buckets) — with enough buckets,
+    * O(batch). This is the upsert/MERGE shape a transactional table
+    * format provides, expressed on plain parquet.
+    *
+    * Exactly-once per BUCKET instead of per store: foreachBatch replays
+    * a batch deterministically (replayable-source contract), so a crash
+    * that lands some buckets and not others self-heals on replay — the
+    * landed buckets' markers skip them, the rest re-merge from their
+    * intact previous state. The per-bucket swap is two-phase (stage the
+    * old dir under an underscore-prefixed name Spark's file index
+    * ignores, move the new dir in, drop the stage), and
+    * [[recoverBucketSwaps]] rolls a torn swap forward or back by
+    * inspecting which side exists before every batch. */
+  def applyBatchBucketed(spark: SparkSession, batchId: Long, stateDir: String,
+      sinkName: String, keyCol: String, nBuckets: Int)(cur: DataFrame)(
+      merge: (Option[DataFrame], DataFrame) => DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val state = java.nio.file.Paths.get(stateDir)
+    java.nio.file.Files.createDirectories(state)
+    recoverBucketSwaps(state)
+    checkBucketCount(state, nBuckets)
+    val withB = cur.withColumn("b",
+      pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong)).cast("int"))
+      .localCheckpoint(eager = false)
+    // the touched set is bounded by nBuckets — a driver-side list, never data
+    val touchedAll = withB.select(col("b")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val touched = touchedAll.filterNot(b =>
+      markerOf(state.resolve(s"b=$b")).exists(_ >= batchId))
+    if (touched.isEmpty) {
+      if (touchedAll.nonEmpty)
+        logger.warn(s"$sinkName: skipping batch $batchId (every touched " +
+          "bucket already applied it); if this stream was restarted with " +
+          "a fresh checkpoint over an existing state dir, clear the state dir")
+      return
+    }
+    val curTouched = withB.filter(col("b").isin(touched.map(Integer.valueOf): _*))
+    // a live bucket is one whose swap completed — the per-bucket marker
+    // is written before the move, so its presence IS completeness
+    // (parquet's _SUCCESS lands at the partitioned write's top level,
+    // never inside the bucket dirs)
+    val prevDirs = touched
+      .map(b => state.resolve(s"b=$b"))
+      .filter(p => markerOf(p).isDefined)
+      .map(_.toString)
+    val prev =
+      if (prevDirs.isEmpty) None
+      else Some(spark.read.option("basePath", stateDir).parquet(prevDirs: _*))
+    val tmp = java.nio.file.Paths.get(stateDir + "_tmp")
+    deleteRecursively(tmp)
+    // merge must key on `keyCol` only (b is hash-functional on it), and
+    // must emit `b` — the partitioned write routes each bucket to its dir
+    merge(prev, curTouched)
+      .write.mode("overwrite").partitionBy("b").parquet(tmp.toString)
+    touched.foreach { b =>
+      val tb = tmp.resolve(s"b=$b")
+      // the fold never drops rows, so every touched bucket has output;
+      // guard anyway — an empty bucket dir must still carry its marker
+      java.nio.file.Files.createDirectories(tb)
+      java.nio.file.Files.write(tb.resolve(Marker), batchId.toString.getBytes("UTF-8"))
+      // two-phase swap, one bucket at a time
+      val live = state.resolve(s"b=$b")
+      val stage = state.resolve(s"_swap_$b")
+      if (java.nio.file.Files.exists(live)) java.nio.file.Files.move(live, stage)
+      java.nio.file.Files.move(tb, live)
+      deleteRecursively(stage)
+    }
+    deleteRecursively(tmp)
+  }
+
+  /** Roll torn per-bucket swaps forward or back: a `_swap_<b>` stage dir
+    * means a swap was interrupted — if the live `b=<b>` landed, the new
+    * state won (drop the stage); if not, the stage IS the state (restore
+    * it). Runs before every bucketed batch and is idempotent. */
+  private def recoverBucketSwaps(state: java.nio.file.Path): Unit = {
+    val stages = Option(state.toFile.listFiles).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("_swap_"))
+    stages.foreach { s =>
+      val b = s.getName.stripPrefix("_swap_")
+      val live = state.resolve(s"b=$b")
+      if (java.nio.file.Files.exists(live)) deleteRecursively(s.toPath)
+      else java.nio.file.Files.move(s.toPath, live)
+    }
+  }
+
+  /** The bucket count is part of the state layout: a different count
+    * re-routes keys to other buckets and silently splits hash groups.
+    * Stamped on first use, required equal afterwards. */
+  private def checkBucketCount(state: java.nio.file.Path, nBuckets: Int): Unit = {
+    val f = state.resolve("_n_buckets")
+    if (java.nio.file.Files.exists(f)) {
+      val stored = new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toInt
+      require(stored == nBuckets,
+        s"bucketed state at $state was laid out with $stored buckets; " +
+          s"reopening with $nBuckets would mis-route keys — migrate or clear")
+    } else
+      java.nio.file.Files.write(f, nBuckets.toString.getBytes("UTF-8"))
+  }
 }

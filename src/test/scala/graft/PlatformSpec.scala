@@ -446,6 +446,79 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.size == inc.size)
   }
 
+  test("bucketed admission store: touched-bucket-only IO, replay-safe, torn swaps recover") {
+    import graft.streaming.DedupAdmission
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graftbadmit")
+    val dir = root.toString + "/state"
+    def storeMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("content_hash"),
+        (r.getAs[Long]("keep_doc_id"), r.getAs[Long]("n_copies")))).toMap
+    val n = docs.count()
+    val bounds = Seq(0L, n / 3, 2 * n / 3, n + 1)
+    (0 to 2).foreach { i =>
+      DedupAdmission.applyAdmissionBatchBucketed(
+        docs.filter(col("doc_id") >= bounds(i) && col("doc_id") < bounds(i + 1)), i, dir)
+    }
+    // parity with the batch operator (id-ordered arrival), modulo the
+    // extra bucket column
+    val inc = storeMap(DedupAdmission.currentStore(spark, dir))
+    assert(inc == storeMap(operators.TextAnalysis.dedupExact(spark, sf)),
+      "bucketed streamed store diverged from batch dedupExact")
+    // a single-doc batch touches ONE bucket: every other bucket's files
+    // must not be rewritten (the whole point of the layout)
+    def bucketStamps = new java.io.File(dir).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("b="))
+      .map(f => f.getName ->
+        f.listFiles.map(x => x.getName -> x.lastModified).toMap).toMap
+    val pre = bucketStamps
+    val one = spark.createDataFrame(Seq((900001L, "a brand new late document")))
+      .toDF("doc_id", "text")
+    DedupAdmission.applyAdmissionBatchBucketed(one, 3, dir)
+    val post = bucketStamps
+    val changed = pre.keys.filter(b => post.get(b) != pre.get(b)).toSeq
+    assert(changed.size <= 1, s"single-key batch rewrote buckets: $changed")
+    assert(storeMap(DedupAdmission.currentStore(spark, dir)).size == inc.size + 1)
+    // replay of an applied batch is a per-bucket no-op
+    val stamp = bucketStamps
+    DedupAdmission.applyAdmissionBatchBucketed(one, 3, dir)
+    assert(bucketStamps == stamp, "replayed batch rewrote bucket state")
+    // torn swap, crashed BEFORE the new dir landed: the staged old dir
+    // must be restored on the next batch (which carries fresh content —
+    // re-presenting admitted content would legitimately bump its count)
+    val full = storeMap(DedupAdmission.currentStore(spark, dir))
+    val someB = new java.io.File(dir).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("b=")).head.getName
+      .stripPrefix("b=")
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(dir, s"b=$someB"),
+      java.nio.file.Paths.get(dir, s"_swap_$someB"))
+    val two = spark.createDataFrame(Seq((900002L, "a second brand new late document")))
+      .toDF("doc_id", "text")
+    DedupAdmission.applyAdmissionBatchBucketed(two, 4, dir)
+    val afterRollback = storeMap(DedupAdmission.currentStore(spark, dir))
+    assert(full.forall { case (k, v) => afterRollback.get(k).contains(v) },
+      "torn-swap rollback lost bucket state")
+    assert(afterRollback.size == full.size + 1)
+    // torn swap, crashed AFTER the new dir landed: the stale stage is
+    // dropped and the live dir wins
+    val liveB = java.nio.file.Paths.get(dir, s"b=$someB")
+    val stage = java.nio.file.Paths.get(dir, s"_swap_$someB")
+    java.nio.file.Files.createDirectory(stage)
+    val three = spark.createDataFrame(Seq((900003L, "a third brand new late document")))
+      .toDF("doc_id", "text")
+    DedupAdmission.applyAdmissionBatchBucketed(three, 5, dir)
+    assert(!java.nio.file.Files.exists(stage) && java.nio.file.Files.exists(liveB),
+      "completed swap's stale stage not dropped")
+    val afterForward = storeMap(DedupAdmission.currentStore(spark, dir))
+    assert(afterRollback.forall { case (k, v) => afterForward.get(k).contains(v) })
+    assert(afterForward.size == afterRollback.size + 1)
+    // bucket-count drift is a loud layout error, not silent mis-routing
+    intercept[IllegalArgumentException] {
+      DedupAdmission.applyAdmissionBatchBucketed(one, 6, dir, nBuckets = 7)
+    }
+  }
+
   test("streaming ingest gate: dedup + decontamination store equals the batch reference") {
     import graft.streaming.IngestGate
     val all = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
