@@ -23,7 +23,7 @@ object Pipeline {
     val spark = GraftSession.builder("graft-pipeline")
       .master(s"local[${GraftSession.cpus}]")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    GraftSession.tuneLogs(spark)
     run(spark, sfDir, outDir)
     spark.stop()
   }

@@ -156,12 +156,13 @@ object KllSketch {
 
   /** Deterministic worst-case RELATIVE rank error of a k-sketch over n
     * updates: 0 while the population fits one compactor level (stored
-    * verbatim — the quantile is the exact order statistic), else H/k
-    * with H the populated-level count (the class doc's n·H/k bound,
+    * verbatim — the quantile is the exact order statistic; [[update]]
+    * compacts AT the k-th insert, so that holds strictly below k), else
+    * H/k with H the populated-level count (the class doc's n·H/k bound,
     * divided by n). Spec code uses this instead of re-deriving the
     * analysis per call site. */
   def rankErrorBound(n: Long, k: Int = DefaultK): Double =
-    if (n <= k) 0.0
+    if (n < k) 0.0
     else (math.floor(math.log(n.toDouble / k) / math.log(2.0)) + 2.0) / k
 
   def fromBytes(bytes: Array[Byte]): KllSketch = {

@@ -165,6 +165,10 @@ object AsOf {
   def enrichAttach(spark: SparkSession, dir: String): DataFrame = {
     val c = broadcast(Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_nationkey")))
+    // facts feed THREE consumers (both refresh aggregates and the final
+    // attach); the lazy checkpoint computes the orders⋈customer scan
+    // once instead of re-executing it per consumer — the same
+    // single-materialization discipline as withRecall/shingleSets
     val facts = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"),
         col("o_totalprice"), col("o_orderdate"))
@@ -175,6 +179,7 @@ object AsOf {
           .cast(LongType).as("t"),
         col("o_orderkey"),
         col("o_totalprice").as("price"))
+      .localCheckpoint(eager = false)
     val quarters = facts.filter(pmod(col("t"), lit(3)) === 0)
     // refresh 0: quarterly backfill over the initially-available half
     val prelim = quarters

@@ -259,6 +259,11 @@ object Dedup {
     * the newly-landed docs. Contract: `newDocs` holds doc_ids not yet
     * indexed — re-appending an indexed doc would double its postings
     * (the same contract an append-only ingest log already guarantees).
+    * Pass `expectedFp` (the corpus fingerprint captured BEFORE the delta
+    * landed) to prove the generation matches the pre-append corpus: an
+    * index gone stale through out-of-band corpus edits must take the
+    * full-rebuild path, not absorb a delta and get re-stamped fresh —
+    * the append would silently miss the edited documents' postings.
     * Hot-shingle capping is unaffected: dfs aggregate at query time over
     * the full posting table, so a shingle crossing [[HotShingleCap]]
     * because of appended docs is dropped exactly as in a fresh build.
@@ -267,12 +272,27 @@ object Dedup {
     * sidecar and the next ensure falls back to a full rebuild — never a
     * fresh-looking index missing rows. */
   def appendPostings(spark: SparkSession, dir: String, newDocs: DataFrame,
-      numBuckets: Int = PostingsBuckets): String = {
+      numBuckets: Int = PostingsBuckets,
+      expectedFp: Option[Long] = None): String = {
     val path = postingsServePath(dir)
     val table = postingsTableName(dir)
     val fpPath = path + "_model"
     require(new java.io.File(path).exists(),
       s"no posting generation at $path to append into — run ensurePostings first")
+    // an unreadable sidecar means the generation's provenance is unknown:
+    // appending into it and re-stamping would manufacture freshness
+    val storedFp =
+      try spark.read.parquet(fpPath).collect()(0).getLong(0)
+      catch {
+        case e if scala.util.control.NonFatal(e) =>
+          throw new IllegalStateException(
+            s"posting sidecar at $fpPath unreadable — run ensurePostings " +
+              "(full rebuild) instead of appending into an unproven generation", e)
+      }
+    expectedFp.foreach(f => require(storedFp == f,
+      s"posting generation at $path was built for a different corpus state " +
+        s"(stored fp $storedFp != pre-append fp $f): the index is stale and " +
+        "must be rebuilt with ensurePostings, not appended into"))
     if (!spark.catalog.tableExists(table))
       spark.sql(
         s"""CREATE TABLE $table (doc_id BIGINT, h BIGINT) USING parquet

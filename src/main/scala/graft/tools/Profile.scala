@@ -21,7 +21,7 @@ object Profile {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.builder("graft-profile")
       .master(s"local[${GraftSession.cpus}]").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    GraftSession.tuneLogs(spark)
     val iters = 5
 
     def li = Tables.lineitem(spark, dir)

@@ -365,9 +365,16 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(f => f.getName -> f.lastModified).toMap
     val pre = stampOf
     // the ingest lands the delta files in the corpus dir FIRST, then the
-    // index absorbs exactly that delta
+    // index absorbs exactly that delta; the pre-delta fingerprint proves
+    // the generation matches the corpus the delta extends
+    val fp0 = operators.Similarity.corpusFingerprint(spark, tmp, "documents.parquet")
     delta.write.mode("append").parquet(tmp + "/documents.parquet")
-    operators.Dedup.appendPostings(spark, tmp, delta)
+    // a generation that does NOT match the pre-append corpus is stale:
+    // append must refuse (full rebuild path), never re-stamp it fresh
+    intercept[IllegalArgumentException] {
+      operators.Dedup.appendPostings(spark, tmp, delta, expectedFp = Some(fp0 + 1))
+    }
+    operators.Dedup.appendPostings(spark, tmp, delta, expectedFp = Some(fp0))
     val post = stampOf
     pre.foreach { case (n, m) =>
       assert(post.get(n).contains(m), s"append rewrote existing bucket file $n")
