@@ -519,6 +519,44 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pipeline backfill: catch-up fills only missing year slices; explicit backfill touches one") {
+    val out = java.nio.file.Files.createTempDirectory("graftbackfill").toString
+    val layer = s"$out/monthly_trend"
+    val full = operators.Seasonal.monthlyTrend(spark, sf)
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select("brand", "year", "month", "avg_price", "n_obs").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getDouble(3), r.getLong(4)))
+      .toSet
+    val want = cells(full)
+    val years = full.select("year").distinct().collect().map(_.getInt(0)).sorted
+    assert(years.length >= 3, s"need a few years to backfill, got ${years.toSeq}")
+    // seed the layer with every year but the last two (a stalled pipeline)
+    val seeded = years.dropRight(2)
+    val conf = spark.conf
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    full.filter(col("year").isin(seeded.map(Integer.valueOf): _*))
+      .write.mode("overwrite").partitionBy("year").parquet(layer)
+    // catch-up: exactly the two missing years rebuild; seeded files untouched
+    def stampOf(y: Int) = new java.io.File(s"$layer/year=$y").listFiles
+      .map(f => f.getName -> f.lastModified).toMap
+    val preStamps = seeded.map(y => y -> stampOf(y)).toMap
+    val caught = Pipeline.backfillMonthlyTrend(spark, sf, out)
+    assert(caught == years.takeRight(2).toSeq, s"caught up $caught")
+    seeded.foreach(y => assert(stampOf(y) == preStamps(y), s"catch-up rewrote year=$y"))
+    assert(cells(spark.read.parquet(layer)) == want,
+      "caught-up layer diverged from the from-scratch build")
+    // caught-up layer: catch-up is a no-op
+    assert(Pipeline.backfillMonthlyTrend(spark, sf, out).isEmpty)
+    // explicit backfill of ONE year rewrites that slice and nothing else
+    val target = years.head
+    val others = years.filterNot(_ == target)
+    val otherStamps = others.map(y => y -> stampOf(y)).toMap
+    assert(Pipeline.backfillMonthlyTrend(spark, sf, out, Some(Seq(target))) == Seq(target))
+    others.foreach(y => assert(stampOf(y) == otherStamps(y), s"backfill rewrote year=$y"))
+    assert(cells(spark.read.parquet(layer)) == want,
+      "backfilled layer diverged from the from-scratch build")
+  }
+
   test("streaming ingest gate: dedup + decontamination store equals the batch reference") {
     import graft.streaming.IngestGate
     val all = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
