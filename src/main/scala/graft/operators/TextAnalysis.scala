@@ -580,12 +580,15 @@ object TextAnalysis {
   def vocabTop(spark: SparkSession, dir: String, k: Int = 50): DataFrame =
     docs(spark, dir)
       .select(
-        col("doc_id"),
-        // non-letters become SEPARATORS (replacing with '' would weld
-        // words across punctuation/newlines into fabricated tokens)
-        explode(split(trim(regexp_replace(lower(col("text")), "[^a-z]", " ")), " +")).as("word"))
+        // per-doc distinct INSIDE the scan projection (array_distinct
+        // over the token array) — the df count then needs only ONE
+        // map-side-combined aggregation, where a (doc_id, word)
+        // DISTINCT paid a full pair shuffle before the word rollup.
+        // Non-letters become SEPARATORS (replacing with '' would weld
+        // words across punctuation/newlines into fabricated tokens).
+        explode(array_distinct(
+          split(trim(regexp_replace(lower(col("text")), "[^a-z]", " ")), " +"))).as("word"))
       .filter(col("word") =!= "")
-      .distinct()
       .groupBy(col("word"))
       .agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("word"))
