@@ -1074,7 +1074,9 @@ object Similarity {
     * has no planted >0.9 pairs — see SURVEY §2B). */
   def embeddingDedup(spark: SparkSession, dir: String, threshold: Double = 0.45): DataFrame = {
     val corpus = emb(spark, dir)
-    val bands = banded(corpus, "vec", "vec_id")
+    // both sides of the candidate self-join read the SAME banding — the
+    // lazy checkpoint runs the hyperplane kernel once, not per side
+    val bands = banded(corpus, "vec", "vec_id").localCheckpoint(eager = false)
     val candidates = bands
       .join(bands.select(col("vec_id").as("vec_b"), col("band"), col("bucket")),
         Seq("band", "bucket"))
