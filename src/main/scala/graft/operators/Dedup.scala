@@ -585,8 +585,15 @@ object Dedup {
   // ------------------------------------------- keep-one-copy resolution
 
   /** Rounds taken by the last [[resolveComponents]] call (spec hook for
-    * the O(log n) round-bound guarantee). */
+    * the O(log n) round-bound guarantee; 0 = driver fast path). */
   private[graft] var lastResolveRounds: Int = 0
+
+  /** Proper-edge count under which [[resolveComponents]] solves on the
+    * driver instead of running the distributed star loop — 1M edges is
+    * ~16 MB collected, the same order as Spark's broadcast threshold.
+    * The bound is on the OBSERVED edge count (exact, from the
+    * normalization checkpoint), not an estimate. */
+  private[graft] val DriverResolveBound: Long = 1L << 20
 
   /** Connected components over near-dup pairs via alternating
     * large-star/small-star contractions (Kiveris et al., "Connected
@@ -607,9 +614,19 @@ object Dedup {
     * normalized edge set; the result is then VERIFIED distributively —
     * every original pair's endpoints share a label, and every label is
     * its component's minimum id — so a wrong labeling fails loudly rather
-    * than emitting non-minimal canonical ids. */
+    * than emitting non-minimal canonical ids.
+    *
+    * Strategy is SIZE-ADAPTIVE, the same switch Spark itself makes
+    * between broadcast and shuffle joins: the normalization checkpoint
+    * observes the exact proper-edge count for free, and when it fits
+    * [[DriverResolveBound]] (and ids are longs) the components are
+    * solved exactly by driver-side union-find — below the bound the
+    * star loop's cost is per-round scheduling latency (4+ tiny
+    * shuffles × O(log n) rounds), not data. Above the bound (the
+    * 100 TB shape: billions of near-dup edges) the distributed loop
+    * runs unchanged. Both paths feed the same verification. */
   def resolveComponents(pairs: DataFrame, maxIters: Int = 50,
-      verify: Boolean = false): DataFrame = {
+      verify: Boolean = false, driverBound: Long = DriverResolveBound): DataFrame = {
     // Materialize the (possibly expensive) pair derivation ONCE and
     // truncate its lineage — the loop below must not re-derive candidate
     // pairs every iteration, and iterative plans must not grow unboundedly.
@@ -671,35 +688,67 @@ object Dedup {
         .distinct()
     }
 
-    var converged = false
-    var it = 0
-    while (!converged && it < maxIters) {
-      val (next, nfp) = checkpointWithFingerprint(smallStar(largeStar(edges)))
-      edges = next
-      converged = nfp == fp
-      fp = nfp
-      it += 1
-    }
-    lastResolveRounds = it
-    // wrong-but-silent is worse than loud
-    require(converged, s"component resolution did not converge in $maxIters rounds")
+    val nEdges = fp0.head.asInstanceOf[Long]
+    val longIds = p.schema.fields.forall(_.dataType == LongType)
 
-    // at the fixpoint every edge is (member -> root); roots label themselves
-    val roots = edges.select(col("v").as("doc_id")).distinct()
-      .join(edges.select(col("u").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("doc_id").as("canonical_id"))
+    // labels for every node incident to a proper edge (roots included)
+    val memberLabels: DataFrame =
+      if (nEdges <= driverBound && longIds) {
+        lastResolveRounds = 0
+        // edges0 is already checkpointed; the collect reads the cached
+        // blocks, bounded by driverBound rows (≤ ~16 MB at the default)
+        val es = edges0.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+          var c = x
+          while (parent.getOrDefault(c, c) != c) {
+            val n = parent.get(c); parent.put(c, r); c = n
+          }
+          r
+        }
+        // smaller root wins every union, so each root IS its component's
+        // minimum id — the same canonical choice the star loop converges to
+        es.foreach { case (a, b) =>
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+        }
+        val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+        val sess = pairs.sparkSession
+        import sess.implicits._
+        nodes.map(n => (n, find(n))).toSeq.toDF("doc_id", "canonical_id")
+      } else {
+        var converged = false
+        var it = 0
+        while (!converged && it < maxIters) {
+          val (next, nfp) = checkpointWithFingerprint(smallStar(largeStar(edges)))
+          edges = next
+          converged = nfp == fp
+          fp = nfp
+          it += 1
+        }
+        lastResolveRounds = it
+        // wrong-but-silent is worse than loud
+        require(converged, s"component resolution did not converge in $maxIters rounds")
+
+        // at the fixpoint every edge is (member -> root); roots label themselves
+        val roots = edges.select(col("v").as("doc_id")).distinct()
+          .join(edges.select(col("u").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("doc_id").as("canonical_id"))
+        edges.select(col("u").as("doc_id"), col("v").as("canonical_id"))
+          .distinct()
+          .unionAll(roots)
+      }
+
     // nodes appearing ONLY in self-pairs (doc_a == doc_b) have no proper
     // edge and are their own singleton component — they must still be
     // labeled (input-contract parity with the recursive-CTE oracle)
     val selfOnly = p.filter(col("doc_a") === col("doc_b"))
       .select(col("doc_a").as("doc_id")).distinct()
-      .join(edges.select(col("u").as("doc_id"))
-        .unionAll(edges.select(col("v").as("doc_id"))).distinct(),
-        Seq("doc_id"), "left_anti")
+      .join(memberLabels.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("canonical_id"))
-    val labels = edges.select(col("u").as("doc_id"), col("v").as("canonical_id"))
-      .distinct()
-      .unionAll(roots)
+    val labels = memberLabels
       .unionAll(selfOnly)
       .localCheckpoint()
 

@@ -98,9 +98,12 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("component resolution: 1k-node chain converges in O(log n) rounds") {
     import spark.implicits._
     // a path graph is the adversarial case for min-label propagation
-    // (diameter rounds); large-star/small-star must stay logarithmic
+    // (diameter rounds); large-star/small-star must stay logarithmic.
+    // driverBound = 0 forces the distributed loop (the default bound
+    // would solve 999 edges on the driver and skip the rounds under test)
     val pairs = (1L until 1000L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val resolved = operators.Dedup.resolveComponents(pairs, verify = true)
+    val resolved = operators.Dedup.resolveComponents(pairs, verify = true,
+      driverBound = 0L)
     assert(resolved.count() == 1000)
     assert(resolved.filter(col("canonical_id") =!= 1L).count() == 0)
     assert(operators.Dedup.lastResolveRounds < 20,

@@ -239,7 +239,12 @@ object GraftProps extends Properties("graft") {
       // a singleton component and must still be labeled
       pairs.nonEmpty ==> {
         val df = spark.createDataFrame(pairs).toDF("doc_a", "doc_b")
+        // default bound takes the driver fast path; driverBound = 0 forces
+        // the distributed star loop — both must match the reference
         val got = operators.Dedup.resolveComponents(df, verify = true)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val gotDist = operators.Dedup.resolveComponents(df, verify = true,
+          driverBound = 0L)
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         // driver-side union-find (union smaller root wins -> root is the
         // component minimum)
@@ -254,7 +259,7 @@ object GraftProps extends Properties("graft") {
         }
         val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
         val want = nodes.map(n => n -> find(n)).toMap
-        got == want
+        got == want && gotDist == want
       }
     }
 
