@@ -547,7 +547,16 @@ object Dedup {
     chunkedHammingPairs(simhashSignatures(docs))
 
   /** Chunked pigeonhole near-dup join over any (doc_id, simhash) frame. */
-  private def chunkedHammingPairs(sigs: DataFrame): DataFrame = {
+  private def chunkedHammingPairs(sigs0: DataFrame): DataFrame = {
+    // The signature frame feeds the chunk explode AND the hot-bucket
+    // frequency pass, and the surviving chunk stream feeds BOTH sides of
+    // the pigeonhole self-join — without lineage truncation the signature
+    // pipeline is planned four times per query (ruinous for the IDF
+    // variant, whose signatures cost a vocabulary join + a 64-sum
+    // aggregate each time). Two lazy checkpoints make each step compute
+    // exactly once; batch-only is fine, the streaming admission path has
+    // its own signature plan.
+    val sigs = sigs0.localCheckpoint(eager = false)
     val chunkCols = (0 until Chunks).map { c =>
       struct(lit(c).as("c"),
         shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("v"))
@@ -563,6 +572,7 @@ object Dedup {
         coalesce(sum(col("df")), lit(0L)).as("dropped_chunk_rows"))
       .select(col("c"), col("v"))
     val chunked = chunked0.join(hot, Seq("c", "v"), "left_anti")
+      .localCheckpoint(eager = false)
     chunked
       .join(
         chunked.select(col("doc_id").as("doc_b"), col("simhash").as("simhash_b"),
