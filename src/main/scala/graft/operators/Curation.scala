@@ -144,6 +144,57 @@ object Curation {
        |    >= $ContaminationMax AS flag_drop
        |FROM sizes s LEFT JOIN shared USING (doc_id)""".stripMargin
 
+  /** q_contamination_delta — decontamination screen SERVED from the
+    * persisted posting index: the gram set joins the bucketed postings
+    * (AQE broadcasts a benchmark-sized side, map-only over the index),
+    * and per-doc denominators come from the index's doc-stats sidecar
+    * ([[Dedup.ensurePostingStats]]) — query time touches NO corpus text.
+    *
+    * This is how a production pipeline absorbs a NEW benchmark: instead
+    * of re-scanning 100 TB of admitted text, screen just the delta gram
+    * set against the standing index. Contamination counts are additive
+    * over disjoint gram sets (|hs ∩ (G1 ∪ G2)| = |hs ∩ G1| + |hs ∩ G2|,
+    * spec-pinned), so per-benchmark screens compose into the full
+    * report. Instantiated with the whole eval split's grams it equals
+    * [[contamination]] exactly and shares its DuckDB oracle. */
+  def contaminationDeltaServe(spark: SparkSession, dir: String,
+      evalGrams: DataFrame): DataFrame = {
+    val postings = spark.table(Dedup.ensurePostings(spark, dir))
+    val stats = Dedup.ensurePostingStats(spark, dir)
+    // screen every doc's postings (slim hit rows; the train restriction
+    // applies at the stats join) — restricting postings by split first
+    // would cost a doc-keyed shuffle of the full posting stream
+    val hits = postings
+      .join(evalGrams.select(col("h")).distinct(), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    val rate =
+      coalesce(col("c"), lit(0L)).cast(DoubleType) / col("n_shingles").cast(DoubleType)
+    stats.filter(col("split") === "train")
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_shingles"),
+        coalesce(col("c"), lit(0L)).as("n_contaminated"),
+        rate.as("contamination_rate"),
+        (rate >= ContaminationMax).as("flag_drop"))
+  }
+
+  /** The full-eval instantiation of [[contaminationDeltaServe]]: gram set
+    * = the eval split's distinct shingle hashes (ONE kernel scan of the
+    * test split — at production scale the benchmark grams arrive
+    * externally and even this scan disappears). */
+  def contaminationServe(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val ev = Tables.documents(spark, dir)
+      .select(
+        TextAnalysis.splitCol(TextAnalysis.splitKeyCol).as("split"),
+        call_function(GraftFunctions.ShingleSetName, col("text")).as("hs"))
+      .filter(col("split") === "test" && col("hs").isNotNull)
+      .select(explode(col("hs")).as("h"))
+    contaminationDeltaServe(spark, dir, ev)
+  }
+
   // ---------------------------------------------------- repetition stats
 
   /** Derived repetition fractions + keep flag from the five exact

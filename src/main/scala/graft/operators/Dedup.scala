@@ -308,7 +308,71 @@ object Dedup {
     val fp = Similarity.corpusFingerprint(spark, dir, "documents.parquet")
     spark.range(1).select(lit(fp).as("fp"))
       .coalesce(1).write.mode("overwrite").parquet(fpPath)
+    // doc-stats sidecar rides the same append: extend it with the delta
+    // docs' rows when it matches the pre-append generation, else leave it
+    // stale (next ensurePostingStats rebuilds from a full scan — the
+    // fallback, never a fresh-looking sidecar missing the delta)
+    val statsPath = postingsStatsPath(dir)
+    val statsFpPath = statsPath + "_model"
+    val statsFp =
+      try Some(spark.read.parquet(statsFpPath).collect()(0).getLong(0))
+      catch { case e if scala.util.control.NonFatal(e) => None }
+    if (statsFp.contains(storedFp)) {
+      docStatsOf(newDocs).write.mode("append").parquet(statsPath)
+      spark.range(1).select(lit(fp).as("fp"))
+        .coalesce(1).write.mode("overwrite").parquet(statsFpPath)
+    }
     table
+  }
+
+  /** Per-doc stats sidecar of a posting generation. */
+  private[graft] def postingsStatsPath(dir: String): String =
+    postingsServePath(dir) + "_docstats"
+
+  /** One scan projection of the per-doc posting stats: content split key
+    * and distinct-shingle count. The SAME split and size expressions as
+    * [[Curation.contaminationOf]], so served screens match the batch
+    * computation by construction. */
+  private def docStatsOf(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    docs
+      .select(
+        col("doc_id"),
+        TextAnalysis.splitCol(TextAnalysis.splitKeyCol).as("split"),
+        call_function(graft.functions.GraftFunctions.ShingleSetName, col("text")).as("hs"))
+      .filter(col("hs").isNotNull)
+      .select(col("doc_id"), col("split"), size(col("hs")).as("n_shingles"))
+  }
+
+  /** Ensure the posting generation's per-doc stats sidecar
+    * (doc_id, split, n_shingles) exists and matches the corpus
+    * fingerprint; returns it. The sidecar is what lets a posting-served
+    * decontamination screen ([[Curation.contaminationDeltaServe]]) skip
+    * the corpus text scan entirely at query time — per-doc denominators
+    * are index state, paid once per generation. Generations written
+    * before this sidecar existed simply build it on first use (one scan,
+    * fingerprint-stamped after the write — the crash-safety order of
+    * [[ensurePostings]]). */
+  private[graft] def ensurePostingStats(spark: SparkSession, dir: String): DataFrame = {
+    ensurePostings(spark, dir)
+    val path = postingsStatsPath(dir)
+    val fpPath = path + "_model"
+    val fp = Similarity.corpusFingerprint(spark, dir, "documents.parquet")
+    val storedFp =
+      try Some(spark.read.parquet(fpPath).collect()(0).getLong(0))
+      catch {
+        case e if scala.util.control.NonFatal(e) =>
+          Similarity.warnUnreadableSidecar("posting-doc-stats", fpPath, e)
+          None
+      }
+    if (!storedFp.contains(fp)) {
+      Tables.invalidate(spark, dir, "documents")
+      docStatsOf(Tables.documents(spark, dir))
+        .write.mode("overwrite").parquet(path)
+      spark.range(1).select(lit(fp).as("fp"))
+        .coalesce(1).write.mode("overwrite").parquet(fpPath)
+    }
+    spark.read.parquet(path)
   }
 
   /** q_dedup_ngram SERVING path: exact n-gram Jaccard verified over the

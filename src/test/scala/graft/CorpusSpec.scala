@@ -360,6 +360,9 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     val delta = docs.filter(col("doc_id") % 5 === 0)
     base.write.mode("overwrite").parquet(tmp + "/documents.parquet")
     operators.Dedup.ensurePostings(spark, tmp)
+    // build the doc-stats sidecar pre-append so the append path must
+    // maintain it incrementally (a stale sidecar would rebuild instead)
+    operators.Dedup.ensurePostingStats(spark, tmp)
     val path = operators.Dedup.postingsServePath(tmp)
     // data files only: _SUCCESS markers (and their .crc shadows)
     // legitimately refresh on append
@@ -398,6 +401,20 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rDirect = operators.Dedup.dedupResolve(spark, tmp)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(rServe == rDirect, "resolve over appended index diverged")
+    // the doc-stats sidecar absorbed the delta incrementally (fingerprint
+    // advanced with the append, so this serve must NOT rebuild it) and
+    // the index-served contamination screen equals the batch scan over
+    // the full appended corpus
+    val statsFpPath = operators.Dedup.postingsStatsPath(tmp) + "_model"
+    val statsStamp = new java.io.File(statsFpPath).lastModified
+    def screenOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(screenOf(operators.Curation.contaminationServe(spark, tmp)) ==
+      screenOf(operators.Curation.contamination(spark, tmp)),
+      "served screen over appended stats diverged from the batch scan")
+    assert(new java.io.File(statsFpPath).lastModified == statsStamp,
+      "serve after append rebuilt the doc-stats sidecar")
   }
 
   test("ivfpq residual encoding: tighter reconstruction and no worse ADC ranking than raw-book PQ") {
@@ -782,6 +799,39 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(c >= 0 && c <= n, s"0 <= n_contaminated <= n_shingles: $r")
       assert(math.abs(rate - c.toDouble / n) == 0.0, s"rate consistent: $r")
       assert(flag == (rate >= operators.Curation.ContaminationMax), s"flag: $r")
+    }
+  }
+
+  test("posting-served contamination screen: full-eval parity and delta additivity") {
+    def keyOf(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+      (r.getInt(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))
+    // instantiated with the whole eval gram set, the index-served screen
+    // must equal the batch scan computation exactly
+    val batch = operators.Curation.contamination(spark, sf).collect().map(keyOf).toMap
+    val served = operators.Curation.contaminationServe(spark, sf).collect().map(keyOf).toMap
+    assert(served == batch, "index-served screen diverged from the batch scan")
+    // additivity over disjoint gram sets: per-benchmark delta screens
+    // compose into the full report (the production absorb-a-new-benchmark
+    // path). Split the eval grams by hash parity — disjoint by construction.
+    val docs = Tables.documents(spark, sf)
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val grams = docs
+      .select(
+        operators.TextAnalysis.splitCol(operators.TextAnalysis.splitKeyCol).as("split"),
+        call_function(graft.functions.GraftFunctions.ShingleSetName, col("text")).as("hs"))
+      .filter(col("split") === "test" && col("hs").isNotNull)
+      .select(explode(col("hs")).as("h"))
+    def counts(g: org.apache.spark.sql.DataFrame) =
+      operators.Curation.contaminationDeltaServe(spark, sf, g)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val even = counts(grams.filter(pmod(col("h"), lit(2)) === 0))
+    val odd = counts(grams.filter(pmod(col("h"), lit(2)) === 1))
+    val full = counts(grams)
+    assert(full.keySet == even.keySet && full.keySet == odd.keySet,
+      "screens over the same corpus must report the same train docs")
+    full.foreach { case (id, n) =>
+      assert(even(id) + odd(id) == n,
+        s"delta screens must add: doc $id ${even(id)}+${odd(id)} != $n")
     }
   }
 
