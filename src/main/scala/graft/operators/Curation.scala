@@ -693,4 +693,70 @@ object Curation {
        |    AS n_rare
        |FROM tok JOIN dfq USING (word) CROSS JOIN nd
        |GROUP BY doc_id""".stripMargin
+
+  // ------------------------------------------------- rarity thresholds
+
+  /** Quantile for the rarity curation ceilings: a doc above the
+    * [[RarityQuantile]] tail on either signal is in the cut candidates
+    * (high mean_df = boilerplate; high rare-word fraction =
+    * gibberish/OCR noise). */
+  val RarityQuantile = 0.9
+
+  def rarityThresholds(spark: SparkSession, dir: String): DataFrame =
+    rarityThresholds(spark, dir, approx = false)
+
+  /** q_rarity_thresholds — corpus-derived ceilings over the rarity
+    * signals: the [[RarityQuantile]] quantile of per-doc mean document
+    * frequency and of the rare-word fraction, the data-derived
+    * counterpart of a hand-picked boilerplate/gibberish cutoff (same
+    * discipline as [[TextAnalysis.qualityThresholds]]).
+    *
+    * `approx = true` is the 100 TB swap: exact `percentile` buffers
+    * every doc's value, while the engine's own mergeable KLL sketch
+    * ([[graft.functions.KllSketch]] — ONE sketch implementation across
+    * batch thresholds and streaming floors, so states merge) holds
+    * O(k·log(n/k)) memory with the deterministic
+    * `KllSketch.rankErrorBound`; the spec bounds observed drift. The
+    * exact form stays the default because it is what the DuckDB
+    * QUANTILE_CONT hash oracle matches bit-for-bit. */
+  def rarityThresholds(spark: SparkSession, dir: String, approx: Boolean): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val signals = rarityScore(spark, dir)
+      .select(
+        col("mean_df"),
+        (col("n_rare").cast(DoubleType) /
+          col("n_distinct_words").cast(DoubleType)).as("rare_frac"))
+    if (approx)
+      signals
+        .agg(
+          count(lit(1)).as("n_docs"),
+          call_function(GraftFunctions.KllName,
+            col("mean_df"), lit(graft.functions.KllSketch.DefaultK)).as("sk_m"),
+          call_function(GraftFunctions.KllName,
+            col("rare_frac"), lit(graft.functions.KllSketch.DefaultK)).as("sk_r"))
+        .select(
+          col("n_docs"),
+          call_function(GraftFunctions.KllQuantileName,
+            col("sk_m"), lit(RarityQuantile)).as("mean_df_hi"),
+          call_function(GraftFunctions.KllQuantileName,
+            col("sk_r"), lit(RarityQuantile)).as("rare_frac_hi"))
+    else
+      signals.agg(
+        count(lit(1)).as("n_docs"),
+        percentile(col("mean_df"), lit(RarityQuantile)).as("mean_df_hi"),
+        percentile(col("rare_frac"), lit(RarityQuantile)).as("rare_frac_hi"))
+  }
+
+  val rarityThresholdsOracle: String =
+    s"""WITH rarity AS (
+       |${"  " + rarityScoreOracle.replace("\n", "\n  ")}
+       |), sig AS (
+       |  SELECT mean_df,
+       |    CAST(n_rare AS DOUBLE) / CAST(n_distinct_words AS DOUBLE) AS rare_frac
+       |  FROM rarity
+       |)
+       |SELECT COUNT(*) AS n_docs,
+       |  QUANTILE_CONT(mean_df, $RarityQuantile) AS mean_df_hi,
+       |  QUANTILE_CONT(rare_frac, $RarityQuantile) AS rare_frac_hi
+       |FROM sig""".stripMargin
 }

@@ -660,6 +660,30 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("approx rarity thresholds: rank drift bounded vs the exact quantile") {
+    import org.apache.spark.sql.functions._
+    val exact = operators.Curation.rarityThresholds(spark, sf).collect()(0)
+    val approx = operators.Curation.rarityThresholds(spark, sf, approx = true).collect()(0)
+    assert(approx.getLong(0) == exact.getLong(0), "n_docs must be exact either way")
+    val signals = operators.Curation.rarityScore(spark, sf)
+      .select(col("mean_df"),
+        col("n_rare").cast("double") / col("n_distinct_words").cast("double"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val q = operators.Curation.RarityQuantile
+    for ((vals, qa, qe, tag) <- Seq(
+        (signals.map(_._1), approx.getDouble(1), exact.getDouble(1), "mean_df"),
+        (signals.map(_._2), approx.getDouble(2), exact.getDouble(2), "rare_frac"))) {
+      val n = vals.length.toDouble
+      val eps = graft.functions.KllSketch.rankErrorBound(vals.length.toLong) + 1.0 / n
+      val below = vals.count(_ < qa) / n
+      val atOrBelow = vals.count(_ <= qa) / n
+      assert(below <= q + eps, s"$tag: approx q ranks too high ($below > $q + $eps)")
+      assert(atOrBelow >= q - eps, s"$tag: approx q ranks too low ($atOrBelow < $q - $eps)")
+      assert(math.abs(qa - qe) <= 0.05 * math.max(1.0, math.abs(qe)),
+        s"$tag: approx $qa vs exact $qe")
+    }
+  }
+
   test("bpe tokenization: trained merges compress, counts bounded by symbols") {
     import org.apache.spark.sql.functions._
     val d = graft.Tables.documents(spark, sf)
