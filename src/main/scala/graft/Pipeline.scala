@@ -2,7 +2,7 @@ package graft
 
 import graft.operators._
 import graft.sources.Sinks
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** End-to-end pipeline main — the engine-side equivalent of the
   * reference's `make run-full-pipeline` (Airflow DAG chain raw -> staging
@@ -129,34 +129,67 @@ object Pipeline {
     * re-running the corpus. Returns the years actually rebuilt. */
   def backfillMonthlyTrend(spark: SparkSession, sfDir: String, outDir: String,
       years: Option[Seq[Int]] = None): Seq[Int] = {
+    backfillLayer(spark, Seasonal.monthlyTrend(spark, sfDir),
+      s"$outDir/monthly_trend", "year", years.map(_.map(_.toString)))
+      .map(_.toInt)
+  }
+
+  /** The GENERIC presence-based backfill/catch-up harness the
+    * layer-specific entry points instantiate: any frame carrying a
+    * partition-key column, any layer path. Slice keys compare as their
+    * partition-directory string form (`<partCol>=<value>`), so the
+    * same harness drives int years, epoch days, or string dates.
+    *
+    *  - `keys = None` (CATCH-UP): slices present in the frame but
+    *    absent on disk rebuild; nothing else is touched.
+    *  - `keys = Some(...)` (BACKFILL): exactly the named slices
+    *    rebuild, unconditionally.
+    *
+    * The write is a dynamic partition overwrite of ONE plan filtered
+    * to the due keys — untouched partition dirs keep their files
+    * byte-for-byte. The due-key discovery pass reads the frame's key
+    * column only (group-cardinality after aggregation, never
+    * fact-cardinality). Returns the slice keys rebuilt. */
+  def backfillLayer(spark: SparkSession, frame: DataFrame, layer: String,
+      partCol: String, keys: Option[Seq[String]] = None): Seq[String] = {
     import org.apache.spark.sql.functions.col
-    val layer = s"$outDir/monthly_trend"
-    val existing: Set[Int] = Option(new java.io.File(layer).listFiles)
+    val existing: Set[String] = Option(new java.io.File(layer).listFiles)
       .getOrElse(Array.empty)
-      .collect { case f if f.isDirectory && f.getName.startsWith("year=") =>
-        f.getName.stripPrefix("year=").toInt
+      .collect { case f if f.isDirectory && f.getName.startsWith(s"$partCol=") =>
+        f.getName.stripPrefix(s"$partCol=")
       }.toSet
-    val trend = Seasonal.monthlyTrend(spark, sfDir)
-    val due = years match {
-      case Some(ys) => ys.distinct.sorted
+    val due = keys match {
+      case Some(ks) => ks.distinct.sorted
       case None =>
-        // one column-pruned pass over the already-aggregated frame's
-        // source years; group-cardinality, never fact-cardinality
-        trend.select(col("year")).distinct()
-          .collect().map(_.getInt(0)).filterNot(existing).sorted.toSeq
+        frame.select(col(partCol).cast("string")).distinct()
+          .collect().map(_.getString(0)).filterNot(existing).sorted.toSeq
     }
     if (due.nonEmpty) {
       val saved = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       try
-        trend.filter(col("year").isin(due.map(Integer.valueOf): _*))
+        frame.filter(col(partCol).cast("string").isin(due: _*))
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .partitionBy("year").parquet(layer)
+          .partitionBy(partCol).parquet(layer)
       finally saved match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
     }
     due
+  }
+
+  /** Backfill/catch-up for the hourly event-window layer, sliced by
+    * EPOCH DAY (timezone-free integer day key — the @daily logical-date
+    * axis of the reference's event DAGs). Same semantics as
+    * [[backfillMonthlyTrend]], same harness. */
+  def backfillEventWindows(spark: SparkSession, sfDir: String, outDir: String,
+      days: Option[Seq[Long]] = None): Seq[Long] = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val frame = Events.eventWindows(spark, sfDir)
+      .withColumn("day", expr("window_start_ms DIV 86400000"))
+    backfillLayer(spark, frame, s"$outDir/event_windows", "day",
+      days.map(_.map(_.toString)))
+      .map(_.toLong)
   }
 }

@@ -557,6 +557,40 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
       "backfilled layer diverged from the from-scratch build")
   }
 
+  test("generic backfill harness: epoch-day event-window layer catches up and backfills") {
+    val out = java.nio.file.Files.createTempDirectory("graftbackfill2").toString
+    val layer = s"$out/event_windows"
+    val full = operators.Events.eventWindows(spark, sf)
+      .withColumn("day", expr("window_start_ms DIV 86400000"))
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select("window_start_ms", "event_type", "n_events", "total_value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val want = cells(full)
+    val days = full.select("day").distinct().collect().map(_.getLong(0)).sorted
+    assert(days.length >= 3, s"need a few days to backfill, got ${days.toSeq}")
+    val seeded = days.dropRight(2)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    full.filter(col("day").isin(seeded.map(java.lang.Long.valueOf): _*))
+      .write.mode("overwrite").partitionBy("day").parquet(layer)
+    def stampOf(d: Long) = new java.io.File(s"$layer/day=$d").listFiles
+      .map(f => f.getName -> f.lastModified).toMap
+    val preStamps = seeded.map(d => d -> stampOf(d)).toMap
+    // catch-up fills exactly the missing tail, untouched slices byte-stable
+    assert(Pipeline.backfillEventWindows(spark, sf, out) == days.takeRight(2).toSeq)
+    seeded.foreach(d => assert(stampOf(d) == preStamps(d), s"catch-up rewrote day=$d"))
+    assert(cells(spark.read.parquet(layer)) == want,
+      "caught-up layer diverged from the from-scratch build")
+    assert(Pipeline.backfillEventWindows(spark, sf, out).isEmpty, "no-op catch-up")
+    // explicit one-day backfill rewrites that slice only
+    val target = days.head
+    val otherStamps = days.tail.map(d => d -> stampOf(d)).toMap
+    assert(Pipeline.backfillEventWindows(spark, sf, out, Some(Seq(target))) == Seq(target))
+    days.tail.foreach(d => assert(stampOf(d) == otherStamps(d), s"backfill rewrote day=$d"))
+    assert(cells(spark.read.parquet(layer)) == want,
+      "backfilled layer diverged from the from-scratch build")
+  }
+
   test("streaming ingest gate: dedup + decontamination store equals the batch reference") {
     import graft.streaming.IngestGate
     val all = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
