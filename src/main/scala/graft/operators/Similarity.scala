@@ -899,6 +899,206 @@ object Similarity {
     withRecall(knnPqOf(spark, dir, spark.read.parquet(indexPath), books, k), spark, dir, k)
   }
 
+  // ------------------------------------------------------------------ OPQ
+
+  /** OPQ alternations (each = one full PQ refit + one closed-form
+    * rotation solve). The rotation converges fast — a couple of
+    * alternations capture most of the distortion gain (Ge et al.,
+    * "Optimized Product Quantization", CVPR'13 report diminishing
+    * returns within a handful); training is one-time index-build work
+    * either way. */
+  val OpqIters = 2
+
+  /** y = R·x as a codegen'd projection: one dot product per output
+    * component, R folded into a single Literal (the typedLit discipline
+    * of [[pqCodesCol]]). */
+  private[graft] def rotateCol(r: Array[Array[Double]], vec: Column): Column =
+    transform(typedLit(r.map(_.toSeq).toSeq),
+      row => aggregate(zip_with(row, vec, (a, b) => a * b.cast(DoubleType)),
+        lit(0.0), (acc, v) => acc + v))
+
+  /** Deterministic cross-correlation M = Σ recon(R·x)·xᵀ (the Procrustes
+    * input) as a (dim x dim)-group decimal-summed aggregation:
+    * order-independent sums, so the learned rotation is
+    * partition-invariant like every other trained model here. The dim²
+    * explode is training-only work, never query work — and at corpus
+    * scale OPQ (like any quantizer training) runs over a bounded sample
+    * while encoding runs over everything. */
+  private def opqCorrelation(withRecon: DataFrame, dim: Int): Array[Array[Double]] = {
+    val cells = withRecon
+      .select(col("x"), posexplode(col("recon")))
+      .toDF("x", "i", "yi")
+      .select(col("i"), col("yi"), posexplode(col("x")))
+      .toDF("i", "yi", "j", "xj")
+      .groupBy(col("i"), col("j"))
+      .agg(sum((col("yi") * col("xj")).cast(DecimalType(38, 18)))
+        .cast(DoubleType).as("mij"))
+      .collect()
+    val m = Array.fill(dim)(new Array[Double](dim))
+    cells.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    m
+  }
+
+  /** Closed-form orthogonal Procrustes step: argmin over orthogonal R of
+    * ‖R·X − Y‖_F is U·Vᵀ for U·S·Vᵀ = svd(Y·Xᵀ). The SVD runs on the
+    * driver over the dim x dim correlation — model-sized state, the same
+    * line as the IVF centroid collect. */
+  private def procrustes(m: Array[Array[Double]]): Array[Array[Double]] = {
+    val dim = m.length
+    // breeze matrices are column-major: data(j*dim + i) = m(i)(j)
+    val bm = new breeze.linalg.DenseMatrix(dim, dim,
+      Array.tabulate(dim * dim)(idx => m(idx % dim)(idx / dim)))
+    val s = breeze.linalg.svd(bm)
+    val r = s.U * s.Vt
+    Array.tabulate(dim, dim)((i, j) => r(i, j))
+  }
+
+  /** Train OPQ: an orthogonal rotation R plus PQ codebooks for the
+    * ROTATED corpus, by alternating exact minimizations (Ge et al.,
+    * CVPR'13): fix R, refit codebooks (Lloyd per subspace); fix
+    * codebooks, solve R in closed form (Procrustes). The alternation
+    * STARTS at the plain-PQ solution (R = I, one PQ fit), so it descends
+    * from PQ's distortion — the spec pins no-worse reconstruction. The
+    * subspace-decorrelating rotation is what lifts PQ when embedding
+    * dimensions are correlated (the common case for learned
+    * embeddings). */
+  def opqFit(corpus: DataFrame, m: Int = PqM, k: Int = PqK, iters: Int = OpqIters)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val dim = corpus.select(size(col("vec"))).head().getInt(0)
+    val x = corpus
+      .select(col("vec_id"), transform(col("vec"), v => v.cast(DoubleType)).as("x"))
+      .localCheckpoint(eager = false)
+    var r = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    var books: Array[Array[Array[Double]]] = null
+    for (t <- 0 to iters) {
+      // the rotated frame feeds pqFit's multi-pass Lloyd AND the
+      // correlation pass — one materialization
+      val rotated = x
+        .select(col("vec_id"), col("x"), rotateCol(r, col("x")).as("vec"))
+        .localCheckpoint(eager = false)
+      books = pqFit(rotated.select(col("vec_id"), col("vec")), m, k)
+      if (t < iters) {
+        val withRecon = rotated
+          .withColumn("codes", pqCodesCol(books))
+          .withColumn("recon", pqReconCol(books))
+        r = procrustes(opqCorrelation(withRecon, dim))
+      }
+    }
+    (r, books)
+  }
+
+  /** Serving-index location for a corpus dir's OPQ generation. */
+  private[graft] def opqServePath(dir: String): String = servePath("opq_serve_", dir)
+
+  /** Row-key offset for rotation cells in the OPQ sidecar: row
+    * (cid = OpqRotBase − i, pos = j, w = R(i)(j)). Codebooks ride at
+    * cid ≥ 0 ([[writePqIndexOf]]'s layout), so one sidecar carries the
+    * whole model and the freshness probe stays a single read. */
+  private val OpqRotBase = -1000
+
+  /** Build the OPQ index generation: train (R, books), write the coded
+    * ROTATED corpus, persist rotation + books + geometry in one sidecar.
+    * Stamp pos 3 marks the rotation's presence — a plain-PQ sidecar
+    * fails the OPQ read probe explicitly and rebuilds. */
+  private[graft] def writeOpqIndexOf(spark: SparkSession, corpus: DataFrame,
+      indexPath: String, fingerprint: Option[Long] = None)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    GraftFunctions.ensureRegistered(spark)
+    val (r, books) = opqFit(corpus)
+    corpus
+      .select(col("vec_id"), rotateCol(r, col("vec")).as("vec"))
+      .select(col("vec_id"), pqCodesCol(books).as("codes"))
+      .write.mode("overwrite").parquet(indexPath)
+    writeIvfModel(spark, indexPath, books.flatten, corpus.count(), fingerprint)
+    import spark.implicits._
+    val rotRows = r.zipWithIndex.flatMap { case (row, i) =>
+      row.zipWithIndex.map { case (v, j) => (OpqRotBase - i, j, v) }
+    }
+    (rotRows.toSeq ++ Seq((-3, 0, PqM.toDouble), (-3, 1, PqK.toDouble), (-3, 3, 1.0)))
+      .toDF("cid", "pos", "w")
+      .coalesce(1).write.mode("append").parquet(ivfModelPath(indexPath))
+    (r, books)
+  }
+
+  private[graft] def readOpqModels(spark: SparkSession, indexPath: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]], Option[Long]) = {
+    val rows = readModelRows(spark, indexPath)
+    val (flat, _, fp) = decodeModelRows(rows)
+    val geo = rows.filter(_.getInt(0) == -3)
+      .map(r => r.getInt(1) -> r.getDouble(2).toInt).toMap
+    require(geo.get(0).contains(PqM) && geo.get(1).contains(PqK),
+      s"OPQ sidecar geometry ${geo.get(0)}x${geo.get(1)} != current $PqM x $PqK " +
+        "(constants retuned? the serve path rebuilds on this failure)")
+    require(geo.get(3).contains(1),
+      "OPQ sidecar carries no rotation marker — its codes decode under " +
+        "unrotated semantics; the serve path rebuilds on this failure")
+    require(flat.length == PqM * PqK,
+      s"OPQ sidecar has ${flat.length} codebook rows, expected $PqM x $PqK")
+    val books = flat.grouped(PqK).toArray
+    val dim = books.head.head.length * PqM
+    val rotCells = rows.filter(_.getInt(0) <= OpqRotBase)
+    require(rotCells.length == dim * dim,
+      s"OPQ sidecar has ${rotCells.length} rotation cells, expected $dim x $dim")
+    val r = Array.fill(dim)(new Array[Double](dim))
+    rotCells.foreach(c => r(OpqRotBase - c.getInt(0))(c.getInt(1)) = c.getDouble(2))
+    (r, books, fp)
+  }
+
+  /** ADC + exact re-rank over an OPQ-coded corpus: queries rotate into
+    * the coded space for the shortlist pass (orthogonal rotation
+    * preserves inner products, so ADC scores estimate the same cosines),
+    * and the exact re-rank scores ORIGINAL vectors — identical output
+    * contract to [[knnPqOf]]. */
+  private[graft] def knnOpqOf(spark: SparkSession, dir: String, coded: DataFrame,
+      r: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      k: Int): DataFrame = {
+    val corpus = emb(spark, dir)
+    val queries = broadcast(
+      corpus.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("vec").as("qvec")))
+    val rq = broadcast(
+      queries.select(col("query_id"), rotateCol(r, col("qvec")).as("rqvec")))
+    val adc = coded
+      .withColumn("recon", pqReconCol(books))
+      .join(rq, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("rqvec"), col("recon")).as("cosine"))
+    pqRerank(adc, queries, corpus, k)
+  }
+
+  /** q_knn_opq from-scratch form — the reference the serve path is
+    * spec-checked against. */
+  def knnOpq(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val corpus = emb(spark, dir)
+    val (r, books) = opqFit(corpus)
+    val coded = corpus
+      .select(col("vec_id"), rotateCol(r, col("vec")).as("vec"))
+      .select(col("vec_id"), pqCodesCol(books).as("codes"))
+    knnOpqOf(spark, dir, coded, r, books, k)
+  }
+
+  /** q_knn_opq SERVING path — same fingerprint-keyed generation
+    * discipline as [[knnPqServe]]. */
+  def knnOpqServe(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val indexPath = opqServePath(dir)
+    val fp = corpusFingerprint(spark, dir)
+    val stored =
+      try Some(readOpqModels(spark, indexPath))
+      catch {
+        case e if scala.util.control.NonFatal(e) =>
+          warnUnreadableSidecar("opq", ivfModelPath(indexPath), e)
+          None
+      }
+    val (r, books) = stored match {
+      case Some((rr, b, Some(storedFp))) if storedFp == fp => (rr, b)
+      case _ =>
+        Tables.invalidate(spark, dir, "embeddings")
+        writeOpqIndexOf(spark, emb(spark, dir), indexPath, Some(fp))
+    }
+    withRecall(knnOpqOf(spark, dir, spark.read.parquet(indexPath), r, books, k),
+      spark, dir, k)
+  }
+
   // --------------------------------------------------------------- IVF-PQ
 
   /** Row-key offset for PQ codebook weights inside the fused index's

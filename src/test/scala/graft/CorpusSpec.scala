@@ -299,6 +299,7 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     check("lsh", operators.Similarity.knnLsh(spark, sf, k), 0.3)
     check("ivf", operators.Similarity.knnIvfServe(spark, sf, k), 0.25)
     check("pq", operators.Similarity.knnPqServe(spark, sf, k), 0.9)
+    check("opq", operators.Similarity.knnOpqServe(spark, sf, k), 0.9)
     check("ivfpq", operators.Similarity.knnIvfPqServe(spark, sf, k), 0.25)
     // ground truth is generation-keyed: a second call reuses the sidecar
     val gtDir = new java.io.File(operators.Similarity.gtServePath(sf, k))
@@ -917,6 +918,61 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(explode(col("codes")).as("c"))
       .filter(col("c") < 0 || col("c") >= operators.Similarity.PqK).count()
     assert(bad == 0L, "PQ code out of [0, PqK)")
+  }
+
+  test("opq: orthogonal rotation, no-worse reconstruction than PQ, serve bit-equal") {
+    import org.apache.spark.sql.functions._
+    val corpus = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").as("vec"))
+    val (r, books) = operators.Similarity.opqFit(corpus)
+    val dim = r.length
+    // R is orthogonal: RᵀR = I (the Procrustes constraint actually held)
+    for (i <- 0 until dim; j <- 0 until dim) {
+      val dot = (0 until dim).map(t => r(t)(i) * r(t)(j)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"RtR($i,$j) = $dot != $want")
+    }
+    // the alternation starts AT the plain-PQ solution and descends:
+    // mean squared reconstruction error (measured in the rotated space,
+    // = original space by orthogonal invariance) must not exceed PQ's
+    def mseOf(frame: org.apache.spark.sql.DataFrame,
+        b: Array[Array[Array[Double]]]) = frame
+      .withColumn("codes", operators.Similarity.pqCodesCol(b))
+      .withColumn("recon", operators.Similarity.pqReconCol(b))
+      .select(aggregate(zip_with(col("vec"), col("recon"),
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (a, v) => a + v).as("e"))
+      .agg(avg(col("e"))).head().getDouble(0)
+    val rotated = corpus.select(col("vec_id"),
+      operators.Similarity.rotateCol(r, col("vec")).as("vec"))
+    val opqMse = mseOf(rotated, books)
+    val pqMse = mseOf(corpus, operators.Similarity.pqFit(corpus))
+    assert(opqMse <= pqMse * 1.001,
+      s"OPQ reconstruction worse than plain PQ: $opqMse > $pqMse")
+    // serve == from-scratch, generation reused when warm
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "cosine", "rk").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getInt(3))).toSet
+    val direct = rows(operators.Similarity.knnOpq(spark, sf))
+    val cold = rows(operators.Similarity.knnOpqServe(spark, sf))
+    assert(cold == direct, "cold OPQ serve diverged from the from-scratch form")
+    val modelDir = new java.io.File(
+      operators.Similarity.opqServePath(sf) + "_model")
+    val stamp = modelDir.listFiles.map(f => f.getName -> f.lastModified).toMap
+    val warm = rows(operators.Similarity.knnOpqServe(spark, sf))
+    assert(warm == direct, "warm OPQ serve diverged")
+    assert(modelDir.listFiles.map(f => f.getName -> f.lastModified).toMap == stamp,
+      "warm OPQ serve rewrote the generation instead of reusing it")
+    // recalled pairs carry EXACT cosines (re-rank scores original vectors)
+    val brute = rows(operators.Similarity.knnBrute(spark, sf))
+    val bruteScores = brute.map(t => (t._1, t._2) -> t._3).toMap
+    direct.foreach { case (q, n, c, _) =>
+      bruteScores.get((q, n)).foreach(b =>
+        assert(b == c, s"re-ranked cosine of ($q,$n) diverged from exact"))
+    }
+    val recall = brute.map(t => (t._1, t._2))
+      .intersect(direct.map(t => (t._1, t._2))).size.toDouble / brute.size
+    assert(recall >= 0.9, s"OPQ recall@10 after exact re-rank: $recall")
   }
 
   test("quality classifier: partition-invariant training, converging loss, beats majority class") {
