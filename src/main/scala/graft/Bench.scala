@@ -47,24 +47,25 @@ object Bench {
     }
     // Locale.ROOT because the default-locale format would emit decimal
     // COMMAS on a comma-decimal host locale — invalid JSON on the one
-    // line that must stay parseable. The COMPACT line uses 1ms precision:
-    // at 71 queries the 0.1ms form ran 1858 chars, within ~70 of the
-    // driver's 2000-char tail capture (plus sbt's trailing [success]
-    // line) — the next operator added would have clipped it mid-line.
+    // line that must stay parseable. The COMPACT line's per-query values
+    // use 10ms precision: the 1ms form crossed the 1900-char guard at 76
+    // queries (r8), and run-to-run spread is an order of magnitude above
+    // 10ms anyway — full 0.1ms precision persists in bench_out.json.
     def f(x: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, x)
     def f3(x: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, x)
+    def f2(x: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, x)
     val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + f(med) }
       .mkString("{", ",", "}")
-    val qs3 = results.map { case (k, med, _, _) => "\"" + k + "\":" + f3(med) }
+    val qs3 = results.map { case (k, med, _, _) => "\"" + k + "\":" + f2(med) }
       .mkString("{", ",", "}")
     val spread = results
       .map { case (k, _, mn, mx) => "\"" + k + "\":[" + f(mn) + "," + f(mx) + "]" }
       .mkString("{", ",", "}")
-    // the compact line's total is the sum of its own 3-decimal medians,
+    // the compact line's total is the sum of its own rounded medians,
     // so sum(queries) reconciles with value EXACTLY inside that document;
     // the full file's value is the true-median sum rounded to 4 decimals
     // (reconciles with its queries to within nq * 0.5e-4)
-    val total3 = f3(results.map(r => f3(r._2).toDouble).sum)
+    val total3 = f3(results.map(r => f2(r._2).toDouble).sum)
     val total = f(results.map(_._2).sum)
     val compact = s"""{"metric":"total","value":$total3,"unit":"sec","queries":$qs3,"iters":$iters,"sf":"$sfDir"}"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"iters":$iters,"sf":"$sfDir"}"""
