@@ -1255,6 +1255,73 @@ object Similarity {
     withRecall(knnIvfPq(spark, dir, indexPath, cents, books, k), spark, dir, k)
   }
 
+  /** Incrementally maintain the fused IVF-PQ index after an embedding
+    * ingest: encode ONLY the new vectors with the EXISTING coarse
+    * quantizer and codebooks, append their codes into the existing
+    * `cid=` partition dirs, and advance the fingerprint sidecar to the
+    * post-append corpus state — the embedding-side twin of
+    * [[Dedup.appendPostings]], and the standard production shape (a
+    * trained quantizer absorbs new vectors without retraining; drift is
+    * a slow, monitored process handled by periodic rebuilds, not by
+    * re-encoding the corpus per ingest). At 100 TB this is the
+    * difference between encoding a day's vectors and re-clustering
+    * everything.
+    *
+    * Contract mirrors [[Dedup.appendPostings]]: call AFTER the delta
+    * files land in `dir`, passing exactly the newly-landed vectors;
+    * `expectedFp` (captured BEFORE the delta landed) proves the
+    * generation matches the corpus the delta extends — a stale index
+    * must take the full-rebuild path, never absorb a delta and get
+    * re-stamped fresh. Crash safety likewise: the sidecar advances only
+    * after the code append commits, so a crash in between leaves a
+    * stale sidecar and the next serve rebuilds. The model sidecar is
+    * rewritten (same centroids/books, new fingerprint): a crash mid-
+    * rewrite leaves a books-less sidecar that fails the read probe ->
+    * rebuild, the build path's own failure mode. */
+  def appendIvfPq(spark: SparkSession, dir: String, newVecs: DataFrame,
+      expectedFp: Option[Long] = None): Unit = {
+    GraftFunctions.ensureRegistered(spark)
+    val indexPath = ivfPqServePath(dir)
+    require(new java.io.File(indexPath).exists(),
+      s"no IVF-PQ generation at $indexPath to append into — serve once first")
+    val (cents, books, storedFp0) =
+      try readIvfPqModels(spark, indexPath)
+      catch {
+        case e if scala.util.control.NonFatal(e) =>
+          throw new IllegalStateException(
+            s"IVF-PQ sidecar at ${ivfModelPath(indexPath)} unreadable — " +
+              "rebuild with knnIvfPqServe instead of appending into an " +
+              "unproven generation", e)
+      }
+    val storedFp = storedFp0.getOrElse(throw new IllegalStateException(
+      "IVF-PQ sidecar carries no fingerprint — rebuild instead of appending"))
+    expectedFp.foreach(f => require(storedFp == f,
+      s"IVF-PQ generation at $indexPath was built for a different corpus " +
+        s"state (stored fp $storedFp != pre-append fp $f): rebuild, not append"))
+    // encode the delta EXACTLY as the build path does: cell assignment,
+    // residual against the cell centroid, PQ codes of the residual
+    newVecs
+      .select(col("vec_id"), col("vec"),
+        GraftFunctions.graftArgminL2(col("vec"), centsLit(cents)).as("cid"))
+      .select(col("vec_id"), col("cid"),
+        zip_with(col("vec"), element_at(centsLit(cents), col("cid") + 1),
+          (x, c) => x.cast(DoubleType) - c).as("vec"))
+      .select(col("vec_id"), col("cid"), pqCodesCol(books).as("codes"))
+      .write.mode("append").partitionBy("cid").parquet(indexPath)
+    // delta files are already in `dir`: re-list and stamp post-append
+    Tables.invalidate(spark, dir, "embeddings")
+    val fp = corpusFingerprint(spark, dir)
+    val (_, trainedCount, _) = readIvfModelFull(spark, indexPath)
+    writeIvfModel(spark, indexPath, cents, trainedCount, Some(fp))
+    import spark.implicits._
+    val bookRows = books.flatten.zipWithIndex.flatMap { case (c, i) =>
+      c.zipWithIndex.map { case (wv, p) => (IvfPqBookBase - i, p, wv) }
+    }
+    (bookRows ++ Seq((-3, 0, PqM.toDouble), (-3, 1, PqK.toDouble), (-3, 2, 1.0)))
+      .toSeq.toDF("cid", "pos", "w")
+      .coalesce(1).write.mode("append").parquet(ivfModelPath(indexPath))
+  }
+
   /** q_dedup_embedding_resolve — keep-one-copy canonicalization over the
     * embedding near-dup graph: [[embeddingDedup]] pairs resolved to
     * connected-component canonical ids by the same large-star/small-star

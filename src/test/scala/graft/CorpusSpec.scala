@@ -920,6 +920,63 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad == 0L, "PQ code out of [0, PqK)")
   }
 
+  test("ivfpq append: delta encodes into the existing generation, old files untouched") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graftivfappend").toString
+    val all = graft.Tables.embeddings(spark, sf)
+    val base = all.filter(col("vec_id") % 5 =!= 0 || col("vec_id") < 8)
+    val delta = all.filter(col("vec_id") % 5 === 0 && col("vec_id") >= 8)
+    base.write.mode("overwrite").parquet(tmp + "/embeddings.parquet")
+    // build the generation over the base corpus
+    operators.Similarity.knnIvfPqServe(spark, tmp).count()
+    val indexPath = operators.Similarity.ivfPqServePath(tmp)
+    def dataFiles = new java.io.File(indexPath).listFiles
+      .filter(_.isDirectory) // cid= partition dirs
+      .flatMap(d => d.listFiles.filterNot(f =>
+        f.getName.startsWith("_") || f.getName.startsWith(".")))
+      .map(f => f.getPath -> f.lastModified).toMap
+    val pre = dataFiles
+    val fp0 = operators.Similarity.corpusFingerprint(spark, tmp)
+    delta.write.mode("append").parquet(tmp + "/embeddings.parquet")
+    // stale-generation proof: a wrong pre-append fingerprint must refuse
+    intercept[IllegalArgumentException] {
+      operators.Similarity.appendIvfPq(spark, tmp,
+        delta.select(col("vec_id"), col("embedding").as("vec")),
+        expectedFp = Some(fp0 + 1))
+    }
+    operators.Similarity.appendIvfPq(spark, tmp,
+      delta.select(col("vec_id"), col("embedding").as("vec")),
+      expectedFp = Some(fp0))
+    val post = dataFiles
+    pre.foreach { case (p, m) =>
+      assert(post.get(p).contains(m), s"append rewrote existing code file $p")
+    }
+    assert(post.size > pre.size, "append wrote no new code files")
+    // serve over the appended generation: no rebuild (fingerprint
+    // advanced), delta vectors are searchable, cosines exact
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "cosine", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val served = rows(operators.Similarity.knnIvfPqServe(spark, tmp))
+    assert(dataFiles == post, "serve after append rebuilt the generation")
+    val brute = rows(operators.Similarity.knnBrute(spark, tmp))
+    val bruteScores = brute.map(t => (t._1, t._2) -> t._3).toMap
+    served.foreach { case (q, n, c, _) =>
+      bruteScores.get((q, n)).foreach(b =>
+        assert(b == c, s"re-ranked cosine of ($q,$n) diverged from exact"))
+    }
+    val deltaIds = delta.select("vec_id").collect().map(_.getLong(0)).toSet
+    val servedIds = served.map(_._2).toSet
+    assert(deltaIds.intersect(servedIds).nonEmpty,
+      "no appended vector ever surfaced in search results — the delta is invisible")
+    // aggregate recall floor over the appended corpus (the quantizer was
+    // trained on the base corpus only — the production shape)
+    val hits = served.map(t => (t._1, t._2)).toSet
+      .intersect(brute.map(t => (t._1, t._2)).toSet).size
+    assert(hits.toDouble / brute.size >= 0.25,
+      s"appended-index recall ${hits.toDouble / brute.size} below floor")
+  }
+
   test("opq: orthogonal rotation, no-worse reconstruction than PQ, serve bit-equal") {
     import org.apache.spark.sql.functions._
     val corpus = graft.Tables.embeddings(spark, sf)
