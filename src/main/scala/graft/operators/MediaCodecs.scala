@@ -185,6 +185,162 @@ object WavCodec {
   }
 }
 
+/** Pure-JVM DSP for the audio feature path: an iterative radix-2
+  * Cooley-Tukey FFT (no external libraries, executor-safe, allocation-
+  * free transform) and framed power-spectrum features. Spec-checked
+  * against the O(n²) DFT definition and Parseval's identity, so the
+  * fast path is gated by the math, not by eyeballing. */
+object Dsp {
+  /** In-place radix-2 FFT. Length must be a power of two. */
+  def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require(n == im.length && n > 0 && (n & (n - 1)) == 0,
+      s"fft length $n is not a power of 2")
+    var i = 1
+    var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang)
+      val wi = math.sin(ang)
+      var blockStart = 0
+      while (blockStart < n) {
+        var cwr = 1.0
+        var cwi = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val a = blockStart + k
+          val b = a + len / 2
+          val vr = re(b) * cwr - im(b) * cwi
+          val vi = re(b) * cwi + im(b) * cwr
+          re(b) = re(a) - vr; im(b) = im(a) - vi
+          re(a) += vr; im(a) += vi
+          val nwr = cwr * wr - cwi * wi
+          cwi = cwr * wi + cwi * wr
+          cwr = nwr
+          k += 1
+        }
+        blockStart += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** O(n²) DFT by definition — the independent reference [[fft]] is
+    * spec-checked against. */
+  private[graft] def dftRef(re: Array[Double], im: Array[Double])
+      : (Array[Double], Array[Double]) = {
+    val n = re.length
+    val or = new Array[Double](n)
+    val oi = new Array[Double](n)
+    for (k <- 0 until n; t <- 0 until n) {
+      val ang = -2.0 * math.Pi * k * t / n
+      val c = math.cos(ang); val s = math.sin(ang)
+      or(k) += re(t) * c - im(t) * s
+      oi(k) += re(t) * s + im(t) * c
+    }
+    (or, oi)
+  }
+
+  /** Analysis geometry: 512-point frames, half-frame hop, 12 log-spaced
+    * bands. At 16 kHz a frame is 32 ms — the standard speech/audio
+    * analysis scale. */
+  val Nfft = 512
+  val Hop = 256
+  val Bands = 12
+
+  /** Hann-windowed framed mean power spectrum (Welch-style average over
+    * half-overlapping frames; one zero-padded frame for clips shorter
+    * than [[Nfft]]): Nfft/2 + 1 bins. */
+  def meanPowerSpectrum(samples: Array[Short]): Array[Double] = {
+    val half = Nfft / 2 + 1
+    val acc = new Array[Double](half)
+    val n = samples.length
+    if (n == 0) return acc
+    val hann = Array.tabulate(Nfft)(i =>
+      0.5 * (1.0 - math.cos(2.0 * math.Pi * i / (Nfft - 1))))
+    val re = new Array[Double](Nfft)
+    val im = new Array[Double](Nfft)
+    var frames = 0
+    var start = 0
+    while (start == 0 || start + Nfft <= n) {
+      java.util.Arrays.fill(im, 0.0)
+      var i = 0
+      while (i < Nfft) {
+        re(i) = if (start + i < n) (samples(start + i) / 32768.0) * hann(i) else 0.0
+        i += 1
+      }
+      fft(re, im)
+      var k = 0
+      while (k < half) {
+        acc(k) += (re(k) * re(k) + im(k) * im(k)) / Nfft
+        k += 1
+      }
+      frames += 1
+      start += Hop
+    }
+    var k = 0
+    while (k < half) { acc(k) /= frames; k += 1 }
+    acc
+  }
+
+  /** Spectral shape features from a PCM-16 clip: centroid and 85%%
+    * rolloff in Hz, spectral flatness (geometric/arithmetic power mean —
+    * ~1 for noise, ~0 for tones), and [[Bands]] log-spaced band energies
+    * normalized to sum to 1 (zeros for silence). DC is excluded from
+    * every statistic. */
+  def spectralFeatures(sampleRateHz: Int, samples: Array[Short])
+      : (Double, Double, Double, Array[Float]) = {
+    val ps = meanPowerSpectrum(samples)
+    val binHz = sampleRateHz.toDouble / Nfft
+    var total = 0.0
+    var k = 1
+    while (k < ps.length) { total += ps(k); k += 1 }
+    val bands = new Array[Float](Bands)
+    if (total <= 0.0) return (0.0, 0.0, 0.0, bands)
+    var centroid = 0.0
+    k = 1
+    while (k < ps.length) { centroid += k * binHz * ps(k); k += 1 }
+    centroid /= total
+    var cum = 0.0
+    var rolloffBin = ps.length - 1
+    k = 1
+    var found = false
+    while (k < ps.length && !found) {
+      cum += ps(k)
+      if (cum >= 0.85 * total) { rolloffBin = k; found = true }
+      k += 1
+    }
+    val nBins = ps.length - 1
+    var logSum = 0.0
+    k = 1
+    while (k < ps.length) { logSum += math.log(ps(k) + 1e-20); k += 1 }
+    val flatness = math.exp(logSum / nBins) / (total / nBins + 1e-20)
+    // log-spaced band edges from bin 1 to Nyquist
+    val fMin = binHz
+    val fMax = sampleRateHz / 2.0
+    k = 1
+    while (k < ps.length) {
+      val f = k * binHz
+      val b = math.min(Bands - 1, math.max(0,
+        (math.log(f / fMin) / math.log(fMax / fMin) * Bands).toInt))
+      bands(b) = (bands(b) + (ps(k) / total)).toFloat
+      k += 1
+    }
+    (centroid, rolloffBin * binHz, flatness, bands)
+  }
+}
+
 /** Compressed-image codec over the JDK's built-in `javax.imageio` PNG and
   * JPEG plugins — no external dependency, pure JVM, executor-safe (the
   * disk-backed stream cache is disabled so decode never touches local

@@ -649,6 +649,64 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!scan.contains("payload") || !scan.contains("ReadSchema: struct<media_id:bigint,payload"))
   }
 
+  test("dsp: fft matches the dft definition, Parseval holds, spectra separate tone from noise") {
+    import graft.operators.Dsp
+    // deterministic pseudo-random signal (LCG — no Math.random in specs)
+    var seed = 0x9E3779B97F4A7C15L
+    def next(): Double = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (seed >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    val n = 256
+    val re = Array.fill(n)(next())
+    val im = Array.fill(n)(next())
+    val (wantRe, wantIm) = Dsp.dftRef(re, im)
+    val gotRe = re.clone(); val gotIm = im.clone()
+    Dsp.fft(gotRe, gotIm)
+    for (k <- 0 until n) {
+      assert(math.abs(gotRe(k) - wantRe(k)) < 1e-9 &&
+        math.abs(gotIm(k) - wantIm(k)) < 1e-9, s"fft bin $k diverged from dft")
+    }
+    // Parseval: sum |x|^2 == sum |X|^2 / N
+    val tEnergy = (0 until n).map(i => re(i) * re(i) + im(i) * im(i)).sum
+    val fEnergy = (0 until n).map(k => gotRe(k) * gotRe(k) + gotIm(k) * gotIm(k)).sum / n
+    assert(math.abs(tEnergy - fEnergy) < 1e-9 * tEnergy, s"Parseval: $tEnergy != $fEnergy")
+    // a pure tone at an exact bin frequency: centroid lands on it, the
+    // containing band dominates, flatness is near zero; LCG noise is flat
+    val rate = 16000
+    val toneBin = 64
+    val f0 = toneBin.toDouble * rate / Dsp.Nfft  // 2000 Hz
+    val tone = Array.tabulate(rate)(i =>
+      (math.sin(2.0 * math.Pi * f0 * i / rate) * 20000).toShort)
+    val (c, roll, flat, bands) = Dsp.spectralFeatures(rate, tone)
+    assert(math.abs(c - f0) < 2.0 * rate / Dsp.Nfft, s"tone centroid $c != $f0")
+    assert(math.abs(roll - f0) < 2.0 * rate / Dsp.Nfft, s"tone rolloff $roll != $f0")
+    assert(flat < 0.01, s"tone flatness $flat not near 0")
+    // the Hann mainlobe spans ±2 bins, so a tone near a log-band edge can
+    // split across two ADJACENT bands — concentration means top-2 ≈ all
+    val top2 = bands.sorted.takeRight(2).sum
+    assert(top2 > 0.99, s"tone band energy not concentrated: ${bands.toSeq}")
+    assert(math.abs(bands.sum - 1.0) < 1e-3, s"bands must normalize: ${bands.sum}")
+    val noise = Array.tabulate(rate)(_ => (next() * 20000).toShort)
+    val (_, _, nFlat, nBands) = Dsp.spectralFeatures(rate, noise)
+    assert(nFlat > 0.5, s"white-noise flatness $nFlat not near 1")
+    assert(nBands.max < 0.5, s"noise band energy should spread: ${nBands.toSeq}")
+    // silence is all-zero, not NaN
+    val (sc, sr, sfl, sb) = Dsp.spectralFeatures(rate, new Array[Short](1000))
+    assert(sc == 0.0 && sr == 0.0 && sfl == 0.0 && sb.forall(_ == 0f))
+    // the Spark surface: spectra only for parseable audio rows, finite values
+    val media = Multimodal.transcode(spark,
+      Multimodal.fromDocuments(Tables.documents(spark, sf)))
+    val spectra = Multimodal.audioSpectra(spark, media.toDF()).collect()
+    assert(spectra.nonEmpty, "no audio spectra from the transcoded mix")
+    spectra.foreach { s =>
+      assert(!s.centroid_hz.isNaN && s.centroid_hz >= 0 &&
+        s.centroid_hz <= s.sample_rate_hz / 2.0, s"centroid out of range: $s")
+      assert(math.abs(s.bands.sum - 1.0) < 1e-3 || s.bands.forall(_ == 0f),
+        s"bands not normalized: ${s.bands.toSeq}")
+    }
+  }
+
   test("multimodal codecs: real PPM/PNG/JPEG/WAV containers round-trip through decode/resize/frames") {
     import graft.operators.{ImageIoCodec, PpmCodec, WavCodec}
     val media = Multimodal.transcode(spark, Multimodal.fromDocuments(Tables.documents(spark, sf)))
