@@ -213,7 +213,7 @@ object Dedup {
     val fpPath = path + "_model"
     val fp = Similarity.corpusFingerprint(spark, dir, "documents.parquet")
     val storedFp =
-      try Some(spark.read.parquet(fpPath).collect()(0).getLong(0))
+      try Some(Similarity.readSidecarRows(spark, fpPath)(0).getLong(0))
       catch {
         case e if scala.util.control.NonFatal(e) =>
           Similarity.warnUnreadableSidecar("posting-index", fpPath, e)
@@ -282,7 +282,7 @@ object Dedup {
     // an unreadable sidecar means the generation's provenance is unknown:
     // appending into it and re-stamping would manufacture freshness
     val storedFp =
-      try spark.read.parquet(fpPath).collect()(0).getLong(0)
+      try Similarity.readSidecarRows(spark, fpPath)(0).getLong(0)
       catch {
         case e if scala.util.control.NonFatal(e) =>
           throw new IllegalStateException(
@@ -359,7 +359,7 @@ object Dedup {
     val fpPath = path + "_model"
     val fp = Similarity.corpusFingerprint(spark, dir, "documents.parquet")
     val storedFp =
-      try Some(spark.read.parquet(fpPath).collect()(0).getLong(0))
+      try Some(Similarity.readSidecarRows(spark, fpPath)(0).getLong(0))
       catch {
         case e if scala.util.control.NonFatal(e) =>
           Similarity.warnUnreadableSidecar("posting-doc-stats", fpPath, e)

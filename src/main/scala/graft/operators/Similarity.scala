@@ -184,7 +184,7 @@ object Similarity {
     val fpPath = path + "_model"
     val fp = corpusFingerprint(spark, dir)
     val storedFp =
-      try Some(spark.read.parquet(fpPath).collect()(0).getLong(0))
+      try Some(readSidecarRows(spark, fpPath)(0).getLong(0))
       catch {
         case e if scala.util.control.NonFatal(e) =>
           warnUnreadableSidecar("ground-truth", fpPath, e)
@@ -576,11 +576,53 @@ object Similarity {
       : (Array[Array[Double]], Long, Option[Long]) =
     decodeModelRows(readModelRows(spark, indexPath))
 
+  /** Driver-side sidecar cache, keyed by the sidecar directory's file
+    * listing (names + lengths + mtimes — the [[corpusFingerprint]]
+    * fold). A serving system keeps its index models RESIDENT; without
+    * this every query paid a Spark job to re-collect an unchanged
+    * model. Any rewrite changes the listing (parquet part files carry
+    * fresh UUID names), so staleness is structural, not TTL-based; a
+    * missing dir is never cached (the read throws to the caller's
+    * rebuild path exactly as before). */
+  private val sidecarCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Array[org.apache.spark.sql.Row])]()
+
+  private def listingFingerprint(spark: SparkSession, path: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val statuses =
+      (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq else Seq(fs.getFileStatus(p)))
+        .filter(_.isFile)
+        .sortBy(_.getPath.getName)
+    Some(statuses.foldLeft(1125899906842597L) { (h, s) =>
+      ((h * 31 + s.getPath.getName.hashCode) * 31 + s.getLen) * 31 + s.getModificationTime
+    })
+  }
+
+  /** Collect a small sidecar parquet through the resident cache. */
+  private[graft] def readSidecarRows(spark: SparkSession, path: String)
+      : Array[org.apache.spark.sql.Row] =
+    listingFingerprint(spark, path) match {
+      case None =>
+        sidecarCache.remove(path)
+        spark.read.parquet(path).collect() // throws the usual path-not-found
+      case Some(fp) =>
+        val cached = sidecarCache.get(path)
+        if (cached != null && cached._1 == fp) cached._2
+        else {
+          val rows = spark.read.parquet(path).collect()
+          sidecarCache.put(path, (fp, rows))
+          rows
+        }
+    }
+
   /** ONE sidecar read, shared by the IVF decode and the PQ geometry
-    * probe — the freshness check stays a single Spark job. */
+    * probe — the freshness check stays a single Spark job (and a cache
+    * hit after the first serve of a generation). */
   private[graft] def readModelRows(spark: SparkSession, indexPath: String)
       : Array[org.apache.spark.sql.Row] =
-    spark.read.parquet(ivfModelPath(indexPath)).collect()
+    readSidecarRows(spark, ivfModelPath(indexPath))
 
   private[graft] def decodeModelRows(rows: Array[org.apache.spark.sql.Row])
       : (Array[Array[Double]], Long, Option[Long]) = {
