@@ -27,7 +27,8 @@ object Catalog {
     * q_quality_classifier runs gradient-descent training. */
   val ModelBearing: Set[String] =
     Set("q_knn_ivf", "q_dedup_resolve", "q_text_bpe", "q_knn_pq",
-      "q_knn_ivfpq", "q_quality_classifier", "q_dedup_embedding_resolve")
+      "q_knn_ivfpq", "q_knn_opq", "q_quality_classifier",
+      "q_dedup_embedding_resolve", "q_contamination_delta")
   /** Loaders shared with the operators (memoized plans, and the events
     * nanos-as-long conf is applied before parquet schema resolution). */
   val TableLoaders: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
