@@ -162,14 +162,13 @@ object AsOf {
     * exercises the full enrichment loop: append -> latest-refresh-wins
     * resolution -> as-of attach — the reference's fetch-cache-join
     * pipeline as one declarative plan. */
-  def enrichAttach(spark: SparkSession, dir: String): DataFrame = {
+  /** The enriched fact frame the attach runs over (orders ⋈ customer,
+    * month-indexed). Lazily checkpointed: it feeds both refresh
+    * aggregates AND the final attach. */
+  private[graft] def enrichFacts(spark: SparkSession, dir: String): DataFrame = {
     val c = broadcast(Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_nationkey")))
-    // facts feed THREE consumers (both refresh aggregates and the final
-    // attach); the lazy checkpoint computes the orders⋈customer scan
-    // once instead of re-executing it per consumer — the same
-    // single-materialization discipline as withRecall/shingleSets
-    val facts = Tables.orders(spark, dir)
+    Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"),
         col("o_totalprice"), col("o_orderdate"))
       .join(c, col("o_custkey") === col("c_custkey"))
@@ -180,22 +179,33 @@ object AsOf {
         col("o_orderkey"),
         col("o_totalprice").as("price"))
       .localCheckpoint(eager = false)
+  }
+
+  /** The append-only enrichment refresh LOG (nation, t, v, refresh):
+    * refresh 0 is a quarterly backfill over the initially-available
+    * half of the data; refresh 1 restates every second quarter from
+    * complete data. Shared by the batch query and the streaming sink's
+    * spec (which streams exactly these rows, refresh-ordered). */
+  private[graft] def enrichmentLog(facts: DataFrame): DataFrame = {
     val quarters = facts.filter(pmod(col("t"), lit(3)) === 0)
-    // refresh 0: quarterly backfill over the initially-available half
     val prelim = quarters
       .filter(pmod(col("o_orderkey"), lit(2)) === 0)
       .groupBy(col("nation"), col("t"))
       .agg(meanOf(sumd2(col("price")), cnt).as("v"))
       .withColumn("refresh", lit(0))
-    // refresh 1: corrective restatement of every second quarter, full data
     val corrective = quarters
       .filter(pmod(col("t"), lit(6)) === 0)
       .groupBy(col("nation"), col("t"))
       .agg(meanOf(sumd2(col("price")), cnt).as("v"))
       .withColumn("refresh", lit(1))
+    prelim.unionByName(corrective)
+  }
+
+  def enrichAttach(spark: SparkSession, dir: String): DataFrame = {
+    val facts = enrichFacts(spark, dir)
     // the append-only sidecar log, resolved to latest-refresh-wins
     val resolved = resolveEnrichment(
-      prelim.unionByName(corrective), "nation", "t", "v")
+      enrichmentLog(facts), "nation", "t", "v")
       .withColumnRenamed("v", "rate")
     asofJoinBroadcast(facts, resolved, "nation", "t", "rate")
       .filter(col("rate").isNotNull)

@@ -232,6 +232,24 @@ object GraftProps extends Properties("graft") {
         m(operators.TextAnalysis.textStatsRef(df))
     }
 
+  property("radix-2 fft matches the dft definition for any power-of-2 length") =
+    forAll(
+      Gen.oneOf(2, 4, 8, 16, 32, 64),
+      Gen.chooseNum(Long.MinValue, Long.MaxValue)) { (n, seed0) =>
+      var seed = if (seed0 == 0L) 1L else seed0
+      def next(): Double = {
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        (seed >>> 11).toDouble / (1L << 53).toDouble - 0.5
+      }
+      val re = Array.fill(n)(next())
+      val im = Array.fill(n)(next())
+      val (wr, wi) = operators.Dsp.dftRef(re, im)
+      val gr = re.clone(); val gi = im.clone()
+      operators.Dsp.fft(gr, gi)
+      (0 until n).forall(k =>
+        math.abs(gr(k) - wr(k)) < 1e-9 && math.abs(gi(k) - wi(k)) < 1e-9)
+    }
+
   property("component resolution matches a union-find reference on random graphs") =
     forAll(Gen.listOfN(30,
       for { a <- Gen.chooseNum(1L, 20L); b <- Gen.chooseNum(1L, 20L) } yield (a, b))) { pairs =>

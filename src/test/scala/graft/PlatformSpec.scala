@@ -629,6 +629,38 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(storeMap(IngestGate.currentStore(spark, dir)) == inc)
   }
 
+  test("streaming enrichment sink: refresh-ordered folds equal the batch resolution and attach") {
+    import graft.streaming.EnrichmentSink
+    val dir = java.nio.file.Files.createTempDirectory("graftenrich").toString + "/state"
+    val facts = operators.AsOf.enrichFacts(spark, sf)
+    val log = operators.AsOf.enrichmentLog(facts)
+      .select(col("nation").as("key"), col("t"), col("v"), col("refresh"))
+      .localCheckpoint()
+    // stream the log refresh-ordered: batch 0 = the initial backfill,
+    // batch 1 = the corrective restatement
+    EnrichmentSink.applyRefreshBatch(log.filter(col("refresh") === 0), 0, dir)
+    EnrichmentSink.applyRefreshBatch(log.filter(col("refresh") === 1), 1, dir)
+    def storeMap(df: org.apache.spark.sql.DataFrame) = df
+      .select("key", "t", "v").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val streamed = storeMap(EnrichmentSink.currentEnrichment(spark, dir))
+    val batch = operators.AsOf.resolveEnrichment(log, "key", "t", "v")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(streamed == batch, "streamed store diverged from the batch resolution")
+    // replay is a no-op (at-least-once safety)
+    EnrichmentSink.applyRefreshBatch(log.filter(col("refresh") === 1), 1, dir)
+    assert(storeMap(EnrichmentSink.currentEnrichment(spark, dir)) == streamed)
+    // the serving half: attaching the CURRENT store equals q_enrich_attach
+    def attachSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("o_orderkey", "nation", "t", "rate").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val served = attachSet(
+      EnrichmentSink.attachCurrent(spark, dir, facts, "nation", "t", "rate")
+        .filter(col("rate").isNotNull))
+    val q = attachSet(operators.AsOf.enrichAttach(spark, sf))
+    assert(served == q, "attach over the streamed store diverged from q_enrich_attach")
+  }
+
   test("multimodal: features are fixed-dim, frames only from videos, resize is metadata-true") {
     val media = Multimodal.fromDocuments(Tables.documents(spark, sf))
     val nDocs = Tables.documents(spark, sf).count()
