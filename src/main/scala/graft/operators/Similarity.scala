@@ -1152,20 +1152,37 @@ object Similarity {
     * warm serve call). */
   private val IvfPqBookBase = -1000
 
+  /** Row-key offset for OPQ rotation cells in the fused sidecar (book
+    * rows occupy [IvfPqBookBase − PqM·PqK + 1, IvfPqBookBase], far
+    * above this base). */
+  private val IvfPqRotBase = -10000
+
+  /** Driver-side matrix-vector product for rotating MODEL-SIZED state
+    * (centroids, collected query rows) — never corpus rows. */
+  private def matvec(r: Array[Array[Double]], x: Array[Double]): Array[Double] =
+    r.map { row =>
+      var s = 0.0
+      var i = 0
+      while (i < row.length) { s += row(i) * x(i); i += 1 }
+      s
+    }
+
   /** Build the FUSED billion-scale ANN index: the coarse quantizer
     * partitions the corpus into inverted lists (`partitionBy(cid)`) and
     * each row stores only its 8-byte PQ code — probes become
     * partition-pruned scans of compressed codes, the FAISS IVFPQ layout.
-    * Codebooks train on and encode RESIDUALS x − c(cid) (the IVFADC
-    * refinement): within a cell the residual distribution is centered
-    * and much tighter than the raw corpus, so the same 8-byte budget
-    * spends its 256 codes per subspace on a smaller volume — higher
-    * reconstruction fidelity, better ADC shortlists at equal code size.
-    * Decode adds the cell centroid back ([[knnIvfPq]]), so re-rank
-    * semantics are unchanged. */
+    * Codebooks train on and encode OPQ-ROTATED RESIDUALS R·(x − c(cid))
+    * — the IVFADC refinement composed with the OPQ pretransform, the
+    * standard billion-scale configuration: residuals center and tighten
+    * the distribution per cell, the learned orthogonal rotation
+    * ([[opqFit]]) then decorrelates the PQ subspaces, so the same
+    * 8-byte budget reconstructs tighter than either refinement alone
+    * (spec-pinned no-worse than plain-residual books). Decode inverts
+    * the rotation (Rᵀ, orthogonality) and adds the centroid back
+    * ([[knnIvfPq]]), so re-rank semantics are unchanged. */
   private[graft] def writeIvfPqIndexOf(spark: SparkSession, corpus: DataFrame,
       indexPath: String, fingerprint: Option[Long] = None)
-      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+      : (Array[Array[Double]], Array[Array[Double]], Array[Array[Array[Double]]]) = {
     GraftFunctions.ensureRegistered(spark)
     val centroids = ivfFit(corpus)
     // cell assignment + residual in one projection; the lazy checkpoint
@@ -1178,31 +1195,38 @@ object Similarity {
         zip_with(col("vec"), element_at(centsLit(centroids), col("cid") + 1),
           (x, c) => x.cast(DoubleType) - c).as("vec"))
       .localCheckpoint(eager = false)
-    val books = pqFit(residuals)
+    val (rot, books) = opqFit(residuals)
     residuals
+      .select(col("vec_id"), col("cid"), rotateCol(rot, col("vec")).as("vec"))
       .select(col("vec_id"), col("cid"), pqCodesCol(books).as("codes"))
       .write.mode("overwrite").partitionBy("cid").parquet(indexPath)
     writeIvfModel(spark, indexPath, centroids, corpus.count(), fingerprint)
-    // books + the PqM x PqK geometry stamp appended into the SAME
-    // sidecar as negative-offset rows (a crash between the writes
+    // books + rotation + the PqM x PqK geometry stamp appended into the
+    // SAME sidecar as negative-offset rows (a crash between the writes
     // leaves a books-less sidecar that fails the read probe -> rebuild,
     // never mixed generations; the stamp makes a constants retune fail
     // the probe EXPLICITLY — the raw cell count is invariant to a
     // PqM-only retune, since PqM x PqK x dsub = PqK x dim). Stamp pos 2
-    // marks residual encoding: a pre-residual generation fails the read
-    // probe and rebuilds — its codes decode under different semantics.
+    // marks residual encoding and pos 4 the OPQ rotation: generations
+    // written under either older semantics fail the read probe and
+    // rebuild — their codes decode differently.
     import spark.implicits._
     val bookRows = books.flatten.zipWithIndex.flatMap { case (c, i) =>
       c.zipWithIndex.map { case (wv, p) => (IvfPqBookBase - i, p, wv) }
     }
-    (bookRows ++ Seq((-3, 0, PqM.toDouble), (-3, 1, PqK.toDouble), (-3, 2, 1.0)))
+    val rotRows = rot.zipWithIndex.flatMap { case (row, i) =>
+      row.zipWithIndex.map { case (v, j) => (IvfPqRotBase - i, j, v) }
+    }
+    (bookRows ++ rotRows ++
+      Seq((-3, 0, PqM.toDouble), (-3, 1, PqK.toDouble), (-3, 2, 1.0), (-3, 4, 1.0)))
       .toSeq.toDF("cid", "pos", "w")
       .coalesce(1).write.mode("append").parquet(ivfModelPath(indexPath))
-    (centroids, books)
+    (centroids, rot, books)
   }
 
   private[graft] def readIvfPqModels(spark: SparkSession, indexPath: String)
-      : (Array[Array[Double]], Array[Array[Array[Double]]], Option[Long]) = {
+      : (Array[Array[Double]], Array[Array[Double]], Array[Array[Array[Double]]],
+        Option[Long]) = {
     val rows = readModelRows(spark, indexPath)
     val (cents, _, fp) = decodeModelRows(rows)
     val geo = rows.filter(_.getInt(0) == -3)
@@ -1213,7 +1237,11 @@ object Similarity {
     require(geo.get(2).contains(1),
       "IVF-PQ sidecar predates residual encoding — its codes decode under " +
         "raw-vector semantics; the serve path rebuilds on this failure")
-    val bookCells = rows.filter(_.getInt(0) <= IvfPqBookBase)
+    require(geo.get(4).contains(1),
+      "IVF-PQ sidecar predates the OPQ rotation — its codes decode under " +
+        "unrotated semantics; the serve path rebuilds on this failure")
+    val bookCells = rows.filter(r =>
+      r.getInt(0) <= IvfPqBookBase && r.getInt(0) > IvfPqRotBase)
     val dsub = cents.head.length / PqM
     require(bookCells.length == PqM * PqK * dsub,
       s"IVF-PQ sidecar has ${bookCells.length} codebook cells, " +
@@ -1222,7 +1250,15 @@ object Similarity {
     bookCells.foreach { r =>
       flat(IvfPqBookBase - r.getInt(0))(r.getInt(1)) = r.getDouble(2)
     }
-    (cents, flat.grouped(PqK).toArray, fp)
+    val dim = cents.head.length
+    val rotCells = rows.filter(_.getInt(0) <= IvfPqRotBase)
+    require(rotCells.length == dim * dim,
+      s"IVF-PQ sidecar has ${rotCells.length} rotation cells, expected $dim x $dim")
+    val rot = Array.fill(dim)(new Array[Double](dim))
+    rotCells.foreach { r =>
+      rot(IvfPqRotBase - r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+    }
+    (cents, rot, flat.grouped(PqK).toArray, fp)
   }
 
   /** Search the fused index: driver-ranked probe cells prune the codes
@@ -1233,8 +1269,8 @@ object Similarity {
     * vectors scores only the shortlist. The raw corpus is touched for
     * the 8 query rows and O(queries x shortlist) re-rank lookups. */
   def knnIvfPq(spark: SparkSession, dir: String, indexPath: String,
-      centroids: Array[Array[Double]], books: Array[Array[Array[Double]]],
-      k: Int = 10): DataFrame = {
+      centroids: Array[Array[Double]], rot: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], k: Int = 10): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
     import spark.implicits._
     val corpus = emb(spark, dir)
@@ -1251,25 +1287,31 @@ object Similarity {
     // each query joins ONLY its own probed cells (cid === probe_cid):
     // the union-of-cells filter alone would score every query against
     // every probed partition — flat PQ with extra steps, and no IVF
-    // candidate restriction at all
+    // candidate restriction at all.
+    // ADC scores IN THE ROTATED SPACE: cosine is orthogonal-invariant
+    // (cos(q, c + Rᵀy) == cos(Rq, Rc + y)), so the per-row decode stays
+    // "rotated centroid + stored recon" — the rotation applies ONLY to
+    // model-sized state (NList centroids and the 8 collected query
+    // rows, both on the driver), never to corpus rows.
+    val rotCents = centroids.map(matvec(rot, _))
     val probeQueries = broadcast(probed.toSeq
-      .flatMap { case (id, q, cells) => cells.map(cid => (id, q.toSeq, cid)) }
-      .toDF("query_id", "qvec", "probe_cid"))
+      .flatMap { case (id, q, cells) =>
+        cells.map(cid => (id, matvec(rot, q.map(_.toDouble)).toSeq, cid))
+      }
+      .toDF("query_id", "rqvec", "probe_cid"))
     val queries = broadcast(probed.toSeq
       .map { case (id, q, _) => (id, q.toSeq) }
       .toDF("query_id", "qvec"))
     val listed = spark.read.parquet(indexPath)
       .filter(col("cid").isin(probedCells: _*))
-    // residual decode: x ≈ c(cid) + PQ(residual codes) — the centroid
-    // add is one codegen'd zip_with over the already-projected recon
     val adc = listed
       .withColumn("recon",
-        zip_with(element_at(centsLit(centroids), col("cid") + 1),
+        zip_with(element_at(centsLit(rotCents), col("cid") + 1),
           pqReconCol(books), (c, r) => c + r))
       .join(probeQueries, col("cid") === col("probe_cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        cosine(col("qvec"), col("recon")).as("cosine"))
+        cosine(col("rqvec"), col("recon")).as("cosine"))
     pqRerank(adc, queries, corpus, k)
   }
 
@@ -1288,13 +1330,13 @@ object Similarity {
           warnUnreadableSidecar("ivf-pq", ivfModelPath(indexPath), e)
           None
       }
-    val (cents, books) = stored match {
-      case Some((c, b, Some(storedFp))) if storedFp == fp => (c, b)
+    val (cents, rot, books) = stored match {
+      case Some((c, r, b, Some(storedFp))) if storedFp == fp => (c, r, b)
       case _ =>
         Tables.invalidate(spark, dir, "embeddings")
         writeIvfPqIndexOf(spark, emb(spark, dir), indexPath, Some(fp))
     }
-    withRecall(knnIvfPq(spark, dir, indexPath, cents, books, k), spark, dir, k)
+    withRecall(knnIvfPq(spark, dir, indexPath, cents, rot, books, k), spark, dir, k)
   }
 
   /** Incrementally maintain the fused IVF-PQ index after an embedding
@@ -1326,7 +1368,7 @@ object Similarity {
     val indexPath = ivfPqServePath(dir)
     require(new java.io.File(indexPath).exists(),
       s"no IVF-PQ generation at $indexPath to append into — serve once first")
-    val (cents, books, storedFp0) =
+    val (cents, rot, books, storedFp0) =
       try readIvfPqModels(spark, indexPath)
       catch {
         case e if scala.util.control.NonFatal(e) =>
@@ -1341,13 +1383,14 @@ object Similarity {
       s"IVF-PQ generation at $indexPath was built for a different corpus " +
         s"state (stored fp $storedFp != pre-append fp $f): rebuild, not append"))
     // encode the delta EXACTLY as the build path does: cell assignment,
-    // residual against the cell centroid, PQ codes of the residual
+    // residual against the cell centroid, PQ codes of the ROTATED residual
     newVecs
       .select(col("vec_id"), col("vec"),
         GraftFunctions.graftArgminL2(col("vec"), centsLit(cents)).as("cid"))
       .select(col("vec_id"), col("cid"),
         zip_with(col("vec"), element_at(centsLit(cents), col("cid") + 1),
           (x, c) => x.cast(DoubleType) - c).as("vec"))
+      .select(col("vec_id"), col("cid"), rotateCol(rot, col("vec")).as("vec"))
       .select(col("vec_id"), col("cid"), pqCodesCol(books).as("codes"))
       .write.mode("append").partitionBy("cid").parquet(indexPath)
     // delta files are already in `dir`: re-list and stamp post-append
@@ -1359,7 +1402,11 @@ object Similarity {
     val bookRows = books.flatten.zipWithIndex.flatMap { case (c, i) =>
       c.zipWithIndex.map { case (wv, p) => (IvfPqBookBase - i, p, wv) }
     }
-    (bookRows ++ Seq((-3, 0, PqM.toDouble), (-3, 1, PqK.toDouble), (-3, 2, 1.0)))
+    val rotRows = rot.zipWithIndex.flatMap { case (row, i) =>
+      row.zipWithIndex.map { case (v, j) => (IvfPqRotBase - i, j, v) }
+    }
+    (bookRows ++ rotRows ++
+      Seq((-3, 0, PqM.toDouble), (-3, 1, PqK.toDouble), (-3, 2, 1.0), (-3, 4, 1.0)))
       .toSeq.toDF("cid", "pos", "w")
       .coalesce(1).write.mode("append").parquet(ivfModelPath(indexPath))
   }

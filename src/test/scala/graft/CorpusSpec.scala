@@ -466,6 +466,20 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     // margin is 5%: strict, but below the corpus' incidental structure.
     assert(resMse < rawMse * 0.95,
       f"residual reconstruction $resMse%.5f not measurably below raw $rawMse%.5f")
+    // OPQ leg: rotating the residuals before coding must not reconstruct
+    // worse than plain-residual books (the alternation starts AT the
+    // plain-residual solution and descends; measured in the rotated
+    // space, = original space by orthogonal invariance)
+    val (rotM, rotBooks) = operators.Similarity.opqFit(residuals)
+    val rotated = residuals.select(col("vec_id"),
+      operators.Similarity.rotateCol(rotM, col("vec")).as("vec")).localCheckpoint()
+    val rotRec = collectVecs(reconOf(rotated, rotBooks, addCent = false), "recon")
+    val rotOrig = collectVecs(rotated, "vec")
+    val rotMse = rotOrig.iterator.map { case (id, v) =>
+      v.zip(rotRec(id)).map { case (a, b) => (a - b) * (a - b) }.sum
+    }.sum / rotOrig.size
+    assert(rotMse <= resMse * 1.001,
+      f"rotated-residual reconstruction $rotMse%.5f worse than residual $resMse%.5f")
     // ADC ranking fidelity: top-10-by-reconstructed-cosine hits vs exact
     // top-10, summed over the standard queries — residual >= raw
     def cos(a: Array[Double], b: Array[Double]): Double = {
@@ -1183,10 +1197,10 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (training is deterministic, so a corrupt regroup in either copy
     // would break this equivalence loudly)
     val tmpIdx = java.nio.file.Files.createTempDirectory("graftivfpq").toString + "/idx"
-    val (c2, b2) = operators.Similarity.writeIvfPqIndexOf(
+    val (c2, r2, b2) = operators.Similarity.writeIvfPqIndexOf(
       spark, graft.Tables.embeddings(spark, sf)
         .select(col("vec_id"), col("embedding").as("vec")), tmpIdx)
-    assert(rows(operators.Similarity.knnIvfPq(spark, sf, tmpIdx, c2, b2)) == coldRows,
+    assert(rows(operators.Similarity.knnIvfPq(spark, sf, tmpIdx, c2, r2, b2)) == coldRows,
       "serve diverged from an independent from-scratch build")
     // warm serve reuses the generation bit-exactly
     val modelDir = new java.io.File(servePath + "_model")
@@ -1203,7 +1217,7 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     operators.Similarity.writeIvfModel(spark, servePath, cents, n, Some(fp + 1))
     val rebuilt = rows(operators.Similarity.knnIvfPqServe(spark, sf))
     assert(rebuilt == coldRows, "post-rebuild IVFPQ serve diverged")
-    assert(operators.Similarity.readIvfPqModels(spark, servePath)._3.contains(fp),
+    assert(operators.Similarity.readIvfPqModels(spark, servePath)._4.contains(fp),
       "sidecar corruption did not trigger a rebuild")
   }
 
