@@ -126,4 +126,170 @@ object Events {
       |  FROM events
       |)
       |GROUP BY event_type""".stripMargin
+
+  /** Ordered funnel steps, first-occurrence semantics: a user completes
+    * step i only with an event STRICTLY after their step-(i−1) first
+    * completion time. */
+  val FunnelSteps: Seq[String] = Seq("signup", "view", "click", "purchase")
+
+  /** q_funnel — ordered conversion funnel over each user's timeline.
+    *
+    * The sequential dependency (step i's first completion is the
+    * earliest step-i event after step i−1's) is expressed as CHAINED
+    * running-min windows over one per-user sort: `m_i` at a row is the
+    * earliest qualifying step-i stamp so far, so its value on the
+    * user's last row — equivalently `min(m_i)` in a plain aggregate —
+    * is the user's step-i completion time. All four windows share the
+    * (user_id; ts, event_id) spec, so the plan pays ONE hash exchange
+    * and ONE sort regardless of funnel depth; the per-step rollup is a
+    * driver-sized stack over a single aggregated row. Strict `<` on the
+    * millisecond stamp makes qualification order-free (ties never
+    * count), so results are partition-invariant. */
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelOf(Tables
+      .events(spark, dir)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("event_type"),
+        expr("(ts - pmod(ts, 1000000)) DIV 1000000").as("ts_ms")))
+
+  /** Funnel body over a (user_id, event_id, event_type, ts_ms) frame. */
+  private[graft] def funnelOf(base: DataFrame): DataFrame = {
+    val byUser = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val chained = FunnelSteps.zipWithIndex.foldLeft(base) { case (df, (step, i)) =>
+      val qual =
+        if (i == 0) col("event_type") === step
+        else col("event_type") === step && col(s"m${i - 1}") < col("ts_ms")
+      df.withColumn(s"m$i", min(when(qual, col("ts_ms"))).over(byUser))
+    }
+    val perUserAggs = FunnelSteps.indices.map(i => min(col(s"m$i")).as(s"s$i"))
+    val countAggs = FunnelSteps.indices.map(i => count(col(s"s$i")).as(s"c$i"))
+    val counts = chained
+      .groupBy(col("user_id"))
+      .agg(perUserAggs.head, perUserAggs.tail: _*)
+      .agg(countAggs.head, countAggs.tail: _*)
+    val stackArgs = FunnelSteps.zipWithIndex
+      .map { case (s, i) => s"${i + 1}, '$s', c$i" }
+      .mkString(", ")
+    counts
+      .select(
+        expr(s"stack(${FunnelSteps.size}, $stackArgs) AS (step, event_type, n_users)"),
+        col("c0"))
+      .withColumn(
+        "conv_rate",
+        col("n_users").cast(DoubleType) / col("c0").cast(DoubleType))
+      .drop("c0")
+  }
+
+  val funnelOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+      |), w0 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'signup' THEN ts_ms END)
+      |    OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m0
+      |  FROM e
+      |), w1 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'view' AND m0 < ts_ms THEN ts_ms END)
+      |    OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m1
+      |  FROM w0
+      |), w2 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'click' AND m1 < ts_ms THEN ts_ms END)
+      |    OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m2
+      |  FROM w1
+      |), w3 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND m2 < ts_ms THEN ts_ms END)
+      |    OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m3
+      |  FROM w2
+      |), per_user AS (
+      |  SELECT user_id, MIN(m0) AS s0, MIN(m1) AS s1, MIN(m2) AS s2, MIN(m3) AS s3
+      |  FROM w3 GROUP BY user_id
+      |), c AS (
+      |  SELECT COUNT(s0) AS c0, COUNT(s1) AS c1, COUNT(s2) AS c2, COUNT(s3) AS c3
+      |  FROM per_user
+      |)
+      |SELECT step, event_type, n_users,
+      |  CAST(n_users AS DOUBLE) / CAST(c0 AS DOUBLE) AS conv_rate
+      |FROM (
+      |  SELECT 1 AS step, 'signup' AS event_type, c0 AS n_users, c0 FROM c
+      |  UNION ALL SELECT 2, 'view', c1, c0 FROM c
+      |  UNION ALL SELECT 3, 'click', c2, c0 FROM c
+      |  UNION ALL SELECT 4, 'purchase', c3, c0 FROM c
+      |)""".stripMargin
+
+  /** Epoch-anchored 7-day bucket width in nanoseconds (events.ts is
+    * read as raw nanos) — fixed-width arithmetic weeks, not calendar
+    * ISO weeks, so the bucketing is engine- and timezone-portable. */
+  val WeekNs: Long = 604800000000000L
+  val WeekMs: Long = 604800000L
+
+  /** q_cohort_retention — weekly signup cohorts × activity-week offsets.
+    *
+    * A user's cohort is the epoch-week of their first `signup` event;
+    * a cohort is "active at offset k" through users with ANY event in
+    * cohort_week + k. Activity first reduces to distinct (user, week) —
+    * at 100 TB that collapses the fact table to |users|×|weeks| before
+    * anything joins — then joins cohorts on user_id (both sides already
+    * hash-partitioned by user_id from their own aggregations, so the
+    * join reuses the exchange), and the cohort-cardinality `sizes` side
+    * of the final join is broadcast-sized by construction. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame =
+    cohortOf(Tables
+      .events(spark, dir)
+      .select(
+        col("user_id"),
+        col("event_type"),
+        expr(s"(ts - pmod(ts, $WeekNs)) DIV $WeekNs").as("week")))
+
+  /** Cohort body over a (user_id, event_type, week) frame. */
+  private[graft] def cohortOf(e: DataFrame): DataFrame = {
+    val cohorts = e
+      .filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    val activity = e.select(col("user_id"), col("week")).distinct()
+    val sizes = cohorts.groupBy(col("cohort_week")).agg(cnt.as("n_cohort"))
+    activity
+      .join(cohorts, "user_id")
+      .filter(col("week") >= col("cohort_week"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(cnt.as("n_active"))
+      .join(sizes, "cohort_week")
+      .select(
+        (col("cohort_week") * lit(WeekMs)).as("cohort_week_ms"),
+        col("week_offset"),
+        col("n_active"),
+        col("n_cohort"),
+        (col("n_active").cast(DoubleType) / col("n_cohort").cast(DoubleType))
+          .as("retention"))
+  }
+
+  val cohortRetentionOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ms(ts) // 604800000 AS week FROM events
+      |), cohorts AS (
+      |  SELECT user_id, MIN(week) AS cohort_week FROM e
+      |  WHERE event_type = 'signup' GROUP BY user_id
+      |), activity AS (
+      |  SELECT DISTINCT user_id, week FROM e
+      |), sizes AS (
+      |  SELECT cohort_week, COUNT(*) AS n_cohort FROM cohorts GROUP BY cohort_week
+      |), active AS (
+      |  SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+      |    COUNT(*) AS n_active
+      |  FROM activity a JOIN cohorts c USING (user_id)
+      |  WHERE a.week >= c.cohort_week
+      |  GROUP BY 1, 2
+      |)
+      |SELECT active.cohort_week * 604800000 AS cohort_week_ms, week_offset,
+      |  n_active, n_cohort,
+      |  CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE) AS retention
+      |FROM active JOIN sizes USING (cohort_week)""".stripMargin
 }

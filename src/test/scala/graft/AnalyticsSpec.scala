@@ -306,4 +306,65 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$name: approx distinct $and too far from exact $nd")
     }
   }
+
+  test("funnel: strict first-occurrence order — pre-step and tied events never count") {
+    import spark.implicits._
+    val e = Seq(
+      // completes every step in order
+      (1L, 1L, "signup", 10L), (1L, 2L, "view", 20L),
+      (1L, 3L, "click", 30L), (1L, 4L, "purchase", 40L),
+      // view BEFORE signup: step 2 never completes, later clicks/purchases
+      // can't qualify without it
+      (2L, 5L, "view", 5L), (2L, 6L, "signup", 10L),
+      (2L, 7L, "click", 30L), (2L, 8L, "purchase", 20L),
+      // view TIED with signup: strict < rejects the tie
+      (3L, 9L, "signup", 10L), (3L, 10L, "view", 10L)
+    ).toDF("user_id", "event_id", "event_type", "ts_ms")
+    val got = operators.Events.funnelOf(e).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_users")).toMap
+    assert(got == Map("signup" -> 3L, "view" -> 1L, "click" -> 1L, "purchase" -> 1L),
+      s"funnel counts wrong: $got")
+    val conv = operators.Events.funnelOf(e).collect()
+      .map(r => r.getAs[Int]("step") -> r.getAs[Double]("conv_rate")).toMap
+    assert(conv(1) == 1.0 && conv(4) == 1.0 / 3.0)
+  }
+
+  test("funnel: step counts are monotone non-increasing on real data") {
+    val rows = operators.Events.funnel(spark, sf).collect().sortBy(_.getAs[Int]("step"))
+    assert(rows.length == operators.Events.FunnelSteps.length)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_users") >= b.getAs[Long]("n_users"),
+        s"funnel not monotone: $a -> $b")
+    }
+    // one hash exchange: all four chained windows share the per-user sort
+    val plan = operators.Events.funnel(spark, sf).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"funnel should shuffle once, saw $exchanges:\n$plan")
+  }
+
+  test("cohort retention: offset 0 is complete, cohorts partition signup users") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, "signup", 0L), (1L, "view", 0L), (1L, "view", 1L), (1L, "click", 3L),
+      (2L, "signup", 1L), (2L, "view", 1L), (2L, "purchase", 2L),
+      // user 3 never signs up: excluded from every cohort
+      (3L, "view", 0L)
+    ).toDF("user_id", "event_type", "week")
+    val got = operators.Events.cohortOf(e).collect()
+      .map(r => (r.getAs[Long]("cohort_week_ms") / operators.Events.WeekMs,
+        r.getAs[Long]("week_offset")) -> r.getAs[Long]("n_active")).toMap
+    assert(got == Map(
+      (0L, 0L) -> 1L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L), s"cohort cells wrong: $got")
+    // real data: every cohort's offset-0 row covers the whole cohort (the
+    // signup event itself is activity in the cohort week)
+    val real = operators.Events.cohortRetention(spark, sf)
+    assert(real.filter("week_offset = 0 AND n_active != n_cohort").count() == 0)
+    assert(real.filter("week_offset < 0 OR n_active > n_cohort").count() == 0)
+    val cohortTotal = real.filter("week_offset = 0")
+      .agg(sum("n_cohort")).collect()(0).getLong(0)
+    val signupUsers = Tables.events(spark, sf)
+      .filter("event_type = 'signup'").select("user_id").distinct().count()
+    assert(cohortTotal == signupUsers, s"$cohortTotal cohort users vs $signupUsers signups")
+  }
 }
