@@ -160,7 +160,6 @@ object Curation {
   def contaminationDeltaServe(spark: SparkSession, dir: String,
       evalGrams: DataFrame): DataFrame = {
     val postings = spark.table(Dedup.ensurePostings(spark, dir))
-    val stats = Dedup.ensurePostingStats(spark, dir)
     // screen every doc's postings (slim hit rows; the train restriction
     // applies at the stats join) — restricting postings by split first
     // would cost a doc-keyed shuffle of the full posting stream
@@ -168,6 +167,16 @@ object Curation {
       .join(evalGrams.select(col("h")).distinct(), Seq("h"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("c"))
+    screenFromHits(spark, dir, hits)
+  }
+
+  /** Shared serving tail: turn sparse per-doc hit counts `(doc_id, c)`
+    * into the full train-split contamination report via the index's
+    * doc-stats sidecar (also the serving view of the STREAMED screen
+    * store, [[graft.streaming.ContaminationSink]]). */
+  private[graft] def screenFromHits(spark: SparkSession, dir: String,
+      hits: DataFrame): DataFrame = {
+    val stats = Dedup.ensurePostingStats(spark, dir)
     val rate =
       coalesce(col("c"), lit(0L)).cast(DoubleType) / col("n_shingles").cast(DoubleType)
     stats.filter(col("split") === "train")

@@ -661,6 +661,51 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(served == q, "attach over the streamed store diverged from q_enrich_attach")
   }
 
+  test("streaming contamination sink: overlapping benchmark batches fold to the union screen") {
+    import graft.streaming.ContaminationSink
+    GraftFunctions.ensureRegistered(spark)
+    val evalGrams = Tables.documents(spark, sf)
+      .select(
+        operators.TextAnalysis.splitCol(operators.TextAnalysis.splitKeyCol).as("split"),
+        call_function(GraftFunctions.ShingleSetName, col("text")).as("hs"))
+      .filter(col("split") === "test" && col("hs").isNotNull)
+      .select(explode(col("hs")).as("h")).distinct()
+      .localCheckpoint()
+    val root = java.nio.file.Files.createTempDirectory("graftcontam").toString + "/state"
+    // three OVERLAPPING "benchmark suites": thirds (0,1), (1,2), then the
+    // whole set again — union semantics must hold, not count addition
+    val r = pmod(xxhash64(col("h")), lit(3L))
+    ContaminationSink.applyScreenBatch(evalGrams.filter(r < 2), 0, sf, root)
+    ContaminationSink.applyScreenBatch(evalGrams.filter(r >= 1), 1, sf, root)
+    ContaminationSink.applyScreenBatch(evalGrams, 2, sf, root)
+    def screenMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Number](1).longValue, r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    val streamed = screenMap(ContaminationSink.currentScreen(spark, sf, root))
+    val batch = screenMap(operators.Curation.contaminationServe(spark, sf))
+    assert(streamed == batch,
+      "streamed union screen diverged from the one-shot full-eval screen")
+    // the store is SPARSE: exactly the docs (any split) sharing a gram
+    // with some benchmark — the train restriction applies at serve time
+    val storeRows = spark.read.parquet(ContaminationSink.countsDir(root)).count()
+    val expectHit = spark.table(operators.Dedup.ensurePostings(spark, sf))
+      .join(evalGrams, Seq("h")).select("doc_id").distinct().count()
+    assert(storeRows == expectHit, "counts store is not sparse on hit docs")
+    assert(streamed.values.exists(_._4) && streamed.values.exists(!_._4),
+      "degenerate screen: flags all one way")
+    // replay is a no-op (at-least-once safety)
+    ContaminationSink.applyScreenBatch(evalGrams, 2, sf, root)
+    assert(screenMap(ContaminationSink.currentScreen(spark, sf, root)) == streamed)
+    // a NOVEL benchmark after total overlap still lands: drop the gram
+    // store's view of one batch? no — feed a synthetic gram absent so far
+    val novel = evalGrams.limit(0).unionByName(
+      spark.range(1).select(lit(-1L).as("h")))
+    ContaminationSink.applyScreenBatch(novel, 3, sf, root)
+    assert(screenMap(ContaminationSink.currentScreen(spark, sf, root)) == streamed,
+      "a gram matching no posting must not change the screen")
+  }
+
   test("multimodal: features are fixed-dim, frames only from videos, resize is metadata-true") {
     val media = Multimodal.fromDocuments(Tables.documents(spark, sf))
     val nDocs = Tables.documents(spark, sf).count()
