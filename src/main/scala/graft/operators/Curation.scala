@@ -667,6 +667,15 @@ object Curation {
     val df = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // corpus size as a broadcast scalar (one row), never a collect
     val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    scoreFromPosts(posts, df, nDocs)
+  }
+
+  /** Shared scoring tail over (doc_id, h) postings, a (h, df) frequency
+    * table, and a one-row n_docs frame — also the serving view of the
+    * STREAMED df store ([[graft.streaming.RaritySink]]), so streamed
+    * scores are the same expressions over the same integers. */
+  private[graft] def scoreFromPosts(posts: DataFrame, df: DataFrame,
+      nDocs: DataFrame): DataFrame = {
     val isRare = col("df").cast(DoubleType) <=
       lit(RareDfFrac) * col("n_docs").cast(DoubleType)
     posts

@@ -706,6 +706,40 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a gram matching no posting must not change the screen")
   }
 
+  test("streaming rarity sink: served scores and thresholds bit-equal the batch family") {
+    import graft.streaming.RaritySink
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val root = java.nio.file.Files.createTempDirectory("graftrarity").toString + "/state"
+    val n = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val bounds = Seq(0L, n / 3, 2 * n / 3, n)
+    (0 to 2).foreach { i =>
+      RaritySink.applyDocBatch(
+        docs.filter(col("doc_id") >= bounds(i) && col("doc_id") < bounds(i + 1)), i, root)
+    }
+    def scoreMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    val served = scoreMap(RaritySink.scoreAgainstStore(docs, root))
+    val batch = scoreMap(operators.Curation.rarityScoreOf(docs))
+    assert(served == batch, "served rarity scores diverged from the batch computation")
+    // thresholds: the streamed twin is bit-equal too (same multiset into
+    // the same exact percentile)
+    val st = RaritySink.thresholdsAgainstStore(docs, root).head()
+    val bt = operators.Curation.rarityThresholds(spark, sf).head()
+    assert(st.getLong(0) == bt.getLong(0) && st.getDouble(1) == bt.getDouble(1) &&
+      st.getDouble(2) == bt.getDouble(2), s"thresholds diverged: $st vs $bt")
+    // replay of an applied batch is a per-bucket no-op
+    RaritySink.applyDocBatch(
+      docs.filter(col("doc_id") >= bounds(2)), 2, root)
+    assert(scoreMap(RaritySink.scoreAgainstStore(docs, root)) == served)
+    // the df state actually landed bucketed (partition layout on disk)
+    val buckets = new java.io.File(RaritySink.dfDir(root)).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("b="))
+    assert(buckets > 1 && buckets <= RaritySink.DfBuckets,
+      s"df store not bucketed: $buckets dirs")
+  }
+
   test("multimodal: features are fixed-dim, frames only from videos, resize is metadata-true") {
     val media = Multimodal.fromDocuments(Tables.documents(spark, sf))
     val nDocs = Tables.documents(spark, sf).count()
