@@ -196,7 +196,15 @@ object Similarity {
       spark.range(1).select(lit(fp).as("fp"))
         .coalesce(1).write.mode("overwrite").parquet(fpPath)
     }
-    spark.read.parquet(path)
+    // GT is (queries × k) rows — driver-sized by construction, so serve
+    // it RESIDENT as a LocalRelation: the per-serve broadcast then costs
+    // no scan job at all (same discipline as the model sidecars)
+    val rows = readSidecarRows(spark, path)
+    if (rows.isEmpty) spark.read.parquet(path)
+    else {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.toSeq.asJava, rows.head.schema)
+    }
   }
 
   /** Append a per-query `recall_at_k` column to an approximate top-k
