@@ -154,8 +154,9 @@ object Events {
         col("event_type"),
         expr("(ts - pmod(ts, 1000000)) DIV 1000000").as("ts_ms")))
 
-  /** Funnel body over a (user_id, event_id, event_type, ts_ms) frame. */
-  private[graft] def funnelOf(base: DataFrame): DataFrame = {
+  /** Per-user step-completion stamps (user_id, s0..s3) — the funnel's
+    * intermediate frame, shared with the conversion-lag rollup. */
+  private[graft] def funnelStamps(base: DataFrame): DataFrame = {
     val byUser = Window
       .partitionBy(col("user_id"))
       .orderBy(col("ts_ms"), col("event_id"))
@@ -167,10 +168,15 @@ object Events {
       df.withColumn(s"m$i", min(when(qual, col("ts_ms"))).over(byUser))
     }
     val perUserAggs = FunnelSteps.indices.map(i => min(col(s"m$i")).as(s"s$i"))
-    val countAggs = FunnelSteps.indices.map(i => count(col(s"s$i")).as(s"c$i"))
-    val counts = chained
+    chained
       .groupBy(col("user_id"))
       .agg(perUserAggs.head, perUserAggs.tail: _*)
+  }
+
+  /** Funnel body over a (user_id, event_id, event_type, ts_ms) frame. */
+  private[graft] def funnelOf(base: DataFrame): DataFrame = {
+    val countAggs = FunnelSteps.indices.map(i => count(col(s"s$i")).as(s"c$i"))
+    val counts = funnelStamps(base)
       .agg(countAggs.head, countAggs.tail: _*)
     val stackArgs = FunnelSteps.zipWithIndex
       .map { case (s, i) => s"${i + 1}, '$s', c$i" }
@@ -185,7 +191,9 @@ object Events {
       .drop("c0")
   }
 
-  val funnelOracle: String =
+  /** Shared oracle prefix: the chained-window stamps through per_user —
+    * the SQL mirror of [[funnelStamps]]. */
+  private val funnelStampsCte: String =
     """WITH e AS (
       |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events
       |), w0 AS (
@@ -211,7 +219,10 @@ object Events {
       |), per_user AS (
       |  SELECT user_id, MIN(m0) AS s0, MIN(m1) AS s1, MIN(m2) AS s2, MIN(m3) AS s3
       |  FROM w3 GROUP BY user_id
-      |), c AS (
+      |)""".stripMargin
+
+  val funnelOracle: String =
+    s"""$funnelStampsCte, c AS (
       |  SELECT COUNT(s0) AS c0, COUNT(s1) AS c1, COUNT(s2) AS c2, COUNT(s3) AS c3
       |  FROM per_user
       |)
@@ -223,6 +234,66 @@ object Events {
       |  UNION ALL SELECT 3, 'click', c2, c0 FROM c
       |  UNION ALL SELECT 4, 'purchase', c3, c0 FROM c
       |)""".stripMargin
+
+  /** q_conversion_lag — per-transition conversion-time distribution:
+    * for each consecutive funnel step pair, the converted-user count,
+    * mean lag and exact median lag in milliseconds. Rides the SAME
+    * chained-window stamps frame as the funnel (one per-user sort,
+    * single exchange); the rollup is one aggregate over user-cardinality
+    * stamps and a driver-sized stack. The mean sums lags as
+    * DECIMAL(38,0) — a 100 TB user base times year-long lags overflows
+    * int64 — and divides once, so Spark and DuckDB agree bitwise;
+    * the median is the exact interpolating percentile both engines
+    * define identically. */
+  def conversionLag(spark: SparkSession, dir: String): DataFrame =
+    conversionLagOf(Tables
+      .events(spark, dir)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("event_type"),
+        expr("(ts - pmod(ts, 1000000)) DIV 1000000").as("ts_ms")))
+
+  /** Conversion-lag body over a (user_id, event_id, event_type, ts_ms)
+    * frame. */
+  private[graft] def conversionLagOf(base: DataFrame): DataFrame = {
+    val nSteps = FunnelSteps.size
+    val lags = funnelStamps(base).select(
+      (1 until nSteps).map(i => (col(s"s$i") - col(s"s${i - 1}")).as(s"l$i")): _*)
+    val aggs = (1 until nSteps).flatMap(i => Seq(
+      count(col(s"l$i")).as(s"n$i"),
+      (sum(col(s"l$i").cast(DecimalType(38, 0))).cast(DoubleType) /
+        count(col(s"l$i")).cast(DoubleType)).as(s"m$i"),
+      percentile(col(s"l$i"), lit(0.5)).as(s"p$i")))
+    val stackArgs = (1 until nSteps)
+      .map(i => s"'${FunnelSteps(i - 1)}_to_${FunnelSteps(i)}', n$i, m$i, p$i")
+      .mkString(", ")
+    lags
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${nSteps - 1}, $stackArgs) " +
+        "AS (step, n_converted, mean_lag_ms, p50_lag_ms)")
+  }
+
+  val conversionLagOracle: String =
+    s"""$funnelStampsCte, lag_rows AS (
+      |  SELECT s1 - s0 AS l1, s2 - s1 AS l2, s3 - s2 AS l3 FROM per_user
+      |), a AS (
+      |  SELECT
+      |    COUNT(l1) AS n1,
+      |    CAST(SUM(CAST(l1 AS DECIMAL(38,0))) AS DOUBLE) / CAST(COUNT(l1) AS DOUBLE) AS m1,
+      |    QUANTILE_CONT(l1, 0.5) AS p1,
+      |    COUNT(l2) AS n2,
+      |    CAST(SUM(CAST(l2 AS DECIMAL(38,0))) AS DOUBLE) / CAST(COUNT(l2) AS DOUBLE) AS m2,
+      |    QUANTILE_CONT(l2, 0.5) AS p2,
+      |    COUNT(l3) AS n3,
+      |    CAST(SUM(CAST(l3 AS DECIMAL(38,0))) AS DOUBLE) / CAST(COUNT(l3) AS DOUBLE) AS m3,
+      |    QUANTILE_CONT(l3, 0.5) AS p3
+      |  FROM lag_rows
+      |)
+      |SELECT 'signup_to_view' AS step, n1 AS n_converted, m1 AS mean_lag_ms,
+      |  p1 AS p50_lag_ms FROM a
+      |UNION ALL SELECT 'view_to_click', n2, m2, p2 FROM a
+      |UNION ALL SELECT 'click_to_purchase', n3, m3, p3 FROM a""".stripMargin
 
   /** Epoch-anchored 7-day bucket width in nanoseconds (events.ts is
     * read as raw nanos) — fixed-width arithmetic weeks, not calendar

@@ -342,6 +342,35 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges == 1, s"funnel should shuffle once, saw $exchanges:\n$plan")
   }
 
+  test("conversion lag: counts track the funnel, lags positive, median computed on a known timeline") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, 1L, "signup", 0L), (1L, 2L, "view", 100L), (1L, 3L, "click", 150L),
+      (2L, 4L, "signup", 0L), (2L, 5L, "view", 300L),
+      (3L, 6L, "signup", 0L), (3L, 7L, "view", 200L)
+    ).toDF("user_id", "event_id", "event_type", "ts_ms")
+    val rows = operators.Events.conversionLagOf(e).collect()
+    val got = rows.filter(_.getLong(1) > 0)
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got == Map(
+      "signup_to_view" -> ((3L, 200.0, 200.0)),
+      "view_to_click" -> ((1L, 50.0, 50.0))), s"$got")
+    // a transition nobody completes keeps its row, with NULL lag stats
+    val none = rows.find(_.getString(0) == "click_to_purchase").get
+    assert(none.getLong(1) == 0L && none.isNullAt(2) && none.isNullAt(3))
+    // real data: converted counts equal the funnel's step counts, lags positive
+    val lag = operators.Events.conversionLag(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fun = operators.Events.funnel(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_users")).toMap
+    assert(lag("signup_to_view") == fun("view") &&
+      lag("view_to_click") == fun("click") &&
+      lag("click_to_purchase") == fun("purchase"), s"$lag vs $fun")
+    assert(operators.Events.conversionLag(spark, sf)
+      .filter("n_converted > 0 AND (mean_lag_ms <= 0 OR p50_lag_ms <= 0)").count() == 0)
+  }
+
   test("cohort retention: offset 0 is complete, cohorts partition signup users") {
     import spark.implicits._
     val e = Seq(
