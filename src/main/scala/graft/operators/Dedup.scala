@@ -385,6 +385,71 @@ object Dedup {
       threshold: Double = 0.8): DataFrame =
     ngramJaccardBucketed(spark, ensurePostings(spark, dir), threshold)
 
+  /** Compact a posting generation back to ONE file per bucket.
+    *
+    * Every [[appendPostings]] lays new bucket files next to the
+    * existing ones; after a season of daily ingests each bucket-local
+    * task opens O(appends) small files and re-sorts their union — the
+    * classic LSM read-amplification, paid on every dedup run. Compaction
+    * rewrites the SAME rows into one sorted file per bucket (the
+    * repartition on `h` uses the same murmur3-pmod placement as the
+    * bucket-id assignment, so each task holds exactly one bucket), with
+    * the index content, bucket spec, and corpus fingerprint all
+    * unchanged — queries before and after are equal by construction,
+    * and the per-file sort a fresh build provides is restored.
+    *
+    * Crash safety: the compacted copy is fully written to a side path
+    * first, then the fingerprint sidecar is DELETED before the file
+    * swap and re-stamped (same content) only after it — a crash
+    * anywhere in the swap window leaves an unproven generation that
+    * [[ensurePostings]] rebuilds from scratch, never a silently empty
+    * or half-swapped index. */
+  def compactPostings(spark: SparkSession, dir: String,
+      numBuckets: Int = PostingsBuckets): Unit = {
+    val table = ensurePostings(spark, dir, numBuckets)
+    val path = postingsServePath(dir)
+    val fpPath = path + "_model"
+    val fp = Similarity.readSidecarRows(spark, fpPath)(0).getLong(0)
+    val tmpPath = path + "_compact_tmp"
+    val tmpTable = table + "_compact_tmp"
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+    deleteTree(tmpPath)
+    // one-file-per-bucket rides the task←→bucket alignment: an explicit
+    // repartition on h uses the same murmur3-pmod placement as the
+    // bucket-id assignment, so each of the numBuckets tasks holds
+    // exactly one bucket. Read the RAW files, not the catalog table —
+    // the bucketed relation advertises HashPartitioning(h, n), which
+    // makes EnsureRequirements elide this exact shuffle and hand the
+    // writer the scan's size-based splits instead (several buckets per
+    // task → several files per bucket, the fragmentation we're undoing).
+    spark.read.parquet(path)
+      .repartition(numBuckets, col("h"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, "h").sortBy("h")
+      .option("path", tmpPath).saveAsTable(tmpTable)
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable") // catalog entry only; files stay
+    deleteTree(fpPath) // unprove BEFORE touching live files
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    deleteTree(path)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(tmpPath), java.nio.file.Paths.get(path))
+    spark.sql(
+      s"""CREATE TABLE $table (doc_id BIGINT, h BIGINT) USING parquet
+         |CLUSTERED BY (h) SORTED BY (h) INTO $numBuckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
+    spark.range(1).select(lit(fp).as("fp"))
+      .coalesce(1).write.mode("overwrite").parquet(fpPath)
+  }
+
+  private def deleteTree(p: String): Unit = {
+    val root = java.nio.file.Paths.get(p)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverseIterator
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
   val ngramJaccardOracle: String =
     s"""WITH words AS (
        |  SELECT doc_id, STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' ') AS w

@@ -418,6 +418,46 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       "serve after append rebuilt the doc-stats sidecar")
   }
 
+  test("postings compaction: fragmented buckets collapse to one file each, content unchanged") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftcompact").toString
+    val docs = graft.Tables.documents(spark, sf)
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    base.write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    operators.Dedup.ensurePostings(spark, tmp)
+    val fp0 = operators.Similarity.corpusFingerprint(spark, tmp, "documents.parquet")
+    delta.write.mode("append").parquet(tmp + "/documents.parquet")
+    operators.Dedup.appendPostings(spark, tmp, delta, expectedFp = Some(fp0))
+    val path = operators.Dedup.postingsServePath(tmp)
+    def dataFiles = new java.io.File(path).listFiles
+      .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+    assert(dataFiles.length > operators.Dedup.PostingsBuckets,
+      "append did not fragment the buckets — the compaction premise is gone")
+    def resultSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val before = resultSet(operators.Dedup.ngramJaccardServe(spark, tmp))
+    val fpPath = path + "_model"
+    val fpBefore = spark.read.parquet(fpPath).collect()(0).getLong(0)
+    operators.Dedup.compactPostings(spark, tmp)
+    assert(dataFiles.length == operators.Dedup.PostingsBuckets,
+      s"compaction left ${dataFiles.length} data files, expected one per bucket")
+    assert(resultSet(operators.Dedup.ngramJaccardServe(spark, tmp)) == before,
+      "compaction changed query results")
+    assert(spark.read.parquet(fpPath).collect()(0).getLong(0) == fpBefore,
+      "compaction changed the generation fingerprint")
+    // the compacted generation still serves bucket-locally: no h-keyed
+    // exchange anywhere in the candidate join
+    val plan = operators.Dedup.ngramJaccardServe(spark, tmp)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(h#"),
+      s"compacted index lost bucket locality:\n$plan")
+    // and a subsequent serve reuses it (no rebuild): data files untouched
+    val stamp = dataFiles.map(f => f.getName -> f.lastModified).toMap
+    resultSet(operators.Dedup.ngramJaccardServe(spark, tmp))
+    assert(dataFiles.map(f => f.getName -> f.lastModified).toMap == stamp,
+      "serve after compaction rewrote the generation")
+  }
+
   test("ivfpq residual encoding: tighter reconstruction and no worse ADC ranking than raw-book PQ") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val corpus = graft.Tables.embeddings(spark, sf)
