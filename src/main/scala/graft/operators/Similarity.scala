@@ -1419,6 +1419,53 @@ object Similarity {
       .coalesce(1).write.mode("append").parquet(ivfModelPath(indexPath))
   }
 
+  /** Compact an IVF-PQ generation's inverted lists back to one code
+    * file per cell.
+    *
+    * Every [[appendIvfPq]] lands a fresh file in each touched `cid=`
+    * partition dir, so a season of ingests makes every probe open
+    * O(appends) small files per probed cell — the same LSM read
+    * amplification [[Dedup.compactPostings]] undoes for the posting
+    * index. Rewriting through a hash repartition on `cid` sends every
+    * cell's rows to ONE task, so the partitioned write leaves exactly
+    * one file per cell regardless of how AQE sizes the task count.
+    * Codes, model sidecar and fingerprint are unchanged — probes
+    * before and after read identical rows.
+    *
+    * Crash safety: the compacted copy is fully written beside the live
+    * index first; the model sidecar is then STAGED AWAY before the file
+    * swap and restored after it, so a crash anywhere in the window
+    * leaves a sidecar-less generation the serve path rebuilds — never a
+    * half-swapped index served as fresh. */
+  def compactIvfPq(spark: SparkSession, dir: String): Unit = {
+    val indexPath = ivfPqServePath(dir)
+    val modelPath = ivfModelPath(indexPath)
+    // read probe: refuse to compact an unproven or older-semantics
+    // generation (same failure → rebuild contract as the serve path)
+    readIvfPqModels(spark, indexPath)
+    val tmpPath = indexPath + "_compact_tmp"
+    deleteTree(tmpPath)
+    spark.read.parquet(indexPath)
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(tmpPath)
+    val stage = modelPath + "_compact_stage"
+    deleteTree(stage)
+    val p = java.nio.file.Paths.get(_: String)
+    java.nio.file.Files.move(p(modelPath), p(stage))
+    deleteTree(indexPath)
+    java.nio.file.Files.move(p(tmpPath), p(indexPath))
+    java.nio.file.Files.move(p(stage), p(modelPath))
+  }
+
+  private def deleteTree(path: String): Unit = {
+    val root = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverseIterator
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
   /** q_dedup_embedding_resolve — keep-one-copy canonicalization over the
     * embedding near-dup graph: [[embeddingDedup]] pairs resolved to
     * connected-component canonical ids by the same large-star/small-star

@@ -1031,6 +1031,51 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"appended-index recall ${hits.toDouble / brute.size} below floor")
   }
 
+  test("ivfpq compaction: fragmented cells collapse to one file each, serve and sidecar unchanged") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graftivfcompact").toString
+    val all = graft.Tables.embeddings(spark, sf)
+    val base = all.filter(col("vec_id") % 5 =!= 0 || col("vec_id") < 8)
+    val delta = all.filter(col("vec_id") % 5 === 0 && col("vec_id") >= 8)
+    base.write.mode("overwrite").parquet(tmp + "/embeddings.parquet")
+    operators.Similarity.knnIvfPqServe(spark, tmp).count()
+    val fp0 = operators.Similarity.corpusFingerprint(spark, tmp)
+    delta.write.mode("append").parquet(tmp + "/embeddings.parquet")
+    operators.Similarity.appendIvfPq(spark, tmp,
+      delta.select(col("vec_id"), col("embedding").as("vec")),
+      expectedFp = Some(fp0))
+    val indexPath = operators.Similarity.ivfPqServePath(tmp)
+    def cellFiles = new java.io.File(indexPath).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("cid="))
+      .map(d => d.getName -> d.listFiles.filterNot(f =>
+        f.getName.startsWith("_") || f.getName.startsWith(".")).length).toMap
+    assert(cellFiles.values.exists(_ > 1),
+      "append did not fragment any cell — the compaction premise is gone")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "cosine", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val before = rows(operators.Similarity.knnIvfPqServe(spark, tmp))
+    val modelDir = new java.io.File(operators.Similarity.ivfModelPath(indexPath))
+    val modelStamp = modelDir.listFiles.map(f => f.getName -> f.lastModified).toMap
+    operators.Similarity.compactIvfPq(spark, tmp)
+    val after = cellFiles
+    assert(after.nonEmpty && after.values.forall(_ == 1),
+      s"compaction left multi-file cells: $after")
+    assert(rows(operators.Similarity.knnIvfPqServe(spark, tmp)) == before,
+      "compaction changed served results")
+    assert(modelDir.listFiles.map(f => f.getName -> f.lastModified).toMap == modelStamp,
+      "compaction rewrote the model sidecar")
+    // a subsequent serve reuses the compacted generation (no rebuild)
+    val stamp = new java.io.File(indexPath).listFiles
+      .filter(_.isDirectory).flatMap(_.listFiles)
+      .map(f => f.getPath -> f.lastModified).toMap
+    operators.Similarity.knnIvfPqServe(spark, tmp).count()
+    assert(new java.io.File(indexPath).listFiles
+      .filter(_.isDirectory).flatMap(_.listFiles)
+      .map(f => f.getPath -> f.lastModified).toMap == stamp,
+      "serve after compaction rebuilt the generation")
+  }
+
   test("opq: orthogonal rotation, no-worse reconstruction than PQ, serve bit-equal") {
     import org.apache.spark.sql.functions._
     val corpus = graft.Tables.embeddings(spark, sf)
