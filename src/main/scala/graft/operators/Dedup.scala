@@ -676,7 +676,10 @@ object Dedup {
     chunkedHammingPairs(simhashSignatures(docs))
 
   /** Chunked pigeonhole near-dup join over any (doc_id, simhash) frame. */
-  private def chunkedHammingPairs(sigs0: DataFrame): DataFrame = {
+  /** Pigeonhole near-pair search over any (doc_id, simhash) signature
+    * frame — shared by the text simhash family and the multimodal
+    * perceptual-hash dedup ([[Multimodal.imageDedup]]). */
+  private[operators] def chunkedHammingPairs(sigs0: DataFrame): DataFrame = {
     // The signature frame feeds the chunk explode AND the hot-bucket
     // frequency pass, and the surviving chunk stream feeds BOTH sides of
     // the pigeonhole self-join — without lineage truncation the signature

@@ -262,6 +262,69 @@ object Multimodal {
     }
   }
 
+  case class ImageHash(media_id: Long, phash: Long)
+
+  /** q_image_phash — 64-bit difference hash (dHash) per decodable
+    * image: grayscale nearest-resize to 9×8, one bit per horizontal
+    * neighbor comparison. The hash is a function of PIXELS, not bytes,
+    * so the same image in different containers (PPM vs PNG vs BMP)
+    * hashes identically — content-addressing that survives transcodes,
+    * which byte-level dedup can't see (spec-pinned). Undecodable
+    * payloads DROP rather than fabricate a hash (the [[audioSpectra]]
+    * discipline). One mapPartitions scan, no shuffle. */
+  def imageHashes(spark: SparkSession, media: DataFrame): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.as[MediaItem].mapPartitions { it =>
+      it.filter(_.meta.kind == "image").flatMap { m =>
+        decodeImage(m.payload).map { case (w, h, rgb) =>
+          ImageHash(m.media_id, dHash64(w, h, rgb))
+        }
+      }
+    }
+  }
+
+  /** Difference hash over a decoded RGB raster: sample a 9×8 grayscale
+    * grid (nearest), emit bit i = gray(x,y) < gray(x+1,y). Small pixel
+    * edits flip few comparisons, so near-identical images sit within a
+    * small hamming radius while unrelated images land ~32 bits apart. */
+  private[operators] def dHash64(w: Int, h: Int, rgb: Array[Byte]): Long = {
+    val gw = 9; val gh = 8
+    val gray = new Array[Int](gw * gh)
+    var y = 0
+    while (y < gh) {
+      var x = 0
+      while (x < gw) {
+        val sx = x * w / gw; val sy = y * h / gh
+        val p = (sy * w + sx) * 3
+        gray(y * gw + x) = (rgb(p) & 0xFF) + (rgb(p + 1) & 0xFF) + (rgb(p + 2) & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L; var i = 0
+    y = 0
+    while (y < gh) {
+      var x = 0
+      while (x < gw - 1) {
+        if (gray(y * gw + x) < gray(y * gw + x + 1)) hash |= (1L << i)
+        i += 1; x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** Perceptual near-dup pairs over decodable images: dHash signatures
+    * through the SAME capped pigeonhole chunk join the text simhash
+    * family uses ([[Dedup.chunkedHammingPairs]] — scale shape and
+    * hot-bucket discipline included). At 100 TB this is the image-side
+    * dedup pass a multimodal corpus build runs next to text near-dup. */
+  def imageDedup(spark: SparkSession, media: DataFrame): DataFrame =
+    Dedup.chunkedHammingPairs(
+      imageHashes(media.sparkSession, media).toDF()
+        .select(col("media_id").as("doc_id"), col("phash").as("simhash")))
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"), col("hamming"))
+
   /** Split a payload of back-to-back binary PPMs at real frame
     * boundaries; None unless the WHOLE payload parses as PPM frames.
     * Header parsing is offset-based ([[PpmCodec.parseHeaderAt]]), so the

@@ -760,6 +760,51 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!scan.contains("payload") || !scan.contains("ReadSchema: struct<media_id:bigint,payload"))
   }
 
+  test("image phash: container-invariant, near-dups within radius, unrelated far, undecodable dropped") {
+    import spark.implicits._
+    import graft.operators.{ImageIoCodec, PpmCodec}
+    import Multimodal.{MediaItem, MediaMeta}
+    val w = 9; val h = 8
+    // horizontal gradient: every dHash comparison is a clean 'rising' bit
+    val base = Array.tabulate(w * h * 3) { i =>
+      val x = (i / 3) % w; (x * 20).toByte
+    }
+    // small edit: bump ONE sampled pixel — flips at most its two
+    // adjacent comparisons
+    val near = base.clone()
+    val p = (4 * w + 4) * 3
+    near(p) = (near(p) + 10).toByte
+    // reversed gradient: every comparison flips
+    val far = Array.tabulate(w * h * 3) { i =>
+      val x = (i / 3) % w; ((w - 1 - x) * 20).toByte
+    }
+    def meta = MediaMeta("image", w, h, 0, 0)
+    val media = Seq(
+      MediaItem(1L, PpmCodec.encode(w, h, base), meta),
+      MediaItem(2L, ImageIoCodec.encodePng(w, h, near), meta),
+      MediaItem(3L, PpmCodec.encode(w, h, far), meta),
+      MediaItem(4L, Array[Byte](1, 2, 3), meta), // undecodable: dropped
+      MediaItem(5L, PpmCodec.encode(w, h, base), MediaMeta("audio", 0, 0, 8000, 0))
+    ).toDS().toDF()
+    val hashes = Multimodal.imageHashes(spark, media).collect()
+      .map(x => x.media_id -> x.phash).toMap
+    assert(hashes.keySet == Set(1L, 2L, 3L),
+      s"wrong decodable-image set: ${hashes.keySet}")
+    // container invariance: the SAME pixels hash identically through
+    // PPM and PNG containers
+    val pngBase = Multimodal.imageHashes(spark,
+      Seq(MediaItem(9L, ImageIoCodec.encodePng(w, h, base), meta)).toDS().toDF())
+      .collect().head.phash
+    assert(pngBase == hashes(1L), "phash is container-dependent")
+    assert(java.lang.Long.bitCount(hashes(1L) ^ hashes(2L)) <= operators.Dedup.HammingMax,
+      "small pixel edit pushed the hash outside the dedup radius")
+    assert(java.lang.Long.bitCount(hashes(1L) ^ hashes(3L)) > 32,
+      "unrelated image landed near the base hash")
+    val pairs = Multimodal.imageDedup(spark, media).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"wrong near-dup pairs: $pairs")
+  }
+
   test("dsp: fft matches the dft definition, Parseval holds, spectra separate tone from noise") {
     import graft.operators.Dsp
     // deterministic pseudo-random signal (LCG — no Math.random in specs)
