@@ -325,6 +325,55 @@ object Multimodal {
         .select(col("media_id").as("doc_id"), col("phash").as("simhash")))
       .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"), col("hamming"))
 
+  case class FrameHash(media_id: Long, frame_idx: Int, phash: Long)
+
+  /** Per-sampled-frame difference hashes for video payloads — the frame
+    * twin of [[imageHashes]] (same drop-on-undecodable discipline). */
+  def frameHashes(spark: SparkSession, media: DataFrame, every: Int = 2): Dataset[FrameHash] = {
+    import spark.implicits._
+    sampleFrames(spark, media, every).mapPartitions { it =>
+      it.flatMap { f =>
+        decodeImage(f.payload).map { case (w, h, rgb) =>
+          FrameHash(f.media_id, f.frame_idx, dHash64(w, h, rgb))
+        }
+      }
+    }
+  }
+
+  /** Video near-dup pairs by shared frame content: two videos pair when
+    * at least `minShared` of their sampled frames hash EQUAL (clip
+    * reuse / re-encodes / trims — the common large-corpus video dup
+    * modes; a re-encode preserves pixels, so exact phash equality is
+    * the right join key and the join is a plain hash join on the
+    * 64-bit hash, no pairwise scoring). Scale shape mirrors the
+    * posting-style joins: distinct (video, hash) first — a static
+    * intro card repeated over 1000 frames counts once — then one
+    * self-join keyed on the hash, one pair aggregate. A hash shared by
+    * more than [[FrameHashCap]] videos is dropped (observed via the
+    * count column, not silent): universal boilerplate frames (black
+    * frames, logo cards) would otherwise quadratically explode the
+    * candidate set. */
+  def videoDedup(spark: SparkSession, media: DataFrame, every: Int = 2,
+      minShared: Int = 2): DataFrame = {
+    val hashes = frameHashes(spark, media, every).toDF()
+      .select(col("media_id"), col("phash")).distinct()
+      .localCheckpoint(eager = false)
+    val hot = hashes.groupBy(col("phash")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > FrameHashCap)
+      .select(col("phash"))
+    val kept = hashes.join(hot, Seq("phash"), "left_anti")
+    kept
+      .join(kept.select(col("media_id").as("media_b"), col("phash")), Seq("phash"))
+      .filter(col("media_id") < col("media_b"))
+      .groupBy(col("media_id").as("media_a"), col("media_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= minShared)
+  }
+
+  /** Videos sharing one frame hash beyond this are boilerplate-frame
+    * hubs, not near-dups — dropped from pairing. */
+  val FrameHashCap = 64
+
   /** Split a payload of back-to-back binary PPMs at real frame
     * boundaries; None unless the WHOLE payload parses as PPM frames.
     * Header parsing is offset-based ([[PpmCodec.parseHeaderAt]]), so the

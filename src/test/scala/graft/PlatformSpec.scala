@@ -805,6 +805,39 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs == Set((1L, 2L)), s"wrong near-dup pairs: $pairs")
   }
 
+  test("video dedup: shared sampled frames pair videos, repeated frames count once") {
+    import spark.implicits._
+    import graft.operators.PpmCodec
+    import Multimodal.{MediaItem, MediaMeta}
+    val w = 9; val h = 8
+    var seed = 12345L
+    def frame(k: Int): Array[Byte] = {
+      seed = k * 6364136223846793005L + 1442695040888963407L
+      Array.tabulate(w * h * 3) { _ =>
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        (seed >>> 56).toByte
+      }
+    }
+    def video(id: Long, ks: Seq[Int]) = {
+      val frames = ks.map(k => PpmCodec.encode(w, h, frame(k)))
+      MediaItem(id, frames.reduce(_ ++ _), MediaMeta("video", w, h, 0, ks.size))
+    }
+    val media = Seq(
+      video(1L, Seq(1, 2, 3, 4)),
+      // shares frames 3,4 with video 1 — a trimmed re-cut
+      video(2L, Seq(3, 4, 5, 6)),
+      // shares only frame 1 with video 1, and repeats it: repeats must
+      // count ONCE, so this stays under minShared
+      video(3L, Seq(1, 1, 1, 7))
+    ).toDS().toDF()
+    val pairs = Multimodal.videoDedup(spark, media, every = 1, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs == Map((1L, 2L) -> 2L), s"wrong video pairs: $pairs")
+    // frame hashes really are per-frame (4 sampled frames per video)
+    val nHashes = Multimodal.frameHashes(spark, media, every = 1).count()
+    assert(nHashes == 12L, s"expected 12 frame hashes, got $nHashes")
+  }
+
   test("dsp: fft matches the dft definition, Parseval holds, spectra separate tone from noise") {
     import graft.operators.Dsp
     // deterministic pseudo-random signal (LCG — no Math.random in specs)
