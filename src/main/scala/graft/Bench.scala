@@ -54,9 +54,13 @@ object Bench {
     def f(x: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, x)
     def f3(x: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, x)
     def f2(x: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, x)
+    // compact-line values drop cosmetic trailing zeros ("0.30" -> "0.3",
+    // "1.00" -> "1") — identical numbers, ~40 fewer chars at 80 queries
+    def trim0(s: String): String =
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
     val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + f(med) }
       .mkString("{", ",", "}")
-    val qs3 = results.map { case (k, med, _, _) => "\"" + k + "\":" + f2(med) }
+    val qs3 = results.map { case (k, med, _, _) => "\"" + k + "\":" + trim0(f2(med)) }
       .mkString("{", ",", "}")
     val spread = results
       .map { case (k, _, mn, mx) => "\"" + k + "\":[" + f(mn) + "," + f(mx) + "]" }
@@ -67,14 +71,19 @@ object Bench {
     // (reconciles with its queries to within nq * 0.5e-4)
     val total3 = f3(results.map(r => f2(r._2).toDouble).sum)
     val total = f(results.map(_._2).sum)
-    val compact = s"""{"metric":"total","value":$total3,"unit":"sec","queries":$qs3,"iters":$iters,"sf":"$sfDir"}"""
+    // the compact line carries only what the driver's contract names
+    // (metric/value/unit/queries/sf — sf as the directory's basename);
+    // iteration count and spread live in bench_out.json
+    val sfName = new java.io.File(sfDir).getName
+    val compact = s"""{"metric":"total","value":$total3,"unit":"sec","queries":$qs3,"sf":"$sfName"}"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"iters":$iters,"sf":"$sfDir"}"""
     // the driver captures a bounded 2000-char stdout tail (minus sbt's
     // ~70-char trailer): fail LOUDLY at the source when operator growth
     // approaches the budget instead of letting the line clip mid-JSON
     require(compact.length <= 1900,
       s"compact bench line ${compact.length} chars — about to outgrow the " +
-        "driver's tail capture; shorten query keys or drop precision")
+        "driver's tail capture; next lever: strip the q_ prefix from the " +
+        "compact keys (uniform rename, ~2 chars per query)")
     spark.stop()
     // full JSON (with spread) goes to a file; the process's last stdout
     // line is the COMPACT medians-only form (after spark.stop(), so no
