@@ -55,13 +55,34 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
-    * to its microsecond TimestampType; read it as a LONG of epoch
-    * nanoseconds instead (set lazily so any session works) and let callers
-    * derive ms/timestamp columns with exact integer arithmetic. */
+  /** `events.ts` is normalized to a LONG of epoch NANOSECONDS whatever the
+    * generator wrote, so every downstream operator keeps exact integer time
+    * arithmetic (`DIV`/`pmod` bucketing) that agrees bitwise with the
+    * DuckDB oracles' `epoch_ms(ts)`:
+    *  - TIMESTAMP(NANOS) parquet (early generations): unmappable to Spark's
+    *    microsecond TimestampType, so read the raw INT64 via the legacy
+    *    nanos-as-long flag — already epoch nanos.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) (current generations):
+    *    arrives as TIMESTAMP_NTZ; the session timezone is pinned UTC
+    *    (GraftSession), so casting to TimestampType reads the naive stamp
+    *    as the same UTC instant DuckDB assumes, then `unix_micros * 1000`.
+    */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
+    val df = t(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case org.apache.spark.sql.types.TimestampType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.unix_micros(df("ts")) * 1000L)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.unix_micros(
+            df("ts").cast(org.apache.spark.sql.types.TimestampType)) * 1000L)
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other — expected LONG nanos or a parquet timestamp")
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")

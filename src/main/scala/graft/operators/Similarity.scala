@@ -416,10 +416,21 @@ object Similarity {
       org.slf4j.LoggerFactory.getLogger(getClass)
         .warn(s"$what model sidecar at $path unreadable; rebuilding", e)
 
-  /** Driver-side metadata fingerprint of a corpus table's parquet (file
-    * names, lengths, modification times — an FS listing, never a data
-    * scan): the serve paths' staleness key. Shared by every
-    * model-serving surface (IVF, PQ, the quality classifier). */
+  /** Driver-side CONTENT fingerprint of a corpus table's parquet (file
+    * names, lengths, and a CRC of each file's head+tail bytes — the tail
+    * is the parquet footer, i.e. row-group offsets and column statistics):
+    * the serve paths' staleness key, shared by every model-serving surface
+    * (IVF, PQ, the posting index, the quality classifier).
+    *
+    * Content-keyed on purpose, in both directions: a same-length content
+    * swap changes the footer stats and so the fingerprint (a length-only
+    * key would silently serve a stale index), while a byte-identical
+    * rewrite — e.g. a deterministic generator re-emitting the same corpus
+    * with fresh mtimes — keeps the fingerprint, so standing index
+    * generations keep serving instead of retraining on every touch (an
+    * mtime key forced exactly that: every regeneration invalidated every
+    * index even though no byte changed). ~12 KB of IO per file,
+    * driver-side; never a data scan. */
   private[graft] def corpusFingerprint(spark: SparkSession, dir: String,
       table: String = "embeddings.parquet"): Long = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$table")
@@ -429,8 +440,28 @@ object Similarity {
         .filter(_.isFile)
         .sortBy(_.getPath.getName)
     statuses.foldLeft(1125899906842597L) { (h, s) =>
-      ((h * 31 + s.getPath.getName.hashCode) * 31 + s.getLen) * 31 + s.getModificationTime
+      ((h * 31 + s.getPath.getName.hashCode) * 31 + s.getLen) * 31 + contentStamp(fs, s)
     }
+  }
+
+  /** CRC32 of a file's first 4 KB and last 8 KB (for parquet: the magic +
+    * first page headers, and the footer's stats/offsets). */
+  private def contentStamp(fs: org.apache.hadoop.fs.FileSystem,
+      s: org.apache.hadoop.fs.FileStatus): Long = {
+    val crc = new java.util.zip.CRC32()
+    val len = s.getLen
+    val in = fs.open(s.getPath)
+    try {
+      val headLen = math.min(4096L, len).toInt
+      val head = new Array[Byte](headLen)
+      in.readFully(0L, head)
+      crc.update(head)
+      val tailLen = math.min(8192L, len).toInt
+      val tail = new Array[Byte](tailLen)
+      in.readFully(len - tailLen, tail)
+      crc.update(tail)
+    } finally in.close()
+    crc.getValue
   }
 
   /** Serving-index location for a corpus dir, inside the local warehouse.

@@ -539,13 +539,11 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"residual ADC ranking ($resHits hits) fell below raw-book ranking ($rawHits)")
   }
 
-  test("ivf serve keys: fingerprint tracks file metadata; distinct dirs never share a serve path") {
+  test("ivf serve keys: fingerprint tracks file content; distinct dirs never share a serve path") {
     // sanitization alone maps a/b and a_b to the same name — the digest
     // suffix must keep them apart
     assert(operators.Similarity.ivfServePath("data/sf1") !=
       operators.Similarity.ivfServePath("data_sf1"))
-    // same-length same-name content swap: only the mtime differs, and the
-    // fingerprint must still change
     val tmp = java.nio.file.Files.createTempDirectory("graftfp")
     val corpus = java.nio.file.Paths.get(sf, "embeddings.parquet")
     val src =
@@ -555,9 +553,26 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dst = tmp.resolve("embeddings.parquet")
     java.nio.file.Files.copy(src, dst)
     val fp1 = operators.Similarity.corpusFingerprint(spark, tmp.toString)
+    // a pure mtime touch — e.g. a deterministic generator re-emitting the
+    // same bytes — must KEEP the fingerprint: an mtime-keyed fingerprint
+    // invalidated every standing index generation on every regeneration,
+    // retraining per round with zero content change
     assert(dst.toFile.setLastModified(dst.toFile.lastModified + 123000))
     val fp2 = operators.Similarity.corpusFingerprint(spark, tmp.toString)
-    assert(fp1 != fp2, "mtime-only corpus change did not change the fingerprint")
+    assert(fp1 == fp2, "mtime-only touch changed the content fingerprint")
+    // a same-length content swap (flip one byte mid-file, then one in the
+    // footer) must CHANGE it — a length-only key would serve stale
+    val bytes = java.nio.file.Files.readAllBytes(dst)
+    val flipped = bytes.clone()
+    flipped(flipped.length - 100) = (flipped(flipped.length - 100) ^ 0x7f).toByte
+    java.nio.file.Files.write(dst, flipped)
+    val fp3 = operators.Similarity.corpusFingerprint(spark, tmp.toString)
+    assert(fp1 != fp3, "same-length footer content swap did not change the fingerprint")
+    val headFlip = bytes.clone()
+    headFlip(64) = (headFlip(64) ^ 0x7f).toByte
+    java.nio.file.Files.write(dst, headFlip)
+    val fp4 = operators.Similarity.corpusFingerprint(spark, tmp.toString)
+    assert(fp1 != fp4, "same-length head content swap did not change the fingerprint")
   }
 
   test("adaptive clean keeps the top quality mass per language; approx sketch tracks exact floors") {
