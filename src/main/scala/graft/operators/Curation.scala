@@ -777,4 +777,89 @@ object Curation {
        |  QUANTILE_CONT(mean_df, $RarityQuantile) AS mean_df_hi,
        |  QUANTILE_CONT(rare_frac, $RarityQuantile) AS rare_frac_hi
        |FROM sig""".stripMargin
+
+  // ------------------------------------------------- LM-support scoring
+
+  /** q_lm_score — sequence-level fluency signal: a corpus-trained bigram
+    * transition model scores each document by how well the corpus
+    * supports its word-to-word transitions (the in-engine stand-in for
+    * the LM-perplexity filters of CCNet, Wenzek et al. 2019
+    * arXiv:1911.00359, and Gopher's quality pipeline — rarity
+    * ([[rarityScore]]) sees unigrams only; shuffled or OCR-scrambled text
+    * passes rarity but fails HERE because its transitions are unattested).
+    *
+    * Per doc: ordered word bigrams (b_1..b_k); with corpus counts
+    * c(a,b) and prefix totals c(a),
+    *   lm_support = sum_k c(a_k,b_k) / sum_k c(a_k)
+    * — a per-doc weighted average of transition probabilities computed as
+    * ONE division of two exact integer sums, so the double is
+    * bit-deterministic under any partitioning (the same discipline as
+    * [[rarityScore]]'s mean_df; an average of per-bigram float ratios
+    * would be summation-order-dependent). `min_support` flags the single
+    * least-attested transition (gibberish detector).
+    *
+    * Scale shape: one codegen'd scan builds per-doc word-hash sequences
+    * (built-in `split` + `transform(xxhash64)` — no strings on the
+    * shuffle wire, 8-byte keys only), lazily checkpointed because THREE
+    * consumers read it (bigram counts, prefix counts, the per-doc
+    * re-join). Both count tables are partial-aggregated (map-side
+    * combine) and vocabulary-bounded — AQE broadcasts them while small,
+    * shuffle-joins on hash keys at 100 TB where they are exactly the
+    * n-gram count tables a KenLM build would shard. Hash-collision
+    * caveat as in [[rarityScore]]: the oracle counts raw string pairs,
+    * so a 64-bit collision fails parity loudly instead of silently.
+    */
+  def lmScore(spark: SparkSession, dir: String): DataFrame =
+    lmScoreOf(Tables.documents(spark, dir))
+
+  /** DataFrame core of [[lmScore]] — any (doc_id, text) frame. */
+  def lmScoreOf(d: DataFrame): DataFrame = {
+    val words = split(regexp_replace(trim(col("text")), "\\s+", " "), " ")
+    val hashes = transform(words, w => xxhash64(w))
+    val n1 = greatest(size(col("h")) - 1, lit(0))
+    val big = d
+      .select(col("doc_id"), hashes.as("h"))
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("h"), lit(1), n1),
+          slice(col("h"), lit(2), n1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+      .localCheckpoint(eager = false)
+    val bc = big.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val pc = big.groupBy(col("a")).agg(count(lit(1)).as("c_a"))
+    big
+      .join(bc, Seq("a", "b"))
+      .join(pc, Seq("a"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("c_ab")).as("support_num"),
+        sum(col("c_a")).as("support_den"),
+        (sum(col("c_ab")).cast(DoubleType) / sum(col("c_a")).cast(DoubleType))
+          .as("lm_support"),
+        min(col("c_ab")).as("min_support"))
+  }
+
+  val lmScoreOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'), ' ') AS ws
+      |  FROM documents
+      |), big AS (
+      |  SELECT doc_id, ws[g] AS a, ws[g+1] AS b
+      |  FROM tok, LATERAL (SELECT UNNEST(RANGE(1, LEN(ws))) AS g) r
+      |), bc AS (
+      |  SELECT a, b, COUNT(*) AS c_ab FROM big GROUP BY 1, 2
+      |), pc AS (
+      |  SELECT a, COUNT(*) AS c_a FROM big GROUP BY 1
+      |)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(c_ab) AS BIGINT) AS support_num,
+      |  CAST(SUM(c_a) AS BIGINT) AS support_den,
+      |  CAST(SUM(c_ab) AS DOUBLE) / CAST(SUM(c_a) AS DOUBLE) AS lm_support,
+      |  CAST(MIN(c_ab) AS BIGINT) AS min_support
+      |FROM big JOIN bc USING (a, b) JOIN pc USING (a)
+      |GROUP BY doc_id""".stripMargin
 }

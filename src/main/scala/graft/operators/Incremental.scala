@@ -72,4 +72,87 @@ object Incremental {
       |  COUNT(*) AS n_obs
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------- backfill
+
+  /** Hex-prefix ceiling selecting the deterministic "late correction
+    * batch" (~3.1% of fact rows): same content-keyed md5 discipline as
+    * [[TextAnalysis.trainSplit]], so the batch is reproducible in any
+    * engine and independent of row order. */
+  val LateHexLt = "08"
+
+  /** q_backfill_rollup — partition-selective backfill, the data side of an
+    * orchestrator's catch-up run (reference: the Airflow `@daily` DAGs
+    * rebuild tables wholesale on a backfill — `dags/raw/ingest_kaggle_data
+    * .py`; here a correction batch rebuilds ONLY the partitions it
+    * touches).
+    *
+    * Shape: a deterministic md5-keyed slice of the fact is the LATE batch
+    * (corrections that arrived after their data month closed). The
+    * standing rollup — built from on-time rows only — is stale exactly in
+    * the (year, month) partitions the late rows belong to. Backfill:
+    *  1. touched = distinct late (year, month) — dim-sized, broadcast;
+    *  2. rebuild those partitions from the FULL fact (the partition
+    *     predicate is a broadcast semi-join the scan can prune on: with a
+    *     date-partitioned warehouse layout this reads only the affected
+    *     partitions, never the history);
+    *  3. splice: untouched store rows pass through (left_anti on the
+    *     touched set), rebuilt partitions replace their stale versions —
+    *     dynamic-partition-overwrite semantics as one declarative plan.
+    *
+    * A late row's partition key is its OWN ship month, so every partition
+    * the store got wrong is in the touched set by construction and the
+    * spliced result equals the from-scratch rollup bit-for-bit (decimal
+    * partials; the oracle checks exactly that, plus the rebuilt flag).
+    * Cost: O(store + late + affected partitions), not O(history).
+    */
+  def backfillRollup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_extendedprice"), col("l_shipdate"))
+    val p = broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")))
+    val isLate = substring(
+      md5(concat_ws("-", col("l_orderkey").cast(StringType),
+        col("l_linenumber").cast(StringType))), 1, 2) < lit(LateHexLt)
+    val base = li
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .select(
+        col("p_brand").as("brand"),
+        year(col("l_shipdate")).as("year"),
+        month(col("l_shipdate")).as("month"),
+        col("l_extendedprice").as("price"),
+        isLate.as("late"))
+    val touched = base.filter(col("late")).select(col("year"), col("month")).distinct()
+    val stale = partialMonthly(base.filter(!col("late")))
+    val untouched = stale.join(broadcast(touched), Seq("year", "month"), "left_anti")
+    val rebuilt = partialMonthly(base.join(broadcast(touched), Seq("year", "month")))
+    untouched.withColumn("rebuilt", lit(false))
+      .unionByName(rebuilt.withColumn("rebuilt", lit(true)))
+      .select(
+        col("brand"), col("year"), col("month"),
+        col("sum_dec").cast(DoubleType).as("sum_price"),
+        col("n").as("n_obs"),
+        col("rebuilt"))
+  }
+
+  val backfillRollupOracle: String =
+    s"""WITH base AS (
+       |  SELECT p_brand AS brand,
+       |    CAST(EXTRACT(year FROM l_shipdate) AS INT) AS year,
+       |    CAST(EXTRACT(month FROM l_shipdate) AS INT) AS month,
+       |    l_extendedprice AS price,
+       |    SUBSTR(MD5(CAST(l_orderkey AS VARCHAR) || '-' ||
+       |      CAST(l_linenumber AS VARCHAR)), 1, 2) < '$LateHexLt' AS late
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |), touched AS (
+       |  SELECT DISTINCT year, month FROM base WHERE late
+       |)
+       |SELECT brand, year, month,
+       |  CAST(CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_price,
+       |  COUNT(*) AS n_obs,
+       |  EXISTS(SELECT 1 FROM touched t
+       |    WHERE t.year = base.year AND t.month = base.month) AS rebuilt
+       |FROM base
+       |GROUP BY 1, 2, 3, 6""".stripMargin
 }

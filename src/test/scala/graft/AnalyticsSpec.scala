@@ -396,4 +396,32 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter("event_type = 'signup'").select("user_id").distinct().count()
     assert(cohortTotal == signupUsers, s"$cohortTotal cohort users vs $signupUsers signups")
   }
+
+  test("backfill splice equals the from-scratch rollup; rebuilt flags exactly the late partitions") {
+    val res = operators.Incremental.backfillRollup(spark, sf)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getInt(1), r.getInt(2), r.getDouble(3), r.getLong(4))
+    val spliced = res.collect().map(r => key(r) -> r.getBoolean(5)).toMap
+    // from-scratch rollup over ALL rows must match (brand,year,month,sum,n)
+    val scratch = operators.Incremental
+      .incrementalMonthly(spark, sf) // already the full-data rollup
+      .collect().map(key).toSet
+    assert(spliced.keySet == scratch,
+      s"spliced rollup diverged from from-scratch (${spliced.size} vs ${scratch.size} rows)")
+    // rebuilt flag == partition contains at least one late (md5-keyed) row
+    val late = Tables.lineitem(spark, sf)
+      .filter(substring(md5(concat_ws("-",
+        col("l_orderkey").cast("string"), col("l_linenumber").cast("string"))),
+        1, 2) < operators.Incremental.LateHexLt)
+      .select(year(col("l_shipdate")).as("y"), month(col("l_shipdate")).as("m"))
+      .distinct().collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(late.nonEmpty, "late batch is empty — LateHexLt selects nothing at this SF")
+    res.collect().foreach { r =>
+      val expect = late.contains((r.getInt(1), r.getInt(2)))
+      assert(r.getBoolean(5) == expect,
+        s"rebuilt flag wrong for partition (${r.getInt(1)},${r.getInt(2)})")
+    }
+    // the rebuild really is selective: some partitions pass through untouched
+    assert(res.filter("NOT rebuilt").count() > 0, "every partition was rebuilt")
+  }
 }

@@ -1321,6 +1321,34 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       "sidecar corruption did not trigger a rebuild")
   }
 
+  test("lm support: attested transitions outscore scrambled text; partition-invariant") {
+    val fluent = "the cat sat on the mat " * 5
+    val docs = spark.createDataFrame(Seq(
+      (1L, fluent.trim),
+      (2L, fluent.trim),
+      // same unigrams as doc 1 (identical rarity profile) but shuffled
+      // word order — only the TRANSITION signal can tell them apart
+      (3L, ("mat the on cat the sat " * 5).trim),
+      (4L, "sat")) // single token: no bigrams, must be absent
+    ).toDF("doc_id", "text")
+    val res = operators.Curation.lmScoreOf(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5))).toMap
+    assert(!res.contains(4L), "bigram-less doc leaked into the scores")
+    res.values.foreach { case (nb, num, den, score, minSup) =>
+      assert(nb > 0 && num <= den && minSup >= 1 && score > 0 && score <= 1.0)
+    }
+    assert(res(1L) == res(2L), "identical docs scored differently")
+    assert(res(1L)._4 > res(3L)._4,
+      s"scrambled text (${res(3L)._4}) not below fluent text (${res(1L)._4})")
+    // bit-determinism under partitioning: the score is ONE division of two
+    // integer sums, so any partition layout must give identical doubles
+    val rep = operators.Curation.lmScoreOf(docs.repartition(7)).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5))).toMap
+    assert(rep == res, "lm_score changed under repartitioning")
+  }
+
   test("rarity score invariants: rare counts bounded, min <= mean") {
     val res = operators.Curation.rarityScore(spark, sf).collect()
     assert(res.nonEmpty)
