@@ -680,22 +680,22 @@ object Dedup {
     * frame — shared by the text simhash family and the multimodal
     * perceptual-hash dedup ([[Multimodal.imageDedup]]). */
   private[operators] def chunkedHammingPairs(sigs0: DataFrame): DataFrame = {
-    // The signature frame feeds the chunk explode AND the hot-bucket
-    // frequency pass, and the surviving chunk stream feeds BOTH sides of
-    // the pigeonhole self-join — without lineage truncation the signature
-    // pipeline is planned four times per query (ruinous for the IDF
-    // variant, whose signatures cost a vocabulary join + a 64-sum
-    // aggregate each time). Two lazy checkpoints make each step compute
-    // exactly once; batch-only is fine, the streaming admission path has
-    // its own signature plan.
-    val sigs = sigs0.localCheckpoint(eager = false)
+    // The chunk stream feeds the hot-bucket frequency pass AND the
+    // survival anti-join, and the surviving stream (with its per-doc
+    // survival mask) feeds BOTH sides of the pigeonhole self-join —
+    // without lineage truncation the signature pipeline is planned many
+    // times per query (ruinous for the IDF variant, whose signatures
+    // cost a vocabulary join + a 64-sum aggregate each time). Two lazy
+    // checkpoints make each step compute exactly once; batch-only is
+    // fine, the streaming admission path has its own signature plan.
     val chunkCols = (0 until Chunks).map { c =>
       struct(lit(c).as("c"),
         shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("v"))
     }
-    val chunked0 = sigs
+    val chunked0 = sigs0
       .select(col("doc_id"), col("simhash"), explode(array(chunkCols: _*)).as("ch"))
       .select(col("doc_id"), col("simhash"), col("ch.c").as("c"), col("ch.v").as("v"))
+      .localCheckpoint(eager = false)
     val hot = chunked0.groupBy(col("c"), col("v")).agg(count(lit(1)).as("df"))
       .filter(col("df") > SimHashChunkCap)
       .select(col("c"), col("v"), col("df"))
@@ -703,22 +703,52 @@ object Dedup {
         count(lit(1)).as("hot_buckets"),
         coalesce(sum(col("df")), lit(0L)).as("dropped_chunk_rows"))
       .select(col("c"), col("v"))
-    val chunked = chunked0.join(hot, Seq("c", "v"), "left_anti")
+    // Per-doc SURVIVAL MASK (bit c set iff chunk c's bucket was not hot):
+    // a matching chunk has the same (c, v) on both sides, so survival is
+    // a shared property of the pair — which makes "the pair's FIRST
+    // shared surviving chunk" well-defined from one side's mask alone,
+    // and that is what replaces the final `.distinct()`: each pair is
+    // emitted exactly once, at that first chunk, by a cheap codegen'd
+    // bitwise filter. The old shape emitted a pair once per shared chunk
+    // and shuffled the ENTIRE pair stream to dedupe — on near-dup-heavy
+    // corpora the pair stream dwarfs the 4n-row mask aggregation this
+    // costs instead (sf0.1: 81k pairs emitted, ~4x that pre-distinct).
+    val bitOf = when(col("c") === 0, 1L).when(col("c") === 1, 2L)
+      .when(col("c") === 2, 4L).otherwise(8L)
+    val withMask = chunked0
+      .join(hot, Seq("c", "v"), "left_anti")
+      .groupBy(col("doc_id"), col("simhash"))
+      .agg(sum(bitOf).as("mask"))
+    // re-derive the surviving chunk stream from (simhash, mask) — the
+    // chunks are bitshifts of a column already in hand, cheaper than
+    // joining the mask back onto the anti-joined stream
+    val restream = withMask
+      .select(col("doc_id"), col("simhash"), col("mask"),
+        explode(array(chunkCols: _*)).as("ch"))
+      .select(col("doc_id"), col("simhash"), col("mask"),
+        col("ch.c").as("c"), col("ch.v").as("v"))
+      .filter(col("mask").bitwiseAND(bitOf) =!= 0L)
       .localCheckpoint(eager = false)
-    chunked
+    def chunkOf(sig: Column, cp: Int): Column =
+      shiftrightunsigned(sig, cp * 16).bitwiseAND(lit(0xFFFFL))
+    // emit only at the first shared SURVIVING chunk: for every earlier
+    // chunk index, either the chunks differ or that bucket was hot
+    val firstShared = (0 until Chunks).map { cp =>
+      when(lit(cp) < col("c"),
+        !((chunkOf(col("simhash"), cp) === chunkOf(col("simhash_b"), cp)) &&
+          (col("mask").bitwiseAND(lit(1L << cp)) =!= 0L)))
+        .otherwise(lit(true))
+    }.reduce(_ && _)
+    restream
       .join(
-        chunked.select(col("doc_id").as("doc_b"), col("simhash").as("simhash_b"),
+        restream.select(col("doc_id").as("doc_b"), col("simhash").as("simhash_b"),
           col("c"), col("v")),
         Seq("c", "v"))
       .filter(col("doc_id") < col("doc_b"))
+      .filter(firstShared)
       .select(col("doc_id").as("doc_a"), col("doc_b"),
         bit_count(col("simhash").bitwiseXOR(col("simhash_b"))).as("hamming"))
-      // hamming cut BEFORE the dedup shuffle: most chunk-collision
-      // candidates fail it, so filtering first shrinks the distinct's
-      // exchange by the rejection factor (the filter is a cheap
-      // codegen'd bit_count over columns already in hand)
       .filter(col("hamming") <= HammingMax)
-      .distinct()
   }
 
   def simhashDedup(spark: SparkSession, dir: String): DataFrame =
