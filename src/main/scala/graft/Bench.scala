@@ -84,8 +84,12 @@ object Bench {
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
     val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + f(med) }
       .mkString("{", ",", "}")
-    val qs3 = results.map { case (k, med, _, _) => "\"" + k + "\":" + trim0(f2(med)) }
-      .mkString("{", ",", "}")
+    // compact keys drop the uniform "q_" prefix (the r8-documented lever:
+    // 82 queries crossed the 1900-char guard at r9) — BASELINE.md keys
+    // are renamed to match; bench_out.json keeps the full names
+    val qs3 = results.map { case (k, med, _, _) =>
+      "\"" + k.stripPrefix("q_") + "\":" + trim0(f2(med))
+    }.mkString("{", ",", "}")
     val spread = results
       .map { case (k, _, mn, mx) => "\"" + k + "\":[" + f(mn) + "," + f(mx) + "]" }
       .mkString("{", ",", "}")
@@ -111,8 +115,9 @@ object Bench {
     // approaches the budget instead of letting the line clip mid-JSON
     require(compact.length <= 1900,
       s"compact bench line ${compact.length} chars — about to outgrow the " +
-        "driver's tail capture; next lever: strip the q_ prefix from the " +
-        "compact keys (uniform rename, ~2 chars per query)")
+        "driver's tail capture; next lever: drop the compact values to one " +
+        "decimal (10ms -> 100ms granularity; full precision stays in " +
+        "bench_out.json)")
     spark.stop()
     // full JSON (with spread) goes to a file; the process's last stdout
     // line is the COMPACT medians-only form (after spark.stop(), so no

@@ -152,6 +152,7 @@ object GraftFunctions {
   val TopKMeanName = "graft_topk_mean"
   val BpeCountName = "graft_bpe_count"
   val RepStatsName = "graft_rep_stats"
+  val Md5BucketName = "graft_md5_bucket"
   val KllName = "graft_kll"
   val KllMergeName = "graft_kll_merge"
   val KllQuantileName = "graft_kll_q"
@@ -206,6 +207,10 @@ object GraftFunctions {
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       SimHashName,
       (exprs: Seq[Expression]) => SimHash64(exprs.head),
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      Md5BucketName,
+      (exprs: Seq[Expression]) => Md5Bucket(exprs.head, exprs(1)),
       "built-in")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       MinHashName,

@@ -516,20 +516,38 @@ object Dedup {
   /** q_dedup_minhash — LSH banding: docs sharing any band bucket become
     * candidates; estimated Jaccard = fraction of equal signature slots. */
   def minhashDedup(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sigs = minhashSignatures(docs)
+    // the signature frame feeds the banding AND both verifier sides —
+    // truncate lineage so the per-row signature kernel runs once
+    val sigs = minhashSignatures(docs).localCheckpoint(eager = false)
     val bandCols = (0 until Bands).map { b =>
       val slot = (0 until RowsPerBand).map(r => col(s"sig_${b * RowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(slot: _*).as("bucket"))
     }
+    // each banded row carries the doc's full bucket array so a pair is
+    // emitted exactly once, at its first shared band (same shape as
+    // [[chunkedHammingPairs]]'s survival mask) — no pair-stream distinct
     val banded = sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col("doc_id"),
+        array(bandCols.map(bc => bc.getField("bucket")): _*).as("bks"))
+      .select(col("doc_id"), col("bks"), posexplode(col("bks")))
+      .toDF("doc_id", "bks", "band", "bucket")
+      .localCheckpoint(eager = false)
+    // unrolled over the band-count constant so the predicate stays inside
+    // whole-stage codegen — the higher-order exists/zip_with form is
+    // interpreted per candidate row and measurably slower than the
+    // distinct it replaces
+    val firstShared = (0 until Bands).map { bp =>
+      when(lit(bp) < col("band"),
+        element_at(col("bks"), bp + 1) =!= element_at(col("bks_b"), bp + 1))
+        .otherwise(lit(true))
+    }.reduce(_ && _)
     val candidates = banded
-      .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("bucket")),
+      .join(banded.select(col("doc_id").as("doc_b"), col("bks").as("bks_b"),
+        col("band"), col("bucket")),
         Seq("band", "bucket"))
       .filter(col("doc_id") < col("doc_b"))
+      .filter(firstShared)
       .select(col("doc_id").as("doc_a"), col("doc_b"))
-      .distinct()
     val sigA = sigs.select(col("doc_id").as("doc_a") +:
       (0 until MinHashK).map(j => col(s"sig_$j").as(s"a_$j")): _*)
     val sigB = sigs.select(col("doc_id").as("doc_b") +:

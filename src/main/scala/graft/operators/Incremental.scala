@@ -92,10 +92,11 @@ object Incremental {
     * standing rollup — built from on-time rows only — is stale exactly in
     * the (year, month) partitions the late rows belong to. Backfill:
     *  1. touched = distinct late (year, month) — dim-sized, broadcast;
-    *  2. rebuild those partitions from the FULL fact (the partition
-    *     predicate is a broadcast semi-join the scan can prune on: with a
-    *     date-partitioned warehouse layout this reads only the affected
-    *     partitions, never the history);
+    *  2. rebuild the touched partitions: distributive measures fold
+    *     on-time + late decimal PARTIALS (one fact-scale exchange total —
+    *     see the body comment); a non-distributive measure would rescan,
+    *     with the broadcast touched set as the partition predicate a
+    *     date-partitioned warehouse layout prunes on — never the history;
     *  3. splice: untouched store rows pass through (left_anti on the
     *     touched set), rebuilt partitions replace their stale versions —
     *     dynamic-partition-overwrite semantics as one declarative plan.
@@ -112,9 +113,13 @@ object Incremental {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_extendedprice"), col("l_shipdate"))
     val p = broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")))
-    val isLate = substring(
-      md5(concat_ws("-", col("l_orderkey").cast(StringType),
-        col("l_linenumber").cast(StringType))), 1, 2) < lit(LateHexLt)
+    // the 2-hex-char prefix compare is the first digest byte's numeric
+    // compare — computed by the [[graft.functions.Md5BucketKernel]]
+    // codegen kernel (no UTF8String key, no 16-byte hex encode per row)
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val isLate = call_function(graft.functions.GraftFunctions.Md5BucketName,
+      col("l_orderkey").cast(LongType), col("l_linenumber").cast(LongType)) <
+      lit(Integer.parseInt(LateHexLt, 16))
     val base = li
       .join(p, col("l_partkey") === col("p_partkey"))
       .select(
@@ -123,12 +128,34 @@ object Incremental {
         month(col("l_shipdate")).as("month"),
         col("l_extendedprice").as("price"),
         isLate.as("late"))
-    val touched = base.filter(col("late")).select(col("year"), col("month")).distinct()
-    val stale = partialMonthly(base.filter(!col("late")))
-    val untouched = stale.join(broadcast(touched), Seq("year", "month"), "left_anti")
-    val rebuilt = partialMonthly(base.join(broadcast(touched), Seq("year", "month")))
-    untouched.withColumn("rebuilt", lit(false))
-      .unionByName(rebuilt.withColumn("rebuilt", lit(true)))
+    // ONE fact-scale exchange: the late flag rides the partial
+    // aggregation, so touched-set derivation, the untouched pass-through
+    // and the touched-partition merge all work over the dim-cardinality
+    // partial frame — the fact is scanned once, not once per consumer.
+    // This is the distributive-measure fast path (decimal partials merge
+    // bit-exactly, [[merge]]); a non-distributive measure would need the
+    // scan-back rebuild, and the broadcast touched set is then exactly
+    // the partition predicate that scan prunes on.
+    val partials = base
+      .groupBy(col("brand"), col("year"), col("month"), col("late"))
+      .agg(
+        sum(dec2(col("price"))).cast(DecimalType(28, 2)).as("sum_dec"),
+        cnt.as("n"))
+      .localCheckpoint(eager = false)
+    val touched = partials.filter(col("late")).select(col("year"), col("month")).distinct()
+    val untouched = partials
+      .filter(!col("late"))
+      .join(broadcast(touched), Seq("year", "month"), "left_anti")
+      .select(col("brand"), col("year"), col("month"), col("sum_dec"), col("n"),
+        lit(false).as("rebuilt"))
+    val rebuilt = partials
+      .join(broadcast(touched), Seq("year", "month"))
+      .groupBy(col("brand"), col("year"), col("month"))
+      .agg(
+        sum(col("sum_dec")).cast(DecimalType(28, 2)).as("sum_dec"),
+        sum(col("n")).as("n"))
+      .withColumn("rebuilt", lit(true))
+    untouched.unionByName(rebuilt)
       .select(
         col("brand"), col("year"), col("month"),
         col("sum_dec").cast(DoubleType).as("sum_price"),

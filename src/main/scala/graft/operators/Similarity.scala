@@ -1517,14 +1517,35 @@ object Similarity {
   def embeddingDedup(spark: SparkSession, dir: String, threshold: Double = 0.45): DataFrame = {
     val corpus = emb(spark, dir)
     // both sides of the candidate self-join read the SAME banding — the
-    // lazy checkpoint runs the hyperplane kernel once, not per side
-    val bands = banded(corpus, "vec", "vec_id").localCheckpoint(eager = false)
+    // lazy checkpoint runs the hyperplane kernel once, not per side.
+    // Each row carries the doc's FULL bucket array (`bks`, band-count
+    // longs) so a pair can be emitted exactly once, at its first shared
+    // band — the bare-id formulation emitted once per shared band and
+    // shuffled the whole candidate stream through a distinct.
+    val bands = corpus
+      .select(col("vec_id"),
+        call_function(GraftFunctions.HplaneIndexName, col("vec")).as("bks"))
+      .select(col("vec_id"), col("bks"), posexplode(col("bks")))
+      .toDF("vec_id", "bks", "band", "bucket")
+      .localCheckpoint(eager = false)
+    // no earlier band b' < band may also collide (bands are positions
+    // 1..band of the zipped arrays; empty slice at band 0 -> no earlier)
+    // unrolled over the band-count constant so the predicate stays inside
+    // whole-stage codegen — the higher-order exists/zip_with form is
+    // interpreted per candidate row and measurably slower than the
+    // distinct it replaces
+    val firstShared = (0 until LshBands).map { bp =>
+      when(lit(bp) < col("band"),
+        element_at(col("bks"), bp + 1) =!= element_at(col("bks_b"), bp + 1))
+        .otherwise(lit(true))
+    }.reduce(_ && _)
     val candidates = bands
-      .join(bands.select(col("vec_id").as("vec_b"), col("band"), col("bucket")),
+      .join(bands.select(col("vec_id").as("vec_b"), col("bks").as("bks_b"),
+        col("band"), col("bucket")),
         Seq("band", "bucket"))
       .filter(col("vec_id") < col("vec_b"))
+      .filter(firstShared)
       .select(col("vec_id").as("vec_a"), col("vec_b"))
-      .distinct()
     candidates
       .join(corpus.select(col("vec_id").as("vec_a"), col("vec").as("va")), Seq("vec_a"))
       .join(corpus.select(col("vec_id").as("vec_b"), col("vec").as("vb")), Seq("vec_b"))

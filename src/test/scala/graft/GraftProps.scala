@@ -398,4 +398,12 @@ object GraftProps extends Properties("graft") {
           key(operators.Similarity.topkRankedRef(df, k))
       }
     }
+
+  property("md5-bucket kernel equals the hex-prefix md5 on any long pair") =
+    forAll(Gen.chooseNum(Long.MinValue, Long.MaxValue),
+      Gen.chooseNum(Long.MinValue, Long.MaxValue)) { (a: Long, b: Long) =>
+      val want = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$a-$b".getBytes("US-ASCII"))(0) & 0xFF
+      graft.functions.Md5BucketKernel.compute(a, b) == want
+    }
 }
