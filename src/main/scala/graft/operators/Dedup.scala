@@ -450,6 +450,77 @@ object Dedup {
     }
   }
 
+  // ------------------------------------------------ exact-substring dup
+
+  /** q_dup_spans — exact-substring duplication signal (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499: duplicated SPANS matter even when documents as a
+    * whole are unique). Per document: every [[ShingleN]]-token gram at
+    * every position (with multiplicity — unlike [[shingleSets]], which
+    * is per-doc distinct), flagged when the gram occurs in MORE THAN ONE
+    * document; `dup_fraction` = flagged positions / all positions. The
+    * doc-level companions: [[Curation.repetitionStats]] sees WITHIN-doc
+    * repetition, [[ngramJaccard]] sees whole-doc similarity — this sees
+    * cross-doc boilerplate/quotation spans that neither flags.
+    *
+    * Scale shape: one tokenized scan explodes positional gram HASHES
+    * (8-byte keys on the wire, lazily checkpointed — the stream feeds
+    * the df pass and the per-doc rollup); gram document-frequency is a
+    * two-phase distinct-count aggregate; the df attach is a hash join
+    * that AQE broadcasts while the shared-gram table is small. All
+    * counters integer, the fraction is one division — bit-deterministic
+    * under partitioning. Hash-collision caveat as in [[shingleSets]]:
+    * the oracle counts raw gram strings, so a collision fails hash
+    * parity loudly. */
+  def dupSpans(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("w"))
+      .filter(size(col("w")) >= ShingleN)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${ShingleN - 1}), " +
+          s"i -> xxhash64(concat_ws(' ', slice(w, i, $ShingleN))))")).as("h"))
+      .localCheckpoint(eager = false)
+    // only grams SHARED across documents matter downstream — filter the
+    // df table to nd > 1 before the attach, so the join side is the
+    // (small) shared-gram set, not the (corpus-sized) vocabulary; AQE
+    // broadcasts it on any real corpus and the attach stays map-side
+    val shared = grams
+      .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("h"), lit(1L).as("is_dup"))
+    grams
+      .join(shared, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_grams"),
+        (sum(coalesce(col("is_dup"), lit(0L))).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("dup_fraction"))
+  }
+
+  def dupSpans(spark: SparkSession, dir: String): DataFrame =
+    dupSpans(Tables.documents(spark, dir))
+
+  val dupSpansOracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' ') AS ws
+       |  FROM documents
+       |), grams AS (
+       |  SELECT doc_id, ARRAY_TO_STRING(ws[g:g+${ShingleN - 1}], ' ') AS gram
+       |  FROM tok, LATERAL (SELECT UNNEST(RANGE(1, LEN(ws) - ${ShingleN - 2})) AS g) r
+       |  WHERE LEN(ws) >= $ShingleN
+       |), dfq AS (
+       |  SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY 1
+       |)
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+       |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS dup_fraction
+       |FROM grams JOIN dfq USING (gram)
+       |GROUP BY doc_id""".stripMargin
+
   val ngramJaccardOracle: String =
     s"""WITH words AS (
        |  SELECT doc_id, STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' ') AS w

@@ -1321,6 +1321,32 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       "sidecar corruption did not trigger a rebuild")
   }
 
+  test("dup spans: planted cross-doc span flags exactly its gram positions") {
+    // docs 1/2 share an 8-word span (4 five-gram positions each); doc 3
+    // repeats ITS OWN span twice (within-doc only -> zero dup grams);
+    // doc 4 is unique
+    val span = "the quick brown fox jumps over lazy dogs"
+    val docs = spark.createDataFrame(Seq(
+      (1L, s"$span alpha beta gamma delta epsilon"),
+      (2L, s"zeta eta theta iota kappa $span"),
+      (3L, "one two three four five one two three four five"),
+      (4L, "unique words only appearing here once ever")
+    )).toDF("doc_id", "text")
+    val res = operators.Dedup.dupSpans(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // 13 tokens per doc -> 9 gram positions; the shared 8-word span
+    // contributes exactly 4 five-gram positions in each of docs 1 and 2
+    assert(res(1L) == ((9L, 4L, 4.0 / 9.0)), s"doc1: ${res(1L)}")
+    assert(res(2L) == ((9L, 4L, 4.0 / 9.0)), s"doc2: ${res(2L)}")
+    // doc 3: 10 tokens -> 6 positions, all grams self-repeated only
+    assert(res(3L) == ((6L, 0L, 0.0)), s"doc3: ${res(3L)}")
+    assert(res(4L)._2 == 0L)
+    // partition invariance of the integer counters + single division
+    val rep = operators.Dedup.dupSpans(docs.repartition(5)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rep == res)
+  }
+
   test("lm support: attested transitions outscore scrambled text; partition-invariant") {
     val fluent = "the cat sat on the mat " * 5
     val docs = spark.createDataFrame(Seq(
