@@ -45,27 +45,47 @@ object QualityModel {
   private val FeatNames =
     Seq("f_len", "f_stop", "f_punct", "f_letter", "f_digit", "f_bias")
 
-  /** Per-doc features from the single-pass text-stats kernel — all
-    * rational in the counters (no transcendental drift), all in [0, 1].
-    * The label is the heuristic keep decision at [[LabelFloor]]. */
+  /** The six feature expressions over a TextStats struct column, in
+    * [[FeatNames]] order — shared by the training frame and the
+    * streaming gate's inline scorer ([[pKeepOf]]) so the two can never
+    * drift. All rational in the counters (no transcendental drift), all
+    * in [0, 1]. */
+  private def featureExprs(ts: Column): Seq[Column] = {
+    def f(n: Column, den: Column) = n.cast(DoubleType) / greatest(den, lit(1)).cast(DoubleType)
+    Seq(
+      least(ts.getField("n_words").cast(DoubleType) / lit(50.0), lit(1.0)),
+      f(ts.getField("n_stops"), ts.getField("n_words")),
+      f(ts.getField("n_punct"), ts.getField("n_chars")),
+      f(ts.getField("n_letters"), ts.getField("n_chars")),
+      // clamped: a token like "a1b2c3" holds several digit runs, so the
+      // raw ratio exceeds 1 on digit-dense docs — the clamp keeps the
+      // documented [0, 1] feature scale true
+      least(f(ts.getField("n_digit_runs"), ts.getField("n_ws_tokens")), lit(1.0)),
+      lit(1.0))
+  }
+
+  /** Per-doc features from the single-pass text-stats kernel; the label
+    * is the heuristic keep decision at [[LabelFloor]]. */
   private[graft] def featureFrame(d: DataFrame): DataFrame = {
     GraftFunctions.ensureRegistered(d.sparkSession)
     val ts = col("ts")
-    def f(n: Column, den: Column) = n.cast(DoubleType) / greatest(den, lit(1)).cast(DoubleType)
     d.select(col("doc_id"), call_function(GraftFunctions.TextStatsName, col("text")).as("ts"))
       .select(
-        col("doc_id"),
-        least(ts.getField("n_words").cast(DoubleType) / lit(50.0), lit(1.0)).as("f_len"),
-        f(ts.getField("n_stops"), ts.getField("n_words")).as("f_stop"),
-        f(ts.getField("n_punct"), ts.getField("n_chars")).as("f_punct"),
-        f(ts.getField("n_letters"), ts.getField("n_chars")).as("f_letter"),
-        // clamped: a token like "a1b2c3" holds several digit runs, so the
-        // raw ratio exceeds 1 on digit-dense docs — the clamp keeps the
-        // documented [0, 1] feature scale true
-        least(f(ts.getField("n_digit_runs"), ts.getField("n_ws_tokens")), lit(1.0))
-          .as("f_digit"),
-        lit(1.0).as("f_bias"),
-        (TextAnalysis.qualityScoreOf(ts) >= LabelFloor).cast(DoubleType).as("y"))
+        col("doc_id") +:
+          featureExprs(ts).zip(FeatNames).map { case (c, n) => c.as(n) } :+
+          (TextAnalysis.qualityScoreOf(ts) >= LabelFloor).cast(DoubleType).as("y"): _*)
+  }
+
+  /** σ(w·x) as ONE expression over a raw text column — the streaming
+    * gate's inline scorer ([[graft.streaming.IngestGate]]): composes
+    * into any projection with no join and no extra pass (the repeated
+    * TextStats subexpression is deduplicated by whole-stage codegen's
+    * subexpression elimination; weights ride as a `typedLit` reference,
+    * same codegen-cache discipline as [[marginOf]]). */
+  private[graft] def pKeepOf(text: Column, w: Array[Double]): Column = {
+    val ts = call_function(GraftFunctions.TextStatsName, text)
+    lit(1.0) / (lit(1.0) +
+      exp(-GraftFunctions.graftDot(array(featureExprs(ts): _*), typedLit(w.toSeq))))
   }
 
   /** w·x as the fused dot-product kernel over a `typedLit` weight array:

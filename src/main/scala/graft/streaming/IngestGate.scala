@@ -32,14 +32,27 @@ object IngestGate {
 
   /** Per-row gate facts for one batch: content hash and contamination
     * flag (shared-gram fraction >= `operators.Curation.ContaminationMax`;
-    * docs shorter than one shingle have no gram evidence and pass). */
-  private[graft] def batchFacts(batch: DataFrame, evalGrams: DataFrame): DataFrame = {
+    * docs shorter than one shingle have no gram evidence and pass).
+    * With `weights` (the persisted quality-classifier model,
+    * [[graft.operators.QualityModel.readLrModel]]) the facts also carry
+    * `p_keep` — model-in-the-loop ingest: the score is a pure projection
+    * over the SAME kernel scan (one expression, no join, no extra
+    * pass), so the gate stays one-scan-per-batch with the model on. */
+  private[graft] def batchFacts(batch: DataFrame, evalGrams: DataFrame): DataFrame =
+    batchFacts(batch, evalGrams, None)
+
+  private[graft] def batchFacts(batch: DataFrame, evalGrams: DataFrame,
+      weights: Option[Array[Double]]): DataFrame = {
     GraftFunctions.ensureRegistered(batch.sparkSession)
+    val scoreCols = weights.toSeq.map(w =>
+      graft.operators.QualityModel.pKeepOf(col("text"), w).as("p_keep"))
     val sets = batch
       .select(
-        col("doc_id"),
-        md5(col("text").cast(BinaryType)).as("content_hash"),
-        call_function(GraftFunctions.ShingleSetName, col("text")).as("hs"))
+        Seq(
+          col("doc_id"),
+          md5(col("text").cast(BinaryType)).as("content_hash"),
+          call_function(GraftFunctions.ShingleSetName, col("text")).as("hs"))
+          ++ scoreCols: _*)
       .localCheckpoint(eager = false)
     val shared = sets
       .filter(col("hs").isNotNull)
@@ -54,40 +67,52 @@ object IngestGate {
     sets
       .join(shared, Seq("doc_id"), "left")
       .select(
-        col("doc_id"),
-        col("content_hash"),
-        coalesce(
-          coalesce(col("n_shared"), lit(0L)).cast(DoubleType) /
-            size(col("hs")).cast(DoubleType) >=
-            graft.operators.Curation.ContaminationMax,
-          lit(false)).as("contaminated"))
+        Seq(
+          col("doc_id"),
+          col("content_hash"),
+          coalesce(
+            coalesce(col("n_shared"), lit(0L)).cast(DoubleType) /
+              size(col("hs")).cast(DoubleType) >=
+              graft.operators.Curation.ContaminationMax,
+            lit(false)).as("contaminated"))
+          ++ weights.toSeq.map(_ => col("p_keep")): _*)
   }
 
   /** One batch's canonical rows: per content hash, the smallest doc_id
-    * and ITS contamination flag, plus the batch copy count. */
-  private[graft] def batchCanonical(batch: DataFrame, evalGrams: DataFrame): DataFrame =
-    batchFacts(batch, evalGrams)
-      .groupBy(col("content_hash"))
-      .agg(
+    * and ITS contamination flag (and, with a model, ITS p_keep — the
+    * canonical copy's score is the cluster's score), plus the batch
+    * copy count. */
+  private[graft] def batchCanonical(batch: DataFrame, evalGrams: DataFrame,
+      weights: Option[Array[Double]] = None): DataFrame =
+    {
+    val aggs =
+      Seq(
         min(col("doc_id")).as("keep_doc_id"),
         min_by(col("contaminated"), col("doc_id")).as("contaminated"),
-        count(lit(1)).as("n_copies"))
+        count(lit(1)).as("n_copies")) ++
+        weights.toSeq.map(_ => min_by(col("p_keep"), col("doc_id")).as("p_keep"))
+    batchFacts(batch, evalGrams, weights)
+      .groupBy(col("content_hash"))
+      .agg(aggs.head, aggs.tail: _*)
+    }
 
   /** One micro-batch application — the testable core of [[sink]]. */
   private[graft] def applyGateBatch(batch: DataFrame, evalGrams: DataFrame,
-      batchId: Long, stateDir: String): Unit =
+      batchId: Long, stateDir: String,
+      weights: Option[Array[Double]] = None): Unit =
     StreamStateStore.applyBatch(
       batch.sparkSession, batchId, stateDir, "ingestGateSink") {
-      case None => batchCanonical(batch, evalGrams)
+      case None => batchCanonical(batch, evalGrams, weights)
       case Some(prev) =>
-        DedupAdmission.firstArrivalFold(prev, batchCanonical(batch, evalGrams),
-          carry = Seq("keep_doc_id", "contaminated"))
+        DedupAdmission.firstArrivalFold(prev, batchCanonical(batch, evalGrams, weights),
+          carry = Seq("keep_doc_id", "contaminated") ++ weights.toSeq.map(_ => "p_keep"))
     }
 
   /** The one-shot batch computation the streamed store must equal under
     * id-ordered arrival — the spec's reference. */
-  private[graft] def gateReference(docs: DataFrame, evalGrams: DataFrame): DataFrame =
-    batchCanonical(docs, evalGrams)
+  private[graft] def gateReference(docs: DataFrame, evalGrams: DataFrame,
+      weights: Option[Array[Double]] = None): DataFrame =
+    batchCanonical(docs, evalGrams, weights)
 
   /** The gate's store at `stateDir`: (content_hash, keep_doc_id,
     * contaminated, n_copies). */
@@ -97,11 +122,12 @@ object IngestGate {
   /** foreachBatch sink gating a stream of (doc_id, text) documents
     * against a static eval gram set (one `h` column of shingle
     * hashes). */
-  def sink(docs: DataFrame, evalGrams: DataFrame, stateDir: String)
+  def sink(docs: DataFrame, evalGrams: DataFrame, stateDir: String,
+      weights: Option[Array[Double]] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyGateBatch(batch, evalGrams, batchId, stateDir)
+        applyGateBatch(batch, evalGrams, batchId, stateDir, weights)
       }
 }

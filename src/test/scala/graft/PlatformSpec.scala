@@ -629,6 +629,42 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(storeMap(IngestGate.currentStore(spark, dir)) == inc)
   }
 
+  test("model-in-the-loop gate: store carries the canonical copy's classifier score") {
+    import graft.streaming.IngestGate
+    val all = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .localCheckpoint()
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // train on the same corpus the stream will carry (weights are FIXED
+    // plan literals during serving — the production shape)
+    val w = operators.QualityModel.fitQualityLr(
+      operators.QualityModel.featureFrame(all))
+    val evalGrams = spark.createDataFrame(Seq(Tuple1(0L))).toDF("h")
+      .filter(col("h") =!= 0L) // empty gram set: isolate the model path
+    val dir = java.nio.file.Files.createTempDirectory("graftmgate").toString + "/state"
+    val n = all.agg(max(col("doc_id"))).head().getLong(0) + 1
+    (0 to 1).foreach { i =>
+      IngestGate.applyGateBatch(
+        all.filter(if (i == 0) col("doc_id") < n / 2 else col("doc_id") >= n / 2),
+        evalGrams, i, dir, Some(w))
+    }
+    def scoreMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[String]("content_hash") ->
+        ((r.getAs[Long]("keep_doc_id"), r.getAs[Double]("p_keep")))).toMap
+    val store = scoreMap(IngestGate.currentStore(spark, dir))
+    assert(store == scoreMap(IngestGate.gateReference(all, evalGrams, Some(w))),
+      "streamed model-gate store diverged from the batch reference")
+    // scores in the store are bit-equal to the batch scorer for the
+    // canonical documents (same expressions over the same counters)
+    val batchScores = operators.QualityModel.scoreQualityLr(all, w)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    store.values.foreach { case (keepId, p) =>
+      assert(p == batchScores(keepId),
+        s"stored p_keep for doc $keepId diverged from the batch scorer")
+    }
+    // the model actually separates this corpus (not a constant column)
+    assert(store.values.map(_._2).toSet.size > 1, "degenerate p_keep")
+  }
+
   test("streaming enrichment sink: refresh-ordered folds equal the batch resolution and attach") {
     import graft.streaming.EnrichmentSink
     val dir = java.nio.file.Files.createTempDirectory("graftenrich").toString + "/state"
