@@ -1488,6 +1488,34 @@ object Similarity {
     java.nio.file.Files.move(p(stage), p(modelPath))
   }
 
+  /** Compact a plain-IVF generation's inverted lists back to one vector
+    * file per cell — [[compactIvfPq]]'s twin for the RAW-vector index
+    * maintained by [[writeIvfIndex]]/[[appendIvfIndex]] (each append
+    * lands a fresh file per touched `cid=` partition, so a season of
+    * ingests makes every probe open O(appends) files per probed cell).
+    * Same mechanics: a hash repartition on `cid` sends each cell's rows
+    * to one task, the partitioned write leaves one file per cell, rows
+    * and model are unchanged; same staged-sidecar crash discipline — a
+    * crash anywhere in the swap window leaves a model-less generation
+    * the read probe rejects, never a half-swapped index read as live. */
+  def compactIvf(spark: SparkSession, indexPath: String): Unit = {
+    val modelPath = ivfModelPath(indexPath)
+    // read probe: refuse to compact an unproven generation
+    readIvfModel(spark, indexPath)
+    val tmpPath = indexPath + "_compact_tmp"
+    deleteTree(tmpPath)
+    spark.read.parquet(indexPath)
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(tmpPath)
+    val stage = modelPath + "_compact_stage"
+    deleteTree(stage)
+    val p = java.nio.file.Paths.get(_: String)
+    java.nio.file.Files.move(p(modelPath), p(stage))
+    deleteTree(indexPath)
+    java.nio.file.Files.move(p(tmpPath), p(indexPath))
+    java.nio.file.Files.move(p(stage), p(modelPath))
+  }
+
   private def deleteTree(path: String): Unit = {
     val root = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.exists(root)) {

@@ -1046,6 +1046,38 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"appended-index recall ${hits.toDouble / brute.size} below floor")
   }
 
+  test("ivf compaction: fragmented raw-vector cells collapse to one file each, search unchanged") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graftivfrawcompact").toString
+    val all = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").as("vec"))
+    val base = all.filter(col("vec_id") % 5 =!= 0 || col("vec_id") < 8)
+    val delta = all.filter(col("vec_id") % 5 === 0 && col("vec_id") >= 8)
+    val indexPath = tmp + "/ivf_index"
+    operators.Similarity.writeIvfIndexOf(spark, base, indexPath)
+    operators.Similarity.appendIvfIndex(spark, delta, indexPath)
+    def cellFiles = new java.io.File(indexPath).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("cid="))
+      .map(d => d.getName -> d.listFiles.filterNot(f =>
+        f.getName.startsWith("_") || f.getName.startsWith(".")).length).toMap
+    assert(cellFiles.values.exists(_ > 1),
+      "append did not fragment any cell — the compaction premise is gone")
+    // the index must hold the full union before and after
+    def contents = spark.read.parquet(indexPath)
+      .select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val before = contents
+    val modelDir = new java.io.File(operators.Similarity.ivfModelPath(indexPath))
+    val modelStamp = modelDir.listFiles.map(f => f.getName -> f.lastModified).toMap
+    operators.Similarity.compactIvf(spark, indexPath)
+    val filesAfter = cellFiles
+    assert(filesAfter.nonEmpty && filesAfter.values.forall(_ == 1),
+      s"compaction left multi-file cells: $filesAfter")
+    assert(contents == before, "compaction changed index contents")
+    assert(modelDir.listFiles.map(f => f.getName -> f.lastModified).toMap == modelStamp,
+      "compaction rewrote the model sidecar")
+  }
+
   test("ivfpq compaction: fragmented cells collapse to one file each, serve and sidecar unchanged") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graftivfcompact").toString
