@@ -301,6 +301,71 @@ object Events {
   val WeekNs: Long = 604800000000000L
   val WeekMs: Long = 604800000L
 
+  def conversionCohort(spark: SparkSession, dir: String): DataFrame =
+    conversionCohortOf(Tables
+      .events(spark, dir)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("event_type"),
+        expr("(ts - pmod(ts, 1000000)) DIV 1000000").as("ts_ms")))
+
+  /** q_conversion_cohort — [[conversionLagOf]] split by signup cohort:
+    * per epoch-week cohort (the user's s0 stamp, [[WeekMs]]-bucketed
+    * like [[cohortRetention]]) and funnel transition, converted count,
+    * exact decimal-summed mean lag and exact interpolating median.
+    * The product question the global lag rollup can't answer: is
+    * time-to-convert improving across signup generations? Same single
+    * per-user exchange as the funnel family — the cohort key is derived
+    * from a column the stamps frame already carries, so the split adds
+    * a dim-cardinality aggregate, not a scan or shuffle. */
+  private[graft] def conversionCohortOf(base: DataFrame): DataFrame = {
+    val nSteps = FunnelSteps.size
+    val lags = funnelStamps(base)
+      .filter(col("s0").isNotNull)
+      .select(
+        expr(s"s0 DIV $WeekMs").as("cohort_week") +:
+          (1 until nSteps).map(i => (col(s"s$i") - col(s"s${i - 1}")).as(s"l$i")): _*)
+    val aggs = (1 until nSteps).flatMap(i => Seq(
+      count(col(s"l$i")).as(s"n$i"),
+      (sum(col(s"l$i").cast(DecimalType(38, 0))).cast(DoubleType) /
+        count(col(s"l$i")).cast(DoubleType)).as(s"m$i"),
+      percentile(col(s"l$i"), lit(0.5)).as(s"p$i")))
+    val stackArgs = (1 until nSteps)
+      .map(i => s"'${FunnelSteps(i - 1)}_to_${FunnelSteps(i)}', n$i, m$i, p$i")
+      .mkString(", ")
+    lags
+      .groupBy(col("cohort_week"))
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr("cohort_week",
+        s"stack(${nSteps - 1}, $stackArgs) " +
+          "AS (step, n_converted, mean_lag_ms, p50_lag_ms)")
+  }
+
+  val conversionCohortOracle: String =
+    s"""$funnelStampsCte, lag_rows AS (
+      |  SELECT CAST(s0 // $WeekMs AS BIGINT) AS cohort_week,
+      |    s1 - s0 AS l1, s2 - s1 AS l2, s3 - s2 AS l3
+      |  FROM per_user WHERE s0 IS NOT NULL
+      |), a AS (
+      |  SELECT cohort_week,
+      |    COUNT(l1) AS n1,
+      |    CAST(SUM(CAST(l1 AS DECIMAL(38,0))) AS DOUBLE) / CAST(COUNT(l1) AS DOUBLE) AS m1,
+      |    QUANTILE_CONT(l1, 0.5) AS p1,
+      |    COUNT(l2) AS n2,
+      |    CAST(SUM(CAST(l2 AS DECIMAL(38,0))) AS DOUBLE) / CAST(COUNT(l2) AS DOUBLE) AS m2,
+      |    QUANTILE_CONT(l2, 0.5) AS p2,
+      |    COUNT(l3) AS n3,
+      |    CAST(SUM(CAST(l3 AS DECIMAL(38,0))) AS DOUBLE) / CAST(COUNT(l3) AS DOUBLE) AS m3,
+      |    QUANTILE_CONT(l3, 0.5) AS p3
+      |  FROM lag_rows GROUP BY cohort_week
+      |)
+      |SELECT cohort_week, 'signup_to_view' AS step, n1 AS n_converted,
+      |  m1 AS mean_lag_ms, p1 AS p50_lag_ms FROM a
+      |UNION ALL SELECT cohort_week, 'view_to_click', n2, m2, p2 FROM a
+      |UNION ALL SELECT cohort_week, 'click_to_purchase', n3, m3, p3 FROM a""".stripMargin
+
+
   /** q_cohort_retention — weekly signup cohorts × activity-week offsets.
     *
     * A user's cohort is the epoch-week of their first `signup` event;
