@@ -374,6 +374,35 @@ object Multimodal {
     * hubs, not near-dups — dropped from pairing. */
   val FrameHashCap = 64
 
+  /** Image↔video CROSS-MODAL matches: an image pairs with a video when
+    * its perceptual hash equals any sampled frame's hash — the
+    * thumbnail / poster / frame-extract duplication mode a multimodal
+    * corpus build must resolve across modalities (a video's frames and
+    * its extracted thumbnail are one asset, not two). Same discipline
+    * as [[videoDedup]]: per-video distinct frame hashes first (a static
+    * intro card counts once), frame hashes shared by more than
+    * [[FrameHashCap]] videos dropped as boilerplate; the join is a
+    * plain hash join on the 64-bit dHash (a frame extract preserves
+    * pixels, so exact equality is the right key). Output: (image_id,
+    * video_id, n_matching_frames, first_frame_idx). */
+  def crossModalMatches(spark: SparkSession, media: DataFrame, every: Int = 2): DataFrame = {
+    val imgs = imageHashes(spark, media).toDF()
+      .select(col("media_id").as("image_id"), col("phash"))
+    val frames = frameHashes(spark, media, every).toDF()
+      .groupBy(col("media_id").as("video_id"), col("phash"))
+      .agg(min(col("frame_idx")).as("frame_idx"))
+      .localCheckpoint(eager = false)
+    val hot = frames.groupBy(col("phash")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > FrameHashCap)
+      .select(col("phash"))
+    imgs
+      .join(frames.join(hot, Seq("phash"), "left_anti"), Seq("phash"))
+      .groupBy(col("image_id"), col("video_id"))
+      .agg(
+        count(lit(1)).as("n_matching_frames"),
+        min(col("frame_idx")).as("first_frame_idx"))
+  }
+
   /** Split a payload of back-to-back binary PPMs at real frame
     * boundaries; None unless the WHOLE payload parses as PPM frames.
     * Header parsing is offset-based ([[PpmCodec.parseHeaderAt]]), so the

@@ -874,6 +874,35 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nHashes == 12L, s"expected 12 frame hashes, got $nHashes")
   }
 
+  test("cross-modal dedup: a frame-extract image matches its source video at the right frame") {
+    import spark.implicits._
+    import graft.operators.PpmCodec
+    import Multimodal.{MediaItem, MediaMeta}
+    val w = 9; val h = 8
+    var seed = 0L
+    def frame(k: Int): Array[Byte] = {
+      seed = k * 6364136223846793005L + 1442695040888963407L
+      Array.tabulate(w * h * 3) { _ =>
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        (seed >>> 56).toByte
+      }
+    }
+    def video(id: Long, ks: Seq[Int]) = MediaItem(id,
+      ks.map(k => PpmCodec.encode(w, h, frame(k))).reduce(_ ++ _),
+      MediaMeta("video", w, h, 0, ks.size))
+    def image(id: Long, k: Int) = MediaItem(id,
+      PpmCodec.encode(w, h, frame(k)), MediaMeta("image", w, h, 0, 1))
+    val media = Seq(
+      video(1L, Seq(1, 2, 3, 4)),
+      video(2L, Seq(5, 6, 7, 8)),
+      image(10L, 3), // frame extract of video 1, frame_idx 2
+      image(11L, 9) // unrelated image
+    ).toDS().toDF()
+    val m = Multimodal.crossModalMatches(spark, media, every = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getInt(3)))).toMap
+    assert(m == Map((10L, 1L) -> ((1L, 2))), s"wrong cross-modal matches: $m")
+  }
+
   test("dsp: fft matches the dft definition, Parseval holds, spectra separate tone from noise") {
     import graft.operators.Dsp
     // deterministic pseudo-random signal (LCG — no Math.random in specs)
