@@ -12,10 +12,15 @@ import org.apache.spark.sql.SparkSession
   * the builds amortize across a corpus generation's lifetime and their
   * cost is reported separately (`warm_target_sec` in bench_out.json).
   * Then each query is timed for `SPARK_GRAFT_BENCH_ITERS` iterations
-  * (default 3) at the target SF. The reported per-query number is the
-  * MEDIAN of those runs; the `spread` map carries min/max so a regression
-  * can be told apart from single-run noise (r3's apparent 1.8x
-  * regressions on untouched operators were unresolvable at n=1).
+  * (default 3) at the target SF, in whole ROUNDS gated by a wall-clock
+  * budget (`SPARK_GRAFT_BENCH_BUDGET`, default 400s from process start):
+  * round 1 always covers every query; later rounds run only while the
+  * budget holds, so a build-heavy warm pass degrades sample counts
+  * uniformly instead of overrunning the driver's bounded window. The
+  * reported per-query number is the MEDIAN of those runs; the `spread`
+  * map carries min/max so a regression can be told apart from
+  * single-run noise (r3's apparent 1.8x regressions on untouched
+  * operators were unresolvable at n=1).
   * A query that THROWS in the measured loop would otherwise read as a
   * suspiciously-fast success (r8: the five events-table queries failed at
   * plan time and printed as 0.00s) — failures are collected into an
@@ -31,6 +36,7 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val mainStart = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
@@ -56,18 +62,38 @@ object Bench {
       (name, (System.nanoTime() - t0) / 1e9)
     }.toMap
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = names.map { name =>
-      val times = (1 to iters).map { _ =>
-        val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() }
-        catch { case e: Throwable =>
-          errors(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(200)}"
-          -1L
+    // Wall-clock budget, anchored at PROCESS start: the driver's capture
+    // window is bounded (r8's run ended at exactly 600s), and a fresh
+    // testdata generation can put minutes of index builds into the warm
+    // pass before measurement even starts. Round 1 always measures EVERY
+    // query once; each further full round runs only while the budget
+    // holds — overrun uniformly degrades the medians' sample count,
+    // never the coverage, never the JSON line.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "400").toDouble
+    def withinBudget: Boolean = (System.nanoTime() - mainStart) / 1e9 < budgetSec
+    val samples = scala.collection.mutable.LinkedHashMap(
+      names.map(n => n -> Vector.empty[Double]): _*)
+    var roundsRun = 0
+    (1 to iters).foreach { r =>
+      if (r == 1 || withinBudget) {
+        roundsRun = r
+        names.foreach { name =>
+          val t0 = System.nanoTime()
+          try { SparkEntry.queries(name)(spark, sfDir).count() }
+          catch { case e: Throwable =>
+            errors(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(200)}"
+            -1L
+          }
+          samples(name) :+= (System.nanoTime() - t0) / 1e9
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      (name, median(times), times.min, times.max)
     }
+    val results = names.map { n =>
+      val ts = samples(n)
+      (n, median(ts), ts.min, ts.max)
+    }
+    if (roundsRun < iters) System.err.println(
+      s"[bench] wall budget ${budgetSec}s reached after $roundsRun of $iters rounds")
     errors.foreach { case (n, m) => System.err.println(s"[bench] $n FAILED: $m") }
     // Locale.ROOT because the default-locale format would emit decimal
     // COMMAS on a comma-decimal host locale — invalid JSON on the one
@@ -109,7 +135,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
       .mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":$total3,"unit":"sec","queries":$qs3,"sf":"$sfName"}"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"warm_target_sec":$warmJson,"errors":$errJson,"iters":$iters,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"warm_target_sec":$warmJson,"errors":$errJson,"iters":$roundsRun,"sf":"$sfDir"}"""
     // the driver captures a bounded 2000-char stdout tail (minus sbt's
     // ~70-char trailer): fail LOUDLY at the source when operator growth
     // approaches the budget instead of letting the line clip mid-JSON
