@@ -19,16 +19,19 @@ def main(bench_path, duck_path):
     spread = bench.get("spread", {})
     rows = []
     o_duck = o_graft = 0.0
-    for name in sorted(qs):
+    # table keys drop the uniform q_ prefix, matching the bench compact
+    # line and BASELINE.md (r9 rename)
+    for name in sorted(qs, key=lambda k: k[2:] if k.startswith("q_") else k):
+        short = name[2:] if name.startswith("q_") else name
         g = qs[name]
         d = duck.get(name)
         if d is None:
-            rows.append(f"| {name} | — | {g:.2f} | — |")
+            rows.append(f"| {short} | — | {g:.2f} | — |")
         else:
             o_duck += d
             o_graft += g
             ratio = g / d if d > 0 else float("inf")
-            rows.append(f"| {name} | {d:.3f} | {g:.2f} | {ratio:.1f}x |")
+            rows.append(f"| {short} | {d:.3f} | {g:.2f} | {ratio:.1f}x |")
     print("| query | duckdb s | graft s | graft/duckdb |")
     print("|---|---|---|---|")
     print("\n".join(rows))
