@@ -153,6 +153,7 @@ object GraftFunctions {
   val BpeCountName = "graft_bpe_count"
   val RepStatsName = "graft_rep_stats"
   val Md5BucketName = "graft_md5_bucket"
+  val Argmin2L2Name = "graft_argmin2_l2"
   val KllName = "graft_kll"
   val KllMergeName = "graft_kll_merge"
   val KllQuantileName = "graft_kll_q"
@@ -191,6 +192,10 @@ object GraftFunctions {
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       ArgminL2Name,
       (exprs: Seq[Expression]) => ArgminL2(exprs.head, exprs(1)),
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      Argmin2L2Name,
+      (exprs: Seq[Expression]) => Argmin2L2(exprs.head, exprs(1)),
       "built-in")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       HplaneIndexName,

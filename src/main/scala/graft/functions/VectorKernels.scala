@@ -200,3 +200,76 @@ case class L2SquaredDistance(left: Expression, right: Expression) extends Vector
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Static core of [[Argmin2L2]] — the two nearest centroids by squared
+  * L2, first-index-wins on ties (so (primary, secondary) is exactly the
+  * first two entries of a stable distance sort). */
+object Argmin2Kernel {
+  def compute(v: ArrayData, cents: ArrayData, vecIsDouble: Boolean): ArrayData = {
+    var b0 = -1; var d0 = Double.PositiveInfinity
+    var b1 = -1; var d1 = Double.PositiveInfinity
+    var c = 0
+    val nc = cents.numElements()
+    while (c < nc) {
+      val cv = cents.getArray(c)
+      val n = math.min(v.numElements(), cv.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = (if (vecIsDouble) v.getDouble(i) else v.getFloat(i).toDouble) - cv.getDouble(i)
+        acc += d * d
+        i += 1
+      }
+      if (acc < d0) { b1 = b0; d1 = d0; b0 = c; d0 = acc }
+      else if (acc < d1) { b1 = c; d1 = acc }
+      c += 1
+    }
+    if (b0 < 0) null
+    else if (b1 < 0) new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(b0))
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(b0, b1))
+  }
+}
+
+/** `graft_argmin2_l2(vec, cents)`: ARRAY<INT> of the TWO nearest
+  * centroid indices (just the nearest when only one centroid exists) —
+  * [[ArgminL2]]'s top-2 sibling, the multi-assignment step of
+  * cluster-blocked dedup (a vector near a cell boundary must block with
+  * BOTH neighboring cells or boundary near-dup pairs are lost). */
+case class Argmin2L2(left: Expression, right: Expression) extends BinaryExpression {
+  private def vecElemIsDouble: Option[Boolean] = left.dataType match {
+    case ArrayType(FloatType, _) => Some(false)
+    case ArrayType(DoubleType, _) => Some(true)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (vecElemIsDouble.isDefined && (right.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float|double>, array<array<double>>), " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_argmin2_l2"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Argmin2Kernel.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], vecElemIsDouble.get)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val out = ctx.freshName("out")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $out =
+         |  graft.functions.Argmin2Kernel.compute($a, $b, ${vecElemIsDouble.get});
+         |if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = $out; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

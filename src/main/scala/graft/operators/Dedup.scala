@@ -87,6 +87,7 @@ object Dedup {
     * order — metric consumers should match on the `ngram_hot_drops_` /
     * `simhash_hot_drops_` prefix, not an exact name. */
   private val obsId = new java.util.concurrent.atomic.AtomicLong()
+  private[operators] def nextObsId(): Long = obsId.incrementAndGet()
 
   private def hotShingles(sh: DataFrame): DataFrame =
     sh.groupBy(col("h")).agg(count(lit(1)).as("df"))

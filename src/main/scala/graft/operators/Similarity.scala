@@ -1539,6 +1539,99 @@ object Similarity {
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
       .select(col("doc_id").as("vec_id"), col("canonical_id"))
 
+  /** Cell count for cluster-blocked dedup: ~24 vectors per cell,
+    * clamped — SemDeDup's k scales with the corpus so in-cell pairwise
+    * work stays near-linear (n/k vectors per cell → n·(n/k) candidate
+    * pairs; fixed k would make it quadratic again at 100 TB). */
+  private def semCellCount(n: Long): Int =
+    math.max(16L, math.min(4096L, n / 24)).toInt
+
+  /** Cells holding more vectors than this are dropped from pairing
+    * (embedding-collapse hubs — e.g. empty-document zero vectors);
+    * drops are observed, not silent (the [[Dedup.HotShingleCap]]
+    * convention). */
+  val SemCellCap = 512
+
+  private[graft] def semCellsServePath(dir: String): String =
+    servePath("semcells_serve_", dir)
+
+  /** Serve-or-train the dedup cell quantizer — fingerprint-keyed like
+    * every model sidecar (only the `_model` sidecar exists; the blocker
+    * needs centroids, not materialized lists). */
+  private[graft] def serveSemCells(spark: SparkSession, dir: String): Array[Array[Double]] = {
+    val path = semCellsServePath(dir)
+    val fp = corpusFingerprint(spark, dir)
+    val stored =
+      try Some(readIvfModelFull(spark, path))
+      catch {
+        case e if scala.util.control.NonFatal(e) =>
+          warnUnreadableSidecar("sem-cells", ivfModelPath(path), e)
+          None
+      }
+    stored match {
+      case Some((cents, _, Some(storedFp))) if storedFp == fp => cents
+      case _ =>
+        Tables.invalidate(spark, dir, "embeddings")
+        val corpus = emb(spark, dir)
+        val cents = ivfFit(corpus, semCellCount(corpus.count()))
+        writeIvfModel(spark, path, cents, 0L, Some(fp))
+        cents
+    }
+  }
+
+  /** q_dedup_embedding_cells — SemDeDup-style cluster-blocked embedding
+    * near-dup (Abbas et al. 2023, arXiv:2303.09540: k-means the
+    * embedding space, verify pairs WITHIN cells): candidates share one
+    * of their TOP-2 nearest cells (the secondary assignment catches the
+    * boundary pairs single-cell blocking loses), verified by exact
+    * cosine. The density-adaptive complement of [[embeddingDedup]]'s
+    * data-oblivious LSH bands — clusters follow the corpus distribution,
+    * so near-dup-dense regions block together at any scale. The cell
+    * quantizer is a persisted fingerprint-keyed generation (the same
+    * Lloyd fit and sidecar discipline as the ANN index family); blocking
+    * is one codegen'd top-2 argmin projection over the scan, pairs are
+    * emitted exactly once at their smallest shared cell (no pair-stream
+    * distinct), hot cells capped with observed drops. */
+  def embeddingDedupCells(spark: SparkSession, dir: String,
+      threshold: Double = 0.45): DataFrame =
+    embeddingDedupCellsOf(emb(spark, dir), serveSemCells(spark, dir), threshold)
+
+  /** Frame-based core of [[embeddingDedupCells]] — specs run it with
+    * planted corpora and their own quantizers. */
+  private[graft] def embeddingDedupCellsOf(corpus: DataFrame,
+      cents: Array[Array[Double]], threshold: Double): DataFrame = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val cells0 = corpus
+      .select(col("vec_id"), col("vec"),
+        call_function(GraftFunctions.Argmin2L2Name, col("vec"), centsLit(cents)).as("cs"))
+      .select(col("vec_id"), col("vec"), col("cs"), explode(col("cs")).as("cell"))
+      .localCheckpoint(eager = false)
+    val hot = cells0.groupBy(col("cell")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > SemCellCap)
+      .select(col("cell"), col("df"))
+      .observe(s"semcell_hot_drops_${Dedup.nextObsId()}",
+        count(lit(1)).as("hot_cells"),
+        coalesce(sum(col("df")), lit(0L)).as("dropped_rows"))
+      .select(col("cell"))
+    val cells = cells0.join(hot, Seq("cell"), "left_anti")
+      .localCheckpoint(eager = false)
+    // exactly-once emission at the pair's SMALLEST shared cell: at the
+    // joined cell c, no combination of the two top-2 arrays may share an
+    // earlier cell (4 comparisons, unrolled — stays in codegen)
+    def csA(i: Int) = element_at(col("cs"), i + 1)
+    def csB(j: Int) = element_at(col("cs_b"), j + 1)
+    val earlierShared = (for (i <- 0 until 2; j <- 0 until 2)
+      yield (csA(i) === csB(j)) && (csA(i) < col("cell"))).reduce(_ || _)
+    cells
+      .join(cells.select(col("vec_id").as("vec_b"), col("vec").as("vb"),
+        col("cs").as("cs_b"), col("cell")), Seq("cell"))
+      .filter(col("vec_id") < col("vec_b"))
+      .filter(!earlierShared)
+      .select(col("vec_id").as("vec_a"), col("vec_b"),
+        cosine(col("vec"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** q_dedup_embedding — embedding-cosine near-dup pairs via LSH-banded
     * candidate generation (threshold tuned to the harness corpus, which
     * has no planted >0.9 pairs — see SURVEY §2B). */

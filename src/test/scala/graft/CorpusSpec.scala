@@ -1046,6 +1046,70 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"appended-index recall ${hits.toDouble / brute.size} below floor")
   }
 
+  test("cluster-blocked embedding dedup: exact precision, high recall vs brute force") {
+    import org.apache.spark.sql.functions._
+    val corpus = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").as("vec")).localCheckpoint()
+    // brute-force ground truth at sf0.001 (all pairs, exact cosine)
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val a = corpus.select(col("vec_id").as("ia"), col("vec").as("va"))
+    val b = corpus.select(col("vec_id").as("ib"), col("vec").as("vb"))
+    val brute = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        call_function(graft.functions.GraftFunctions.CosineName,
+          col("va"), col("vb")).as("c"))
+      .filter(col("c") >= 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = operators.Similarity.embeddingDedupCells(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // precision is exact by construction: every emitted pair is verified
+    // by true cosine, so it must be a brute pair (recall on LOOSE
+    // 0.45-similarity pairs is inherently blocking-limited — the planted
+    // test below pins it for actual near-identical vectors)
+    assert(found.keySet.subsetOf(brute),
+      s"non-dup pairs emitted: ${found.keySet -- brute}")
+    found.values.foreach(c => assert(c >= 0.45))
+    assert(brute.nonEmpty, "degenerate ground truth")
+    assert(found.nonEmpty, s"cluster blocking found none of ${brute.size} pairs")
+    // second call serves the persisted cell quantizer (no retrain):
+    // the sidecar files must be byte-stable across calls
+    val modelDir = new java.io.File(operators.Similarity.ivfModelPath(
+      operators.Similarity.semCellsServePath(sf)))
+    val stamp = modelDir.listFiles.map(f => f.getName -> f.lastModified).toMap
+    operators.Similarity.embeddingDedupCells(spark, sf).count()
+    assert(modelDir.listFiles.map(f => f.getName -> f.lastModified).toMap == stamp,
+      "second call retrained the cell quantizer")
+  }
+
+  test("cluster-blocked dedup finds every planted near-identical pair exactly once") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 40 base vectors; every 4th gets a near-identical twin (tiny
+    // deterministic perturbation) — the SemDeDup target pairs
+    val dim = 16
+    def vec(seed: Long): Array[Float] = {
+      var s = seed
+      Array.fill(dim) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 40).toInt / 8388608.0f) - 1.0f
+      }
+    }
+    val base = (0L until 40L).map(i => (i, vec(i * 7 + 1)))
+    val twins = base.collect { case (i, v) if i % 4 == 0 =>
+      (100L + i, v.zipWithIndex.map { case (x, j) => x + (if (j == 0) 1e-3f else 0f) })
+    }
+    val corpus = (base ++ twins).toDF("vec_id", "vec").localCheckpoint()
+    val cents = operators.Similarity.ivfFit(corpus, nList = 8)
+    val pairs = operators.Similarity.embeddingDedupCellsOf(corpus, cents, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = base.collect { case (i, _) if i % 4 == 0 => (i, 100L + i) }.toSet
+    assert(pairs.toSet == want, s"planted pairs: got ${pairs.toSet}, want $want")
+    // exactly-once emission: no pair may appear twice (the old
+    // formulation emitted once per shared cell and deduped with a
+    // pair-stream distinct; the smallest-shared-cell filter replaces it)
+    assert(pairs.size == pairs.toSet.size, s"duplicate emissions in $pairs")
+  }
+
   test("ivf compaction: fragmented raw-vector cells collapse to one file each, search unchanged") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graftivfrawcompact").toString
