@@ -1046,6 +1046,31 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"appended-index recall ${hits.toDouble / brute.size} below floor")
   }
 
+  test("training-shard export: written shards reproduce the manifest; one file per shard") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .localCheckpoint()
+    def mkey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val want = mkey(operators.Export.manifestOf(docs))
+    assert(want.values.map(_._1).sum == docs.count(), "manifest lost docs")
+    // checksum is order-independent: any partitioning gives the same map
+    assert(mkey(operators.Export.manifestOf(docs.repartition(13))) == want,
+      "manifest changed under repartitioning")
+    val out = java.nio.file.Files.createTempDirectory("graftexport").toString + "/shards"
+    val written = mkey(operators.Export.writeTrainingShards(spark, docs, out))
+    assert(written == want, "written shards diverged from the input manifest")
+    val shardDirs = new java.io.File(out).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.length == want.size, s"expected ${want.size} shard dirs")
+    shardDirs.foreach { d =>
+      val files = d.listFiles.filterNot(f =>
+        f.getName.startsWith("_") || f.getName.startsWith("."))
+      assert(files.length == 1, s"${d.getName} has ${files.length} files, want 1")
+    }
+  }
+
   test("cluster-blocked embedding dedup: exact precision, high recall vs brute force") {
     import org.apache.spark.sql.functions._
     val corpus = graft.Tables.embeddings(spark, sf)
