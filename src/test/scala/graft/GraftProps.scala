@@ -406,4 +406,26 @@ object GraftProps extends Properties("graft") {
         .digest(s"$a-$b".getBytes("US-ASCII"))(0) & 0xFF
       graft.functions.Md5BucketKernel.compute(a, b) == want
     }
+
+  property("argmin2 kernel returns the stable top-2 cells on any corpus") =
+    forAll(
+      Gen.listOfN(20, Gen.listOfN(4, Gen.chooseNum(-100, 100).map(_ / 10.0))),
+      Gen.listOfN(4, Gen.chooseNum(-100, 100).map(_ / 10.0))) { (cents0, v0) =>
+      (cents0.nonEmpty) ==> {
+        import spark.implicits._
+        import org.apache.spark.sql.functions._
+        graft.functions.GraftFunctions.ensureRegistered(spark)
+        val centsCol = array(cents0.map(c => array(c.map(lit): _*)): _*)
+        val got = Seq(Tuple1(v0.map(_.toFloat).toArray)).toDF("vec")
+          .select(call_function(graft.functions.GraftFunctions.Argmin2L2Name,
+            col("vec"), centsCol).as("cs"))
+          .collect().head.getSeq[Int](0).toList
+        // reference: stable sort of (distance, index), first two indices
+        val ds = cents0.zipWithIndex.map { case (c, i) =>
+          (c.zip(v0.map(_.toFloat.toDouble)).map { case (x, y) => (y - x) * (y - x) }.sum, i)
+        }
+        val want = ds.sortBy(identity).take(2).map(_._2)
+        got == want
+      }
+    }
 }
