@@ -34,4 +34,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // plans/broadcasts, and the shingle-heavy dedup queries showed 3-5x
   // run-to-run spread from GC churn at 8g (the box has 128 GiB)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 86 codegen'd queries x (2 warm passes + 3 measured rounds) in one
+  // JVM generate far more compiled code than the 240m default reserve;
+  // a full code cache disables the JIT mid-suite and the remaining
+  // queries run interpreted — which reads as a uniform ~25% "regression"
+  "-XX:ReservedCodeCacheSize=512m",
 )

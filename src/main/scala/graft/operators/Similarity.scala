@@ -1601,9 +1601,15 @@ object Similarity {
   private[graft] def embeddingDedupCellsOf(corpus: DataFrame,
       cents: Array[Array[Double]], threshold: Double): DataFrame = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
+    // typedLit, NOT centsLit: the dedup quantizer is ~n/24 cells (250+
+    // at sf0.1), and a CreateArray tree of cells x dim literal nodes
+    // bloats analysis and generated code per call — one folded Literal
+    // keeps the plan model-size-independent (the knnPq codebook
+    // discipline)
+    val centsCol = typedLit(cents.map(_.toSeq).toSeq)
     val cells0 = corpus
       .select(col("vec_id"), col("vec"),
-        call_function(GraftFunctions.Argmin2L2Name, col("vec"), centsLit(cents)).as("cs"))
+        call_function(GraftFunctions.Argmin2L2Name, col("vec"), centsCol).as("cs"))
       .select(col("vec_id"), col("vec"), col("cs"), explode(col("cs")).as("cell"))
       .localCheckpoint(eager = false)
     val hot = cells0.groupBy(col("cell")).agg(count(lit(1)).as("df"))
