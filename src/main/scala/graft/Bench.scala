@@ -88,9 +88,14 @@ object Bench {
         }
       }
     }
+    // a FAILED query reports -1 (not its near-zero time-to-throw): the
+    // r8 events failures read as suspiciously-fast successes in the
+    // compact line, which is the only artifact the driver's bounded
+    // capture sees — a negative median is unmistakable there
     val results = names.map { n =>
       val ts = samples(n)
-      (n, median(ts), ts.min, ts.max)
+      if (errors.contains(n)) (n, -1.0, -1.0, -1.0)
+      else (n, median(ts), ts.min, ts.max)
     }
     if (roundsRun < iters) System.err.println(
       s"[bench] wall budget ${budgetSec}s reached after $roundsRun of $iters rounds")
@@ -132,7 +137,19 @@ object Bench {
     val warmJson = names.map(n => "\"" + n + "\":" + f(warmTarget.getOrElse(n, 0.0)))
       .mkString("{", ",", "}")
     val errJson = errors
-      .map { case (k, v) => "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
+      .map { case (k, v) =>
+        // escape EVERY control char: Spark 4 error messages are
+        // multi-line, and a raw \n inside the one-line full artifact
+        // breaks json.load exactly in the failure case this map exists
+        // to disclose
+        val esc = v.flatMap {
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case c if c < ' ' => "\\u%04x".format(c.toInt)
+          case c => c.toString
+        }
+        "\"" + k + "\":\"" + esc + "\""
+      }
       .mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":$total3,"unit":"sec","queries":$qs3,"sf":"$sfName"}"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"warm_target_sec":$warmJson,"errors":$errJson,"iters":$roundsRun,"sf":"$sfDir"}"""

@@ -585,6 +585,33 @@ object Dedup {
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Exactly-once banded pair candidates over any (id, bks) frame —
+    * the shared core of [[minhashDedup]] and
+    * [[Similarity.embeddingDedup]]'s LSH blocking: posexplode the
+    * per-row bucket array, self-join on (band, bucket), and emit each
+    * pair ONCE at its first shared band via an unrolled codegen
+    * predicate (no pair-stream distinct; the higher-order
+    * exists/zip_with form of the predicate is interpreted per candidate
+    * row and measurably slower than the distinct it replaces). The
+    * banded stream is lazily checkpointed — it feeds both join sides. */
+  private[operators] def firstSharedBandPairs(ids: DataFrame, nBands: Int): DataFrame = {
+    val banded = ids
+      .select(col("id"), col("bks"), posexplode(col("bks")))
+      .toDF("id", "bks", "band", "bucket")
+      .localCheckpoint(eager = false)
+    val firstShared = (0 until nBands).map { bp =>
+      when(lit(bp) < col("band"),
+        element_at(col("bks"), bp + 1) =!= element_at(col("bks_b"), bp + 1))
+        .otherwise(lit(true))
+    }.reduce(_ && _)
+    banded
+      .join(banded.select(col("id").as("id_b"), col("bks").as("bks_b"),
+        col("band"), col("bucket")), Seq("band", "bucket"))
+      .filter(col("id") < col("id_b"))
+      .filter(firstShared)
+      .select(col("id").as("id_a"), col("id_b"))
+  }
+
   /** q_dedup_minhash — LSH banding: docs sharing any band bucket become
     * candidates; estimated Jaccard = fraction of equal signature slots. */
   def minhashDedup(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
@@ -595,31 +622,11 @@ object Dedup {
       val slot = (0 until RowsPerBand).map(r => col(s"sig_${b * RowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(slot: _*).as("bucket"))
     }
-    // each banded row carries the doc's full bucket array so a pair is
-    // emitted exactly once, at its first shared band (same shape as
-    // [[chunkedHammingPairs]]'s survival mask) — no pair-stream distinct
-    val banded = sigs
-      .select(col("doc_id"),
-        array(bandCols.map(bc => bc.getField("bucket")): _*).as("bks"))
-      .select(col("doc_id"), col("bks"), posexplode(col("bks")))
-      .toDF("doc_id", "bks", "band", "bucket")
-      .localCheckpoint(eager = false)
-    // unrolled over the band-count constant so the predicate stays inside
-    // whole-stage codegen — the higher-order exists/zip_with form is
-    // interpreted per candidate row and measurably slower than the
-    // distinct it replaces
-    val firstShared = (0 until Bands).map { bp =>
-      when(lit(bp) < col("band"),
-        element_at(col("bks"), bp + 1) =!= element_at(col("bks_b"), bp + 1))
-        .otherwise(lit(true))
-    }.reduce(_ && _)
-    val candidates = banded
-      .join(banded.select(col("doc_id").as("doc_b"), col("bks").as("bks_b"),
-        col("band"), col("bucket")),
-        Seq("band", "bucket"))
-      .filter(col("doc_id") < col("doc_b"))
-      .filter(firstShared)
-      .select(col("doc_id").as("doc_a"), col("doc_b"))
+    val candidates = firstSharedBandPairs(
+      sigs.select(col("doc_id").as("id"),
+        array(bandCols.map(bc => bc.getField("bucket")): _*).as("bks")),
+      Bands)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     val sigA = sigs.select(col("doc_id").as("doc_a") +:
       (0 until MinHashK).map(j => col(s"sig_$j").as(s"a_$j")): _*)
     val sigB = sigs.select(col("doc_id").as("doc_b") +:
@@ -803,8 +810,13 @@ object Dedup {
     // and shuffled the ENTIRE pair stream to dedupe — on near-dup-heavy
     // corpora the pair stream dwarfs the 4n-row mask aggregation this
     // costs instead (sf0.1: 81k pairs emitted, ~4x that pre-distinct).
-    val bitOf = when(col("c") === 0, 1L).when(col("c") === 1, 2L)
-      .when(col("c") === 2, 4L).otherwise(8L)
+    // built over the Chunks constant (a hardcoded 4-branch CASE would
+    // silently alias chunk indexes > 3 onto bit 3 if Chunks is retuned);
+    // chunk indexes come from chunkCols over the same constant, so the
+    // chain is total
+    val bitOf = (1 until Chunks).foldLeft(when(col("c") === 0, 1L)) {
+      (acc, c) => acc.when(col("c") === c, 1L << c)
+    }
     val withMask = chunked0
       .join(hot, Seq("c", "v"), "left_anti")
       .groupBy(col("doc_id"), col("simhash"))

@@ -417,8 +417,9 @@ object Similarity {
         .warn(s"$what model sidecar at $path unreadable; rebuilding", e)
 
   /** Driver-side CONTENT fingerprint of a corpus table's parquet (file
-    * names, lengths, and a CRC of each file's head+tail bytes — the tail
-    * is the parquet footer, i.e. row-group offsets and column statistics):
+    * names, lengths, and a CRC of each file's head, six evenly-spaced
+    * interior windows, and tail bytes — the tail is the parquet footer,
+    * i.e. row-group offsets and column statistics):
     * the serve paths' staleness key, shared by every model-serving surface
     * (IVF, PQ, the posting index, the quality classifier).
     *
@@ -429,8 +430,13 @@ object Similarity {
     * with fresh mtimes — keeps the fingerprint, so standing index
     * generations keep serving instead of retraining on every touch (an
     * mtime key forced exactly that: every regeneration invalidated every
-    * index even though no byte changed). ~12 KB of IO per file,
-    * driver-side; never a data scan. */
+    * index even though no byte changed). ~36 KB of IO per file,
+    * driver-side; never a data scan. Residual risk, disclosed: a
+    * same-length edit that changes no sampled window and leaves the
+    * footer statistics bitwise intact is not detected — full-content
+    * hashing per serve probe would defeat the probe's point at index
+    * scale; a production deployment would carry a writer-stamped
+    * content version instead. */
   private[graft] def corpusFingerprint(spark: SparkSession, dir: String,
       table: String = "embeddings.parquet"): Long = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$table")
@@ -456,6 +462,22 @@ object Similarity {
       val head = new Array[Byte](headLen)
       in.readFully(0L, head)
       crc.update(head)
+      // six evenly-spaced 4 KB interior windows: head+footer alone is
+      // blind to a same-length mid-file edit whose row group keeps its
+      // footer stats (value changed strictly inside the existing
+      // min/max at identical encoded length) — interior samples shrink
+      // that blind spot to edits that dodge every window; a residual
+      // risk the docstring discloses (~36 KB of IO per file total)
+      if (len > 16384) {
+        val win = new Array[Byte](4096)
+        val step = (len - 12288) / 7
+        var k = 1
+        while (k <= 6) {
+          in.readFully(4096L + step * k, win)
+          crc.update(win)
+          k += 1
+        }
+      }
       val tailLen = math.min(8192L, len).toInt
       val tail = new Array[Byte](tailLen)
       in.readFully(len - tailLen, tail)
@@ -1470,10 +1492,21 @@ object Similarity {
     * half-swapped index served as fresh. */
   def compactIvfPq(spark: SparkSession, dir: String): Unit = {
     val indexPath = ivfPqServePath(dir)
-    val modelPath = ivfModelPath(indexPath)
     // read probe: refuse to compact an unproven or older-semantics
     // generation (same failure → rebuild contract as the serve path)
     readIvfPqModels(spark, indexPath)
+    compactPartitionedIndex(spark, indexPath)
+  }
+
+  /** Shared compaction mechanics for any cid-partitioned index with a
+    * sibling `_model` sidecar ([[compactIvf]]/[[compactIvfPq]] differ
+    * only in their read probes): rewrite through a hash repartition on
+    * `cid` (one file per cell), then swap with the sidecar STAGED AWAY
+    * for the window — a crash anywhere in it leaves a sidecar-less
+    * generation the serve path rebuilds, never a half-swapped index
+    * read as live. */
+  private def compactPartitionedIndex(spark: SparkSession, indexPath: String): Unit = {
+    val modelPath = ivfModelPath(indexPath)
     val tmpPath = indexPath + "_compact_tmp"
     deleteTree(tmpPath)
     spark.read.parquet(indexPath)
@@ -1499,21 +1532,9 @@ object Similarity {
     * crash anywhere in the swap window leaves a model-less generation
     * the read probe rejects, never a half-swapped index read as live. */
   def compactIvf(spark: SparkSession, indexPath: String): Unit = {
-    val modelPath = ivfModelPath(indexPath)
     // read probe: refuse to compact an unproven generation
     readIvfModel(spark, indexPath)
-    val tmpPath = indexPath + "_compact_tmp"
-    deleteTree(tmpPath)
-    spark.read.parquet(indexPath)
-      .repartition(col("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(tmpPath)
-    val stage = modelPath + "_compact_stage"
-    deleteTree(stage)
-    val p = java.nio.file.Paths.get(_: String)
-    java.nio.file.Files.move(p(modelPath), p(stage))
-    deleteTree(indexPath)
-    java.nio.file.Files.move(p(tmpPath), p(indexPath))
-    java.nio.file.Files.move(p(stage), p(modelPath))
+    compactPartitionedIndex(spark, indexPath)
   }
 
   private def deleteTree(path: String): Unit = {
@@ -1599,7 +1620,8 @@ object Similarity {
   /** Frame-based core of [[embeddingDedupCells]] — specs run it with
     * planted corpora and their own quantizers. */
   private[graft] def embeddingDedupCellsOf(corpus: DataFrame,
-      cents: Array[Array[Double]], threshold: Double): DataFrame = {
+      cents: Array[Array[Double]], threshold: Double,
+      cellCap: Int = SemCellCap): DataFrame = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
     // typedLit, NOT centsLit: the dedup quantizer is ~n/24 cells (250+
     // at sf0.1), and a CreateArray tree of cells x dim literal nodes
@@ -1610,24 +1632,41 @@ object Similarity {
     val cells0 = corpus
       .select(col("vec_id"), col("vec"),
         call_function(GraftFunctions.Argmin2L2Name, col("vec"), centsCol).as("cs"))
-      .select(col("vec_id"), col("vec"), col("cs"), explode(col("cs")).as("cell"))
+      .select(col("vec_id"), col("vec"), col("cs"), posexplode(col("cs")))
+      .toDF("vec_id", "vec", "cs", "slot", "cell")
       .localCheckpoint(eager = false)
     val hot = cells0.groupBy(col("cell")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > SemCellCap)
+      .filter(col("df") > cellCap)
       .select(col("cell"), col("df"))
       .observe(s"semcell_hot_drops_${Dedup.nextObsId()}",
         count(lit(1)).as("hot_cells"),
         coalesce(sum(col("df")), lit(0L)).as("dropped_rows"))
       .select(col("cell"))
-    val cells = cells0.join(hot, Seq("cell"), "left_anti")
+    // per-vector SURVIVAL MASK (bit i set iff slot-i cell was not hot):
+    // a matching cell is the SAME cell on both sides, so survival is a
+    // shared property of the pair and "the pair's smallest shared
+    // SURVIVING cell" is well-defined from one side's mask — without the
+    // survival term, a pair whose smallest shared cell is hot would be
+    // suppressed at its surviving cell too and silently lost (the
+    // [[Dedup.chunkedHammingPairs]] mask discipline)
+    val cells = cells0
+      .join(hot, Seq("cell"), "left_anti")
+      .groupBy(col("vec_id"))
+      .agg(first(col("vec")).as("vec"), first(col("cs")).as("cs"),
+        sum(when(col("slot") === 0, 1L).otherwise(2L)).as("mask"))
+      .select(col("vec_id"), col("vec"), col("cs"), col("mask"),
+        posexplode(col("cs")))
+      .toDF("vec_id", "vec", "cs", "mask", "slot", "cell")
+      .filter(col("mask").bitwiseAND(when(col("slot") === 0, 1L).otherwise(2L)) =!= 0L)
       .localCheckpoint(eager = false)
-    // exactly-once emission at the pair's SMALLEST shared cell: at the
-    // joined cell c, no combination of the two top-2 arrays may share an
-    // earlier cell (4 comparisons, unrolled — stays in codegen)
+    // exactly-once emission at the pair's smallest shared surviving
+    // cell: at the joined cell, no combination of the two top-2 arrays
+    // may share an earlier cell that SURVIVED (4 comparisons, unrolled)
     def csA(i: Int) = element_at(col("cs"), i + 1)
     def csB(j: Int) = element_at(col("cs_b"), j + 1)
     val earlierShared = (for (i <- 0 until 2; j <- 0 until 2)
-      yield (csA(i) === csB(j)) && (csA(i) < col("cell"))).reduce(_ || _)
+      yield (csA(i) === csB(j)) && (csA(i) < col("cell")) &&
+        (col("mask").bitwiseAND(lit(1L << i)) =!= 0L)).reduce(_ || _)
     cells
       .join(cells.select(col("vec_id").as("vec_b"), col("vec").as("vb"),
         col("cs").as("cs_b"), col("cell")), Seq("cell"))
@@ -1643,36 +1682,14 @@ object Similarity {
     * has no planted >0.9 pairs — see SURVEY §2B). */
   def embeddingDedup(spark: SparkSession, dir: String, threshold: Double = 0.45): DataFrame = {
     val corpus = emb(spark, dir)
-    // both sides of the candidate self-join read the SAME banding — the
-    // lazy checkpoint runs the hyperplane kernel once, not per side.
-    // Each row carries the doc's FULL bucket array (`bks`, band-count
-    // longs) so a pair can be emitted exactly once, at its first shared
-    // band — the bare-id formulation emitted once per shared band and
-    // shuffled the whole candidate stream through a distinct.
-    val bands = corpus
-      .select(col("vec_id"),
-        call_function(GraftFunctions.HplaneIndexName, col("vec")).as("bks"))
-      .select(col("vec_id"), col("bks"), posexplode(col("bks")))
-      .toDF("vec_id", "bks", "band", "bucket")
-      .localCheckpoint(eager = false)
-    // no earlier band b' < band may also collide (bands are positions
-    // 1..band of the zipped arrays; empty slice at band 0 -> no earlier)
-    // unrolled over the band-count constant so the predicate stays inside
-    // whole-stage codegen — the higher-order exists/zip_with form is
-    // interpreted per candidate row and measurably slower than the
-    // distinct it replaces
-    val firstShared = (0 until LshBands).map { bp =>
-      when(lit(bp) < col("band"),
-        element_at(col("bks"), bp + 1) =!= element_at(col("bks_b"), bp + 1))
-        .otherwise(lit(true))
-    }.reduce(_ && _)
-    val candidates = bands
-      .join(bands.select(col("vec_id").as("vec_b"), col("bks").as("bks_b"),
-        col("band"), col("bucket")),
-        Seq("band", "bucket"))
-      .filter(col("vec_id") < col("vec_b"))
-      .filter(firstShared)
-      .select(col("vec_id").as("vec_a"), col("vec_b"))
+    // banded blocking through the shared exactly-once core
+    // ([[Dedup.firstSharedBandPairs]] — one kernel scan, no pair-stream
+    // distinct)
+    val candidates = Dedup.firstSharedBandPairs(
+      corpus.select(col("vec_id").as("id"),
+        call_function(GraftFunctions.HplaneIndexName, col("vec")).as("bks")),
+      LshBands)
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
     candidates
       .join(corpus.select(col("vec_id").as("vec_a"), col("vec").as("va")), Seq("vec_a"))
       .join(corpus.select(col("vec_id").as("vec_b"), col("vec").as("vb")), Seq("vec_b"))

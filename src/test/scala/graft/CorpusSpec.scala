@@ -573,6 +573,18 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     java.nio.file.Files.write(dst, headFlip)
     val fp4 = operators.Similarity.corpusFingerprint(spark, tmp.toString)
     assert(fp1 != fp4, "same-length head content swap did not change the fingerprint")
+    // a MID-file flip (far from both head and footer) must change it
+    // too — the interior sample windows exist exactly for this; flip a
+    // byte at an interior window anchor so the coverage is guaranteed
+    if (bytes.length > 16384) {
+      val step = (bytes.length - 12288) / 7
+      val midFlip = bytes.clone()
+      val at = 4096 + step * 3 + 17
+      midFlip(at) = (midFlip(at) ^ 0x7f).toByte
+      java.nio.file.Files.write(dst, midFlip)
+      val fp5 = operators.Similarity.corpusFingerprint(spark, tmp.toString)
+      assert(fp1 != fp5, "mid-file content swap did not change the fingerprint")
+    }
   }
 
   test("adaptive clean keeps the top quality mass per language; approx sketch tracks exact floors") {
@@ -1133,6 +1145,35 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     // formulation emitted once per shared cell and deduped with a
     // pair-stream distinct; the smallest-shared-cell filter replaces it)
     assert(pairs.size == pairs.toSet.size, s"duplicate emissions in $pairs")
+  }
+
+  test("cluster-blocked dedup: a pair whose smallest shared cell is hot still pairs at its surviving cell") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // hand-built geometry: centroid 0 at the origin is the HOT hub
+    // (many unrelated vectors), centroid 1 far away holds a planted
+    // near-identical pair whose top-2 cells are [0-or-1 ordering]
+    // arranged so the pair's SMALLEST shared cell is the hot one
+    val dim = 4
+    val cents = Array(
+      Array(0.0, 0.0, 0.0, 0.0),
+      Array(10.0, 0.0, 0.0, 0.0),
+      // near decoy: the hub's SECONDARY cell is 2, not 1, so cell 1
+      // holds only the planted pair and stays under the cap
+      Array(0.0, 5.0, 0.0, 0.0))
+    // the planted pair sits between cents 0 and 1 (closer to 1), so its
+    // top-2 = [1, 0]; its smallest shared cell is 0 — the hot hub
+    val twinA = (1000L, Array(6.0f, 0.1f, 0f, 0f))
+    val twinB = (1001L, Array(6.0f, 0.1001f, 0f, 0f))
+    // 10 hub vectors near the origin make cell 0 hot at cap 8
+    val hub = (0L until 10L).map(i => (i, Array(0.1f * i, -0.05f * i, 0f, 0f)))
+    val corpus = (hub ++ Seq(twinA, twinB)).toDF("vec_id", "vec").localCheckpoint()
+    val pairs = operators.Similarity
+      .embeddingDedupCellsOf(corpus, cents, threshold = 0.99, cellCap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.contains((1000L, 1001L)),
+      s"pair lost when its smallest shared cell went hot: $pairs")
+    assert(pairs.size == pairs.toSet.size, s"duplicate emissions: $pairs")
   }
 
   test("ivf compaction: fragmented raw-vector cells collapse to one file each, search unchanged") {
