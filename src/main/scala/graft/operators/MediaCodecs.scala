@@ -339,6 +339,78 @@ object Dsp {
     }
     (centroid, rolloffBin * binHz, flatness, bands)
   }
+
+  /** Hash geometry: 8 time segments × 8 adjacent-band comparisons. */
+  val HashSegments = 8
+  val HashBandCmps = 8
+
+  /** 64-bit perceptual audio hash (chromaprint-style, reduced to one
+    * word per clip): the clip's frames are pooled into [[HashSegments]]
+    * equal time segments; per segment, [[HashBandCmps]] bits record the
+    * SIGN of adjacent log-band energy differences (is band d louder
+    * than band d+1 in this part of the clip). Comparisons make the hash
+    * exactly invariant to uniform gain (scaling every sample scales
+    * every band energy equally) and robust to mild noise/re-encoding —
+    * the audio analogue of [[graft.operators.Multimodal.dHash64]]'s
+    * neighbor comparisons. Silence hashes to 0 (all-equal bands): a
+    * silent-clip hub is exactly what the hamming join's hot-chunk cap
+    * bounds. */
+  def audioHash64(sampleRateHz: Int, samples: Array[Short]): Long = {
+    val n = samples.length
+    if (n == 0) return 0L
+    val hann = Array.tabulate(Nfft)(i =>
+      0.5 * (1.0 - math.cos(2.0 * math.Pi * i / (Nfft - 1))))
+    val nFrames = math.max(1, (n - Nfft) / Hop + 1)
+    val segBands = Array.fill(HashSegments)(new Array[Double](Bands))
+    val re = new Array[Double](Nfft)
+    val im = new Array[Double](Nfft)
+    val binHz = sampleRateHz.toDouble / Nfft
+    val fMin = binHz
+    val fMax = sampleRateHz / 2.0
+    var frame = 0
+    while (frame < nFrames) {
+      val start = frame * Hop
+      java.util.Arrays.fill(im, 0.0)
+      var i = 0
+      while (i < Nfft) {
+        re(i) = if (start + i < n) (samples(start + i) / 32768.0) * hann(i) else 0.0
+        i += 1
+      }
+      fft(re, im)
+      val seg = frame * HashSegments / nFrames
+      var k = 1
+      while (k < Nfft / 2 + 1) {
+        val f = k * binHz
+        val b = math.min(Bands - 1, math.max(0,
+          (math.log(f / fMin) / math.log(fMax / fMin) * Bands).toInt))
+        segBands(seg)(b) += (re(k) * re(k) + im(k) * im(k)) / Nfft
+        k += 1
+      }
+      frame += 1
+    }
+    var hash = 0L
+    var s = 0
+    while (s < HashSegments) {
+      var segTotal = 0.0
+      var b = 0
+      while (b < Bands) { segTotal += segBands(s)(b); b += 1 }
+      // dead zone: a bit is set only when the adjacent-band difference
+      // clears 1% of the segment's total energy. Without it, bands the
+      // signal leaves empty are compared noise-against-noise and each
+      // such bit is a fair coin per clip — twin clips then differ by
+      // more bits than the pigeonhole join's radius even at 34 dB SNR
+      // (measured: hamming 6 -> 1 on the planted twins)
+      val dead = 0.01 * segTotal
+      var d = 0
+      while (d < HashBandCmps) {
+        if (segBands(s)(d) - segBands(s)(d + 1) > dead)
+          hash |= 1L << (s * HashBandCmps + d)
+        d += 1
+      }
+      s += 1
+    }
+    hash
+  }
 }
 
 /** Compressed-image codec over the JDK's built-in `javax.imageio` PNG and

@@ -210,6 +210,34 @@ object Multimodal {
     }
   }
 
+  case class AudioHash(media_id: Long, ahash: Long)
+
+  /** Per-clip 64-bit perceptual audio hash ([[Dsp.audioHash64]]:
+    * segment x band-delta signs — gain-invariant by construction).
+    * Undecodable payloads DROP (the [[audioSpectra]] discipline). One
+    * mapPartitions scan, no shuffle. */
+  def audioHashes(spark: SparkSession, media: DataFrame): Dataset[AudioHash] = {
+    import spark.implicits._
+    media.as[MediaItem].mapPartitions { it =>
+      it.filter(_.meta.kind == "audio").flatMap { m =>
+        WavCodec.decode(m.payload).map { case (rate, samples) =>
+          AudioHash(m.media_id, Dsp.audioHash64(rate, samples))
+        }
+      }
+    }
+  }
+
+  /** Perceptual near-dup pairs over decodable audio clips — the audio
+    * leg of the multimodal dedup triad (image [[imageDedup]], video
+    * [[videoDedup]]): re-encodes, gain changes and mild noise keep most
+    * hash bits, so pairs surface through the SAME capped pigeonhole
+    * hamming join the text/image families use. */
+  def audioDedup(spark: SparkSession, media: DataFrame): DataFrame =
+    Dedup.chunkedHammingPairs(
+      audioHashes(spark, media).toDF()
+        .select(col("media_id").as("doc_id"), col("ahash").as("simhash")))
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"), col("hamming"))
+
   /** Resize image payloads: REAL nearest-neighbor resampling on the
     * decoded pixel grid for PPM/PNG/JPEG payloads (a PPM source stays a
     * valid PPM with the new dimensions; compressed sources re-encode as

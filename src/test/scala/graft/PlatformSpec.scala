@@ -903,6 +903,40 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m == Map((10L, 1L) -> ((1L, 2))), s"wrong cross-modal matches: $m")
   }
 
+  test("audio dedup: gain-invariant hash pairs re-levelled/noisy twins, separates unlike content") {
+    import spark.implicits._
+    import graft.operators.{Dsp, WavCodec}
+    import Multimodal.{MediaItem, MediaMeta}
+    val rate = 16000
+    val n = 16000 // 1s clips
+    def tone(freqs: Seq[(Double, Double)], noiseAmp: Double, gain: Double,
+        seed: Long): Array[Short] = {
+      var s = seed
+      Array.tabulate(n) { i =>
+        s = s * 6364136223846793005L + 1442695040888963407L
+        val noise = ((s >>> 40).toInt / 8388608.0 - 1.0) * noiseAmp
+        val x = freqs.map { case (f, a) => a * math.sin(2 * math.Pi * f * i / rate) }.sum
+        ((x + noise) * gain * 12000).toShort
+      }
+    }
+    val voiceish = Seq((220.0, 0.8), (440.0, 0.5), (880.0, 0.25))
+    val brightish = Seq((2500.0, 0.8), (5000.0, 0.5))
+    val base = tone(voiceish, 0.0, 1.0, 1L)
+    // half gain: the comparison hash must be IDENTICAL, not just close
+    assert(Dsp.audioHash64(rate, tone(voiceish, 0.0, 0.5, 1L)) ==
+      Dsp.audioHash64(rate, base), "gain change moved the hash")
+    def item(id: Long, samples: Array[Short]) = MediaItem(id,
+      WavCodec.encode(rate, samples), MediaMeta("audio", 0, 0, rate, 0))
+    val media = Seq(
+      item(1L, base),
+      item(2L, tone(voiceish, 0.02, 0.7, 99L)), // noisy re-levelled twin
+      item(3L, tone(brightish, 0.0, 1.0, 1L)) // different spectral shape
+    ).toDS().toDF()
+    val pairs = Multimodal.audioDedup(spark, media).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"wrong audio near-dup pairs: $pairs")
+  }
+
   test("dsp: fft matches the dft definition, Parseval holds, spectra separate tone from noise") {
     import graft.operators.Dsp
     // deterministic pseudo-random signal (LCG — no Math.random in specs)
