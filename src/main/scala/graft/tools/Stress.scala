@@ -72,6 +72,31 @@ object Stress {
     time("quality_lr_fit") {
       QualityModel.fitQualityLr(QualityModel.featureFrame(docs10)).length.toLong
     }
+
+    // r9 operators. dup_spans is the adversarial case here: 10-cliques
+    // make EVERY positional gram shared (nd = 10), so the shared-gram
+    // attach join sees the full gram table — the worst case for the
+    // "shared grams are the small side" broadcast argument, which is
+    // why it must stay bounded. lm_score's count tables stay
+    // vocabulary-sized under replication. export_manifest is the
+    // scan-rate baseline (one kernel scan + 32-group aggregate).
+    time("dup_spans") { Dedup.dupSpans(docs10).count() }
+    time("lm_score") { Curation.lmScoreOf(docs10).count() }
+    time("export_manifest") { Export.manifestOf(docs10).count() }
+    // cluster-blocked embedding dedup at 10x: replicate vectors with
+    // shifted ids (10-cliques of exact-duplicate vectors — every clique
+    // lands in one cell) and verify in-cell pairwise stays bounded by
+    // the cap while the planted cliques all pair.
+    val emb10 = (0 until 10)
+      .map(i => Tables.embeddings(spark, dir)
+        .select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+          col("embedding").as("vec")))
+      .reduce(_ unionAll _)
+      .localCheckpoint()
+    val cents = Similarity.ivfFit(emb10, nList = math.max(16, (emb10.count() / 24).toInt))
+    time("embed_cells_dedup") {
+      Similarity.embeddingDedupCellsOf(emb10, cents, threshold = 0.999).count()
+    }
     spark.stop()
   }
 }
