@@ -53,8 +53,13 @@ object Bench {
     // r8 tail carried exactly this fragment). Real query failures still
     // surface through the errors map — they throw into the measured
     // loop, not through this logger.
-    try org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.scheduler.DAGScheduler", org.apache.logging.log4j.Level.FATAL)
+    try Seq(
+      "org.apache.spark.scheduler.DAGScheduler",
+      // same benign cause, WARN form: "Attempted to access garbage
+      // collected accumulator" from the cleaner thread
+      "org.apache.spark.util.AccumulatorContext"
+    ).foreach(org.apache.logging.log4j.core.config.Configurator.setLevel(
+      _, org.apache.logging.log4j.Level.FATAL))
     catch { case scala.util.control.NonFatal(_) => () }
     // optional comma-separated query-name filter for targeted re-measures
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
