@@ -144,15 +144,65 @@ object Events {
     * and ONE sort regardless of funnel depth; the per-step rollup is a
     * driver-sized stack over a single aggregated row. Strict `<` on the
     * millisecond stamp makes qualification order-free (ties never
-    * count), so results are partition-invariant. */
+    * count), so results are partition-invariant.
+    *
+    * Serves from the persisted [[ensureStamps]] generation: the funnel
+    * family (q_funnel / q_conversion_lag / q_conversion_cohort, plus
+    * q_cohort_retention's signup-cohort side) all consume the SAME
+    * per-user stamps frame, and the fact-scale sort that derives it is
+    * paid once per events-corpus generation, not once per query. */
   def funnel(spark: SparkSession, dir: String): DataFrame =
-    funnelOf(Tables
+    funnelFromStamps(ensureStamps(spark, dir))
+
+  /** The (user_id, event_id, event_type, ts_ms) projection every funnel
+    * query starts from. */
+  private def eventsBase(spark: SparkSession, dir: String): DataFrame =
+    Tables
       .events(spark, dir)
       .select(
         col("user_id"),
         col("event_id"),
         col("event_type"),
-        expr("(ts - pmod(ts, 1000000)) DIV 1000000").as("ts_ms")))
+        expr("(ts - pmod(ts, 1000000)) DIV 1000000").as("ts_ms"))
+
+  private[graft] def stampsServePath(dir: String): String =
+    Similarity.servePath("funnel_stamps_", dir)
+
+  /** Ensure a fresh persisted per-user stamps generation for `dir` and
+    * return it as a lazy parquet read.
+    *
+    * Same fingerprint-keyed serving discipline as
+    * [[Dedup.ensurePostings]]: the stamps frame — user-cardinality
+    * (user_id, s0..s3), tiny next to the events fact — is keyed by the
+    * events files' content fingerprint in a sidecar next to the store.
+    * Any corpus swap under the dir changes the fingerprint and triggers
+    * a rebuild; the sidecar is stamped only AFTER the store write
+    * succeeds, so a crash in between leaves a stale sidecar and the
+    * next ensure rebuilds, never serving a fresh-looking stale frame.
+    * The reference analogue is the dashboard loading one materialized
+    * funnel table that all pages share (`server/data_loader.py`); here
+    * the fact-scale per-user sort is paid once per corpus generation
+    * instead of once per serving query. */
+  private[graft] def ensureStamps(spark: SparkSession, dir: String): DataFrame = {
+    val path = stampsServePath(dir)
+    val fpPath = path + "_model"
+    val fp = Similarity.corpusFingerprint(spark, dir, "events.parquet")
+    val storedFp =
+      try Some(Similarity.readSidecarRows(spark, fpPath)(0).getLong(0))
+      catch {
+        case e if scala.util.control.NonFatal(e) =>
+          Similarity.warnUnreadableSidecar("funnel-stamps", fpPath, e)
+          None
+      }
+    if (!storedFp.contains(fp)) {
+      Tables.invalidate(spark, dir, "events")
+      funnelStamps(eventsBase(spark, dir))
+        .write.mode("overwrite").parquet(path)
+      spark.range(1).select(lit(fp).as("fp"))
+        .coalesce(1).write.mode("overwrite").parquet(fpPath)
+    }
+    spark.read.parquet(path)
+  }
 
   /** Per-user step-completion stamps (user_id, s0..s3) — the funnel's
     * intermediate frame, shared with the conversion-lag rollup. */
@@ -173,10 +223,15 @@ object Events {
       .agg(perUserAggs.head, perUserAggs.tail: _*)
   }
 
-  /** Funnel body over a (user_id, event_id, event_type, ts_ms) frame. */
-  private[graft] def funnelOf(base: DataFrame): DataFrame = {
+  /** Funnel body over a (user_id, event_id, event_type, ts_ms) frame —
+    * the from-scratch path the specs and streaming twin exercise. */
+  private[graft] def funnelOf(base: DataFrame): DataFrame =
+    funnelFromStamps(funnelStamps(base))
+
+  /** Funnel rollup over a (user_id, s0..s3) stamps frame. */
+  private[graft] def funnelFromStamps(stamps: DataFrame): DataFrame = {
     val countAggs = FunnelSteps.indices.map(i => count(col(s"s$i")).as(s"c$i"))
-    val counts = funnelStamps(base)
+    val counts = stamps
       .agg(countAggs.head, countAggs.tail: _*)
     val stackArgs = FunnelSteps.zipWithIndex
       .map { case (s, i) => s"${i + 1}, '$s', c$i" }
@@ -246,19 +301,17 @@ object Events {
     * the median is the exact interpolating percentile both engines
     * define identically. */
   def conversionLag(spark: SparkSession, dir: String): DataFrame =
-    conversionLagOf(Tables
-      .events(spark, dir)
-      .select(
-        col("user_id"),
-        col("event_id"),
-        col("event_type"),
-        expr("(ts - pmod(ts, 1000000)) DIV 1000000").as("ts_ms")))
+    conversionLagFromStamps(ensureStamps(spark, dir))
 
   /** Conversion-lag body over a (user_id, event_id, event_type, ts_ms)
-    * frame. */
-  private[graft] def conversionLagOf(base: DataFrame): DataFrame = {
+    * frame — the from-scratch path the specs exercise. */
+  private[graft] def conversionLagOf(base: DataFrame): DataFrame =
+    conversionLagFromStamps(funnelStamps(base))
+
+  /** Conversion-lag rollup over a (user_id, s0..s3) stamps frame. */
+  private[graft] def conversionLagFromStamps(stamps: DataFrame): DataFrame = {
     val nSteps = FunnelSteps.size
-    val lags = funnelStamps(base).select(
+    val lags = stamps.select(
       (1 until nSteps).map(i => (col(s"s$i") - col(s"s${i - 1}")).as(s"l$i")): _*)
     val aggs = (1 until nSteps).flatMap(i => Seq(
       count(col(s"l$i")).as(s"n$i"),
@@ -302,13 +355,7 @@ object Events {
   val WeekMs: Long = 604800000L
 
   def conversionCohort(spark: SparkSession, dir: String): DataFrame =
-    conversionCohortOf(Tables
-      .events(spark, dir)
-      .select(
-        col("user_id"),
-        col("event_id"),
-        col("event_type"),
-        expr("(ts - pmod(ts, 1000000)) DIV 1000000").as("ts_ms")))
+    conversionCohortFromStamps(ensureStamps(spark, dir))
 
   /** q_conversion_cohort — [[conversionLagOf]] split by signup cohort:
     * per epoch-week cohort (the user's s0 stamp, [[WeekMs]]-bucketed
@@ -319,9 +366,14 @@ object Events {
     * per-user exchange as the funnel family — the cohort key is derived
     * from a column the stamps frame already carries, so the split adds
     * a dim-cardinality aggregate, not a scan or shuffle. */
-  private[graft] def conversionCohortOf(base: DataFrame): DataFrame = {
+  private[graft] def conversionCohortOf(base: DataFrame): DataFrame =
+    conversionCohortFromStamps(funnelStamps(base))
+
+  /** Cohort-split conversion-lag rollup over a (user_id, s0..s3)
+    * stamps frame. */
+  private[graft] def conversionCohortFromStamps(stamps: DataFrame): DataFrame = {
     val nSteps = FunnelSteps.size
-    val lags = funnelStamps(base)
+    val lags = stamps
       .filter(col("s0").isNotNull)
       .select(
         expr(s"s0 DIV $WeekMs").as("cohort_week") +:
@@ -376,21 +428,38 @@ object Events {
     * hash-partitioned by user_id from their own aggregations, so the
     * join reuses the exchange), and the cohort-cardinality `sizes` side
     * of the final join is broadcast-sized by construction. */
-  def cohortRetention(spark: SparkSession, dir: String): DataFrame =
-    cohortOf(Tables
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    // the signup-cohort side serves from the persisted stamps store:
+    // floor-division composes (s0 is floor(ts_ns/1e6) and WeekNs =
+    // WeekMs * 1e6, so s0 DIV WeekMs == min signup week exactly), and
+    // min commutes with the monotone floor — the cohorts frame is
+    // identical to the from-scratch signup scan, minus its fact-scale
+    // filter + exchange. The activity side necessarily still scans
+    // events, but now prunes to just (user_id, ts).
+    val cohorts = ensureStamps(spark, dir)
+      .filter(col("s0").isNotNull)
+      .select(col("user_id"), expr(s"s0 DIV $WeekMs").as("cohort_week"))
+    val activity = Tables
       .events(spark, dir)
       .select(
         col("user_id"),
-        col("event_type"),
-        expr(s"(ts - pmod(ts, $WeekNs)) DIV $WeekNs").as("week")))
+        expr(s"(ts - pmod(ts, $WeekNs)) DIV $WeekNs").as("week"))
+      .distinct()
+    cohortFromParts(activity, cohorts)
+  }
 
-  /** Cohort body over a (user_id, event_type, week) frame. */
-  private[graft] def cohortOf(e: DataFrame): DataFrame = {
-    val cohorts = e
-      .filter(col("event_type") === "signup")
-      .groupBy(col("user_id"))
-      .agg(min(col("week")).as("cohort_week"))
-    val activity = e.select(col("user_id"), col("week")).distinct()
+  /** Cohort body over a (user_id, event_type, week) frame — the
+    * from-scratch path the specs exercise. */
+  private[graft] def cohortOf(e: DataFrame): DataFrame =
+    cohortFromParts(
+      e.select(col("user_id"), col("week")).distinct(),
+      e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week")))
+
+  /** Retention rollup from a distinct (user_id, week) activity frame and
+    * a per-user (user_id, cohort_week) cohort assignment. */
+  private[graft] def cohortFromParts(activity: DataFrame, cohorts: DataFrame): DataFrame = {
     val sizes = cohorts.groupBy(col("cohort_week")).agg(cnt.as("n_cohort"))
     activity
       .join(cohorts, "user_id")

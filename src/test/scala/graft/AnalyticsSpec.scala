@@ -336,10 +336,38 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(a.getAs[Long]("n_users") >= b.getAs[Long]("n_users"),
         s"funnel not monotone: $a -> $b")
     }
-    // one hash exchange: all four chained windows share the per-user sort
-    val plan = operators.Events.funnel(spark, sf).queryExecution.executedPlan.toString
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(exchanges == 1, s"funnel should shuffle once, saw $exchanges:\n$plan")
+    // the stamps BUILD pays one hash exchange: all four chained windows
+    // share the per-user sort
+    val base = Tables.events(spark, sf).selectExpr(
+      "user_id", "event_id", "event_type",
+      "(ts - pmod(ts, 1000000)) DIV 1000000 AS ts_ms")
+    val buildPlan = operators.Events.funnelStamps(base)
+      .queryExecution.executedPlan.toString
+    val buildEx = "Exchange hashpartitioning".r.findAllIn(buildPlan).length
+    assert(buildEx == 1, s"stamps build should shuffle once, saw $buildEx:\n$buildPlan")
+    // the SERVE plan rides the persisted stamps store: no hash exchange
+    // at all (only the single-partition gather of the global rollup)
+    val servePlan = operators.Events.funnel(spark, sf).queryExecution.executedPlan.toString
+    val serveEx = "Exchange hashpartitioning".r.findAllIn(servePlan).length
+    assert(serveEx == 0, s"funnel serve should not hash-shuffle, saw $serveEx:\n$servePlan")
+  }
+
+  test("funnel family: store-served results equal the from-scratch frames") {
+    val base = Tables.events(spark, sf).selectExpr(
+      "user_id", "event_id", "event_type",
+      "(ts - pmod(ts, 1000000)) DIV 1000000 AS ts_ms")
+    def key(r: org.apache.spark.sql.Row): String = r.toSeq.mkString("|")
+    assert(operators.Events.funnel(spark, sf).collect().map(key).sorted.toSeq ==
+      operators.Events.funnelOf(base).collect().map(key).sorted.toSeq)
+    assert(operators.Events.conversionLag(spark, sf).collect().map(key).sorted.toSeq ==
+      operators.Events.conversionLagOf(base).collect().map(key).sorted.toSeq)
+    assert(operators.Events.conversionCohort(spark, sf).collect().map(key).sorted.toSeq ==
+      operators.Events.conversionCohortOf(base).collect().map(key).sorted.toSeq)
+    val weekly = Tables.events(spark, sf).selectExpr(
+      "user_id", "event_type",
+      s"(ts - pmod(ts, ${operators.Events.WeekNs})) DIV ${operators.Events.WeekNs} AS week")
+    assert(operators.Events.cohortRetention(spark, sf).collect().map(key).sorted.toSeq ==
+      operators.Events.cohortOf(weekly).collect().map(key).sorted.toSeq)
   }
 
   test("conversion lag: counts track the funnel, lags positive, median computed on a known timeline") {
