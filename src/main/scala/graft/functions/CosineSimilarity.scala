@@ -150,6 +150,7 @@ object GraftFunctions {
   val AsOfLookupName = "graft_asof_lookup"
   val TopKName = "graft_topk"
   val TopKMeanName = "graft_topk_mean"
+  val TopKTermName = "graft_topk_term"
   val BpeCountName = "graft_bpe_count"
   val RepStatsName = "graft_rep_stats"
   val Md5BucketName = "graft_md5_bucket"
@@ -246,6 +247,10 @@ object GraftFunctions {
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       TopKMeanName,
       (exprs: Seq[Expression]) => TopKMeanCollect.fromArgs(exprs),
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      TopKTermName,
+      (exprs: Seq[Expression]) => TopKTermCollect.fromArgs(exprs),
       "built-in")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       BpeCountName,

@@ -198,6 +198,188 @@ object TopKCollect {
   }
 }
 
+/** Bounded top-k buffer with a STRING ranking tie-break and two long
+  * payload columns — the term-ranking sibling of [[TopKHeap]]. Kept
+  * sorted best-first (score DESC, term bytewise ASC), at most `k`
+  * entries. UTF8String compares bytewise unsigned, which equals UTF-8
+  * code-point order — the same binary collation DuckDB sorts by, so a
+  * hash oracle can gate the ranking. Accepted terms are CLONED on store:
+  * the input row's string points into a buffer the scan reuses.
+  */
+final class TopKTermHeap(val k: Int) {
+  val scores = new Array[Double](k)
+  val terms = new Array[org.apache.spark.unsafe.types.UTF8String](k)
+  val pas = new Array[Long](k)
+  val pbs = new Array[Long](k)
+  var size = 0
+
+  /** < 0 iff (s, t) ranks strictly before entry i. */
+  @inline private def cmp(s: Double, t: org.apache.spark.unsafe.types.UTF8String, i: Int): Int = {
+    val c = java.lang.Double.compare(scores(i), s) // score DESC
+    if (c != 0) c else t.compareTo(terms(i)) // term ASC
+  }
+
+  def insert(s: Double, t: org.apache.spark.unsafe.types.UTF8String, pa: Long, pb: Long): Unit = {
+    if (size == k && cmp(s, t, size - 1) >= 0) return
+    var pos = if (size == k) size - 1 else size
+    while (pos > 0 && cmp(s, t, pos - 1) < 0) pos -= 1
+    val last = if (size == k) size - 1 else size
+    var i = last
+    while (i > pos) {
+      scores(i) = scores(i - 1); terms(i) = terms(i - 1)
+      pas(i) = pas(i - 1); pbs(i) = pbs(i - 1)
+      i -= 1
+    }
+    scores(pos) = s; terms(pos) = t.clone(); pas(pos) = pa; pbs(pos) = pb
+    if (size < k) size += 1
+  }
+
+  def mergeFrom(o: TopKTermHeap): TopKTermHeap = {
+    var i = 0
+    while (i < o.size) { insert(o.scores(i), o.terms(i), o.pas(i), o.pbs(i)); i += 1 }
+    this
+  }
+}
+
+/** Native bounded top-k with a string-keyed tie-break:
+  * `graft_topk_term(score, term, pa, pb, k)` →
+  * `array<struct<term string, pa bigint, pb bigint, score double>>`, the
+  * k best entries ordered score DESC then term ASC.
+  *
+  * Built for per-document characteristic-term ranking
+  * ([[graft.operators.Curation.tfidfTermsOf]]): a `row_number()` window
+  * partitioned by doc_id re-clusters and SORTS the whole scored
+  * (doc, term) stream to keep 5 rows per doc; this aggregate keeps the
+  * per-doc heap map-side, so the exchange moves O(docs × k × tasks)
+  * rows and nothing ever sorts. Rows with a NULL score or term are
+  * ignored.
+  */
+case class TopKTermCollect(
+    score: Expression,
+    term: Expression,
+    payloadA: Expression,
+    payloadB: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKTermHeap] {
+
+  require(k > 0, s"graft_topk_term requires k > 0, got $k")
+
+  override def children: Seq[Expression] = Seq(score, term, payloadA, payloadB)
+
+  override def nullable: Boolean = false
+
+  override def dataType: DataType = TopKTermCollect.ResultType
+
+  override def prettyName: String = "graft_topk_term"
+
+  override def createAggregationBuffer(): TopKTermHeap = new TopKTermHeap(k)
+
+  @transient private lazy val fastPath: (InternalRow, TopKTermHeap) => Unit =
+    (score, term, payloadA, payloadB) match {
+      case (sr: BoundReference, tr: BoundReference, ar: BoundReference, br: BoundReference)
+          if sr.dataType == DoubleType && tr.dataType == StringType &&
+            ar.dataType == LongType && br.dataType == LongType =>
+        (row, buf) =>
+          if (!row.isNullAt(sr.ordinal) && !row.isNullAt(tr.ordinal)) {
+            val a = if (row.isNullAt(ar.ordinal)) 0L else row.getLong(ar.ordinal)
+            val b = if (row.isNullAt(br.ordinal)) 0L else row.getLong(br.ordinal)
+            buf.insert(row.getDouble(sr.ordinal), row.getUTF8String(tr.ordinal), a, b)
+          }
+      case _ =>
+        (row, buf) => {
+          val s = score.eval(row)
+          val t = term.eval(row)
+          if (s != null && t != null) {
+            val a = payloadA.eval(row)
+            val b = payloadB.eval(row)
+            buf.insert(
+              s.asInstanceOf[Double],
+              t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+              if (a == null) 0L else a.asInstanceOf[Long],
+              if (b == null) 0L else b.asInstanceOf[Long])
+          }
+        }
+    }
+
+  override def update(buf: TopKTermHeap, input: InternalRow): TopKTermHeap = {
+    fastPath(input, buf)
+    buf
+  }
+
+  override def merge(buf: TopKTermHeap, other: TopKTermHeap): TopKTermHeap =
+    buf.mergeFrom(other)
+
+  override def eval(buf: TopKTermHeap): Any = {
+    val out = new Array[Any](buf.size)
+    var i = 0
+    while (i < buf.size) {
+      out(i) = InternalRow(buf.terms(i), buf.pas(i), buf.pbs(i), buf.scores(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: TopKTermHeap): Array[Byte] = {
+    var bytes = 0
+    var i = 0
+    while (i < buf.size) { bytes += buf.terms(i).numBytes(); i += 1 }
+    val bb = ByteBuffer.allocate(8 + buf.size * 28 + bytes)
+    bb.putInt(buf.k).putInt(buf.size)
+    i = 0
+    while (i < buf.size) {
+      bb.putDouble(buf.scores(i)).putLong(buf.pas(i)).putLong(buf.pbs(i))
+      val tb = buf.terms(i).getBytes
+      bb.putInt(tb.length)
+      bb.put(tb)
+      i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKTermHeap = {
+    val bb = ByteBuffer.wrap(bytes)
+    val heap = new TopKTermHeap(bb.getInt())
+    val n = bb.getInt()
+    var i = 0
+    while (i < n) {
+      val s = bb.getDouble(); val a = bb.getLong(); val b = bb.getLong()
+      val tb = new Array[Byte](bb.getInt())
+      bb.get(tb)
+      heap.insert(s, org.apache.spark.unsafe.types.UTF8String.fromBytes(tb), a, b)
+      i += 1
+    }
+    heap
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKTermCollect =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKTermCollect =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(score = newChildren(0), term = newChildren(1),
+      payloadA = newChildren(2), payloadB = newChildren(3))
+}
+
+object TopKTermCollect {
+  val ResultType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("pa", LongType, nullable = false),
+      StructField("pb", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false))),
+    containsNull = false)
+
+  def fromArgs(exprs: Seq[Expression]): TopKTermCollect = {
+    require(exprs.length == 5, s"graft_topk_term expects 5 arguments, got ${exprs.length}")
+    TopKTermCollect(exprs(0), exprs(1), exprs(2), exprs(3),
+      TopKCollect.kLiteral("graft_topk_term", exprs(4)))
+  }
+}
+
 /** Open-addressing long→(sum, count) map on primitive parallel arrays —
   * the buffer of [[TopKMeanCollect]]. Bounded by the sub-key cardinality
   * of one group (suppliers of one brand), not by input rows.

@@ -165,7 +165,12 @@ object AsOf {
   /** The enriched fact frame the attach runs over (orders ⋈ customer,
     * month-indexed). Lazily checkpointed: it feeds both refresh
     * aggregates AND the final attach. */
-  private[graft] def enrichFacts(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def enrichFacts(spark: SparkSession, dir: String): DataFrame =
+    enrichFactsPlain(spark, dir).localCheckpoint(eager = false)
+
+  /** Same frame without the checkpoint — for single-consumer plans (the
+    * store-served attach), where materializing would only add a barrier. */
+  private def enrichFactsPlain(spark: SparkSession, dir: String): DataFrame = {
     val c = broadcast(Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_nationkey")))
     Tables.orders(spark, dir)
@@ -178,7 +183,6 @@ object AsOf {
           .cast(LongType).as("t"),
         col("o_orderkey"),
         col("o_totalprice").as("price"))
-      .localCheckpoint(eager = false)
   }
 
   /** The append-only enrichment refresh LOG (nation, t, v, refresh):
@@ -201,9 +205,59 @@ object AsOf {
     prelim.unionByName(corrective)
   }
 
+  private[graft] def enrichServePath(dir: String): String =
+    Similarity.servePath("enrich_resolved_", dir)
+
+  /** Ensure a fresh persisted RESOLVED enrichment store for `dir` and
+    * return it as a lazy read. The EnrichmentSink streaming twin already
+    * maintains the resolved (nation, t, rate) view as state; this is its
+    * batch serving generation (same fingerprint-keyed discipline as
+    * [[Dedup.ensurePostings]], keyed on both source tables since the log
+    * derives from orders ⋈ customer). The store is dim-sized (nation ×
+    * quarter), so the build's fact scan + resolution shuffle amortize
+    * across a corpus generation and every serve pays ONLY the map-side
+    * broadcast as-of attach. Crash-safe like the posting index: the
+    * fingerprint sidecar lands only after the store write commits. */
+  private[graft] def ensureResolvedEnrichment(spark: SparkSession, dir: String): DataFrame = {
+    val path = enrichServePath(dir)
+    val fpPath = path + "_model"
+    val fp = Similarity.corpusFingerprint(spark, dir, "orders.parquet") * 31 +
+      Similarity.corpusFingerprint(spark, dir, "customer.parquet")
+    val storedFp =
+      try Some(Similarity.readSidecarRows(spark, fpPath)(0).getLong(0))
+      catch {
+        case e if scala.util.control.NonFatal(e) =>
+          Similarity.warnUnreadableSidecar("enrichment-resolved", fpPath, e)
+          None
+      }
+    if (!storedFp.contains(fp)) {
+      Tables.invalidate(spark, dir, "orders")
+      Tables.invalidate(spark, dir, "customer")
+      resolveEnrichment(enrichmentLog(enrichFacts(spark, dir)), "nation", "t", "v")
+        .withColumnRenamed("v", "rate")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      spark.range(1).select(lit(fp).as("fp"))
+        .coalesce(1).write.mode("overwrite").parquet(fpPath)
+    }
+    spark.read.parquet(path)
+  }
+
   def enrichAttach(spark: SparkSession, dir: String): DataFrame = {
+    // the append-only sidecar log, resolved to latest-refresh-wins and
+    // served from its persisted generation — the attach below is the
+    // whole query plan: one orders scan, broadcast joins only, zero
+    // fact-side shuffles
+    val resolved = ensureResolvedEnrichment(spark, dir)
+    asofJoinBroadcast(enrichFactsPlain(spark, dir), resolved, "nation", "t", "rate")
+      .filter(col("rate").isNotNull)
+      .select(col("o_orderkey"), col("nation"), col("t"), col("price"),
+        col("rate"), (col("price") / col("rate")).as("price_rel"))
+  }
+
+  /** From-scratch form of [[enrichAttach]] — the spec pins store-served
+    * == from-scratch resolution. */
+  private[graft] def enrichAttachFromScratch(spark: SparkSession, dir: String): DataFrame = {
     val facts = enrichFacts(spark, dir)
-    // the append-only sidecar log, resolved to latest-refresh-wins
     val resolved = resolveEnrichment(
       enrichmentLog(facts), "nation", "t", "v")
       .withColumnRenamed("v", "rate")

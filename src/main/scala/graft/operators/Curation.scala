@@ -394,17 +394,20 @@ object Curation {
     * Scale shape: tf is one map-side-combined count over the exploded
     * token stream; the df join is the same 8-byte-key join as
     * [[rarityScore]] (AQE-broadcast while the vocabulary is small); the
-    * final rank is a window PARTITIONED BY doc_id — per-partition groups
-    * are doc-vocabulary-sized (bounded by document length, never corpus
-    * length), so the sort is per-group tiny at any corpus size. Word
-    * strings, not hashes, travel this pipeline: the output carries the
-    * term itself, and the oracle's tie-break (score desc, term asc) must
-    * order REAL strings identically. */
+    * per-doc top-k is the [[graft.functions.TopKTermCollect]] bounded
+    * heap — partial heaps combine map-side, so the final exchange moves
+    * O(docs × k × tasks) rows and nothing re-sorts the scored stream
+    * (the earlier `row_number()` window re-clustered and sorted every
+    * (doc, term) row to keep 5 per doc). Word strings, not hashes,
+    * travel this pipeline: the output carries the term itself, and the
+    * tie-break (score desc, term asc) is the bytewise string order both
+    * engines sort by. */
   def tfidfTerms(spark: SparkSession, dir: String): DataFrame =
     tfidfTermsOf(Tables.documents(spark, dir))
 
   /** DataFrame core of [[tfidfTerms]] — any (doc_id, text) frame. */
   def tfidfTermsOf(d: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(d.sparkSession)
     // empty tokens (empty/whitespace-only docs split to [""]) must not
     // rank as a "characteristic term" — filtered on both sides, the
     // vocabTop precedent
@@ -430,14 +433,16 @@ object Curation {
         "score",
         (col("tf").cast(DoubleType) * col("n_docs").cast(DoubleType)) /
           col("df").cast(DoubleType))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("term").asc)
     scored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= TfIdfTopK)
-      .select(col("doc_id"), col("term"), col("tf"), col("df"),
-        col("score"), col("rk"))
+      .groupBy(col("doc_id"))
+      .agg(call_function(
+        graft.functions.GraftFunctions.TopKTermName,
+        col("score"), col("term"), col("tf"), col("df"),
+        lit(TfIdfTopK)).as("top"))
+      .select(col("doc_id"), posexplode(col("top")))
+      .select(col("doc_id"), col("col.term"), col("col.pa").as("tf"),
+        col("col.pb").as("df"), col("col.score"),
+        (col("pos") + 1).cast("int").as("rk"))
   }
 
   val tfidfTermsOracle: String =

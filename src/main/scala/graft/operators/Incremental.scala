@@ -129,33 +129,33 @@ object Incremental {
         col("l_extendedprice").as("price"),
         isLate.as("late"))
     // ONE fact-scale exchange: the late flag rides the partial
-    // aggregation, so touched-set derivation, the untouched pass-through
-    // and the touched-partition merge all work over the dim-cardinality
-    // partial frame — the fact is scanned once, not once per consumer.
-    // This is the distributive-measure fast path (decimal partials merge
-    // bit-exactly, [[merge]]); a non-distributive measure would need the
-    // scan-back rebuild, and the broadcast touched set is then exactly
-    // the partition predicate that scan prunes on.
+    // aggregation, and the whole splice is then derived over the
+    // dim-cardinality partial frame. This is the distributive-measure
+    // fast path (decimal partials merge bit-exactly, [[merge]]); a
+    // non-distributive measure would need the scan-back rebuild, with
+    // the touched months as the partition predicate that scan prunes on.
     val partials = base
       .groupBy(col("brand"), col("year"), col("month"), col("late"))
       .agg(
         sum(dec2(col("price"))).cast(DecimalType(28, 2)).as("sum_dec"),
         cnt.as("n"))
-      .localCheckpoint(eager = false)
-    val touched = partials.filter(col("late")).select(col("year"), col("month")).distinct()
-    val untouched = partials
-      .filter(!col("late"))
-      .join(broadcast(touched), Seq("year", "month"), "left_anti")
-      .select(col("brand"), col("year"), col("month"), col("sum_dec"), col("n"),
-        lit(false).as("rebuilt"))
-    val rebuilt = partials
-      .join(broadcast(touched), Seq("year", "month"))
-      .groupBy(col("brand"), col("year"), col("month"))
+    // FUSED splice: a partition is rebuilt iff ANY of its partials is
+    // late — a max-of-late window per (year, month) stamps the flag, and
+    // the merge groups by (brand, year, month, rebuilt), whose
+    // clustering the window's (year, month) exchange already satisfies
+    // (rebuilt is constant within a month), so the splice costs one
+    // dim-cardinality exchange total. The earlier form derived a
+    // broadcast touched set and spliced untouched/rebuilt as two joins
+    // plus a union over a checkpointed partials frame — three consumers
+    // and a materialization barrier for the same answer.
+    val byMonth = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("year"), col("month"))
+    partials
+      .withColumn("rebuilt", max(col("late")).over(byMonth))
+      .groupBy(col("brand"), col("year"), col("month"), col("rebuilt"))
       .agg(
         sum(col("sum_dec")).cast(DecimalType(28, 2)).as("sum_dec"),
         sum(col("n")).as("n"))
-      .withColumn("rebuilt", lit(true))
-    untouched.unionByName(rebuilt)
       .select(
         col("brand"), col("year"), col("month"),
         col("sum_dec").cast(DoubleType).as("sum_price"),

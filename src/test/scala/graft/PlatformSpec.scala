@@ -697,6 +697,24 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(served == q, "attach over the streamed store diverged from q_enrich_attach")
   }
 
+  test("enrich attach: store-served equals from-scratch resolution") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    assert(rows(operators.AsOf.enrichAttach(spark, sf)) ==
+      rows(operators.AsOf.enrichAttachFromScratch(spark, sf)),
+      "persisted resolved-store serve diverged from from-scratch resolution")
+    // the serve plan pays no fact-side exchange: the only hash exchange
+    // is the dim-sized resolved store collapsing to its per-key series
+    // (nation cardinality) inside the broadcast as-of build side
+    val plan = operators.AsOf.enrichAttach(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1,
+      s"enrich attach serve should only shuffle the dim store, saw $exchanges:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"enrich attach fact join should broadcast:\n$plan")
+  }
+
   test("streaming contamination sink: overlapping benchmark batches fold to the union screen") {
     import graft.streaming.ContaminationSink
     GraftFunctions.ensureRegistered(spark)
