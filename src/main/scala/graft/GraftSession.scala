@@ -48,6 +48,18 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // ObjectHashAggregateExec (the exec behind every graft
+      // TypedImperativeAggregate: bounded top-k heaps, KLL sketches)
+      // falls back to SORT-based aggregation once a task's hash map
+      // passes this many keys — default 128, sized for giant per-group
+      // state like percentile buffers. Graft's buffers are a few hundred
+      // bytes each (k-entry heaps, fixed-size sketches), so the default
+      // silently re-introduced the per-group sort the heap aggregates
+      // exist to avoid (doc-keyed top-k has 50k+ groups per task at
+      // sf0.1). 2^21 keys x ~300 B ~ 600 MB worst case per task — the
+      // memory bound the fallback still enforces at cluster scale.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 21).toString)
   }
 
   /** Post-init log tuning shared by every entry point. Runs AFTER the

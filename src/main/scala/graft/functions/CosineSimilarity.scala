@@ -151,6 +151,7 @@ object GraftFunctions {
   val TopKName = "graft_topk"
   val TopKMeanName = "graft_topk_mean"
   val TopKTermName = "graft_topk_term"
+  val WordCountsName = "graft_word_counts"
   val BpeCountName = "graft_bpe_count"
   val RepStatsName = "graft_rep_stats"
   val Md5BucketName = "graft_md5_bucket"
@@ -251,6 +252,10 @@ object GraftFunctions {
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       TopKTermName,
       (exprs: Seq[Expression]) => TopKTermCollect.fromArgs(exprs),
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      WordCountsName,
+      (exprs: Seq[Expression]) => WordCounts(exprs.head),
       "built-in")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       BpeCountName,

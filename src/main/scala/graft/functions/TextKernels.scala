@@ -600,3 +600,113 @@ case class RepStats(child: Expression) extends TextKernelExpr {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Per-document distinct-term counter: one byte scan over the UTF-8
+  * text, tokens = maximal runs of non-ASCII-whitespace (the `\s+` split
+  * both engines' tokenization reduces to — multi-byte UTF-8 units are
+  * never whitespace, so byte scanning is exact), counts accumulated in
+  * an open-addressing map keyed by (offset, len) into the doc's own
+  * byte array. One UTF8String materializes per DISTINCT term at
+  * emission, never per token occurrence.
+  *
+  * This is what lets per-doc tf pipelines skip the corpus-scale
+  * (doc, term) exchange entirely: `explode(word_counts(text))` emits
+  * the reduced (term, tf) pairs doc-locally inside the scan, so the
+  * only thing left to shuffle is vocabulary- or top-k-sized.
+  */
+object WordCountsKernel {
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  val schema: DataType = ArrayType(
+    StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  /** FNV-1a over a byte range. */
+  @inline private def hashRange(bytes: Array[Byte], from: Int, until: Int): Int = {
+    var h = 0x811c9dc5
+    var i = from
+    while (i < until) { h = (h ^ (bytes(i) & 0xff)) * 0x01000193; i += 1 }
+    h
+  }
+
+  def compute(text: UTF8String): GenericArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    // open-addressing (offset, len) -> count over the doc's bytes
+    var cap = 64
+    var offs = new Array[Int](cap)
+    var lens = new Array[Int](cap)
+    var cnts = new Array[Long](cap)
+    var size = 0
+
+    def grow(): Unit = {
+      val (oo, ol, oc, ocap) = (offs, lens, cnts, cap)
+      cap *= 2
+      offs = new Array[Int](cap); lens = new Array[Int](cap); cnts = new Array[Long](cap)
+      size = 0
+      var i = 0
+      while (i < ocap) {
+        if (oc(i) != 0L) add(oo(i), ol(i), oc(i))
+        i += 1
+      }
+    }
+
+    def add(off: Int, len: Int, c: Long): Unit = {
+      if (size * 2 >= cap) grow()
+      var i = hashRange(bytes, off, off + len) & (cap - 1)
+      while (cnts(i) != 0L) {
+        if (lens(i) == len && java.util.Arrays.equals(bytes, off, off + len,
+            bytes, offs(i), offs(i) + len)) {
+          cnts(i) += c
+          return
+        }
+        i = (i + 1) & (cap - 1)
+      }
+      offs(i) = off; lens(i) = len; cnts(i) = c; size += 1
+    }
+
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isWs(bytes(i))) i += 1
+      if (i > start) add(start, i - start, 1L)
+    }
+
+    val out = new Array[Any](size)
+    var k = 0
+    i = 0
+    while (i < cap) {
+      if (cnts(i) != 0L) {
+        val tb = java.util.Arrays.copyOfRange(bytes, offs(i), offs(i) + lens(i))
+        out(k) = org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromBytes(tb), cnts(i))
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** graft_word_counts(text): ARRAY<STRUCT<term string, tf bigint>> of the
+  * document's distinct whitespace tokens with occurrence counts (see
+  * [[WordCountsKernel]]). */
+case class WordCounts(child: Expression) extends TextKernelExpr {
+  override def dataType: DataType = WordCountsKernel.schema
+  override def prettyName: String = "graft_word_counts"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordCountsKernel.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordCountsKernel.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

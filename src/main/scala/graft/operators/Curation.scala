@@ -408,23 +408,26 @@ object Curation {
   /** DataFrame core of [[tfidfTerms]] — any (doc_id, text) frame. */
   def tfidfTermsOf(d: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(d.sparkSession)
-    // empty tokens (empty/whitespace-only docs split to [""]) must not
-    // rank as a "characteristic term" — filtered on both sides, the
-    // vocabTop precedent
-    val words = d.select(
+    // tf comes out of the scan itself: the word-counts kernel reduces
+    // each doc to its distinct (term, tf) pairs doc-locally, so the
+    // corpus-scale (doc, term) exchange the explode + groupBy form paid
+    // is gone entirely — the pairs are born reduced, and a doc's rows
+    // stay inside its task (which also makes the downstream top-k
+    // heap's partial pass already exact per doc). Lazy checkpoint
+    // because tf feeds both the df aggregate and the scoring join.
+    val tf = d.select(
       col("doc_id"),
-      explode(TextAnalysis.wsTokens(col("text"))).as("term"))
-      .filter(col("term") =!= "")
-    // ONE corpus-scale explode: tf's (doc, term) output IS the distinct
-    // pair set, so df derives from it (re-exploding the corpus for a
-    // DISTINCT paid a second scan + shuffle); lazy checkpoint because
-    // tf feeds both the df aggregate and the scoring join
-    val tf = words.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      explode(call_function(
+        graft.functions.GraftFunctions.WordCountsName, col("text"))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
       .localCheckpoint(eager = false)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = d.agg(count(lit(1)).as("n_docs"))
     val scored = tf
-      .join(df, Seq("term"))
+      // explicit broadcast: df is vocab-sized by construction, but the
+      // checkpointed tf side hides its stats from AQE, which then plans
+      // a two-sided term exchange for the join
+      .join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(nDocs))
       // each factor cast to double BEFORE the product: tf x n_docs as
       // int64 overflows at warehouse scale (1e8 x 1e11), and ANSI mode

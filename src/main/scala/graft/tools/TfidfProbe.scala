@@ -15,23 +15,29 @@ object TfidfProbe {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-tfprobe")
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     val iters = 5
     val d = Tables.documents(spark, dir)
     // warm
     graft.operators.Curation.tfidfTerms(spark, dir).count()
 
-    val words = d.select(
+    val tfK = d.select(
       col("doc_id"),
-      explode(graft.operators.TextAnalysis.wsTokens(col("text"))).as("term"))
-      .filter(col("term") =!= "")
-    time("words", iters)(words.count())
-    val tf = words.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    time("tf_agg", iters)(tf.count())
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      explode(call_function(
+        graft.functions.GraftFunctions.WordCountsName, col("text"))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
+    time("tf_kernel", iters)(tfK.count())
+    val tfC = tfK.localCheckpoint(eager = false)
+    time("tf_checkpointed", iters)(tfC.count())
+    val df = tfC.groupBy(col("term")).agg(count(lit(1)).as("df"))
     time("tf_plus_df", iters)(df.count())
-    time("joined", iters)(tf.join(df, Seq("term")).count())
-    time("full_window", iters)(graft.operators.Curation.tfidfTerms(spark, dir).count())
-    time("vocab_top", iters)(graft.operators.TextAnalysis.vocabTop(spark, dir).count())
+    time("joined", iters)(tfC.join(df, Seq("term")).count())
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val scored = tfC.join(df, Seq("term")).crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        (col("tf").cast("double") * col("n_docs").cast("double")) / col("df").cast("double"))
+    time("scored", iters)(scored.count())
+    time("full", iters)(graft.operators.Curation.tfidfTerms(spark, dir).count())
     spark.stop()
   }
 }

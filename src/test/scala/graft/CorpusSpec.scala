@@ -1389,6 +1389,31 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("word-counts kernel equals the explode + groupBy tokenization on real data") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val d = Tables.documents(spark, sf)
+    val kernel = d.select(col("doc_id"),
+      explode(call_function(graft.functions.GraftFunctions.WordCountsName, col("text"))).as("tc"))
+      .select(col("doc_id"), col("tc.term"), col("tc.tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val exploded = d.select(col("doc_id"),
+      explode(operators.TextAnalysis.wsTokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term")).count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(kernel == exploded, "kernel term counts diverged from the explode form")
+    // multi-byte and mixed-whitespace text tokenizes identically
+    import spark.implicits._
+    val tricky = Seq((1L, "  café café\tnaïve\n世界 世界 x  "),
+      (2L, ""), (3L, " \t\n ")).toDF("doc_id", "text")
+    val k2 = tricky.select(col("doc_id"),
+      explode(call_function(graft.functions.GraftFunctions.WordCountsName, col("text"))).as("tc"))
+      .select(col("doc_id"), col("tc.term"), col("tc.tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(k2 == Map((1L, "café") -> 2L, (1L, "naïve") -> 1L,
+      (1L, "世界") -> 2L, (1L, "x") -> 1L), s"tricky tokenization: $k2")
+  }
+
   test("collocations: bounded top-k by lift, counts consistent, no empty endpoints") {
     val rows = operators.Curation.collocations(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
