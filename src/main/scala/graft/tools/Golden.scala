@@ -1,0 +1,57 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+
+/** Canonical content checksum for golden-pinning query results that have
+  * no SQL-expressible DuckDB oracle (signature dedups, the ANN ladder,
+  * packing, trained-model scoring, perceptual hashes). Column-name-sorted
+  * and row-sorted like the driver's hash gate, so the pin is independent
+  * of column order, row order, and partitioning; doubles render through
+  * `java.lang.Double.toString` so the pin is bitwise-exact. QueriesSpec
+  * commits (row count, checksum) per query — a silent semantic drift in
+  * the no-oracle family then fails `sbt test` loudly.
+  */
+object Golden {
+  private def render(v: Any): String = v match {
+    case null => "␀"
+    case d: java.lang.Double => java.lang.Double.toString(d)
+    case f: java.lang.Float => java.lang.Float.toString(f)
+    case b: Array[Byte] => b.map(x => f"$x%02x").mkString
+    case a: scala.collection.Seq[_] => a.map(render).mkString("[", ",", "]")
+    case r: org.apache.spark.sql.Row => r.toSeq.map(render).mkString("(", ",", ")")
+    case m: Map[_, _] =>
+      m.toSeq.map { case (k, x) => render(k) + ":" + render(x) }.sorted.mkString("{", ",", "}")
+    case other => other.toString
+  }
+
+  /** (rows, 16-hex-char md5) of a result's canonical form. */
+  def checksum(df: DataFrame): (Long, String) = {
+    val cols = df.columns.sorted
+    val proj = df.select(cols.head, cols.tail: _*)
+    val lines = proj.collect().map(_.toSeq.map(render).mkString("|")).sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    lines.foreach(l => md.update((l + "\n").getBytes("UTF-8")))
+    (lines.length.toLong, md.digest().take(8).map(b => f"$b%02x").mkString)
+  }
+
+  /** The driver-untested (`no_oracle`) query set QueriesSpec pins. */
+  val NoOracle: Seq[String] = Seq(
+    "q_audio_phash", "q_dedup_embedding", "q_dedup_embedding_cells",
+    "q_dedup_embedding_resolve", "q_dedup_minhash", "q_dedup_simhash",
+    "q_dedup_simhash_idf", "q_image_phash", "q_knn_ivf", "q_knn_ivfpq",
+    "q_knn_lsh", "q_knn_opq", "q_knn_pq", "q_pack_bucketed",
+    "q_pack_sequences", "q_quality_classifier", "q_text_bpe",
+    "q_winnow_fingerprint")
+
+  /** Pin generator: `runMain graft.tools.Golden [sfDir]` prints the
+    * committed map entries for QueriesSpec. */
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = graft.GraftSession.local("graft-golden")
+    NoOracle.foreach { name =>
+      val (n, h) = checksum(graft.SparkEntry.queries(name)(spark, dir))
+      println(s"""    "$name" -> (${n}L, "$h"),""")
+    }
+    spark.stop()
+  }
+}
