@@ -60,6 +60,15 @@ object GraftSession {
       // memory bound the fallback still enforces at cluster scale.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         (1 << 21).toString)
+      // wide plans (ANN serve joins carry 100+ attributes) trip the
+      // "Truncated the string representation of a plan" WARN on every
+      // explain/error render; raise the cap instead of muting the logger
+      // so genuinely rendered plans stay complete (the strings only
+      // materialize on explain/debug paths, never per row). Both keys:
+      // SQL plan rendering reads spark.sql.debug.*, the core
+      // truncatedString paths (RDD/metric renders) read spark.debug.*.
+      .config("spark.sql.debug.maxToStringFields", "2000")
+      .config("spark.debug.maxToStringFields", "2000")
   }
 
   /** Post-init log tuning shared by every entry point. Runs AFTER the
