@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -429,6 +429,116 @@ object Multimodal {
       .agg(
         count(lit(1)).as("n_matching_frames"),
         min(col("frame_idx")).as("first_frame_idx"))
+  }
+
+  /** Contact-sheet grid edge: mosaics are [[MosaicGrid]]² sampled frames. */
+  val MosaicGrid = 3
+
+  /** Cell edge in pixels for the composed mosaic raster. */
+  val MosaicCell = 32
+
+  /** Image↔mosaic pairs farther apart than this are not matches. */
+  val MosaicHammingMax: Int = Dedup.HammingMax
+
+  case class MosaicHash(media_id: Long, mosaic_phash: Long)
+
+  /** Compose the k×k contact sheet of a video's decoded frames — frames
+    * evenly sampled across the timeline, row-major, each nearest-resized
+    * into a [[MosaicCell]]² cell — and return (side, side, raster). */
+  private[graft] def mosaicRaster(frames: IndexedSeq[(Int, Int, Array[Byte])],
+      k: Int, cell: Int): (Int, Int, Array[Byte]) = {
+    val side = k * cell
+    val out = new Array[Byte](side * side * 3)
+    var gy = 0
+    while (gy < k) {
+      var gx = 0
+      while (gx < k) {
+        val fi = math.min(((gy * k + gx).toLong * frames.length / (k * k)).toInt,
+          frames.length - 1)
+        val (w, h, rgb) = frames(fi)
+        var y = 0
+        while (y < cell) {
+          var x = 0
+          while (x < cell) {
+            val sp = ((y * h / cell) * w + (x * w / cell)) * 3
+            val dp = ((gy * cell + y) * side + (gx * cell + x)) * 3
+            out(dp) = rgb(sp); out(dp + 1) = rgb(sp + 1); out(dp + 2) = rgb(sp + 2)
+            x += 1
+          }
+          y += 1
+        }
+        gx += 1
+      }
+      gy += 1
+    }
+    (side, side, out)
+  }
+
+  /** Per-video frame-MOSAIC perceptual hash: dHash of the k×k contact
+    * sheet of evenly-sampled frames. Catches the poster/thumbnail
+    * duplication mode [[crossModalMatches]] can't: a video and its
+    * CONTACT-SHEET thumbnail share no single verbatim frame, but their
+    * mosaics coincide (dHash is resize-invariant by construction, so
+    * the sheet's output resolution doesn't matter). Videos with no
+    * decodable frame DROP (the [[audioSpectra]] discipline). One
+    * mapPartitions scan, no shuffle. */
+  def mosaicHashes(spark: SparkSession, media: DataFrame,
+      k: Int = MosaicGrid): Dataset[MosaicHash] = {
+    import spark.implicits._
+    media.as[MediaItem].mapPartitions { it =>
+      it.filter(_.meta.kind == "video").flatMap { m =>
+        splitPpmFrames(m.payload).flatMap { fbs =>
+          val decoded = fbs.flatMap(decodeImage(_)).toIndexedSeq
+          if (decoded.isEmpty) None
+          else {
+            val (w, h, rgb) = mosaicRaster(decoded, k, MosaicCell)
+            Some(MosaicHash(m.media_id, dHash64(w, h, rgb)))
+          }
+        }
+      }
+    }
+  }
+
+  /** Image↔video MOSAIC matches: an image pairs with a video when its
+    * perceptual hash sits within [[MosaicHammingMax]] of the video's
+    * contact-sheet hash — extending cross-modal resolution beyond exact
+    * frame extracts to composed thumbnails/posters. The join is the
+    * two-sided form of [[Dedup.chunkedHammingPairs]]'s pigeonhole: both
+    * hashes explode into 4×16-bit chunks, candidates meet on a shared
+    * chunk (any pair within distance 3 shares one), and each pair emits
+    * exactly ONCE at its first shared chunk — a codegen'd predicate
+    * over the two hash columns, no distinct. Both sides are one row per
+    * media item, so the joined streams are corpus-metadata-sized; the
+    * hot-bucket mask discipline of the self-join variant is available
+    * if degenerate mosaics (solid-color sheets) ever hub at scale. */
+  def mosaicMatches(spark: SparkSession, media: DataFrame,
+      k: Int = MosaicGrid): DataFrame = {
+    val imgs = imageHashes(spark, media).toDF()
+      .select(col("media_id").as("image_id"), col("phash"))
+    val mosaics = mosaicHashes(spark, media, k).toDF()
+      .select(col("media_id").as("video_id"), col("mosaic_phash"))
+    def chunks(sig: Column) = (0 until Dedup.Chunks).map { c =>
+      struct(lit(c).as("c"),
+        shiftrightunsigned(sig, c * 16).bitwiseAND(lit(0xFFFFL)).as("v"))
+    }
+    def chunkOf(sig: Column, cp: Int): Column =
+      shiftrightunsigned(sig, cp * 16).bitwiseAND(lit(0xFFFFL))
+    val left = imgs.select(col("image_id"), col("phash"),
+      explode(array(chunks(col("phash")): _*)).as("ch"))
+      .select(col("image_id"), col("phash"), col("ch.c").as("c"), col("ch.v").as("v"))
+    val right = mosaics.select(col("video_id"), col("mosaic_phash"),
+      explode(array(chunks(col("mosaic_phash")): _*)).as("ch"))
+      .select(col("video_id"), col("mosaic_phash"), col("ch.c").as("c"), col("ch.v").as("v"))
+    val firstShared = (0 until Dedup.Chunks).map { cp =>
+      when(lit(cp) < col("c"),
+        chunkOf(col("phash"), cp) =!= chunkOf(col("mosaic_phash"), cp))
+        .otherwise(lit(true))
+    }.reduce(_ && _)
+    left.join(right, Seq("c", "v"))
+      .filter(firstShared)
+      .select(col("image_id"), col("video_id"),
+        bit_count(col("phash").bitwiseXOR(col("mosaic_phash"))).as("hamming"))
+      .filter(col("hamming") <= MosaicHammingMax)
   }
 
   /** Split a payload of back-to-back binary PPMs at real frame

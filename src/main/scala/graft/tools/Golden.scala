@@ -41,7 +41,7 @@ object Golden {
     "q_dedup_simhash_idf", "q_image_phash", "q_knn_ivf", "q_knn_ivfpq",
     "q_knn_lsh", "q_knn_opq", "q_knn_pq", "q_pack_bucketed",
     "q_pack_sequences", "q_quality_classifier", "q_text_bpe",
-    "q_winnow_fingerprint")
+    "q_video_mosaic", "q_winnow_fingerprint")
 
   /** Pin generator: `runMain graft.tools.Golden [sfDir]` prints the
     * committed map entries for QueriesSpec. */

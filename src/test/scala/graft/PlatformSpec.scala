@@ -921,6 +921,53 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m == Map((10L, 1L) -> ((1L, 2))), s"wrong cross-modal matches: $m")
   }
 
+  test("mosaic phash: a contact-sheet thumbnail matches its source video at any resolution") {
+    import spark.implicits._
+    import graft.operators.PpmCodec
+    import Multimodal.{MediaItem, MediaMeta}
+    val w = 16; val h = 12
+    var seed = 0L
+    def frame(k: Int): Array[Byte] = {
+      seed = k * 6364136223846793005L + 1442695040888963407L
+      Array.tabulate(w * h * 3) { _ =>
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        (seed >>> 56).toByte
+      }
+    }
+    def video(id: Long, ks: Seq[Int]) = MediaItem(id,
+      ks.map(k => PpmCodec.encode(w, h, frame(k))).reduce(_ ++ _),
+      MediaMeta("video", w, h, 0, ks.size))
+    // the contact-sheet thumbnail: the video's own mosaic raster,
+    // optionally nearest-UPSCALED by an integer factor (dHash samples
+    // through floor division, so integer upscales hash bit-identically)
+    def sheet(id: Long, ks: Seq[Int], scale: Int) = {
+      val frames = ks.map(k => (w, h, frame(k))).toIndexedSeq
+      val (mw, mh, rgb) = Multimodal.mosaicRaster(frames,
+        Multimodal.MosaicGrid, Multimodal.MosaicCell)
+      val up = PpmCodec.resizeNearest(mw, mh, rgb, mw * scale, mh * scale)
+      MediaItem(id, PpmCodec.encode(mw * scale, mh * scale, up),
+        MediaMeta("image", mw * scale, mh * scale, 0, 1))
+    }
+    def image(id: Long, k: Int) = MediaItem(id,
+      PpmCodec.encode(w, h, frame(k)), MediaMeta("image", w, h, 0, 1))
+    val ks = Seq(1, 2, 3, 4, 5, 6, 7, 8, 9)
+    val media = Seq(
+      video(1L, ks),
+      video(2L, Seq(11, 12, 13, 14, 15, 16, 17, 18, 19)),
+      sheet(10L, ks, 1), // exact contact sheet of video 1
+      sheet(11L, ks, 2), // 2x-upscaled contact sheet of video 1
+      image(12L, 3) // single frame extract: NOT a mosaic match
+    ).toDS().toDF()
+    val m = Multimodal.mosaicMatches(spark, media).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(m == Map((10L, 1L) -> 0, (11L, 1L) -> 0),
+      s"wrong mosaic matches: $m")
+    // a short video (fewer frames than cells) still hashes — cells
+    // repeat the nearest sampled frame rather than dropping the video
+    val shortMedia = Seq(video(3L, Seq(1, 2))).toDS().toDF()
+    assert(Multimodal.mosaicHashes(spark, shortMedia).count() == 1L)
+  }
+
   test("audio dedup: gain-invariant hash pairs re-levelled/noisy twins, separates unlike content") {
     import spark.implicits._
     import graft.operators.{Dsp, WavCodec}

@@ -1,40 +1,132 @@
 #!/usr/bin/env python3
-"""Measure the DuckDB baseline for every oracle query.
+"""Measure the DuckDB baseline AND the graft times INTERLEAVED per query.
 
-Usage: python3 tools/measure_baseline.py <sfDir> <oracle_sql.json> [out.json]
+Usage: python3 tools/measure_baseline.py <sfDir> <oracle_sql.json> \
+           [duck_out.json] [graft_out.json]
 
-Runs each oracle SQL in DuckDB (the reference's own engine) over the sf
-parquet tables with all threads, warm cache, best of 3, and writes
-{name: seconds} JSON. BASELINE.md's duckdb column is rendered from this.
+Both engines sample the SAME machine window: per query, after one warm
+run on each engine, the driver alternates DuckDB-sample / graft-sample
+(A/B/A/B, 3 rounds) and records each engine's MEDIAN plus min/max.
+Separate-window columns absorbed a ~1.3x machine-state drift into the
+published ratios (BASELINE.md r9 method note); interleaving removes the
+confound instead of disclosing it.
+
+graft runs in one persistent warm JVM (graft.tools.BenchPipe, compiled
+classes + /opt/spark/jars classpath) timed inside the JVM; DuckDB runs
+in-process with all threads. Queries without an oracle entry are still
+timed on the graft side (rows with a missing duckdb column).
+
+Writes {name: seconds} to duck_out.json and a bench_out-shaped
+{"queries": {...}, "spread": {...}} to graft_out.json — feed both to
+tools/render_baseline.py.
 """
-import sys, os, json, time
+import sys, os, json, time, subprocess, statistics
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def main(sf_dir, oracle_path, out_path):
+ROUNDS = 3
+
+ADD_OPENS = [
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+]
+
+
+def start_pipe(sf_dir):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cp = os.path.join(repo, "target/scala-2.13/classes") + ":/opt/spark/jars/*"
+    cmd = ["java"]
+    for p in ADD_OPENS:
+        cmd += ["--add-opens", f"{p}=ALL-UNNAMED"]
+    cmd += ["-Xmx24g", "-XX:ReservedCodeCacheSize=512m",
+            "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+            "-cp", cp, "graft.tools.BenchPipe"]
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    env.setdefault("SPARK_GRAFT_CPUS", "32")
+    proc = subprocess.Popen(cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+                            stderr=subprocess.DEVNULL, text=True, cwd=repo, env=env)
+    wait_for(proc, "[pipe] READY")
+    return proc
+
+
+def wait_for(proc, prefix):
+    while True:
+        line = proc.stdout.readline()
+        if not line:
+            raise RuntimeError(f"pipe died waiting for {prefix!r}")
+        if line.startswith(prefix):
+            return line.strip()
+
+
+def pipe_cmd(proc, cmd, name):
+    proc.stdin.write(f"{cmd} {name}\n")
+    proc.stdin.flush()
+    line = wait_for(proc, f"[pipe] {cmd.upper()} {name}")
+    parts = line.split()
+    if "ERROR" in parts:
+        raise RuntimeError(line)
+    return float(parts[3]) if cmd == "time" else None
+
+
+def main(sf_dir, oracle_path, duck_out, graft_out):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(oracle_path))
-    times = {}
-    for name, sql in sorted(oracle.items()):
-        best = None
-        for _ in range(4):  # first run warms the cache; best of remaining 3
-            t0 = time.perf_counter()
-            con.execute(sql).fetchall()
-            dt = time.perf_counter() - t0
-            if best is None:
-                best = float("inf")  # discard warmup
-            else:
-                best = min(best, dt)
-        times[name] = round(best, 4)
-        print(f"{name}: {best:.4f}s")
-    json.dump(times, open(out_path, "w"), indent=1)
+
+    # graft warm pass for ALL queries first (pays one-per-corpus-generation
+    # sidecar builds outside every measured window), then per-query A/B.
+    proc = start_pipe(sf_dir)
+    proc.stdin.write("list\n")
+    proc.stdin.flush()
+    names = sorted(wait_for(proc, "[pipe] LIST").split()[2:])
+    for name in names:
+        pipe_cmd(proc, "warm", name)
+
+    duck_times, graft_times, graft_spread = {}, {}, {}
+    for name in names:
+        sql = oracle.get(name)
+        if sql is not None:
+            con.execute(sql).fetchall()  # duckdb warm
+        d_samples, g_samples = [], []
+        for _ in range(ROUNDS):
+            if sql is not None:
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                d_samples.append(time.perf_counter() - t0)
+            g_samples.append(pipe_cmd(proc, "time", name))
+        if d_samples:
+            duck_times[name] = round(statistics.median(d_samples), 4)
+        graft_times[name] = round(statistics.median(g_samples), 4)
+        graft_spread[name] = [round(min(g_samples), 4), round(max(g_samples), 4)]
+        d_str = f"{duck_times[name]:.3f}" if d_samples else "  —  "
+        print(f"{name}: duckdb {d_str}  graft {graft_times[name]:.3f}"
+              f"  (spread {graft_spread[name][0]:.3f}–{graft_spread[name][1]:.3f})")
+
+    proc.stdin.write("quit\n")
+    proc.stdin.flush()
+    proc.wait(timeout=120)
+
+    json.dump(duck_times, open(duck_out, "w"), indent=1)
+    json.dump({"queries": graft_times, "spread": graft_spread,
+               "sf": sf_dir, "method": "interleaved A/B/A/B, median of "
+               f"{ROUNDS}, one window"},
+              open(graft_out, "w"), indent=1)
+    od = sum(duck_times.values())
+    og = sum(graft_times[k] for k in duck_times)
+    print(f"\noracled totals: duckdb {od:.2f}s graft {og:.2f}s ratio {og/od:.2f}x")
+
 
 if __name__ == "__main__":
-    out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/baseline_duckdb.json"
-    main(sys.argv[1], sys.argv[2], out)
+    duck_out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/baseline_duckdb.json"
+    graft_out = sys.argv[4] if len(sys.argv) > 4 else "/tmp/baseline_graft.json"
+    main(sys.argv[1], sys.argv[2], duck_out, graft_out)
