@@ -697,6 +697,43 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(served == q, "attach over the streamed store diverged from q_enrich_attach")
   }
 
+  test("streaming funnel stamps: event-time-ordered folds are bit-equal to the batch stamps") {
+    import graft.streaming.FunnelStampsSink
+    val dir = java.nio.file.Files.createTempDirectory("graftstamps").toString + "/state"
+    val base = Tables.events(spark, sf).selectExpr(
+      "user_id", "event_id", "event_type",
+      "(ts - pmod(ts, 1000000)) DIV 1000000 AS ts_ms")
+    // split the stream into three batches that PARTITION the
+    // (ts_ms, event_id) order — the append-only event-log contract
+    val ranked = base.withColumn("rk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts_ms"), col("event_id"))))
+      .localCheckpoint()
+    val n = ranked.count()
+    val cuts = Seq(n / 3, 2 * n / 3, n)
+    Seq(
+      ranked.filter(col("rk") <= cuts(0)),
+      ranked.filter(col("rk") > cuts(0) && col("rk") <= cuts(1)),
+      ranked.filter(col("rk") > cuts(1))
+    ).zipWithIndex.foreach { case (b, i) =>
+      FunnelStampsSink.applyEventsBatch(b.drop("rk"), i.toLong, dir)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val streamed = FunnelStampsSink.currentStamps(spark, dir)
+    assert(rows(streamed) == rows(operators.Events.funnelStamps(base)),
+      "streamed stamps store diverged from the batch stamps frame")
+    // replay is a no-op (at-least-once safety)
+    FunnelStampsSink.applyEventsBatch(
+      ranked.filter(col("rk") > cuts(1)).drop("rk"), 2L, dir)
+    assert(rows(FunnelStampsSink.currentStamps(spark, dir)) == rows(streamed))
+    // the serving rollups over the store equal the batch queries
+    assert(rows(FunnelStampsSink.funnelCurrent(spark, dir)) ==
+      rows(operators.Events.funnel(spark, sf)))
+    assert(rows(FunnelStampsSink.conversionCohortCurrent(spark, dir)) ==
+      rows(operators.Events.conversionCohort(spark, sf)))
+  }
+
   test("enrich attach: store-served equals from-scratch resolution") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
