@@ -225,7 +225,11 @@ object Argmin2Kernel {
       c += 1
     }
     if (b0 < 0) null
-    else if (b1 < 0) new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(b0))
+    // single-centroid quantizer: PAD by repeating the primary so the
+    // output is always 2 entries — element_at(cs, 2) consumers stay
+    // total (ANSI-safe) on degenerate corpora; the dedup explode drops
+    // the duplicate slot (Similarity.embeddingDedupCellsOf)
+    else if (b1 < 0) new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(b0, b0))
     else new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(b0, b1))
   }
 }

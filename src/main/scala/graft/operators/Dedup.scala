@@ -593,7 +593,18 @@ object Dedup {
     * predicate (no pair-stream distinct; the higher-order
     * exists/zip_with form of the predicate is interpreted per candidate
     * row and measurably slower than the distinct it replaces). The
-    * banded stream is lazily checkpointed — it feeds both join sides. */
+    * banded stream is lazily checkpointed — it feeds both join sides.
+    *
+    * Disclosed trade (ADVICE r9): both sides carry their FULL bks
+    * array (nBands x 8 bytes per row) through the (band, bucket)
+    * exchange so the first-shared-band predicate can evaluate at the
+    * join — wider shuffle rows in exchange for deleting the pair-stream
+    * distinct exchange. If shuffle width ever dominates at large SF,
+    * the compact alternative is joining with only a per-side
+    * band-PREFIX hash (hash of bks[0..band)) and comparing prefix
+    * hashes instead of the arrays — same exactly-once emission, 8 bytes
+    * per side — at the cost of a (vanishingly unlikely) prefix-hash
+    * collision dropping a pair's first emission. */
   private[operators] def firstSharedBandPairs(ids: DataFrame, nBands: Int): DataFrame = {
     val banded = ids
       .select(col("id"), col("bks"), posexplode(col("bks")))

@@ -1634,6 +1634,11 @@ object Similarity {
         call_function(GraftFunctions.Argmin2L2Name, col("vec"), centsCol).as("cs"))
       .select(col("vec_id"), col("vec"), col("cs"), posexplode(col("cs")))
       .toDF("vec_id", "vec", "cs", "slot", "cell")
+      // Argmin2L2 pads a single-centroid quantizer's output to
+      // (primary, primary) so element_at(cs, 2) below stays total;
+      // drop the duplicated slot here so hot counts, masks and the
+      // pair join see one assignment, not two
+      .filter(col("slot") === 0 || col("cell") =!= element_at(col("cs"), 1))
       .localCheckpoint(eager = false)
     val hot = cells0.groupBy(col("cell")).agg(count(lit(1)).as("df"))
       .filter(col("df") > cellCap)

@@ -409,7 +409,10 @@ object GraftProps extends Properties("graft") {
 
   property("argmin2 kernel returns the stable top-2 cells on any corpus") =
     forAll(
-      Gen.listOfN(20, Gen.listOfN(4, Gen.chooseNum(-100, 100).map(_ / 10.0))),
+      // 1-centroid quantizers included: the kernel must PAD to
+      // (primary, primary) so element_at(cs, 2) consumers stay total
+      Gen.chooseNum(1, 20).flatMap(n =>
+        Gen.listOfN(n, Gen.listOfN(4, Gen.chooseNum(-100, 100).map(_ / 10.0)))),
       Gen.listOfN(4, Gen.chooseNum(-100, 100).map(_ / 10.0))) { (cents0, v0) =>
       (cents0.nonEmpty) ==> {
         import spark.implicits._
@@ -424,7 +427,10 @@ object GraftProps extends Properties("graft") {
         val ds = cents0.zipWithIndex.map { case (c, i) =>
           (c.zip(v0.map(_.toFloat.toDouble)).map { case (x, y) => (y - x) * (y - x) }.sum, i)
         }
-        val want = ds.sortBy(identity).take(2).map(_._2)
+        val want = ds.sortBy(identity).take(2).map(_._2) match {
+          case only :: Nil => List(only, only) // padded single-centroid form
+          case top2 => top2
+        }
         got == want
       }
     }
