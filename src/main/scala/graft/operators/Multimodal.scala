@@ -499,18 +499,26 @@ object Multimodal {
     }
   }
 
+  /** Chunks shared by more than this many rows ACROSS both sides are
+    * hub buckets (solid-color sheets, boilerplate posters), dropped
+    * from mosaic candidate generation — the two-sided analogue of
+    * [[Dedup.SimHashChunkCap]]. */
+  val MosaicChunkCap = 500
+
   /** Image↔video MOSAIC matches: an image pairs with a video when its
     * perceptual hash sits within [[MosaicHammingMax]] of the video's
     * contact-sheet hash — extending cross-modal resolution beyond exact
     * frame extracts to composed thumbnails/posters. The join is the
     * two-sided form of [[Dedup.chunkedHammingPairs]]'s pigeonhole: both
     * hashes explode into 4×16-bit chunks, candidates meet on a shared
-    * chunk (any pair within distance 3 shares one), and each pair emits
-    * exactly ONCE at its first shared chunk — a codegen'd predicate
-    * over the two hash columns, no distinct. Both sides are one row per
-    * media item, so the joined streams are corpus-metadata-sized; the
-    * hot-bucket mask discipline of the self-join variant is available
-    * if degenerate mosaics (solid-color sheets) ever hub at scale. */
+    * chunk (any pair within distance 3 shares one), chunks whose bucket
+    * exceeds [[MosaicChunkCap]] rows across the two sides drop (capped
+    * with observed counts — at billion-item scale even uniform 16-bit
+    * chunks hub quadratically without this), and each surviving pair
+    * emits exactly ONCE at its first shared SURVIVING chunk. Survival
+    * of a shared chunk is a bucket property, identical on both sides,
+    * so the image-side survival mask alone decides first-emission —
+    * the [[Dedup.chunkedHammingPairs]] mask discipline, two-sided. */
   def mosaicMatches(spark: SparkSession, media: DataFrame,
       k: Int = MosaicGrid): DataFrame = {
     val imgs = imageHashes(spark, media).toDF()
@@ -523,15 +531,42 @@ object Multimodal {
     }
     def chunkOf(sig: Column, cp: Int): Column =
       shiftrightunsigned(sig, cp * 16).bitwiseAND(lit(0xFFFFL))
-    val left = imgs.select(col("image_id"), col("phash"),
+    val left0 = imgs.select(col("image_id"), col("phash"),
       explode(array(chunks(col("phash")): _*)).as("ch"))
       .select(col("image_id"), col("phash"), col("ch.c").as("c"), col("ch.v").as("v"))
-    val right = mosaics.select(col("video_id"), col("mosaic_phash"),
+      .localCheckpoint(eager = false)
+    val right0 = mosaics.select(col("video_id"), col("mosaic_phash"),
       explode(array(chunks(col("mosaic_phash")): _*)).as("ch"))
       .select(col("video_id"), col("mosaic_phash"), col("ch.c").as("c"), col("ch.v").as("v"))
+      .localCheckpoint(eager = false)
+    val hot = left0.select(col("c"), col("v"))
+      .unionByName(right0.select(col("c"), col("v")))
+      .groupBy(col("c"), col("v")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > MosaicChunkCap)
+      .observe(s"mosaic_hot_drops_${Dedup.nextObsId()}",
+        count(lit(1)).as("hot_buckets"),
+        coalesce(sum(col("df")), lit(0L)).as("dropped_chunk_rows"))
+      .select(col("c"), col("v"))
+    val bitOf = (1 until Dedup.Chunks).foldLeft(when(col("c") === 0, 1L)) {
+      (acc, c) => acc.when(col("c") === c, 1L << c)
+    }
+    // image-side survival mask; the surviving chunk streams re-derive
+    // from (hash, mask) — bitshifts of columns in hand
+    val leftMask = left0.join(hot, Seq("c", "v"), "left_anti")
+      .groupBy(col("image_id"), col("phash")).agg(sum(bitOf).as("mask"))
+    val left = leftMask
+      .select(col("image_id"), col("phash"), col("mask"),
+        explode(array(chunks(col("phash")): _*)).as("ch"))
+      .select(col("image_id"), col("phash"), col("mask"),
+        col("ch.c").as("c"), col("ch.v").as("v"))
+      .filter(col("mask").bitwiseAND(bitOf) =!= 0L)
+    val right = right0.join(hot, Seq("c", "v"), "left_anti")
+    // emit only at the first shared SURVIVING chunk: for every earlier
+    // chunk index, either the chunks differ or that bucket was hot
     val firstShared = (0 until Dedup.Chunks).map { cp =>
       when(lit(cp) < col("c"),
-        chunkOf(col("phash"), cp) =!= chunkOf(col("mosaic_phash"), cp))
+        !((chunkOf(col("phash"), cp) === chunkOf(col("mosaic_phash"), cp)) &&
+          (col("mask").bitwiseAND(lit(1L << cp)) =!= 0L)))
         .otherwise(lit(true))
     }.reduce(_ && _)
     left.join(right, Seq("c", "v"))
