@@ -94,6 +94,7 @@ object Bench {
       (name, (System.nanoTime() - t0) / 1e9)
     }.toMap
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val errCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     // Wall-clock budget, anchored at PROCESS start: the driver's capture
     // window is bounded (r8's run ended at exactly 600s), and a fresh
     // testdata generation can put minutes of index builds into the warm
@@ -119,6 +120,7 @@ object Bench {
           }
           catch { case e: Throwable =>
             errors(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(200)}"
+            errCounts(name) = errCounts.getOrElse(name, 0) + 1
           }
         }
       }
@@ -200,7 +202,16 @@ object Bench {
         "\"" + k + "\":\"" + esc + "\""
       }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":$total3,"unit":"sec","queries":$qs3,"sf":"$sfName"}"""
+    // transient failures stay VISIBLE in the one line the driver's
+    // bounded capture sees (the r8 lesson): a query that failed some
+    // rounds but kept a median gets a failed-round count here; a query
+    // with zero successes is already the unmistakable -1
+    val failedJson =
+      if (errCounts.isEmpty) ""
+      else errCounts
+        .map { case (k, n) => "\"" + k.stripPrefix("q_") + "\":" + n }
+        .mkString(""","failed_rounds":{""", ",", "}")
+    val compact = s"""{"metric":"total","value":$total3,"unit":"sec","queries":$qs3$failedJson,"sf":"$sfName"}"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"warm_target_sec":$warmJson,"errors":$errJson,"iters":$roundsRun,"sf":"$sfDir"}"""
     spark.stop()
     // full JSON (with spread) goes to a file; the process's last stdout

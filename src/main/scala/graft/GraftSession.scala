@@ -49,17 +49,20 @@ object GraftSession {
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       // ObjectHashAggregateExec (the exec behind every graft
-      // TypedImperativeAggregate: bounded top-k heaps, KLL sketches)
-      // falls back to SORT-based aggregation once a task's hash map
-      // passes this many keys — default 128, sized for giant per-group
-      // state like percentile buffers. Graft's buffers are a few hundred
-      // bytes each (k-entry heaps, fixed-size sketches), so the default
-      // silently re-introduced the per-group sort the heap aggregates
+      // TypedImperativeAggregate) falls back to SORT-based aggregation
+      // once a task's hash map passes this many keys — default 128,
+      // sized for giant per-group state. The default silently
+      // re-introduced the per-group sort the bounded-heap aggregates
       // exist to avoid (doc-keyed top-k has 50k+ groups per task at
-      // sf0.1). 2^21 keys x ~300 B ~ 600 MB worst case per task — the
-      // memory bound the fallback still enforces at cluster scale.
+      // sf0.1). 2^18 is sized against the session's LARGEST buffer
+      // class, not just the heaps: k-entry heaps ~300 B (2^18 ~ 80 MB
+      // per task), KLL sketches ~2 KB (2^18 ~ 512 MB worst case — and
+      // those group on dim-cardinality keys here, nowhere near the
+      // cap). Doc-keyed groups per task are bounded by rows per
+      // partition (~64k docs in a 128 MB scan split), inside the cap
+      // with headroom; the fallback remains the memory guard beyond it.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        (1 << 21).toString)
+        (1 << 18).toString)
       // wide plans (ANN serve joins carry 100+ attributes) trip the
       // "Truncated the string representation of a plan" WARN on every
       // explain/error render; raise the cap instead of muting the logger

@@ -220,26 +220,15 @@ object AsOf {
     * fingerprint sidecar lands only after the store write commits. */
   private[graft] def ensureResolvedEnrichment(spark: SparkSession, dir: String): DataFrame = {
     val path = enrichServePath(dir)
-    val fpPath = path + "_model"
     val fp = Similarity.corpusFingerprint(spark, dir, "orders.parquet") * 31 +
       Similarity.corpusFingerprint(spark, dir, "customer.parquet")
-    val storedFp =
-      try Some(Similarity.readSidecarRows(spark, fpPath)(0).getLong(0))
-      catch {
-        case e if scala.util.control.NonFatal(e) =>
-          Similarity.warnUnreadableSidecar("enrichment-resolved", fpPath, e)
-          None
-      }
-    if (!storedFp.contains(fp)) {
+    ServingStore.ensure(spark, "enrichment-resolved", path, fp) {
       Tables.invalidate(spark, dir, "orders")
       Tables.invalidate(spark, dir, "customer")
       resolveEnrichment(enrichmentLog(enrichFacts(spark, dir)), "nation", "t", "v")
         .withColumnRenamed("v", "rate")
         .coalesce(1).write.mode("overwrite").parquet(path)
-      spark.range(1).select(lit(fp).as("fp"))
-        .coalesce(1).write.mode("overwrite").parquet(fpPath)
     }
-    spark.read.parquet(path)
   }
 
   def enrichAttach(spark: SparkSession, dir: String): DataFrame = {

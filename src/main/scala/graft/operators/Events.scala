@@ -185,23 +185,12 @@ object Events {
     * instead of once per serving query. */
   private[graft] def ensureStamps(spark: SparkSession, dir: String): DataFrame = {
     val path = stampsServePath(dir)
-    val fpPath = path + "_model"
     val fp = Similarity.corpusFingerprint(spark, dir, "events.parquet")
-    val storedFp =
-      try Some(Similarity.readSidecarRows(spark, fpPath)(0).getLong(0))
-      catch {
-        case e if scala.util.control.NonFatal(e) =>
-          Similarity.warnUnreadableSidecar("funnel-stamps", fpPath, e)
-          None
-      }
-    if (!storedFp.contains(fp)) {
+    ServingStore.ensure(spark, "funnel-stamps", path, fp) {
       Tables.invalidate(spark, dir, "events")
       funnelStamps(eventsBase(spark, dir))
         .write.mode("overwrite").parquet(path)
-      spark.range(1).select(lit(fp).as("fp"))
-        .coalesce(1).write.mode("overwrite").parquet(fpPath)
     }
-    spark.read.parquet(path)
   }
 
   /** Per-user step-completion stamps (user_id, s0..s3) — the funnel's
@@ -376,7 +365,9 @@ object Events {
     val lags = stamps
       .filter(col("s0").isNotNull)
       .select(
-        expr(s"s0 DIV $WeekMs").as("cohort_week") +:
+        // pmod form = exact floor (bare DIV truncates toward zero and
+        // would diverge from the oracle's `//` on pre-epoch stamps)
+        expr(s"(s0 - pmod(s0, $WeekMs)) DIV $WeekMs").as("cohort_week") +:
           (1 until nSteps).map(i => (col(s"s$i") - col(s"s${i - 1}")).as(s"l$i")): _*)
     val aggs = (1 until nSteps).flatMap(i => Seq(
       count(col(s"l$i")).as(s"n$i"),
@@ -431,14 +422,18 @@ object Events {
   def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
     // the signup-cohort side serves from the persisted stamps store:
     // floor-division composes (s0 is floor(ts_ns/1e6) and WeekNs =
-    // WeekMs * 1e6, so s0 DIV WeekMs == min signup week exactly), and
-    // min commutes with the monotone floor — the cohorts frame is
+    // WeekMs * 1e6, so floor(s0 / WeekMs) == min signup week exactly),
+    // and min commutes with the monotone floor — the cohorts frame is
     // identical to the from-scratch signup scan, minus its fact-scale
-    // filter + exchange. The activity side necessarily still scans
-    // events, but now prunes to just (user_id, ts).
+    // filter + exchange. The pmod form is exact FLOOR for negative
+    // stamps too (bare DIV truncates toward zero, which would disagree
+    // with the oracle's `//` on a pre-epoch signup). The activity side
+    // necessarily still scans events, but now prunes to just
+    // (user_id, ts).
     val cohorts = ensureStamps(spark, dir)
       .filter(col("s0").isNotNull)
-      .select(col("user_id"), expr(s"s0 DIV $WeekMs").as("cohort_week"))
+      .select(col("user_id"),
+        expr(s"(s0 - pmod(s0, $WeekMs)) DIV $WeekMs").as("cohort_week"))
     val activity = Tables
       .events(spark, dir)
       .select(

@@ -85,45 +85,65 @@ def main(sf_dir, oracle_path, duck_out, graft_out):
 
     # graft warm pass for ALL queries first (pays one-per-corpus-generation
     # sidecar builds outside every measured window), then per-query A/B.
+    # One query's failure must not void the rest of the window: failures
+    # are recorded per query and the loop continues (the artifact
+    # discloses them); the JVM is torn down on every exit path.
     proc = start_pipe(sf_dir)
-    proc.stdin.write("list\n")
-    proc.stdin.flush()
-    names = sorted(wait_for(proc, "[pipe] LIST").split()[2:])
-    for name in names:
-        pipe_cmd(proc, "warm", name)
-
+    errors = {}
     duck_times, graft_times, graft_spread = {}, {}, {}
-    for name in names:
-        sql = oracle.get(name)
-        if sql is not None:
-            con.execute(sql).fetchall()  # duckdb warm
-        d_samples, g_samples = [], []
-        for _ in range(ROUNDS):
+    try:
+        proc.stdin.write("list\n")
+        proc.stdin.flush()
+        names = sorted(wait_for(proc, "[pipe] LIST").split()[2:])
+        for name in names:
+            try:
+                pipe_cmd(proc, "warm", name)
+            except RuntimeError as e:
+                errors[name] = f"warm: {e}"
+        for name in names:
+            sql = oracle.get(name)
             if sql is not None:
-                t0 = time.perf_counter()
-                con.execute(sql).fetchall()
-                d_samples.append(time.perf_counter() - t0)
-            g_samples.append(pipe_cmd(proc, "time", name))
-        if d_samples:
-            duck_times[name] = round(statistics.median(d_samples), 4)
-        graft_times[name] = round(statistics.median(g_samples), 4)
-        graft_spread[name] = [round(min(g_samples), 4), round(max(g_samples), 4)]
-        d_str = f"{duck_times[name]:.3f}" if d_samples else "  —  "
-        print(f"{name}: duckdb {d_str}  graft {graft_times[name]:.3f}"
-              f"  (spread {graft_spread[name][0]:.3f}–{graft_spread[name][1]:.3f})")
-
-    proc.stdin.write("quit\n")
-    proc.stdin.flush()
-    proc.wait(timeout=120)
+                con.execute(sql).fetchall()  # duckdb warm
+            d_samples, g_samples = [], []
+            for _ in range(ROUNDS):
+                if sql is not None:
+                    t0 = time.perf_counter()
+                    con.execute(sql).fetchall()
+                    d_samples.append(time.perf_counter() - t0)
+                try:
+                    g_samples.append(pipe_cmd(proc, "time", name))
+                except RuntimeError as e:
+                    errors[name] = f"time: {e}"
+            if d_samples:
+                duck_times[name] = round(statistics.median(d_samples), 4)
+            if g_samples:
+                graft_times[name] = round(statistics.median(g_samples), 4)
+                graft_spread[name] = [round(min(g_samples), 4), round(max(g_samples), 4)]
+            d_str = f"{duck_times[name]:.3f}" if d_samples else "  —  "
+            g_str = f"{graft_times[name]:.3f}" if g_samples else "FAILED"
+            print(f"{name}: duckdb {d_str}  graft {g_str}")
+    finally:
+        try:
+            proc.stdin.write("quit\n")
+            proc.stdin.flush()
+            proc.wait(timeout=120)
+        except Exception:
+            proc.kill()
 
     json.dump(duck_times, open(duck_out, "w"), indent=1)
     json.dump({"queries": graft_times, "spread": graft_spread,
+               "errors": errors,
                "sf": sf_dir, "method": "interleaved A/B/A/B, median of "
                f"{ROUNDS}, one window"},
               open(graft_out, "w"), indent=1)
-    od = sum(duck_times.values())
-    og = sum(graft_times[k] for k in duck_times)
-    print(f"\noracled totals: duckdb {od:.2f}s graft {og:.2f}s ratio {og/od:.2f}x")
+    if errors:
+        print(f"\nFAILED queries ({len(errors)}): " + ", ".join(sorted(errors)))
+    both = [k for k in duck_times if k in graft_times]
+    od = sum(duck_times[k] for k in both)
+    og = sum(graft_times[k] for k in both)
+    if od > 0:
+        print(f"\noracled totals ({len(both)} queries): duckdb {od:.2f}s "
+              f"graft {og:.2f}s ratio {og/od:.2f}x")
 
 
 if __name__ == "__main__":
