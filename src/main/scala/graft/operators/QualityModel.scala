@@ -235,7 +235,15 @@ object QualityModel {
     * retrained per scoring call measures training, not filtering; same
     * discipline as [[Similarity.knnIvfServe]]). Bit-identical to
     * [[qualityClassifier]]: f64 weights round-trip parquet exactly. */
-  def qualityClassifierServe(spark: SparkSession, dir: String): DataFrame = {
+  def qualityClassifierServe(spark: SparkSession, dir: String): DataFrame =
+    scored(spark, dir, serveWeights(spark, dir))
+
+  /** Resolve the CURRENT persisted weight generation for `dir`,
+    * (re)training only when the sidecar is absent or stale — the model
+    * half of [[qualityClassifierServe]], shared with the streaming
+    * gate's served binding ([[graft.streaming.IngestGate.sinkServed]])
+    * so batch scoring and the stream score with the SAME generation. */
+  private[graft] def serveWeights(spark: SparkSession, dir: String): Array[Double] = {
     val path = lrServePath(dir)
     val fp = Similarity.corpusFingerprint(spark, dir, "documents.parquet")
     val stored =
@@ -245,7 +253,7 @@ object QualityModel {
           Similarity.warnUnreadableSidecar("quality-classifier", path, e)
           None
       }
-    val w = stored match {
+    stored match {
       case Some((ws, storedFp)) if storedFp == fp => ws
       case _ =>
         // the fingerprint mismatch proves the files changed — drop the
@@ -256,6 +264,5 @@ object QualityModel {
         writeLrModel(spark, path, ws, fp)
         ws
     }
-    scored(spark, dir, w)
   }
 }

@@ -130,4 +130,18 @@ object IngestGate {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyGateBatch(batch, evalGrams, batchId, stateDir, weights)
       }
+
+  /** [[sink]] bound to the PERSISTED classifier generation for `dir`:
+    * the streaming gate scores with exactly the weights
+    * `q_quality_classifier` serves (trained-if-stale once at sink
+    * setup; weights are plan literals for the stream's lifetime — a
+    * standing stream adopts a newer generation on restart, the same
+    * cadence at which the batch serve path would retrain). This is the
+    * quality classifier's score-serve streaming twin: batch scoring and
+    * the admission gate can never disagree on the model. */
+  def sinkServed(docs: DataFrame, evalGrams: DataFrame, stateDir: String,
+      dir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    sink(docs, evalGrams, stateDir,
+      Some(graft.operators.QualityModel.serveWeights(docs.sparkSession, dir)))
 }

@@ -665,6 +665,35 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.values.map(_._2).toSet.size > 1, "degenerate p_keep")
   }
 
+  test("served model gate: the stream scores with the persisted classifier generation") {
+    import graft.streaming.IngestGate
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val all = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .localCheckpoint()
+    val evalGrams = spark.createDataFrame(Seq(Tuple1(0L))).toDF("h")
+      .filter(col("h") =!= 0L) // empty gram set: isolate the model path
+    val dir = java.nio.file.Files.createTempDirectory("graftsgate").toString + "/state"
+    // the served binding resolves weights from the SAME persisted
+    // generation q_quality_classifier serves
+    val w = operators.QualityModel.serveWeights(spark, sf)
+    val n = all.agg(max(col("doc_id"))).head().getLong(0) + 1
+    (0 to 1).foreach { i =>
+      IngestGate.applyGateBatch(
+        all.filter(if (i == 0) col("doc_id") < n / 2 else col("doc_id") >= n / 2),
+        evalGrams, i, dir, Some(w))
+    }
+    val store = IngestGate.currentStore(spark, dir).collect()
+      .map(r => r.getAs[Long]("keep_doc_id") -> r.getAs[Double]("p_keep")).toMap
+    // stored scores are bit-equal to the batch SERVE path's for the
+    // canonical docs — one model generation, two serving surfaces
+    val served = operators.QualityModel.qualityClassifierServe(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    store.foreach { case (id, p) =>
+      assert(p == served(id), s"gate p_keep for doc $id diverged from the serve path")
+    }
+    assert(store.values.toSet.size > 1, "degenerate p_keep")
+  }
+
   test("streaming enrichment sink: refresh-ordered folds equal the batch resolution and attach") {
     import graft.streaming.EnrichmentSink
     val dir = java.nio.file.Files.createTempDirectory("graftenrich").toString + "/state"
