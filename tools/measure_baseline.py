@@ -49,7 +49,11 @@ def start_pipe(sf_dir):
             "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
             "-cp", cp, "graft.tools.BenchPipe"]
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
-    env.setdefault("SPARK_GRAFT_CPUS", "32")
+    # PIN the core count — DuckDB runs with all threads, so an inherited
+    # SPARK_GRAFT_CPUS from an unrelated shell export (e.g. a Verify run
+    # at 8) would silently handicap the graft column; override with
+    # BASELINE_GRAFT_CPUS when a different width is the point
+    env["SPARK_GRAFT_CPUS"] = os.environ.get("BASELINE_GRAFT_CPUS", "32")
     proc = subprocess.Popen(cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
                             stderr=subprocess.DEVNULL, text=True, cwd=repo, env=env)
     wait_for(proc, "[pipe] READY")
