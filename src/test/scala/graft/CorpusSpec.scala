@@ -1562,6 +1562,14 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rep == res, "lm_score changed under repartitioning")
   }
 
+  test("lm score: store-served equals from-scratch counts on real data") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    assert(rows(operators.Curation.lmScore(spark, sf)) ==
+      rows(operators.Curation.lmScoreOf(Tables.documents(spark, sf))),
+      "persisted LM-stats serve diverged from from-scratch counts")
+  }
+
   test("rarity score invariants: rare counts bounded, min <= mean") {
     val res = operators.Curation.rarityScore(spark, sf).collect()
     assert(res.nonEmpty)
