@@ -763,6 +763,39 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows(operators.Events.conversionCohort(spark, sf)))
   }
 
+  test("r10 serving stores: warm serves reuse the generation, a stale fingerprint rebuilds") {
+    def stampOf(path: String) = Option(new java.io.File(path).listFiles)
+      .getOrElse(Array.empty[java.io.File])
+      .map(f => f.getName -> f.lastModified).toMap
+    def poison(path: String): Unit = {
+      val fpPath = path + "_model"
+      val stored = spark.read.parquet(fpPath).collect()(0).getLong(0)
+      spark.range(1).select(lit(stored + 1).as("fp"))
+        .coalesce(1).write.mode("overwrite").parquet(fpPath)
+    }
+    def rows(df: => org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val cases = Seq[(String, String, () => Seq[String])](
+      ("funnel-stamps", operators.Events.stampsServePath(sf),
+        () => rows(operators.Events.funnel(spark, sf))),
+      ("resolved-enrichment", operators.AsOf.enrichServePath(sf),
+        () => rows(operators.AsOf.enrichAttach(spark, sf))),
+      ("lm-stats", operators.Curation.lmBcPath(sf),
+        () => rows(operators.Curation.lmScore(spark, sf))))
+    cases.foreach { case (what, path, run) =>
+      val first = run()
+      val stamp = stampOf(path)
+      assert(stamp.nonEmpty, s"$what: store missing after serve")
+      assert(run() == first, s"$what: warm serve diverged")
+      assert(stampOf(path) == stamp, s"$what: warm serve rewrote the store")
+      // a sidecar mismatch (equal-size corpus swap) must rebuild — and
+      // the rebuilt generation serves the same corpus identically
+      poison(path)
+      assert(run() == first, s"$what: post-rebuild serve diverged")
+      assert(stampOf(path) != stamp, s"$what: stale fingerprint did not rebuild")
+    }
+  }
+
   test("enrich attach: store-served equals from-scratch resolution") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
