@@ -30,6 +30,102 @@ object Forecast {
   private def tIndex(d: Column): Column =
     ((year(d) - 1995) * 12 + month(d) - 1).cast(LongType)
 
+  private val Epoch = lit("1995-01-01").cast(DateType)
+
+  // ---------------------------------- persisted daily serving state (r10)
+
+  private[graft] def dayServePath(dir: String): String =
+    Similarity.servePath("forecast_days_", dir)
+
+  /** Ensure the forecast family's persisted serving state for `dir`:
+    * the exact per-(brand, day) rollup (n_x, Σdec2(y), Σdec2(y)²) — one
+    * row per group × observed DAY, bounded by dims × calendar span,
+    * never by fact rows. Every member of the forecast family is an
+    * exact linear functional of this frame (daily/monthly OLS moments,
+    * dow/month seasonal means, interval syy, changepoint hinge sums,
+    * the top-k closed form), so the queries pay a dim-sized read + math
+    * instead of a fact scan each — the persisted analogue of the
+    * reference caching its fitted Prophet models per series
+    * (`server/forecast_utils.py` load_or_train_model). Fingerprint-keyed
+    * on BOTH source tables; crash-safe via [[ServingStore.ensure]].
+    * Decimal sums regroup associatively, so every downstream double is
+    * cast from the SAME exact total a fact scan aggregates — serves are
+    * bit-identical to from-scratch fits (spec-pinned per query). */
+  private[graft] def ensureDayStats(spark: SparkSession, dir: String): DataFrame = {
+    val path = dayServePath(dir)
+    val fp = Similarity.corpusFingerprint(spark, dir, "lineitem.parquet") * 31 +
+      Similarity.corpusFingerprint(spark, dir, "part.parquet")
+    ServingStore.ensure(spark, "forecast-days", path, fp) {
+      Tables.invalidate(spark, dir, "lineitem")
+      Tables.invalidate(spark, dir, "part")
+      dailyBase(spark, dir)
+        .groupBy(col("brand"), col("x"))
+        .agg(
+          cnt.as("n_x"),
+          sum(dec2(col("y"))).as("syx_dec"),
+          sum(dec2(col("y")) * dec2(col("y"))).as("syyx_dec"))
+        .write.mode("overwrite").parquet(path)
+    }
+  }
+
+  /** The daily-grain fact projection the state aggregates. */
+  private def dailyBase(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables
+      .lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_shipdate"))
+    val p = broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .select(
+        col("p_brand").as("brand"),
+        datediff(col("l_shipdate"), Epoch).cast(LongType).as("x"),
+        col("l_extendedprice").as("y"))
+  }
+
+  /** The served state with its calendar columns re-derived from the day
+    * index (dow/month of epoch+x ARE dow/month of l_shipdate). */
+  private def dayFrame(spark: SparkSession, dir: String): DataFrame =
+    ensureDayStats(spark, dir)
+      .withColumn("d", date_add(Epoch, col("x").cast(IntegerType)))
+      .withColumn("dow", dayofweek(col("d")))
+      .withColumn("m", month(col("d")))
+
+  /** Monthly per-x state derived exactly from the daily state (x becomes
+    * the month index; decimal sums re-sum associatively). Column types
+    * cast back to the daily state's so downstream decimal products keep
+    * their audited precision budgets. */
+  private def monthStateOf(day: DataFrame): DataFrame =
+    day
+      .groupBy(col("brand"),
+        ((year(col("d")) - 1995) * 12 + month(col("d")) - 1).cast(LongType).as("x"))
+      .agg(
+        sum(col("n_x")).as("n_x"),
+        sum(col("syx_dec")).cast(DecimalType(28, 2)).as("syx_dec"),
+        sum(col("syyx_dec")).cast(DecimalType(38, 4)).as("syyx_dec"))
+
+  /** [[olsStats]]'s exact schema derived from a per-x state frame — the
+    * doubles are cast from the same exact totals a fact scan sums. */
+  private def olsStatsOfState(state: DataFrame): DataFrame =
+    state.groupBy(col("brand"))
+      .agg(
+        sum(col("n_x")).as("n"),
+        sum(col("x") * col("n_x")).as("sx"),
+        sum(col("x") * col("x") * col("n_x")).as("sxx"),
+        sum(col("syx_dec")).cast(DoubleType).as("sy"),
+        sum(xDec * syxN).cast(DoubleType).as("sxy"),
+        sum(col("syyx_dec")).cast(DoubleType).as("syy"),
+        max(col("x")).as("max_x"))
+
+  /** Per-(brand, dow) means from the daily state — [[forecastHorizon]]'s
+    * dowMeans, same exact totals. */
+  private def dowMeansOfState(day: DataFrame): DataFrame =
+    day.groupBy(col("brand").as("db"), col("dow"))
+      .agg(meanOf(sum(col("syx_dec")).cast(DoubleType), sum(col("n_x"))).as("mean_dow"))
+
+  /** Per-(brand, calendar month) means from the daily state. */
+  private def monthMeansOfState(day: DataFrame): DataFrame =
+    day.groupBy(col("brand").as("mb"), col("m").as("month"))
+      .agg(meanOf(sum(col("syx_dec")).cast(DoubleType), sum(col("n_x"))).as("mean_month"))
+
   private def joined(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables
       .lineitem(spark, dir)
@@ -69,9 +165,17 @@ object Forecast {
       (col("n").cast(DoubleType) * col("sxy") - col("sx").cast(DoubleType) * col("sy")) / varX)
   }
 
-  /** q_forecast_linear — per-brand linear trend and next-month forecast. */
+  /** q_forecast_linear — per-brand linear trend and next-month forecast.
+    * Serves from the persisted daily state ([[ensureDayStats]]); the
+    * from-scratch body is [[forecastLinearScratch]] (spec-pinned equal). */
   def forecastLinear(spark: SparkSession, dir: String): DataFrame =
-    olsStats(joined(spark, dir))
+    linearOf(olsStatsOfState(monthStateOf(dayFrame(spark, dir))))
+
+  private[graft] def forecastLinearScratch(spark: SparkSession, dir: String): DataFrame =
+    linearOf(olsStats(joined(spark, dir)))
+
+  private def linearOf(stats: DataFrame): DataFrame =
+    stats
       .withColumn("slope", slopeCol)
       .withColumn(
         "intercept",
@@ -118,12 +222,18 @@ object Forecast {
     * se² = s²(1 + 1/n + (x0-x̄)²/Sxx), s² = SSE/(n-2) — with z for the
     * 80% two-sided normal interval. One extra decimal sum (syy) on the
     * existing single aggregation pass; no second scan. */
-  def forecastInterval(spark: SparkSession, dir: String): DataFrame = {
+  def forecastInterval(spark: SparkSession, dir: String): DataFrame =
+    intervalOf(olsStatsOfState(monthStateOf(dayFrame(spark, dir))))
+
+  private[graft] def forecastIntervalScratch(spark: SparkSession, dir: String): DataFrame =
+    intervalOf(olsStats(joined(spark, dir)))
+
+  private def intervalOf(stats: DataFrame): DataFrame = {
     val nD = col("n").cast(DoubleType)
     val sxD = col("sx").cast(DoubleType)
     val sxxD = col("sxx").cast(DoubleType)
     val x0 = (col("max_x") + 1).cast(DoubleType)
-    olsStats(joined(spark, dir))
+    stats
       .withColumn("slope", slopeCol)
       .withColumn("intercept", (col("sy") - col("slope") * sxD) / nD)
       .withColumn("forecast_next", col("intercept") + col("slope") * x0)
@@ -196,27 +306,21 @@ object Forecast {
     * after each brand's last observation. dow is Spark's `dayofweek`
     * (1=Sunday..7=Saturday; the oracle shifts DuckDB's 0-based dow). */
   def forecastWeekly(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables
-      .lineitem(spark, dir)
-      .select(col("l_partkey"), col("l_extendedprice"), col("l_shipdate"))
-    val p = broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")))
-    val epoch = lit("1995-01-01").cast(DateType)
-    val base = li.join(p, col("l_partkey") === col("p_partkey"))
-      .select(
-        col("p_brand").as("brand"),
-        datediff(col("l_shipdate"), epoch).cast(LongType).as("x"),
-        dayofweek(col("l_shipdate")).as("dow"),
-        col("l_extendedprice").as("y"))
-    val trend = olsStats(base)
-      .withColumn("slope", slopeCol)
-      .withColumn(
-        "intercept",
-        (col("sy") - col("slope") * col("sx").cast(DoubleType)) / col("n").cast(DoubleType))
-      .withColumn("mean_all", col("sy") / col("n").cast(DoubleType))
-      .select(col("brand"), col("slope"), col("intercept"), col("mean_all"), col("max_x"))
-    val dowMeans = base
-      .groupBy(col("brand").as("db"), col("dow"))
-      .agg(meanOf(sum(dec2(col("y"))).cast(DoubleType), cnt).as("mean_dow"))
+    val day = dayFrame(spark, dir)
+    weeklyOf(seasonalTrend(olsStatsOfState(day)), dowMeansOfState(day))
+  }
+
+  private[graft] def forecastWeeklyScratch(spark: SparkSession, dir: String): DataFrame = {
+    val base = dailyBase(spark, dir)
+      .withColumn("dow", dayofweek(date_add(Epoch, col("x").cast(IntegerType))))
+    weeklyOf(
+      seasonalTrend(olsStats(base)),
+      base.groupBy(col("brand").as("db"), col("dow"))
+        .agg(meanOf(sum(dec2(col("y"))).cast(DoubleType), cnt).as("mean_dow")))
+  }
+
+  private def weeklyOf(trend: DataFrame, dowMeans: DataFrame): DataFrame = {
+    val epoch = Epoch
     val futures = trend
       .withColumn("day_offset", explode(sequence(lit(1), lit(7))))
       .withColumn("x_future", col("max_x") + col("day_offset"))
@@ -302,31 +406,40 @@ object Forecast {
     * output — and the future grid is group-cardinality x 365 rows built
     * by explode, with both seasonal joins broadcast. */
   def forecastHorizon(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables
-      .lineitem(spark, dir)
-      .select(col("l_partkey"), col("l_extendedprice"), col("l_shipdate"))
-    val p = broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")))
-    val epoch = lit("1995-01-01").cast(DateType)
-    val base = li.join(p, col("l_partkey") === col("p_partkey"))
-      .select(
-        col("p_brand").as("brand"),
-        datediff(col("l_shipdate"), epoch).cast(LongType).as("x"),
-        dayofweek(col("l_shipdate")).as("dow"),
-        month(col("l_shipdate")).as("m"),
-        col("l_extendedprice").as("y"))
-    val trend = olsStats(base)
-      .withColumn("slope", slopeCol)
-      .withColumn(
-        "intercept",
-        (col("sy") - col("slope") * col("sx").cast(DoubleType)) / col("n").cast(DoubleType))
-      .withColumn("mean_all", col("sy") / col("n").cast(DoubleType))
-      .select(col("brand"), col("slope"), col("intercept"), col("mean_all"), col("max_x"))
+    val day = dayFrame(spark, dir)
+    horizonOf(seasonalTrend(olsStatsOfState(day)),
+      dowMeansOfState(day), monthMeansOfState(day))
+  }
+
+  private[graft] def forecastHorizonScratch(spark: SparkSession, dir: String): DataFrame = {
+    val (trend, dowMeans, monthMeans, _) = scratchDailyParts(spark, dir)
+    horizonOf(trend, dowMeans, monthMeans)
+  }
+
+  /** The (trend, dowMeans, monthMeans, asof) quartet from a fresh daily
+    * fact scan — the from-scratch reference the state-served horizon /
+    * recency / weekly surfaces are spec-pinned against. */
+  private def scratchDailyParts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val base = dailyBase(spark, dir)
+      .withColumn("d", date_add(Epoch, col("x").cast(IntegerType)))
+      .withColumn("dow", dayofweek(col("d")))
+      .withColumn("m", month(col("d")))
+      .localCheckpoint(eager = false)
+    val trend = seasonalTrend(olsStats(base))
     val dowMeans = base
       .groupBy(col("brand").as("db"), col("dow"))
       .agg(meanOf(sum(dec2(col("y"))).cast(DoubleType), cnt).as("mean_dow"))
     val monthMeans = base
       .groupBy(col("brand").as("mb"), col("m").as("month"))
       .agg(meanOf(sum(dec2(col("y"))).cast(DoubleType), cnt).as("mean_month"))
+    val asof = base.agg(max(col("x")).as("asof_x"))
+    (trend, dowMeans, monthMeans, asof)
+  }
+
+  private def horizonOf(trend: DataFrame, dowMeans: DataFrame,
+      monthMeans: DataFrame): DataFrame = {
+    val epoch = Epoch
     val futures = trend
       .withColumn("day_offset", explode(sequence(lit(1), lit(HorizonDays))))
       .withColumn("x_future", col("max_x") + col("day_offset"))
@@ -418,32 +531,20 @@ object Forecast {
     * (1 row), and each group explodes `horizon` future days instead of a
     * fixed 365. */
   def forecastRecency(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables
-      .lineitem(spark, dir)
-      .select(col("l_partkey"), col("l_extendedprice"), col("l_shipdate"))
-    val p = broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")))
-    val epoch = lit("1995-01-01").cast(DateType)
-    val base = li.join(p, col("l_partkey") === col("p_partkey"))
-      .select(
-        col("p_brand").as("brand"),
-        datediff(col("l_shipdate"), epoch).cast(LongType).as("x"),
-        dayofweek(col("l_shipdate")).as("dow"),
-        month(col("l_shipdate")).as("m"),
-        col("l_extendedprice").as("y"))
-    val trend = olsStats(base)
-      .withColumn("slope", slopeCol)
-      .withColumn(
-        "intercept",
-        (col("sy") - col("slope") * col("sx").cast(DoubleType)) / col("n").cast(DoubleType))
-      .withColumn("mean_all", col("sy") / col("n").cast(DoubleType))
-      .select(col("brand"), col("slope"), col("intercept"), col("mean_all"), col("max_x"))
-    val dowMeans = base
-      .groupBy(col("brand").as("db"), col("dow"))
-      .agg(meanOf(sum(dec2(col("y"))).cast(DoubleType), cnt).as("mean_dow"))
-    val monthMeans = base
-      .groupBy(col("brand").as("mb"), col("m").as("month"))
-      .agg(meanOf(sum(dec2(col("y"))).cast(DoubleType), cnt).as("mean_month"))
-    val asof = base.agg(max(col("x")).as("asof_x"))
+    val day = dayFrame(spark, dir)
+    recencyOf(seasonalTrend(olsStatsOfState(day)),
+      dowMeansOfState(day), monthMeansOfState(day),
+      day.agg(max(col("x")).as("asof_x")))
+  }
+
+  private[graft] def forecastRecencyScratch(spark: SparkSession, dir: String): DataFrame = {
+    val (trend, dowMeans, monthMeans, asof) = scratchDailyParts(spark, dir)
+    recencyOf(trend, dowMeans, monthMeans, asof)
+  }
+
+  private def recencyOf(trend: DataFrame, dowMeans: DataFrame,
+      monthMeans: DataFrame, asof: DataFrame): DataFrame = {
+    val epoch = Epoch
     val futures = trend
       .crossJoin(broadcast(asof)) // 1-row scalar — broadcast, never a shuffle
       .withColumn(
@@ -533,7 +634,10 @@ object Forecast {
   /** q_seasonal_forecast — trend + additive month-of-year seasonality:
     * forecast for each month of the year after each brand's last
     * observed month. Seasonal index = (month mean) - (overall mean). */
-  def seasonalForecast(spark: SparkSession, dir: String): DataFrame = {
+  def seasonalForecast(spark: SparkSession, dir: String): DataFrame =
+    seasonalForecastFromState(monthStateOf(dayFrame(spark, dir)))
+
+  private[graft] def seasonalForecastScratch(spark: SparkSession, dir: String): DataFrame = {
     val base = joined(spark, dir)
     val monthly = base
       .groupBy(col("brand").as("mb"), col("m").as("month"))
@@ -591,6 +695,33 @@ object Forecast {
     * rank window sees only group-cardinality rows (bounded by the
     * product dimension, same as every dashboard "best N" surface). */
   def forecastTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    // served from the persisted daily state: per-(brand, month) cent
+    // sums recover EXACTLY from the state's decimal sums (each y is a
+    // 2-decimal price, so Σcents = 100·Σdec2(y) is an integer), and the
+    // 13 long sums aggregate the dim-sized state instead of the fact
+    val state = monthStateOf(dayFrame(spark, dir))
+      .withColumn("cents_x", (col("syx_dec") * lit(100)).cast(LongType))
+      .withColumn("m", (pmod(col("x"), lit(12L)) + 1).cast(IntegerType))
+    val aggs: Seq[Column] =
+      Seq(
+        sum(col("n_x")).as("n"),
+        sum(col("x") * col("n_x")).as("sx"),
+        sum(col("x") * col("x") * col("n_x")).as("sxx"),
+        (sum(col("cents_x")).cast(DoubleType) / lit(100.0)).as("sy"),
+        (sum(col("x") * col("cents_x")).cast(DoubleType) / lit(100.0)).as("sxy"),
+        max(col("x")).as("max_x")) ++
+        (1 to 12).flatMap { m =>
+          Seq(
+            (sum(when(col("m") === m, col("cents_x"))).cast(DoubleType) / lit(100.0))
+              .as(s"sy$m"),
+            sum(when(col("m") === m, col("n_x"))).cast(LongType).as(s"n$m"))
+        }
+    topkTail(state.groupBy(col("brand")).agg(aggs.head, aggs.tail: _*), k)
+  }
+
+  /** From-scratch fact-scan form of [[forecastTopK]] (spec reference). */
+  private[graft] def forecastTopKScratch(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
     // Cents are materialized by a codegen'd Project BEFORE the aggregate
     // (same fused-FP fast path as TopK.topkPerGroup, precondition
     // property-tested in GraftProps): the 13 decimal sum buffers (sy, sxy,
@@ -602,8 +733,6 @@ object Forecast {
     // decimal buffers.
     val base = joined(spark, dir)
       .withColumn("cents", floor(col("y") * lit(100) + lit(0.5)))
-    val nD = col("n").cast(DoubleType)
-    val sxD = col("sx").cast(DoubleType)
     val aggs: Seq[Column] =
       Seq(
         cnt.as("n"),
@@ -618,9 +747,15 @@ object Forecast {
               .as(s"sy$m"),
             count(when(col("m") === m, lit(1))).as(s"n$m"))
         }
-    val fitted = base
-      .groupBy(col("brand"))
-      .agg(aggs.head, aggs.tail: _*)
+    topkTail(base.groupBy(col("brand")).agg(aggs.head, aggs.tail: _*), k)
+  }
+
+  /** Fit + closed-form horizon mean + rank over the 18-column stats
+    * frame — shared by the state-served and fact-scan forms. */
+  private def topkTail(stats: DataFrame, k: Int): DataFrame = {
+    val nD = col("n").cast(DoubleType)
+    val sxD = col("sx").cast(DoubleType)
+    val fitted = stats
       .withColumn("slope", slopeCol)
       .withColumn("intercept", (col("sy") - col("slope") * sxD) / nD)
       .withColumn("mean_all", col("sy") / nD)
@@ -998,6 +1133,9 @@ object Forecast {
     * solved in the projection via generated Cramer expansions — no
     * per-group model-fit loop, no driver-side matrix math. */
   def forecastChangepoint(spark: SparkSession, dir: String): DataFrame =
+    forecastChangepointFromState(monthStateOf(dayFrame(spark, dir)))
+
+  private[graft] def forecastChangepointScratch(spark: SparkSession, dir: String): DataFrame =
     forecastChangepointOf(joined(spark, dir).select(col("brand"), col("x"), col("y")))
 
   /** DataFrame core of [[forecastChangepoint]] over any (brand, x: long,

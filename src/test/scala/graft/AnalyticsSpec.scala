@@ -352,6 +352,25 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(serveEx == 0, s"funnel serve should not hash-shuffle, saw $serveEx:\n$servePlan")
   }
 
+  test("forecast family: state-served results are bit-equal to fact-scan fits") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val F = operators.Forecast
+    val pairs = Seq[(String, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)](
+      ("linear", F.forecastLinear(spark, sf), F.forecastLinearScratch(spark, sf)),
+      ("interval", F.forecastInterval(spark, sf), F.forecastIntervalScratch(spark, sf)),
+      ("weekly", F.forecastWeekly(spark, sf), F.forecastWeeklyScratch(spark, sf)),
+      ("horizon", F.forecastHorizon(spark, sf), F.forecastHorizonScratch(spark, sf)),
+      ("recency", F.forecastRecency(spark, sf), F.forecastRecencyScratch(spark, sf)),
+      ("seasonal", F.seasonalForecast(spark, sf), F.seasonalForecastScratch(spark, sf)),
+      ("changepoint", F.forecastChangepoint(spark, sf), F.forecastChangepointScratch(spark, sf)),
+      ("topk", F.forecastTopK(spark, sf), F.forecastTopKScratch(spark, sf)))
+    pairs.foreach { case (name, served, scratch) =>
+      assert(rows(served) == rows(scratch),
+        s"forecast $name: state serve diverged from the fact-scan fit")
+    }
+  }
+
   test("funnel family: store-served results equal the from-scratch frames") {
     val base = Tables.events(spark, sf).selectExpr(
       "user_id", "event_id", "event_type",
