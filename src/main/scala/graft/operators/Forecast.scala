@@ -83,7 +83,7 @@ object Forecast {
 
   /** The served state with its calendar columns re-derived from the day
     * index (dow/month of epoch+x ARE dow/month of l_shipdate). */
-  private def dayFrame(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def dayFrame(spark: SparkSession, dir: String): DataFrame =
     ensureDayStats(spark, dir)
       .withColumn("d", date_add(Epoch, col("x").cast(IntegerType)))
       .withColumn("dow", dayofweek(col("d")))

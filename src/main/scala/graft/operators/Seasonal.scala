@@ -38,8 +38,19 @@ object Seasonal {
     li.join(p, col("l_partkey") === col("p_partkey"))
   }
 
-  /** q_seasonal_agg — average price per (brand, season). */
+  /** q_seasonal_agg — average price per (brand, season). Serves from the
+    * forecast family's persisted per-day state ([[Forecast.dayFrame]]):
+    * the decimal sums regroup associatively, so the served doubles cast
+    * from the same exact totals a fact scan aggregates (spec-pinned
+    * against [[seasonalAggScratch]]). */
   def seasonalAgg(spark: SparkSession, dir: String): DataFrame =
+    Forecast.dayFrame(spark, dir)
+      .groupBy(col("brand"), season(col("m")).as("season"))
+      .agg(
+        meanOf(sum(col("syx_dec")).cast(DoubleType), sum(col("n_x"))).as("avg_price"),
+        sum(col("n_x")).as("n_obs"))
+
+  private[graft] def seasonalAggScratch(spark: SparkSession, dir: String): DataFrame =
     withBrand(spark, dir)
       .groupBy(col("p_brand").as("brand"), season(month(col("l_shipdate"))).as("season"))
       .agg(
@@ -60,6 +71,15 @@ object Seasonal {
   /** q_monthly_trend — per-brand monthly series with constructed_date
     * (the Prophet training frame, forecast_utils.py:25-29). */
   def monthlyTrend(spark: SparkSession, dir: String): DataFrame =
+    Forecast.dayFrame(spark, dir)
+      .groupBy(col("brand"), year(col("d")).as("year"), col("m").as("month"))
+      .agg(
+        meanOf(sum(col("syx_dec")).cast(DoubleType), sum(col("n_x"))).as("avg_price"),
+        sum(col("n_x")).as("n_obs"))
+      .withColumn("constructed_date", make_date(col("year"), col("month"), lit(1)))
+      .select(col("brand"), col("year"), col("month"), col("constructed_date"), col("avg_price"), col("n_obs"))
+
+  private[graft] def monthlyTrendScratch(spark: SparkSession, dir: String): DataFrame =
     withBrand(spark, dir)
       .groupBy(
         col("p_brand").as("brand"),
@@ -86,15 +106,24 @@ object Seasonal {
   /** q_moving_avg — 3-month moving average price per brand. The moving
     * mean is (windowed decimal sum of prices) / (windowed count), NOT an
     * average of averages — exact, and weight-correct across months. */
-  def movingAvg(spark: SparkSession, dir: String): DataFrame = {
-    val monthly = withBrand(spark, dir)
+  def movingAvg(spark: SparkSession, dir: String): DataFrame =
+    movingAvgOverMonthly(Forecast.dayFrame(spark, dir)
+      .groupBy(col("brand"), year(col("d")).as("year"), col("m").as("month"))
+      .agg(
+        sum(col("syx_dec")).cast(DecimalType(28, 2)).as("sum_price"),
+        sum(col("n_x")).as("n_obs")))
+
+  private[graft] def movingAvgScratch(spark: SparkSession, dir: String): DataFrame =
+    movingAvgOverMonthly(withBrand(spark, dir)
       .groupBy(
         col("p_brand").as("brand"),
         year(col("l_shipdate")).as("year"),
         month(col("l_shipdate")).as("month"))
       .agg(
         sum(dec2(col("l_extendedprice"))).cast(DecimalType(28, 2)).as("sum_price"),
-        cnt.as("n_obs"))
+        cnt.as("n_obs")))
+
+  private def movingAvgOverMonthly(monthly: DataFrame): DataFrame = {
     val w = Window
       .partitionBy(col("brand"))
       .orderBy(col("year"), col("month"))

@@ -364,7 +364,13 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("recency", F.forecastRecency(spark, sf), F.forecastRecencyScratch(spark, sf)),
       ("seasonal", F.seasonalForecast(spark, sf), F.seasonalForecastScratch(spark, sf)),
       ("changepoint", F.forecastChangepoint(spark, sf), F.forecastChangepointScratch(spark, sf)),
-      ("topk", F.forecastTopK(spark, sf), F.forecastTopKScratch(spark, sf)))
+      ("topk", F.forecastTopK(spark, sf), F.forecastTopKScratch(spark, sf)),
+      ("seasonal_agg", operators.Seasonal.seasonalAgg(spark, sf),
+        operators.Seasonal.seasonalAggScratch(spark, sf)),
+      ("monthly_trend", operators.Seasonal.monthlyTrend(spark, sf),
+        operators.Seasonal.monthlyTrendScratch(spark, sf)),
+      ("moving_avg", operators.Seasonal.movingAvg(spark, sf),
+        operators.Seasonal.movingAvgScratch(spark, sf)))
     pairs.foreach { case (name, served, scratch) =>
       assert(rows(served) == rows(scratch),
         s"forecast $name: state serve diverged from the fact-scan fit")
