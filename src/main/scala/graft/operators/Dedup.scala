@@ -502,6 +502,90 @@ object Dedup {
   def dupSpans(spark: SparkSession, dir: String): DataFrame =
     dupSpans(Tables.documents(spark, dir))
 
+  /** q_dedup_excise — the APPLY side of exact-substring dedup
+    * (Lee et al. 2022, arXiv:2107.06499 §3: duplicated spans are
+    * REMOVED from the corpus, not just measured): every token position
+    * covered by a cross-document [[ShingleN]]-gram is excised, and the
+    * document is re-emitted from its surviving tokens.
+    * [[dupSpans]] is the measurement twin; this produces the cleaned
+    * corpus a training run would actually consume.
+    *
+    * Scale shape: the gram stream and shared-gram filter are
+    * [[dupSpans]]'s (df filtered to nd > 1 BEFORE any attach, so the
+    * join side is the small shared set). The flagged gram STARTS then
+    * aggregate per doc into one (usually sparse) array, attach to the
+    * documents scan by a doc-keyed join, and excision is ONE
+    * higher-order filter over the token array — coverage tested
+    * against the start array per token, no token-stream explode, no
+    * per-position rows. Reconstruction joins surviving tokens with a
+    * single space (whitespace normalizes — the tokenization is already
+    * run-collapsing). The hash oracle gates the rebuilt STRINGS, so a
+    * tokenizer or coverage drift fails parity loudly. */
+  def dedupExcise(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("w"))
+      .filter(size(col("w")) >= ShingleN)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(w) - ${ShingleN - 1}), " +
+          s"i -> xxhash64(concat_ws(' ', slice(w, i, $ShingleN))))")))
+      .select(col("doc_id"), (col("pos") + 1).as("g"), col("col").as("h"))
+      .localCheckpoint(eager = false)
+    val shared = grams
+      .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("h"))
+    val flagged = grams
+      .join(shared, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("g"))).as("starts"))
+    docs
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        TextAnalysis.wsTokens(col("text")).as("w"),
+        coalesce(col("starts"), array().cast(ArrayType(IntegerType))).as("starts"))
+      .select(
+        col("doc_id"),
+        size(col("w")).as("n_tokens"),
+        expr(s"filter(w, (t, i) -> NOT exists(starts, " +
+          s"s -> i + 1 >= s AND i + 1 <= s + ${ShingleN - 1}))").as("kept"))
+      .select(
+        col("doc_id"),
+        col("n_tokens").cast(LongType).as("n_tokens"),
+        size(col("kept")).cast(LongType).as("n_kept"),
+        array_join(col("kept"), " ").as("clean_text"))
+  }
+
+  def dedupExcise(spark: SparkSession, dir: String): DataFrame =
+    dedupExcise(Tables.documents(spark, dir))
+
+  val dedupExciseOracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' ') AS ws
+       |  FROM documents
+       |), grams AS (
+       |  SELECT doc_id, g, ARRAY_TO_STRING(ws[g:g+${ShingleN - 1}], ' ') AS gram
+       |  FROM tok, LATERAL (SELECT UNNEST(RANGE(1, LEN(ws) - ${ShingleN - 2})) AS g) r
+       |  WHERE LEN(ws) >= $ShingleN
+       |), shared AS (
+       |  SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1
+       |), flagged AS (
+       |  SELECT doc_id, g FROM grams JOIN shared USING (gram)
+       |), positions AS (
+       |  SELECT t.doc_id, LEN(t.ws) AS n_tokens, p.p, t.ws[p.p] AS w,
+       |    EXISTS (SELECT 1 FROM flagged f
+       |      WHERE f.doc_id = t.doc_id
+       |        AND p.p >= f.g AND p.p <= f.g + ${ShingleN - 1}) AS dup
+       |  FROM tok t, LATERAL (SELECT UNNEST(RANGE(1, LEN(t.ws) + 1)) AS p) p
+       |)
+       |SELECT doc_id,
+       |  CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN dup THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+       |  COALESCE(STRING_AGG(CASE WHEN dup THEN NULL ELSE w END, ' ' ORDER BY p), '')
+       |    AS clean_text
+       |FROM positions
+       |GROUP BY doc_id""".stripMargin
+
   val dupSpansOracle: String =
     s"""WITH tok AS (
        |  SELECT doc_id,

@@ -1562,6 +1562,35 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rep == res, "lm_score changed under repartitioning")
   }
 
+  test("dedup excise: planted shared spans are removed, unique text survives verbatim") {
+    import spark.implicits._
+    val boiler = "all rights reserved contact us for details" // 7 tokens > ShingleN
+    val docs = Seq(
+      (1L, s"alpha beta gamma $boiler delta epsilon"),
+      (2L, s"zeta eta theta $boiler iota kappa"),
+      (3L, "completely unique text with no shared spans at all"),
+      (4L, "tiny")) // shorter than a shingle: passes through untouched
+      .toDF("doc_id", "text")
+    val res = operators.Dedup.dedupExcise(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // the shared boilerplate vanishes from BOTH carriers; their unique
+    // flanks survive in order (the boundary grams straddling unique +
+    // shared tokens are themselves unique, so flanks keep their edges)
+    assert(res(1L)._3 == "alpha beta gamma delta epsilon", s"${res(1L)}")
+    assert(res(2L)._3 == "zeta eta theta iota kappa", s"${res(2L)}")
+    assert(res(1L)._1 == 12L && res(1L)._2 == 5L)
+    // untouched docs come back token-joined but content-identical
+    assert(res(3L)._3 == "completely unique text with no shared spans at all")
+    assert(res(3L)._1 == res(3L)._2)
+    assert(res(4L)._3 == "tiny" && res(4L)._2 == 1L)
+    // real data: excision only ever removes (n_kept <= n_tokens), and
+    // some doc actually loses a span on this corpus
+    val real = operators.Dedup.dedupExcise(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(real.forall { case (n, k) => k <= n })
+    assert(real.exists { case (n, k) => k < n }, "no spans excised on real data")
+  }
+
   test("lm score: store-served equals from-scratch counts on real data") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
