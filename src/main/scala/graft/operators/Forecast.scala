@@ -68,8 +68,66 @@ object Forecast {
     }
   }
 
+  /** Fold a NEW fact delta into the persisted day state without
+    * re-scanning history — the daily-ingest maintenance path of
+    * [[ensureDayStats]] (the [[mergeForecastModel]] semantics applied
+    * to the serving generation): the delta reduces to its own exact
+    * per-(brand, day) partials and sums with the stored state; decimal
+    * exactness makes the merged state BIT-IDENTICAL to a rebuild over
+    * the union (spec-gated), so every state-served query keeps its
+    * oracle parity.
+    *
+    * Call AFTER the delta files land in `dir`, passing exactly the
+    * newly-landed rows as a (brand, x: day index, y: price) frame; pass
+    * `expectedFp` (the fingerprint captured BEFORE the delta landed) to
+    * prove the generation matches the pre-delta corpus — a stale
+    * generation must take the rebuild path, not absorb a delta and get
+    * re-stamped fresh. Crash safety follows from that ordering: the
+    * sidecar advances to the POST-delta fingerprint only after the
+    * merged write commits, and until then the landed delta keeps the
+    * stored fingerprint stale, so a crash anywhere in between leaves
+    * [[ensureDayStats]] rebuilding from scratch — never serving a
+    * half-merged state. */
+  def appendDayStats(spark: SparkSession, dir: String, delta: DataFrame,
+      expectedFp: Option[Long] = None): Unit = {
+    val path = dayServePath(dir)
+    val fpPath = path + "_model"
+    val storedFp =
+      try Similarity.readSidecarRows(spark, fpPath)(0).getLong(0)
+      catch {
+        case e if scala.util.control.NonFatal(e) =>
+          throw new IllegalStateException(
+            s"day-state sidecar at $fpPath unreadable — run ensureDayStats " +
+              "(full rebuild) instead of appending into an unproven generation", e)
+      }
+    expectedFp.foreach(f => require(storedFp == f,
+      s"day state at $path was built for a different corpus state " +
+        s"(stored fp $storedFp != pre-delta fp $f): rebuild with ensureDayStats"))
+    val add = delta
+      .groupBy(col("brand"), col("x"))
+      .agg(
+        cnt.as("n_x"),
+        sum(dec2(col("y"))).as("syx_dec"),
+        sum(dec2(col("y")) * dec2(col("y"))).as("syyx_dec"))
+    val prev = spark.read.parquet(path)
+    val merged = prev.unionByName(add)
+      .groupBy(col("brand"), col("x"))
+      .agg(
+        sum(col("n_x")).as("n_x"),
+        sum(col("syx_dec")).cast(prev.schema("syx_dec").dataType).as("syx_dec"),
+        sum(col("syyx_dec")).cast(prev.schema("syyx_dec").dataType).as("syyx_dec"))
+    // sever from the files about to be overwritten
+    merged.localCheckpoint().write.mode("overwrite").parquet(path)
+    Tables.invalidate(spark, dir, "lineitem")
+    Tables.invalidate(spark, dir, "part")
+    val postFp = Similarity.corpusFingerprint(spark, dir, "lineitem.parquet") * 31 +
+      Similarity.corpusFingerprint(spark, dir, "part.parquet")
+    spark.range(1).select(lit(postFp).as("fp"))
+      .coalesce(1).write.mode("overwrite").parquet(fpPath)
+  }
+
   /** The daily-grain fact projection the state aggregates. */
-  private def dailyBase(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def dailyBase(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables
       .lineitem(spark, dir)
       .select(col("l_partkey"), col("l_extendedprice"), col("l_shipdate"))

@@ -377,6 +377,53 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("day-state append: delta fold is bit-identical to a rebuild over the union") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graftdaystate").toString
+    val li = Tables.lineitem(spark, sf)
+    val base = li.filter(col("l_orderkey") % 5 =!= 0)
+    val delta = li.filter(col("l_orderkey") % 5 === 0)
+    base.write.mode("overwrite").parquet(tmp + "/lineitem.parquet")
+    Tables.part(spark, sf).write.mode("overwrite").parquet(tmp + "/part.parquet")
+    // build the generation for the base corpus, serve once
+    val before = operators.Forecast.forecastLinear(spark, tmp).collect()
+    assert(before.nonEmpty)
+    val preFp = {
+      val p = operators.Forecast.dayServePath(tmp) + "_model"
+      spark.read.parquet(p).collect()(0).getLong(0)
+    }
+    // the delta lands, then folds incrementally (appendPostings ordering)
+    delta.write.mode("append").parquet(tmp + "/lineitem.parquet")
+    val deltaFrame = delta
+      .join(broadcast(Tables.part(spark, sf)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        datediff(col("l_shipdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("x"),
+        col("l_extendedprice").as("y"))
+    operators.Forecast.appendDayStats(spark, tmp, deltaFrame, Some(preFp))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    // the merged generation serves WITHOUT rebuilding (fingerprint is
+    // post-delta), bit-identical to the full-corpus fit
+    val stamp = Option(new java.io.File(operators.Forecast.dayServePath(tmp)).listFiles)
+      .get.map(f => f.getName -> f.lastModified).toMap
+    assert(rows(operators.Forecast.forecastLinear(spark, tmp)) ==
+      rows(operators.Forecast.forecastLinearScratch(spark, tmp)),
+      "appended day state diverged from the union fit")
+    assert(rows(operators.Forecast.seasonalForecast(spark, tmp)) ==
+      rows(operators.Forecast.seasonalForecastScratch(spark, tmp)))
+    assert(Option(new java.io.File(operators.Forecast.dayServePath(tmp)).listFiles)
+      .get.map(f => f.getName -> f.lastModified).toMap == stamp,
+      "serve after append rebuilt the generation instead of reusing it")
+    // a stale generation must refuse the append
+    val bad = intercept[IllegalArgumentException] {
+      operators.Forecast.appendDayStats(spark, tmp, deltaFrame, Some(preFp))
+    }
+    assert(bad.getMessage.contains("different corpus state"))
+  }
+
   test("funnel family: store-served results equal the from-scratch frames") {
     val base = Tables.events(spark, sf).selectExpr(
       "user_id", "event_id", "event_type",
