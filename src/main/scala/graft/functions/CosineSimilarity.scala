@@ -152,6 +152,7 @@ object GraftFunctions {
   val TopKMeanName = "graft_topk_mean"
   val TopKTermName = "graft_topk_term"
   val WordCountsName = "graft_word_counts"
+  val CoverageName = "graft_coverage"
   val BpeCountName = "graft_bpe_count"
   val RepStatsName = "graft_rep_stats"
   val Md5BucketName = "graft_md5_bucket"
@@ -256,6 +257,11 @@ object GraftFunctions {
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       WordCountsName,
       (exprs: Seq[Expression]) => WordCounts(exprs.head),
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      CoverageName,
+      (exprs: Seq[Expression]) =>
+        CoverageIntervals(exprs.head, TopKCollect.kLiteral(CoverageName, exprs(1))),
       "built-in")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       BpeCountName,

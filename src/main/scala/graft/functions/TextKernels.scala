@@ -710,3 +710,71 @@ case class WordCounts(child: Expression) extends TextKernelExpr {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Merge sorted k-wide coverage windows into disjoint intervals — one
+  * linear pass, primitive arrays ([[CoverageIntervals]]'s core). Input:
+  * ascending window START positions; each start s covers [s, s+w-1];
+  * overlapping/adjacent windows coalesce. The higher-order aggregate()
+  * formulation of this merge copies the accumulator array per element
+  * (quadratic in starts — ruinous exactly on the all-shared corpora the
+  * excision operator exists for). */
+object CoverageKernel {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  val schema: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("lo",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("hi",
+        org.apache.spark.sql.types.IntegerType, nullable = false))),
+    containsNull = false)
+
+  def compute(starts: ArrayData, w: Int): GenericArrayData = {
+    val n = starts.numElements()
+    val los = new Array[Int](n)
+    val his = new Array[Int](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      val s = starts.getInt(i)
+      if (m > 0 && s <= his(m - 1) + 1) {
+        val hi = s + w - 1
+        if (hi > his(m - 1)) his(m - 1) = hi
+      } else {
+        los(m) = s; his(m) = s + w - 1; m += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](m)
+    i = 0
+    while (i < m) {
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(los(i), his(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** graft_coverage(starts, w): ARRAY<STRUCT<lo int, hi int>> of merged
+  * disjoint coverage intervals (see [[CoverageKernel]]). `starts` must
+  * be ascending (the operator sorts at aggregation). */
+case class CoverageIntervals(child: Expression, width: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.IntegerType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<int>, got ${other.sql}")
+  }
+  override def dataType: DataType = CoverageKernel.schema
+  override def prettyName: String = "graft_coverage"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CoverageKernel.compute(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CoverageKernel.compute($c, $width)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -522,6 +522,7 @@ object Dedup {
     * run-collapsing). The hash oracle gates the rebuilt STRINGS, so a
     * tokenizer or coverage drift fails parity loudly. */
   def dedupExcise(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val grams = docs
       .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("w"))
       .filter(size(col("w")) >= ShingleN)
@@ -543,11 +544,22 @@ object Dedup {
       .select(col("doc_id"),
         TextAnalysis.wsTokens(col("text")).as("w"),
         coalesce(col("starts"), array().cast(ArrayType(IntegerType))).as("starts"))
+      // coverage-interval merge BEFORE the per-token test: the sorted
+      // starts fold into disjoint [lo, hi] spans (adjacent/overlapping
+      // windows coalesce — one linear codegen kernel pass,
+      // [[graft.functions.CoverageKernel]]), so the filter below is
+      // O(tokens x intervals) — on the adversarial all-shared corpus
+      // (every gram duplicated) the intervals collapse to ONE and
+      // excision stays linear, where testing raw starts per token
+      // would be quadratic per doc
+      .withColumn("iv", call_function(
+        graft.functions.GraftFunctions.CoverageName,
+        col("starts"), lit(ShingleN)))
       .select(
         col("doc_id"),
         size(col("w")).as("n_tokens"),
-        expr(s"filter(w, (t, i) -> NOT exists(starts, " +
-          s"s -> i + 1 >= s AND i + 1 <= s + ${ShingleN - 1}))").as("kept"))
+        expr("filter(w, (t, i) -> NOT exists(iv, " +
+          "v -> i + 1 >= v.lo AND i + 1 <= v.hi))").as("kept"))
       .select(
         col("doc_id"),
         col("n_tokens").cast(LongType).as("n_tokens"),

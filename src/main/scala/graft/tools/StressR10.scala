@@ -50,6 +50,20 @@ object StressR10 {
     val users = e10.select("user_id").distinct().count()
     assert(stamps.count() == users, "stamps cardinality != users")
 
+    // ---- span excision at 10x with EVERYTHING shared (each doc has 9
+    // exact dups, so every gram is cross-document and every position
+    // excises — the interval-merge worst case must stay linear)
+    val docs0 = Tables.documents(spark, dir)
+    val docs10 = (0 until 10)
+      .map(i => docs0.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionAll _).localCheckpoint()
+    time("dedup_excise_10x") {
+      val r = Dedup.dedupExcise(docs10)
+        .agg(sum(col("n_kept")).as("kept"), count(lit(1)).as("n")).collect()(0)
+      assert(r.getLong(0) == 0L, s"all-shared corpus kept ${r.getLong(0)} tokens")
+      r.getLong(1)
+    }
+
     // ---- mosaic: 10x media plus a 500-video boilerplate hub
     val media0 = Multimodal.transcode(spark,
       Multimodal.fromDocuments(Tables.documents(spark, dir))).toDF()
