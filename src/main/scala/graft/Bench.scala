@@ -35,6 +35,91 @@ object Bench {
     else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
+  /** Hard budget for the one parseable stdout line: the driver captures a
+    * bounded tail; r4/r5 showed ~1900 chars clips, so 1750 leaves margin. */
+  private[graft] val CompactBudget = 1750
+
+  // Locale.ROOT everywhere: the default-locale format would emit decimal
+  // COMMAS on a comma-decimal host locale — invalid JSON on the one line
+  // that must stay parseable.
+  private def fj(x: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, x)
+  private def f3(x: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, x)
+  private def f2(x: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, x)
+  private def f1(x: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, x)
+  // compact-line values drop cosmetic trailing zeros ("0.30" -> "0.3",
+  // "1.00" -> "1") — identical numbers, ~40 fewer chars at 80 queries
+  private def trim0(s: String): String =
+    if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
+
+  /** Deterministic per-token key abbreviation — the "shorten query keys"
+    * lever the r8/r9 size guards named, pulled before it is needed this
+    * time (r10's guard `sys.error`'d at 89 queries AFTER the measurement
+    * loop, discarding every sample — BENCH_r10.json rc=1). Per underscore
+    * token: ≤4-char tokens pass through; longer tokens keep their first
+    * char plus following consonants, capped at 4 chars. Collisions get a
+    * numeric suffix (none at the current query set — BenchLineSpec
+    * asserts). bench_out.json always carries the full-name map
+    * (`compact_keys`) and BASELINE.md's appendix mirrors it. */
+  private[graft] def abbrevKeys(names: Seq[String]): Map[String, String] = {
+    def ab(n: String): String = n.stripPrefix("q_").split('_').map { t =>
+      if (t.length <= 4) t
+      else (t.take(1) + t.drop(1).filterNot("aeiou".contains(_))).take(4)
+    }.mkString("_")
+    val used = scala.collection.mutable.HashSet.empty[String]
+    names.map { n =>
+      var k = ab(n)
+      var i = 2
+      while (!used.add(k)) { k = ab(n) + i; i += 1 }
+      n -> k
+    }.toMap
+  }
+
+  /** Fit the compact stdout line inside [[CompactBudget]]. TOTAL — every
+    * rung degrades further and the final fallback always fits, so the
+    * reporting step can never again crash the bench after measurement
+    * (the r10 failure mode; bench_out.json is additionally written BEFORE
+    * this runs). Rungs: full prefixless keys at 10 ms then 100 ms value
+    * precision; abbreviated keys at 10 ms then 100 ms; abbreviated keys
+    * with the per-query map dropped (total + failed counts only); a
+    * minimal total-only line. Full 0.1 ms precision and full names always
+    * persist in bench_out.json. Returns (line, usedAbbrevKeys). */
+  private[graft] def compactLine(results: Seq[(String, Double)],
+      errCounts: collection.Map[String, Int], sfName: String): (String, Boolean) = {
+    val abbrev = abbrevKeys(results.map(_._1))
+    val strip = (k: String) => k.stripPrefix("q_")
+    def line(keyOf: String => String, fmt: Double => String,
+        withQueries: Boolean, withFailed: Boolean): String = {
+      val qs =
+        if (withQueries)
+          results.map { case (k, med) => "\"" + keyOf(k) + "\":" + trim0(fmt(med)) }
+            .mkString("{", ",", "}")
+        else "{}"
+      // transient failures stay VISIBLE in the one line the driver's
+      // bounded capture sees (the r8 lesson): a query that failed some
+      // rounds but kept a median gets a failed-round count here; a query
+      // with zero successes is already the unmistakable -1
+      val failed =
+        if (errCounts.isEmpty || !withFailed) ""
+        else errCounts.map { case (k, n) => "\"" + keyOf(k) + "\":" + n }
+          .mkString(""","failed_rounds":{""", ",", "}")
+      // with the map present, value is the sum of the line's own rounded
+      // medians so sum(queries) reconciles EXACTLY inside the document;
+      // without it, the true-median sum
+      val total =
+        if (withQueries) f3(results.map(r => fmt(r._2).toDouble).sum)
+        else f3(results.map(_._2).sum)
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failed,"sf":"$sfName"}"""
+    }
+    val ladder: Seq[(String, Boolean)] = Seq(
+      (line(strip, f2, true, true), false),
+      (line(strip, f1, true, true), false),
+      (line(abbrev, f2, true, true), true),
+      (line(abbrev, f1, true, true), true),
+      (line(abbrev, f1, withQueries = false, withFailed = true), true),
+      (line(strip, f1, withQueries = false, withFailed = false), false))
+    ladder.find(_._1.length <= CompactBudget).getOrElse(ladder.last)
+  }
+
   def main(args: Array[String]): Unit = {
     val mainStart = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -140,52 +225,20 @@ object Bench {
     if (roundsRun < iters) System.err.println(
       s"[bench] wall budget ${budgetSec}s reached after $roundsRun of $iters rounds")
     errors.foreach { case (n, m) => System.err.println(s"[bench] $n FAILED: $m") }
-    // Locale.ROOT because the default-locale format would emit decimal
-    // COMMAS on a comma-decimal host locale — invalid JSON on the one
-    // line that must stay parseable. The COMPACT line's per-query values
-    // use 10ms precision: the 1ms form crossed the 1900-char guard at 76
-    // queries (r8), and run-to-run spread is an order of magnitude above
-    // 10ms anyway — full 0.1ms precision persists in bench_out.json.
-    def f(x: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, x)
-    def f3(x: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, x)
-    def f2(x: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, x)
-    // compact-line values drop cosmetic trailing zeros ("0.30" -> "0.3",
-    // "1.00" -> "1") — identical numbers, ~40 fewer chars at 80 queries
-    def trim0(s: String): String =
-      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
-    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + f(med) }
+    // The full artifact uses full query names and 0.1 ms precision; the
+    // COMPACT line's per-query values use 10 ms precision while the line
+    // fits (run-to-run spread is an order of magnitude above 10 ms).
+    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + fj(med) }
       .mkString("{", ",", "}")
-    // compact keys drop the uniform "q_" prefix (the r8-documented lever:
-    // 82 queries crossed the 1900-char guard at r9) — BASELINE.md keys
-    // are renamed to match; bench_out.json keeps the full names
-    def qsAt(fmt: Double => String) = results.map { case (k, med, _, _) =>
-      "\"" + k.stripPrefix("q_") + "\":" + trim0(fmt(med))
-    }.mkString("{", ",", "}")
     val spread = results
-      .map { case (k, _, mn, mx) => "\"" + k + "\":[" + f(mn) + "," + f(mx) + "]" }
+      .map { case (k, _, mn, mx) => "\"" + k + "\":[" + fj(mn) + "," + fj(mx) + "]" }
       .mkString("{", ",", "}")
-    def f1(x: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, x)
-    // ADAPTIVE precision: 10ms values while the line fits the driver's
-    // bounded tail capture, 100ms when operator growth crosses the
-    // budget — the line always stays parseable instead of failing or
-    // clipping (full 0.1ms precision persists in bench_out.json)
-    val fit = Seq[Double => String](f2, f1).map(fmt => (fmt, qsAt(fmt)))
-      .find(_._2.length <= 1750)
-    val (fmtC, qs3) = fit.getOrElse(sys.error(
-      s"compact bench line ${qsAt(f1).length} chars even at one decimal — " +
-        "about to outgrow the driver's tail capture; next lever: shorten " +
-        "query keys"))
-    // the compact line's total is the sum of its own rounded medians,
-    // so sum(queries) reconciles with value EXACTLY inside that document;
-    // the full file's value is the true-median sum rounded to 4 decimals
-    // (reconciles with its queries to within nq * 0.5e-4)
-    val total3 = f3(results.map(r => fmtC(r._2).toDouble).sum)
-    val total = f(results.map(_._2).sum)
+    val total = fj(results.map(_._2).sum)
     // the compact line carries only what the driver's contract names
     // (metric/value/unit/queries/sf — sf as the directory's basename);
-    // iteration count and spread live in bench_out.json
+    // iteration count, spread and the compact-key map live in bench_out.json
     val sfName = new java.io.File(sfDir).getName
-    val warmJson = names.map(n => "\"" + n + "\":" + f(warmTarget.getOrElse(n, 0.0)))
+    val warmJson = names.map(n => "\"" + n + "\":" + fj(warmTarget.getOrElse(n, 0.0)))
       .mkString("{", ",", "}")
     val errJson = errors
       .map { case (k, v) =>
@@ -202,27 +255,32 @@ object Bench {
         "\"" + k + "\":\"" + esc + "\""
       }
       .mkString("{", ",", "}")
-    // transient failures stay VISIBLE in the one line the driver's
-    // bounded capture sees (the r8 lesson): a query that failed some
-    // rounds but kept a median gets a failed-round count here; a query
-    // with zero successes is already the unmistakable -1
-    val failedJson =
-      if (errCounts.isEmpty) ""
-      else errCounts
-        .map { case (k, n) => "\"" + k.stripPrefix("q_") + "\":" + n }
-        .mkString(""","failed_rounds":{""", ",", "}")
-    val compact = s"""{"metric":"total","value":$total3,"unit":"sec","queries":$qs3$failedJson,"sf":"$sfName"}"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"warm_target_sec":$warmJson,"errors":$errJson,"iters":$roundsRun,"sf":"$sfDir"}"""
+    // the full-name → compact-key map rides in the artifact UNCONDITIONALLY
+    // so the mapping is recoverable whichever ladder rung the line used
+    val keyMapJson = abbrevKeys(names)
+      .toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"warm_target_sec":$warmJson,"errors":$errJson,"iters":$roundsRun,"compact_keys":$keyMapJson,"sf":"$sfDir"}"""
     spark.stop()
-    // full JSON (with spread) goes to a file; the process's last stdout
-    // line is the COMPACT medians-only form (after spark.stop(), so no
-    // executor/log4j output can interleave with it). The driver captures
-    // a bounded stdout tail — r4/r5's spread-bearing line overflowed it
-    // and clipped mid-line, nulling the driver's parse.
+    // full JSON (with spread) goes to a file FIRST — r10's compact-line
+    // size guard sys.error'd after the measurement loop and before this
+    // write, discarding every sample; measurements must survive any
+    // reporting failure, so the artifact lands before the line is fitted.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath), full.getBytes("UTF-8"))
     catch { case _: java.io.IOException => () }
+    // the process's last stdout line is the COMPACT medians-only form
+    // (after spark.stop(), so no executor/log4j output can interleave
+    // with it). The driver captures a bounded stdout tail — r4/r5's
+    // spread-bearing line overflowed it and clipped mid-line, nulling
+    // the driver's parse; compactLine is total and always fits.
+    val (compact, usedAbbrev) = compactLine(
+      results.map(r => (r._1, r._2)), errCounts, sfName)
+    if (usedAbbrev) System.err.println(
+      "[bench] compact line uses abbreviated keys (map: bench_out.json " +
+        "compact_keys; BASELINE.md appendix)")
     println(compact)
     System.out.flush()
   }

@@ -153,6 +153,7 @@ object GraftFunctions {
   val TopKTermName = "graft_topk_term"
   val WordCountsName = "graft_word_counts"
   val CoverageName = "graft_coverage"
+  val ExciseName = "graft_excise"
   val BpeCountName = "graft_bpe_count"
   val RepStatsName = "graft_rep_stats"
   val Md5BucketName = "graft_md5_bucket"
@@ -262,6 +263,11 @@ object GraftFunctions {
       CoverageName,
       (exprs: Seq[Expression]) =>
         CoverageIntervals(exprs.head, TopKCollect.kLiteral(CoverageName, exprs(1))),
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      ExciseName,
+      (exprs: Seq[Expression]) =>
+        ExciseTokens(exprs.head, exprs(1), TopKCollect.kLiteral(ExciseName, exprs(2))),
       "built-in")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       BpeCountName,

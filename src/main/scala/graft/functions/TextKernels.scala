@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -753,6 +753,94 @@ object CoverageKernel {
     }
     new GenericArrayData(out)
   }
+}
+
+/** Whole-document span excision in one pass — the fused form of
+  * coverage-merge + per-token membership test + token rejoin that
+  * `q_dedup_excise` previously ran as [[CoverageKernel]] followed by an
+  * interpreted `filter(w, (t,i) -> NOT exists(iv, ...))` HOF. That HOF
+  * was O(tokens × intervals) with a per-token interpreted lambda: fine
+  * while the interval merge kept `iv` tiny, quadratic per doc on an
+  * adversarial alternating-duplication corpus (O(n/2) disjoint
+  * intervals). Here token positions AND window starts are both
+  * ascending, so one two-pointer walk decides every token in
+  * O(tokens + starts) — no interval array is even materialized, and the
+  * whole row evaluates as a single static codegen call.
+  *
+  * Contract (must stay bit-equal to the HOF form — ExciseSpec pins it):
+  * `starts` ascending 1-based window starts, each covering
+  * [s, s+width-1]; a token at 1-based position p survives iff no window
+  * covers p; output struct carries the survivor count and the
+  * single-space rejoin of survivors. */
+object ExciseKernel {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  val schema: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_kept",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("clean_text",
+      StringType, nullable = false)))
+
+  private val Space = UTF8String.fromString(" ")
+
+  def compute(w: ArrayData, starts: ArrayData, width: Int)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val n = w.numElements()
+    val ns = starts.numElements()
+    val kept = new Array[UTF8String](n)
+    var k = 0
+    var si = 0
+    var hi = 0 // rightmost covered position so far (1-based; 0 = none)
+    var p = 1
+    while (p <= n) {
+      // absorb every window starting at or before p; ascending starts
+      // make the running max end a complete coverage test for p
+      while (si < ns && starts.getInt(si) <= p) {
+        val e = starts.getInt(si) + width - 1
+        if (e > hi) hi = e
+        si += 1
+      }
+      if (p > hi) { kept(k) = w.getUTF8String(p - 1); k += 1 }
+      p += 1
+    }
+    val clean =
+      if (k == 0) UTF8String.EMPTY_UTF8
+      else if (k == n) UTF8String.concatWs(Space,
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(kept): _*)
+      else UTF8String.concatWs(Space,
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          java.util.Arrays.copyOf(kept, k)): _*)
+    org.apache.spark.sql.catalyst.InternalRow(k, clean)
+  }
+}
+
+/** graft_excise(w, starts, width): STRUCT<n_kept int, clean_text string>
+  * — see [[ExciseKernel]]. `w` is the token array, `starts` the
+  * ascending flagged window starts, `width` an INT literal. */
+case class ExciseTokens(left: Expression, right: Expression, width: Int)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(org.apache.spark.sql.types.IntegerType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<string>, array<int>), got (${l.sql}, ${r.sql})")
+  }
+  override def dataType: DataType = ExciseKernel.schema
+  override def prettyName: String = "graft_excise"
+
+  override protected def nullSafeEval(w: Any, starts: Any): Any =
+    ExciseKernel.compute(
+      w.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      starts.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ExciseKernel.compute($a, $b, $width)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** graft_coverage(starts, w): ARRAY<STRUCT<lo int, hi int>> of merged

@@ -514,13 +514,15 @@ object Dedup {
     * [[dupSpans]]'s (df filtered to nd > 1 BEFORE any attach, so the
     * join side is the small shared set). The flagged gram STARTS then
     * aggregate per doc into one (usually sparse) array, attach to the
-    * documents scan by a doc-keyed join, and excision is ONE
-    * higher-order filter over the token array — coverage tested
-    * against the start array per token, no token-stream explode, no
-    * per-position rows. Reconstruction joins surviving tokens with a
-    * single space (whitespace normalizes — the tokenization is already
-    * run-collapsing). The hash oracle gates the rebuilt STRINGS, so a
-    * tokenizer or coverage drift fails parity loudly. */
+    * documents scan by a doc-keyed join, and excision is ONE codegen
+    * kernel call per doc ([[graft.functions.ExciseKernel]]): a
+    * two-pointer walk over the ascending token positions and window
+    * starts decides every token and rejoins survivors with a single
+    * space in O(tokens + starts) — no token-stream explode, no
+    * per-position rows, no interpreted per-token lambda (whitespace
+    * normalizes — the tokenization is already run-collapsing). The
+    * hash oracle gates the rebuilt STRINGS, so a tokenizer or coverage
+    * drift fails parity loudly. */
   def dedupExcise(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val grams = docs
@@ -544,27 +546,22 @@ object Dedup {
       .select(col("doc_id"),
         TextAnalysis.wsTokens(col("text")).as("w"),
         coalesce(col("starts"), array().cast(ArrayType(IntegerType))).as("starts"))
-      // coverage-interval merge BEFORE the per-token test: the sorted
-      // starts fold into disjoint [lo, hi] spans (adjacent/overlapping
-      // windows coalesce — one linear codegen kernel pass,
-      // [[graft.functions.CoverageKernel]]), so the filter below is
-      // O(tokens x intervals) — on the adversarial all-shared corpus
-      // (every gram duplicated) the intervals collapse to ONE and
-      // excision stays linear, where testing raw starts per token
-      // would be quadratic per doc
-      .withColumn("iv", call_function(
-        graft.functions.GraftFunctions.CoverageName,
-        col("starts"), lit(ShingleN)))
+      // the whole excision — coverage merge, per-token membership test,
+      // survivor rejoin — is ONE codegen kernel call
+      // ([[graft.functions.ExciseKernel]]): token positions and window
+      // starts are both ascending, so a two-pointer walk decides every
+      // token in O(tokens + starts). The r10 form (graft_coverage
+      // intervals + an interpreted filter/exists HOF) was
+      // O(tokens × intervals) per doc — quadratic on an adversarial
+      // alternating-duplication corpus, and interpreted per token.
+      .withColumn("ex", call_function(
+        graft.functions.GraftFunctions.ExciseName,
+        col("w"), col("starts"), lit(ShingleN)))
       .select(
         col("doc_id"),
-        size(col("w")).as("n_tokens"),
-        expr("filter(w, (t, i) -> NOT exists(iv, " +
-          "v -> i + 1 >= v.lo AND i + 1 <= v.hi))").as("kept"))
-      .select(
-        col("doc_id"),
-        col("n_tokens").cast(LongType).as("n_tokens"),
-        size(col("kept")).cast(LongType).as("n_kept"),
-        array_join(col("kept"), " ").as("clean_text"))
+        size(col("w")).cast(LongType).as("n_tokens"),
+        col("ex.n_kept").cast(LongType).as("n_kept"),
+        col("ex.clean_text").as("clean_text"))
   }
 
   def dedupExcise(spark: SparkSession, dir: String): DataFrame =

@@ -37,7 +37,12 @@ object BenchPipe {
           try {
             val t0 = System.nanoTime()
             SparkEntry.queries(name)(spark, dir).count()
-            println(f"[pipe] TIME $name ${(System.nanoTime() - t0) / 1e9}%.4f")
+            // Locale.ROOT: the f-interpolator is locale-sensitive, and a
+            // comma-decimal host locale would break the Python driver's
+            // float() parse of this field (ADVICE r10)
+            val secs = "%.4f".formatLocal(
+              java.util.Locale.ROOT, (System.nanoTime() - t0) / 1e9)
+            println(s"[pipe] TIME $name $secs")
           } catch { case e: Throwable => println(s"[pipe] TIME $name ERROR ${e.getClass.getName}") }
         case other =>
           println(s"[pipe] UNKNOWN ${other.mkString(" ")}")

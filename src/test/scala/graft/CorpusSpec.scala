@@ -1591,6 +1591,29 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(real.exists { case (n, k) => k < n }, "no spans excised on real data")
   }
 
+  test("dedup excise: alternating-duplication worst case stays linear and exact") {
+    // The pathological shape the r10 HOF form was quadratic on: every
+    // shared 5-gram separated by ONE unique token, so coverage collapses
+    // to nothing — M DISJOINT intervals over 6M tokens. The fused
+    // two-pointer kernel decides each token in O(1) amortized; this spec
+    // pins exactness on that shape (timing is bounded by the stress
+    // tool, not a flaky wall-clock assert here).
+    import spark.implicits._
+    val m = 400
+    def doc(tag: String): String = (0 until m).map { i =>
+      s"p${i}a p${i}b p${i}c p${i}d p${i}e u$i$tag"
+    }.mkString(" ")
+    val docs = Seq((1L, doc("x")), (2L, doc("y"))).toDF("doc_id", "text")
+    val res = operators.Dedup.dedupExcise(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // every shared 5-gram is excised; only the per-doc unique separators
+    // survive, in order — the straddling grams contain a unique token and
+    // never flag, so interval count is exactly m (disjoint)
+    assert(res(1L)._1 == 6L * m && res(1L)._2 == m.toLong)
+    assert(res(1L)._3 == (0 until m).map(i => s"u${i}x").mkString(" "))
+    assert(res(2L)._3 == (0 until m).map(i => s"u${i}y").mkString(" "))
+  }
+
   test("lm score: store-served equals from-scratch counts on real data") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq.mkString("|")).sorted.toSeq

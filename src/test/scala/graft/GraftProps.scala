@@ -434,4 +434,37 @@ object GraftProps extends Properties("graft") {
         got == want
       }
     }
+
+  property("excise kernel matches the coverage+filter formulation on any starts") =
+    forAll(
+      Gen.chooseNum(0, 40).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd")).flatMap(toks =>
+          // starts may exceed the token count or duplicate — the kernel
+          // must agree with the HOF form on degenerate inputs too
+          Gen.listOf(Gen.chooseNum(1, 45)).map(ss => (toks, ss.sorted)))),
+      Gen.chooseNum(1, 6)) { case ((toks, starts), width) =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      graft.functions.GraftFunctions.ensureRegistered(spark)
+      val df = Seq((toks, starts)).toDF("w", "starts")
+        .select(col("w"),
+          col("starts").cast(org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.IntegerType, containsNull = false))
+            .as("starts"))
+      val kernel = df.select(call_function(
+          graft.functions.GraftFunctions.ExciseName,
+          col("w"), col("starts"), lit(width)).as("ex"))
+        .select(col("ex.n_kept"), col("ex.clean_text"))
+        .collect().head
+      // the r10 formulation this kernel replaced: merged coverage
+      // intervals + a per-token filter/exists HOF + array_join
+      val ref = df.withColumn("iv", call_function(
+          graft.functions.GraftFunctions.CoverageName,
+          col("starts"), lit(width)))
+        .select(expr("filter(w, (t, i) -> NOT exists(iv, " +
+          "v -> i + 1 >= v.lo AND i + 1 <= v.hi))").as("kept"))
+        .select(size(col("kept")), array_join(col("kept"), " "))
+        .collect().head
+      (kernel.getInt(0), kernel.getString(1)) == (ref.getInt(0), ref.getString(1))
+    }
 }
