@@ -222,12 +222,12 @@ object AsOf {
     val path = enrichServePath(dir)
     val fp = Similarity.corpusFingerprint(spark, dir, "orders.parquet") * 31 +
       Similarity.corpusFingerprint(spark, dir, "customer.parquet")
-    ServingStore.ensure(spark, "enrichment-resolved", path, fp) {
+    ServingStore.ensure(spark, "enrichment-resolved", path, fp) { gen =>
       Tables.invalidate(spark, dir, "orders")
       Tables.invalidate(spark, dir, "customer")
       resolveEnrichment(enrichmentLog(enrichFacts(spark, dir)), "nation", "t", "v")
         .withColumnRenamed("v", "rate")
-        .coalesce(1).write.mode("overwrite").parquet(path)
+        .coalesce(1).write.mode("overwrite").parquet(gen)
     }
   }
 

@@ -423,11 +423,25 @@ object Curation {
       .localCheckpoint(eager = false)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    // The checkpointed tf side hides its stats from AQE, which then
+    // plans a two-sided term exchange for this join — but an
+    // UNCONDITIONAL broadcast hint is unbounded (r10 ADVICE): vocabulary
+    // scales with the corpus, not the dims, and 1e8+ distinct terms
+    // would blow the driver. Gate on the MEASURED vocabulary count
+    // (this count materializes the shared tf checkpoint and its df
+    // aggregate, both reused by the scoring join below, so it costs one
+    // vocab-sized job — not a second corpus scan) against the session's
+    // own broadcast threshold; oversized vocabularies degrade to the
+    // shuffled term join, which is the correct 100 TB shape anyway.
+    val conf = d.sparkSession.sessionState.conf
+    val perRowBytes = 48L // term string + two longs + row overhead
+    val dfSide =
+      if (conf.autoBroadcastJoinThreshold > 0 &&
+          df.count() * perRowBytes <= conf.autoBroadcastJoinThreshold)
+        broadcast(df)
+      else df
     val scored = tf
-      // explicit broadcast: df is vocab-sized by construction, but the
-      // checkpointed tf side hides its stats from AQE, which then plans
-      // a two-sided term exchange for the join
-      .join(broadcast(df), Seq("term"))
+      .join(dfSide, Seq("term"))
       .crossJoin(broadcast(nDocs))
       // each factor cast to double BEFORE the product: tf x n_docs as
       // int64 overflows at warehouse scale (1e8 x 1e11), and ANSI mode

@@ -186,10 +186,10 @@ object Events {
   private[graft] def ensureStamps(spark: SparkSession, dir: String): DataFrame = {
     val path = stampsServePath(dir)
     val fp = Similarity.corpusFingerprint(spark, dir, "events.parquet")
-    ServingStore.ensure(spark, "funnel-stamps", path, fp) {
+    ServingStore.ensure(spark, "funnel-stamps", path, fp) { gen =>
       Tables.invalidate(spark, dir, "events")
       funnelStamps(eventsBase(spark, dir))
-        .write.mode("overwrite").parquet(path)
+        .write.mode("overwrite").parquet(gen)
     }
   }
 

@@ -51,11 +51,18 @@ object Forecast {
     * Decimal sums regroup associatively, so every downstream double is
     * cast from the SAME exact total a fact scan aggregates — serves are
     * bit-identical to from-scratch fits (spec-pinned per query). */
+  /** The forecast family's corpus fingerprint for `dir` as it stands NOW
+    * (pure file metadata — no table-cache effects). Capture this BEFORE
+    * landing a fact delta and pass it to [[appendDayStats]] as the
+    * mandatory staleness proof. */
+  def dayStatsFingerprint(spark: SparkSession, dir: String): Long =
+    Similarity.corpusFingerprint(spark, dir, "lineitem.parquet") * 31 +
+      Similarity.corpusFingerprint(spark, dir, "part.parquet")
+
   private[graft] def ensureDayStats(spark: SparkSession, dir: String): DataFrame = {
     val path = dayServePath(dir)
-    val fp = Similarity.corpusFingerprint(spark, dir, "lineitem.parquet") * 31 +
-      Similarity.corpusFingerprint(spark, dir, "part.parquet")
-    ServingStore.ensure(spark, "forecast-days", path, fp) {
+    val fp = dayStatsFingerprint(spark, dir)
+    ServingStore.ensure(spark, "forecast-days", path, fp) { gen =>
       Tables.invalidate(spark, dir, "lineitem")
       Tables.invalidate(spark, dir, "part")
       dailyBase(spark, dir)
@@ -64,7 +71,7 @@ object Forecast {
           cnt.as("n_x"),
           sum(dec2(col("y"))).as("syx_dec"),
           sum(dec2(col("y")) * dec2(col("y"))).as("syyx_dec"))
-        .write.mode("overwrite").parquet(path)
+        .write.mode("overwrite").parquet(gen)
     }
   }
 
@@ -78,18 +85,21 @@ object Forecast {
     * oracle parity.
     *
     * Call AFTER the delta files land in `dir`, passing exactly the
-    * newly-landed rows as a (brand, x: day index, y: price) frame; pass
-    * `expectedFp` (the fingerprint captured BEFORE the delta landed) to
-    * prove the generation matches the pre-delta corpus — a stale
-    * generation must take the rebuild path, not absorb a delta and get
-    * re-stamped fresh. Crash safety follows from that ordering: the
+    * newly-landed rows as a (brand, x: day index, y: price) frame and
+    * `expectedFp`, the fingerprint captured BEFORE the delta landed
+    * ([[dayStatsFingerprint]]). The proof is MANDATORY (r10 ADVICE: an
+    * optional proof let a delta merge into a generation built for a
+    * DIFFERENT corpus and then stamp the result fresh — a wrong state
+    * served indefinitely): a stale generation must take the rebuild
+    * path, not absorb a delta and get re-stamped. Crash safety follows
+    * from the write ordering: the
     * sidecar advances to the POST-delta fingerprint only after the
     * merged write commits, and until then the landed delta keeps the
     * stored fingerprint stale, so a crash anywhere in between leaves
     * [[ensureDayStats]] rebuilding from scratch — never serving a
     * half-merged state. */
   def appendDayStats(spark: SparkSession, dir: String, delta: DataFrame,
-      expectedFp: Option[Long] = None): Unit = {
+      expectedFp: Long): Unit = {
     val path = dayServePath(dir)
     val fpPath = path + "_model"
     val storedFp =
@@ -100,30 +110,35 @@ object Forecast {
             s"day-state sidecar at $fpPath unreadable — run ensureDayStats " +
               "(full rebuild) instead of appending into an unproven generation", e)
       }
-    expectedFp.foreach(f => require(storedFp == f,
+    require(storedFp == expectedFp,
       s"day state at $path was built for a different corpus state " +
-        s"(stored fp $storedFp != pre-delta fp $f): rebuild with ensureDayStats"))
+        s"(stored fp $storedFp != pre-delta fp $expectedFp): rebuild with ensureDayStats")
     val add = delta
       .groupBy(col("brand"), col("x"))
       .agg(
         cnt.as("n_x"),
         sum(dec2(col("y"))).as("syx_dec"),
         sum(dec2(col("y")) * dec2(col("y"))).as("syyx_dec"))
-    val prev = spark.read.parquet(path)
+    val prevGen = ServingStore.generationPath(path, storedFp)
+    val prev = spark.read.parquet(prevGen)
     val merged = prev.unionByName(add)
       .groupBy(col("brand"), col("x"))
       .agg(
         sum(col("n_x")).as("n_x"),
         sum(col("syx_dec")).cast(prev.schema("syx_dec").dataType).as("syx_dec"),
         sum(col("syyx_dec")).cast(prev.schema("syyx_dec").dataType).as("syyx_dec"))
-    // sever from the files about to be overwritten
-    merged.localCheckpoint().write.mode("overwrite").parquet(path)
     Tables.invalidate(spark, dir, "lineitem")
     Tables.invalidate(spark, dir, "part")
-    val postFp = Similarity.corpusFingerprint(spark, dir, "lineitem.parquet") * 31 +
-      Similarity.corpusFingerprint(spark, dir, "part.parquet")
+    val postFp = dayStatsFingerprint(spark, dir)
+    // the merge WRITES A NEW GENERATION (reading the previous one, which
+    // stays intact for any live reader) — no in-place overwrite, so no
+    // self-read hazard and no checkpoint barrier needed
+    merged.write.mode("overwrite")
+      .parquet(ServingStore.generationPath(path, postFp))
     spark.range(1).select(lit(postFp).as("fp"))
       .coalesce(1).write.mode("overwrite").parquet(fpPath)
+    ServingStore.prune(path,
+      keep = Set(ServingStore.generationPath(path, postFp), prevGen))
   }
 
   /** The daily-grain fact projection the state aggregates. */

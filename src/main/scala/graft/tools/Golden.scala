@@ -43,10 +43,21 @@ object Golden {
     "q_pack_sequences", "q_quality_classifier", "q_text_bpe",
     "q_video_mosaic", "q_winnow_fingerprint")
 
+  /** The corpus the COMMITTED pins bind: QueriesSpec's pin map was
+    * generated at exactly this scale factor and asserts it runs against
+    * the same one — regenerating pins against a different sf would
+    * otherwise silently rebind them to the wrong corpus and mask drift
+    * (r10 verdict, residual docs nit). */
+  val PinSf = "/root/testdata/sf0.001"
+
   /** Pin generator: `runMain graft.tools.Golden [sfDir]` prints the
     * committed map entries for QueriesSpec. */
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val dir = args.headOption.getOrElse(PinSf)
+    if (dir != PinSf) System.err.println(
+      s"[golden] WARNING: generating pins against $dir, but QueriesSpec " +
+        s"binds its committed pins to $PinSf — update Golden.PinSf and " +
+        "the QueriesSpec header together if the pin corpus is changing")
     val spark = graft.GraftSession.local("graft-golden")
     NoOracle.foreach { name =>
       val (n, h) = checksum(graft.SparkEntry.queries(name)(spark, dir))

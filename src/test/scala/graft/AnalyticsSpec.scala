@@ -402,7 +402,7 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
         datediff(col("l_shipdate"), lit("1995-01-01").cast("date"))
           .cast("long").as("x"),
         col("l_extendedprice").as("y"))
-    operators.Forecast.appendDayStats(spark, tmp, deltaFrame, Some(preFp))
+    operators.Forecast.appendDayStats(spark, tmp, deltaFrame, preFp)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
     // the merged generation serves WITHOUT rebuilding (fingerprint is
@@ -419,7 +419,7 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "serve after append rebuilt the generation instead of reusing it")
     // a stale generation must refuse the append
     val bad = intercept[IllegalArgumentException] {
-      operators.Forecast.appendDayStats(spark, tmp, deltaFrame, Some(preFp))
+      operators.Forecast.appendDayStats(spark, tmp, deltaFrame, preFp)
     }
     assert(bad.getMessage.contains("different corpus state"))
   }

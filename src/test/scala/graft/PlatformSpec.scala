@@ -796,6 +796,62 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("r11 serving stores: a rebuild never invalidates a live reader's generation") {
+    // the r10 ADVICE race: ensure() returned a lazy read of a path the
+    // next rebuild overwrote in place — a handed-out DataFrame could
+    // FileNotFound or read a mixed generation. Generations now land in
+    // fp-suffixed subdirectories and the previous one survives exactly
+    // one rebuild cycle.
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graftgen").toString + "/store"
+    def buildOf(rows: Seq[(Long, String)]): String => Unit =
+      gen => rows.toDF("id", "v").coalesce(1).write.mode("overwrite").parquet(gen)
+    val genA = operators.ServingStore.ensure(spark, "t", store, 1L)(
+      buildOf(Seq((1L, "a"), (2L, "a"))))
+    // corpus "changes" (fp 1 -> 2) AFTER genA was handed out but BEFORE
+    // it is consumed — the rebuild must not touch genA's files
+    val genB = operators.ServingStore.ensure(spark, "t", store, 2L)(
+      buildOf(Seq((1L, "b"))))
+    assert(genA.collect().map(_.getString(1)).toSeq == Seq("a", "a"),
+      "live reader of the previous generation broke after a rebuild")
+    assert(genB.collect().map(_.getString(1)).toSeq == Seq("b"))
+    assert(new java.io.File(
+      operators.ServingStore.generationPath(store, 1L)).isDirectory,
+      "previous generation pruned too early")
+    // one more generation: the oldest is pruned (disk bounded at two)
+    operators.ServingStore.ensure(spark, "t", store, 3L)(buildOf(Seq((1L, "c"))))
+    assert(!new java.io.File(
+      operators.ServingStore.generationPath(store, 1L)).exists,
+      "two-rebuilds-old generation not pruned")
+    assert(new java.io.File(
+      operators.ServingStore.generationPath(store, 2L)).isDirectory)
+  }
+
+  test("r11 serving stores: corpus swap between ensure and serve (stamps store)") {
+    // integration form of the race above, on a REAL store: hold the
+    // stamps frame, swap the corpus under the dir (changing the
+    // fingerprint), trigger the rebuild via a fresh serve, THEN consume
+    // the held frame — it must still read its own generation.
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graftswap").toString
+    val ev = Tables.events(spark, sf)
+    ev.filter(col("user_id") % 2 === 0).write.mode("overwrite")
+      .parquet(tmp + "/events.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val held = operators.Events.ensureStamps(spark, tmp)
+    val heldWant = rows(held) // first serve builds generation A
+    // the corpus swaps in place — same path, different content
+    Tables.invalidate(spark, tmp, "events")
+    ev.filter(col("user_id") % 2 === 1).write.mode("overwrite")
+      .parquet(tmp + "/events.parquet")
+    val fresh = operators.Events.ensureStamps(spark, tmp) // rebuild: generation B
+    assert(rows(fresh).nonEmpty && rows(fresh) != heldWant,
+      "corpus swap did not change the served stamps — bad test setup")
+    assert(rows(held) == heldWant,
+      "held pre-swap stamps frame broke or changed after the rebuild")
+  }
+
   test("enrich attach: store-served equals from-scratch resolution") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
