@@ -152,6 +152,7 @@ object GraftFunctions {
   val TopKMeanName = "graft_topk_mean"
   val TopKTermName = "graft_topk_term"
   val WordCountsName = "graft_word_counts"
+  val BigramCountsName = "graft_bigram_counts"
   val CoverageName = "graft_coverage"
   val ExciseName = "graft_excise"
   val BpeCountName = "graft_bpe_count"
@@ -258,6 +259,10 @@ object GraftFunctions {
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       WordCountsName,
       (exprs: Seq[Expression]) => WordCounts(exprs.head),
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      BigramCountsName,
+      (exprs: Seq[Expression]) => BigramCounts(exprs.head),
       "built-in")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       CoverageName,

@@ -694,6 +694,126 @@ object WordCountsKernel {
   }
 }
 
+/** Doc-local ADJACENT-BIGRAM counts — [[WordCountsKernel]]'s treatment
+  * applied to the collocation stream: the explode + corpus-scale
+  * groupBy(a, b) formulation shipped one row per token position into
+  * the bigram exchange; here each document reduces to its distinct
+  * adjacent pairs with counts inside the scan, so the exchange carries
+  * per-doc-distinct bigrams only (born reduced, like tfidf's word
+  * counts). Tokenization is the same single-pass whitespace byte scan
+  * (equal to the trim/collapse/split column form for pair purposes:
+  * non-ws runs in order, no empty tokens). */
+object BigramCountsKernel {
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  val schema: DataType = ArrayType(
+    StructType(Seq(
+      StructField("a", StringType, nullable = false),
+      StructField("b", StringType, nullable = false),
+      StructField("c", LongType, nullable = false))),
+    containsNull = false)
+
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  @inline private def hashRange(bytes: Array[Byte], from: Int, until: Int, seed: Int): Int = {
+    var h = seed
+    var i = from
+    while (i < until) { h = (h ^ (bytes(i) & 0xff)) * 0x01000193; i += 1 }
+    h
+  }
+
+  def compute(text: UTF8String): GenericArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    // open-addressing (offA,lenA,offB,lenB) -> count over the doc bytes
+    var cap = 64
+    var offsA = new Array[Int](cap); var lensA = new Array[Int](cap)
+    var offsB = new Array[Int](cap); var lensB = new Array[Int](cap)
+    var cnts = new Array[Long](cap)
+    var size = 0
+
+    def grow(): Unit = {
+      val (oa, la, ob, lb, oc, ocap) = (offsA, lensA, offsB, lensB, cnts, cap)
+      cap *= 2
+      offsA = new Array[Int](cap); lensA = new Array[Int](cap)
+      offsB = new Array[Int](cap); lensB = new Array[Int](cap)
+      cnts = new Array[Long](cap)
+      size = 0
+      var i = 0
+      while (i < ocap) {
+        if (oc(i) != 0L) add(oa(i), la(i), ob(i), lb(i), oc(i))
+        i += 1
+      }
+    }
+
+    def add(offA: Int, lenA: Int, offB: Int, lenB: Int, c: Long): Unit = {
+      if (size * 2 >= cap) grow()
+      val h = hashRange(bytes, offB, offB + lenB,
+        hashRange(bytes, offA, offA + lenA, 0x811c9dc5) * 31 + 7)
+      var i = h & (cap - 1)
+      while (cnts(i) != 0L) {
+        if (lensA(i) == lenA && lensB(i) == lenB &&
+            java.util.Arrays.equals(bytes, offA, offA + lenA,
+              bytes, offsA(i), offsA(i) + lenA) &&
+            java.util.Arrays.equals(bytes, offB, offB + lenB,
+              bytes, offsB(i), offsB(i) + lenB)) {
+          cnts(i) += c
+          return
+        }
+        i = (i + 1) & (cap - 1)
+      }
+      offsA(i) = offA; lensA(i) = lenA; offsB(i) = offB; lensB(i) = lenB
+      cnts(i) = c; size += 1
+    }
+
+    var prevOff = -1
+    var prevLen = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isWs(bytes(i))) i += 1
+      if (i > start) {
+        if (prevOff >= 0) add(prevOff, prevLen, start, i - start, 1L)
+        prevOff = start; prevLen = i - start
+      }
+    }
+
+    val out = new Array[Any](size)
+    var k = 0
+    i = 0
+    while (i < cap) {
+      if (cnts(i) != 0L) {
+        val ab = java.util.Arrays.copyOfRange(bytes, offsA(i), offsA(i) + lensA(i))
+        val bb = java.util.Arrays.copyOfRange(bytes, offsB(i), offsB(i) + lensB(i))
+        out(k) = org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromBytes(ab), UTF8String.fromBytes(bb), cnts(i))
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** graft_bigram_counts(text): ARRAY<STRUCT<a string, b string, c bigint>>
+  * of the document's distinct adjacent token pairs with counts (see
+  * [[BigramCountsKernel]]). */
+case class BigramCounts(child: Expression) extends TextKernelExpr {
+  override def dataType: DataType = BigramCountsKernel.schema
+  override def prettyName: String = "graft_bigram_counts"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BigramCountsKernel.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BigramCountsKernel.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** graft_word_counts(text): ARRAY<STRUCT<term string, tf bigint>> of the
   * document's distinct whitespace tokens with occurrence counts (see
   * [[WordCountsKernel]]). */

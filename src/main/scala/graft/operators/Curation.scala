@@ -572,9 +572,11 @@ object Curation {
     * 100 TB, count products overflow int64 (1e12 x 1e12), while the
     * double product is the same well-defined IEEE value everywhere.
     *
-    * Scale shape: one corpus-scale explode of adjacent pairs, one
-    * map-side-combined count per bigram; position counts derive from
-    * the bigram counts (vocab-sized input); the global top-k runs as
+    * Scale shape: one scan with doc-local bigram counts born reduced
+    * in the [[graft.functions.BigramCountsKernel]] projection (the
+    * exchange carries per-doc-distinct pairs, not token positions);
+    * position counts derive from the bigram counts (vocab-sized
+    * input); the global top-k runs as
     * orderBy().limit() — per-partition heads merged (TakeOrdered), so
     * even billions of >= [[CollocMinCount]] survivors never funnel into
     * one task; only the final <= [[CollocTopK]] rows see a rank
@@ -584,18 +586,20 @@ object Curation {
 
   /** DataFrame core of [[collocations]] — any (doc_id, text) frame. */
   def collocationsOf(d: DataFrame): DataFrame = {
-    val words = d.select(
-      TextAnalysis.wsTokens(col("text")).as("w"))
-    // bigrams touching the empty token (empty/whitespace-edge docs)
-    // carry no phrase signal — filtered on both sides
-    val pairs = words
-      .filter(size(col("w")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] as a, w[i] as b))"))
-        .as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-      .filter(col("a") =!= "" && col("b") =!= "")
-    val cab = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    graft.functions.GraftFunctions.ensureRegistered(d.sparkSession)
+    // bigram counts are born reduced inside the scan (the tfidf
+    // word-counts treatment, r10 verdict item): each doc emits its
+    // DISTINCT adjacent pairs with counts from one codegen byte-scan
+    // kernel, so the (a, b) exchange carries per-doc-distinct bigrams,
+    // not one row per token position. The kernel's whitespace scan
+    // yields non-ws runs in order — no empty tokens, so the old
+    // empty-edge filter is structural. Lazy checkpoint: cab feeds the
+    // position sums, the total and the scoring join.
+    val cab = d
+      .select(explode(call_function(
+        graft.functions.GraftFunctions.BigramCountsName, col("text"))).as("bc"))
+      .select(col("bc.a").as("a"), col("bc.b").as("b"), col("bc.c").as("c"))
+      .groupBy(col("a"), col("b")).agg(sum(col("c")).as("cab"))
       .localCheckpoint(eager = false)
     val ca = cab.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
     val cb = cab.groupBy(col("b")).agg(sum(col("cab")).as("cb"))

@@ -435,6 +435,33 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  property("bigram-counts kernel matches the explode+groupBy formulation") =
+    forAll(Gen.listOfN(6, textGen)) { texts =>
+      import org.apache.spark.sql.functions._
+      val df = docsDf(texts)
+      graft.functions.GraftFunctions.ensureRegistered(spark)
+      def m(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val kernel = m(df.select(explode(call_function(
+          graft.functions.GraftFunctions.BigramCountsName, col("text"))).as("bc"))
+        .select(col("bc.a"), col("bc.b"), col("bc.c"))
+        .groupBy(col("a"), col("b")).agg(sum(col("c")).as("c"))
+        .collect())
+      // the r10 column formulation: explode adjacent pairs, drop
+      // empty-token edges, count
+      val ref = m(df
+        .select(operators.TextAnalysis.wsTokens(col("text")).as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] as a, w[i] as b))"))
+          .as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .filter(col("a") =!= "" && col("b") =!= "")
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+        .collect())
+      kernel == ref
+    }
+
   property("excise kernel matches the coverage+filter formulation on any starts") =
     forAll(
       Gen.chooseNum(0, 40).flatMap(n =>
