@@ -153,6 +153,8 @@ object GraftFunctions {
   val TopKTermName = "graft_topk_term"
   val WordCountsName = "graft_word_counts"
   val BigramCountsName = "graft_bigram_counts"
+  val WinnowName = "graft_winnow"
+  val GramCountsName = "graft_gram_counts"
   val CoverageName = "graft_coverage"
   val ExciseName = "graft_excise"
   val BpeCountName = "graft_bpe_count"
@@ -263,6 +265,17 @@ object GraftFunctions {
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       BigramCountsName,
       (exprs: Seq[Expression]) => BigramCounts(exprs.head),
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      WinnowName,
+      (exprs: Seq[Expression]) => WinnowSketch(exprs.head,
+        TopKCollect.kLiteral(WinnowName, exprs(1)),
+        TopKCollect.kLiteral(WinnowName, exprs(2))),
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      GramCountsName,
+      (exprs: Seq[Expression]) => GramCounts(exprs.head,
+        TopKCollect.kLiteral(GramCountsName, exprs(1))),
       "built-in")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       CoverageName,

@@ -232,6 +232,184 @@ object ShingleKernel {
   }
 }
 
+/** Per-document DISTINCT n-gram hashes WITH multiplicity — the
+  * [[ShingleKernel]] set plus each gram's occurrence count, computed in
+  * one scan pass. Lets the span-duplication operators ship per-doc
+  * distinct (hash, count) pairs through their exchanges instead of one
+  * row per gram position: the document-frequency aggregate becomes a
+  * plain COUNT over pre-deduplicated rows (single-phase, no
+  * countDistinct two-phase), and per-doc position tallies recover
+  * exactly as Σ count. Open addressing on the 8-byte hash; count==0
+  * marks an empty slot (an occupied slot's count is always ≥1), so a
+  * gram hashing to literal 0 is still stored correctly. */
+object GramCountsKernel {
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  val schema: DataType = ArrayType(
+    StructType(Seq(
+      StructField("h", LongType, nullable = false),
+      StructField("c", LongType, nullable = false))),
+    containsNull = false)
+
+  def compute(text: UTF8String, n: Int): GenericArrayData = {
+    val words = TextNorm.wordsDirect(text.toString)
+    if (words.length < n) return null
+    var cap = 64
+    var keys = new Array[Long](cap)
+    var cnts = new Array[Long](cap)
+    var size = 0
+
+    def grow(): Unit = {
+      val (ok, oc, ocap) = (keys, cnts, cap)
+      cap *= 2
+      keys = new Array[Long](cap); cnts = new Array[Long](cap)
+      size = 0
+      var i = 0
+      while (i < ocap) {
+        if (oc(i) != 0L) add(ok(i), oc(i))
+        i += 1
+      }
+    }
+
+    def add(h: Long, c: Long): Unit = {
+      if (size * 2 >= cap) grow()
+      var i = (java.lang.Long.hashCode(h * 0x9e3779b97f4a7c15L)) & (cap - 1)
+      while (cnts(i) != 0L) {
+        if (keys(i) == h) { cnts(i) += c; return }
+        i = (i + 1) & (cap - 1)
+      }
+      keys(i) = h; cnts(i) = c; size += 1
+    }
+
+    TextNorm.eachShingleHash(words, n)(h => add(h, 1L))
+
+    val out = new Array[Any](size)
+    var k = 0
+    var i = 0
+    while (i < cap) {
+      if (cnts(i) != 0L) {
+        out(k) = org.apache.spark.sql.catalyst.InternalRow(keys(i), cnts(i))
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** graft_gram_counts(text, n): ARRAY<STRUCT<h bigint, c bigint>> of the
+  * document's distinct n-gram xxhash64 values with occurrence counts
+  * (see [[GramCountsKernel]]); null for docs under one gram. */
+case class GramCounts(child: Expression, n: Int) extends TextKernelExpr {
+  override def dataType: DataType = GramCountsKernel.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_gram_counts"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GramCountsKernel.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val arr = ctx.freshName("arr")
+      s"""
+         |org.apache.spark.sql.catalyst.util.GenericArrayData $arr =
+         |  graft.functions.GramCountsKernel.compute($c, $n);
+         |if ($arr == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $arr;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Whole-document winnowing sketch (Schleimer et al. 2003, the MOSS
+  * local fingerprinting scheme) in one pass — the kernel form of the
+  * explode + window-min + distinct + groupBy pipeline, which shuffled
+  * GRAM-SCALE rows through three exchanges for a result that is a pure
+  * per-document function (the simhash/minhash lesson applied to
+  * winnowing). Gram hashing is [[TextNorm.eachShingleHash]] —
+  * byte-identical to `xxhash64(concat_ws(' ', slice(w, i, k)))` — and
+  * the sliding window minimum runs on a monotonic deque, O(grams)
+  * total. Sketch = the DISTINCT minima over windows starting at
+  * 0..max(n_grams - w, 0) (a doc with fewer than w grams keeps its
+  * single partial window, per winnowing convention); emitted as
+  * (count, min, xor) exactly like the column form's rollup. Returns
+  * null for docs shorter than one gram (absent from the result, as the
+  * column form's size filter made them). */
+object WinnowKernel {
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  val schema: DataType = StructType(Seq(
+    StructField("sketch_size", LongType, nullable = false),
+    StructField("sketch_min", LongType, nullable = false),
+    StructField("sketch_xor", LongType, nullable = false)))
+
+  def compute(text: UTF8String, k: Int, w: Int)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val words = TextNorm.wordsDirect(text.toString)
+    if (words.length < k) return null
+    val n = words.length - k + 1
+    val hs = new Array[Long](n)
+    var idx = 0
+    TextNorm.eachShingleHash(words, k) { h => hs(idx) = h; idx += 1 }
+    val lastStart = math.max(n - w, 0)
+    val dq = new Array[Int](n) // monotonic deque of indices, hs ascending
+    var head = 0
+    var tail = 0
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var size = 0L
+    var mn = Long.MaxValue
+    var xr = 0L
+    var i = 0
+    var j = 0
+    while (i <= lastStart) {
+      val end = math.min(i + w - 1, n - 1)
+      while (j <= end) {
+        while (tail > head && hs(dq(tail - 1)) >= hs(j)) tail -= 1
+        dq(tail) = j; tail += 1
+        j += 1
+      }
+      while (dq(head) < i) head += 1
+      val m = hs(dq(head))
+      if (seen.add(m)) { size += 1L; if (m < mn) mn = m; xr ^= m }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(size, mn, xr)
+  }
+}
+
+/** graft_winnow(text, k, w): STRUCT<sketch_size, sketch_min, sketch_xor
+  * bigint> — see [[WinnowKernel]]; null for docs under one k-gram. */
+case class WinnowSketch(child: Expression, k: Int, w: Int) extends TextKernelExpr {
+  override def dataType: DataType = WinnowKernel.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_winnow"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowKernel.compute(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val row = ctx.freshName("row")
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow $row =
+         |  graft.functions.WinnowKernel.compute($c, $k, $w);
+         |if ($row == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $row;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Single-pass corpus text statistics.
   *
   * The quality/language-ID/token operators were originally 9+ independent

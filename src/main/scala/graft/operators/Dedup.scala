@@ -464,16 +464,60 @@ object Dedup {
     * repetition, [[ngramJaccard]] sees whole-doc similarity — this sees
     * cross-doc boilerplate/quotation spans that neither flags.
     *
-    * Scale shape: one tokenized scan explodes positional gram HASHES
-    * (8-byte keys on the wire, lazily checkpointed — the stream feeds
-    * the df pass and the per-doc rollup); gram document-frequency is a
-    * two-phase distinct-count aggregate; the df attach is a hash join
-    * that AQE broadcasts while the shared-gram table is small. All
-    * counters integer, the fraction is one division — bit-deterministic
-    * under partitioning. Hash-collision caveat as in [[shingleSets]]:
-    * the oracle counts raw gram strings, so a collision fails hash
-    * parity loudly. */
+    * Scale shape: ONE scan reduces each doc to its distinct (gram
+    * hash, multiplicity) pairs in the projection
+    * ([[graft.functions.GramCountsKernel]], lazily checkpointed — the
+    * pairs feed the df pass and the per-doc rollup); document frequency
+    * is then a plain single-phase COUNT over pre-deduplicated rows (the
+    * position-explode form paid countDistinct's two-phase over one row
+    * per gram position); the df attach is a hash join that AQE
+    * broadcasts while the shared-gram table is small, and the rollup
+    * recovers position tallies exactly as Σ multiplicity. All counters
+    * integer, the fraction is one division — bit-deterministic under
+    * partitioning. Hash-collision caveat as in [[shingleSets]]: the
+    * oracle counts raw gram strings, so a collision fails hash parity
+    * loudly. */
   def dupSpans(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    // per-doc DISTINCT (gram hash, multiplicity) pairs are born in the
+    // scan ([[graft.functions.GramCountsKernel]]) — the exchanges below
+    // carry one row per distinct gram per doc, not one per position, and
+    // the checkpoint lets the df pass and the rollup share the one scan
+    val pairs = docs
+      .select(col("doc_id"), call_function(
+        graft.functions.GraftFunctions.GramCountsName,
+        col("text"), lit(ShingleN)).as("gc"))
+      .filter(col("gc").isNotNull)
+      .select(col("doc_id"), explode(col("gc")).as("g"))
+      .select(col("doc_id"), col("g.h").as("h"), col("g.c").as("c"))
+      .localCheckpoint(eager = false)
+    // rows are already distinct per doc, so document frequency is a
+    // plain single-phase COUNT (the explode form paid countDistinct's
+    // two-phase over full-multiplicity position rows). Only grams
+    // SHARED across documents matter downstream — filter to nd > 1
+    // before the attach, so the join side is the (small) shared-gram
+    // set, not the (corpus-sized) vocabulary; AQE broadcasts it on any
+    // real corpus and the attach stays map-side.
+    val shared = pairs
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("h"), lit(1L).as("is_dup"))
+    // position tallies recover exactly: n_grams = Σc, dup positions =
+    // Σc over shared grams — same longs, same one double division
+    pairs
+      .join(shared, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_grams"),
+        sum(when(col("is_dup").isNotNull, col("c")).otherwise(0L)).as("n_dup_grams"),
+        (sum(when(col("is_dup").isNotNull, col("c")).otherwise(0L)).cast(DoubleType) /
+          sum(col("c")).cast(DoubleType)).as("dup_fraction"))
+  }
+
+  /** The r10 position-explode formulation of [[dupSpans]] — kept as the
+    * kernel form's spec reference (GraftProps asserts equality on
+    * arbitrary corpora; the DuckDB oracle gates the real one). */
+  private[graft] def dupSpansExplode(docs: DataFrame): DataFrame = {
     val grams = docs
       .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("w"))
       .filter(size(col("w")) >= ShingleN)
@@ -481,10 +525,6 @@ object Dedup {
         s"transform(sequence(1, size(w) - ${ShingleN - 1}), " +
           s"i -> xxhash64(concat_ws(' ', slice(w, i, $ShingleN))))")).as("h"))
       .localCheckpoint(eager = false)
-    // only grams SHARED across documents matter downstream — filter the
-    // df table to nd > 1 before the attach, so the join side is the
-    // (small) shared-gram set, not the (corpus-sized) vocabulary; AQE
-    // broadcasts it on any real corpus and the attach stays map-side
     val shared = grams
       .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") > 1)

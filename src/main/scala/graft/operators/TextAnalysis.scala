@@ -290,14 +290,35 @@ object TextAnalysis {
 
   /** q_winnow_fingerprint — winnowed rolling-hash sketch per document:
     * sketch cardinality plus order-independent XOR and min digests.
-    * The k-gram hash pass and windowed-min are partitioned by doc, so at
-    * corpus scale each doc's sketch is computed locally after one hash
-    * shuffle; sketches (not texts) are what downstream matchers join on. */
-  def winnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    * The sketch is a pure per-document function, so it computes INSIDE
+    * the scan projection ([[graft.functions.WinnowKernel]]: one gram
+    * pass + a monotonic-deque window minimum, O(grams)) — ZERO
+    * shuffles, where the r10 window formulation shuffled gram-scale
+    * rows through three exchanges (doc window + distinct + rollup).
+    * Sketches (not texts) are what downstream matchers join on.
+    * [[winnowFingerprintWindow]] keeps the column form as the spec
+    * reference; GraftProps pins kernel/window equality. */
+  def winnowFingerprint(spark: SparkSession, dir: String): DataFrame =
+    winnowFingerprintOf(Tables.documents(spark, dir))
+
+  /** DataFrame core of [[winnowFingerprint]] — any (doc_id, text) frame. */
+  def winnowFingerprintOf(d: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(d.sparkSession)
+    d.select(col("doc_id"), call_function(
+        graft.functions.GraftFunctions.WinnowName,
+        col("text"), lit(WinnowK), lit(WinnowW)).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("doc_id"), col("s.sketch_size").as("sketch_size"),
+        col("s.sketch_min").as("sketch_min"), col("s.sketch_xor").as("sketch_xor"))
+  }
+
+  /** The r10 window formulation of [[winnowFingerprint]] — gram explode,
+    * per-doc window min, distinct, rollup. Kept as the kernel's spec
+    * reference (GraftProps asserts equality on arbitrary corpora). */
+  private[graft] def winnowFingerprintWindowOf(d: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = WinnowK
-    val words = Tables
-      .documents(spark, dir)
+    val words = d
       .select(
         col("doc_id"),
         wsTokens(col("text")).as("w"))

@@ -435,6 +435,25 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  property("dup-spans gram-counts form matches the position-explode formulation") =
+    forAll(Gen.listOfN(6, textGen)) { texts =>
+      val df = docsDf(texts)
+      def m(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      m(operators.Dedup.dupSpans(df)) == m(operators.Dedup.dupSpansExplode(df))
+    }
+
+  property("winnow kernel matches the window+distinct formulation") =
+    forAll(Gen.listOfN(6, textGen)) { texts =>
+      val df = docsDf(texts)
+      def m(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      m(operators.TextAnalysis.winnowFingerprintOf(df)) ==
+        m(operators.TextAnalysis.winnowFingerprintWindowOf(df))
+    }
+
   property("bigram-counts kernel matches the explode+groupBy formulation") =
     forAll(Gen.listOfN(6, textGen)) { texts =>
       import org.apache.spark.sql.functions._
