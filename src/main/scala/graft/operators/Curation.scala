@@ -423,25 +423,15 @@ object Curation {
       .localCheckpoint(eager = false)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = d.agg(count(lit(1)).as("n_docs"))
-    // The checkpointed tf side hides its stats from AQE, which then
-    // plans a two-sided term exchange for this join — but an
-    // UNCONDITIONAL broadcast hint is unbounded (r10 ADVICE): vocabulary
-    // scales with the corpus, not the dims, and 1e8+ distinct terms
-    // would blow the driver. Gate on the MEASURED vocabulary count
-    // (this count materializes the shared tf checkpoint and its df
-    // aggregate, both reused by the scoring join below, so it costs one
-    // vocab-sized job — not a second corpus scan) against the session's
-    // own broadcast threshold; oversized vocabularies degrade to the
-    // shuffled term join, which is the correct 100 TB shape anyway.
-    val conf = d.sparkSession.sessionState.conf
-    val perRowBytes = 48L // term string + two longs + row overhead
-    val dfSide =
-      if (conf.autoBroadcastJoinThreshold > 0 &&
-          df.count() * perRowBytes <= conf.autoBroadcastJoinThreshold)
-        broadcast(df)
-      else df
+    // No broadcast hint ON PURPOSE (r10 ADVICE): vocabulary scales with
+    // the corpus, not the dims — 1e8+ distinct terms would blow the
+    // driver under a forced hint. AQE sees the df aggregate's REAL
+    // post-shuffle size at runtime and converts this join to broadcast
+    // when it fits (the normal case); an oversized vocabulary degrades
+    // to the shuffled term join, which is the correct 100 TB shape
+    // anyway — the same contract as the contamination eval-side join.
     val scored = tf
-      .join(dfSide, Seq("term"))
+      .join(df, Seq("term"))
       .crossJoin(broadcast(nDocs))
       // each factor cast to double BEFORE the product: tf x n_docs as
       // int64 overflows at warehouse scale (1e8 x 1e11), and ANSI mode
