@@ -241,7 +241,14 @@ object ShingleKernel {
   * countDistinct two-phase), and per-doc position tallies recover
   * exactly as Σ count. Open addressing on the 8-byte hash; count==0
   * marks an empty slot (an occupied slot's count is always ≥1), so a
-  * gram hashing to literal 0 is still stored correctly. */
+  * gram hashing to literal 0 is still stored correctly.
+  *
+  * The grow/add scaffolding is DELIBERATELY repeated across this
+  * file's count kernels ([[WordCountsKernel]] keys by one byte range,
+  * [[BigramCountsKernel]] by two, this one by a long): these loops run
+  * once per row on the scan hot path, and a shared helper would either
+  * box the key abstraction or go megamorphic at the probe call site —
+  * the per-kernel monomorphic loops are what the JIT inlines. */
 object GramCountsKernel {
   import org.apache.spark.sql.types.{StructField, StructType}
 

@@ -442,7 +442,7 @@ object Dedup {
       .coalesce(1).write.mode("overwrite").parquet(fpPath)
   }
 
-  private def deleteTree(p: String): Unit = {
+  private[graft] def deleteTree(p: String): Unit = {
     val root = java.nio.file.Paths.get(p)
     if (java.nio.file.Files.exists(root)) {
       import scala.jdk.CollectionConverters._

@@ -101,15 +101,14 @@ object Forecast {
   def appendDayStats(spark: SparkSession, dir: String, delta: DataFrame,
       expectedFp: Long): Unit = {
     val path = dayServePath(dir)
-    val fpPath = path + "_model"
-    val storedFp =
-      try Similarity.readSidecarRows(spark, fpPath)(0).getLong(0)
-      catch {
-        case e if scala.util.control.NonFatal(e) =>
-          throw new IllegalStateException(
-            s"day-state sidecar at $fpPath unreadable — run ensureDayStats " +
-              "(full rebuild) instead of appending into an unproven generation", e)
-      }
+    // the sidecar names the live generation; unreadable OR pre-r11
+    // flat-layout sidecars (no generation name) are both unproven — the
+    // guided answer is a full rebuild, not a raw path error (r11 review)
+    val (storedFp, prevGen) = ServingStore.readSidecar(spark, "forecast-days", path)
+      .getOrElse(throw new IllegalStateException(
+        s"day-state sidecar at ${path}_model unreadable or pre-generation " +
+          "layout — run ensureDayStats (full rebuild) instead of appending " +
+          "into an unproven generation"))
     require(storedFp == expectedFp,
       s"day state at $path was built for a different corpus state " +
         s"(stored fp $storedFp != pre-delta fp $expectedFp): rebuild with ensureDayStats")
@@ -119,7 +118,6 @@ object Forecast {
         cnt.as("n_x"),
         sum(dec2(col("y"))).as("syx_dec"),
         sum(dec2(col("y")) * dec2(col("y"))).as("syyx_dec"))
-    val prevGen = ServingStore.generationPath(path, storedFp)
     val prev = spark.read.parquet(prevGen)
     val merged = prev.unionByName(add)
       .groupBy(col("brand"), col("x"))
@@ -130,15 +128,20 @@ object Forecast {
     Tables.invalidate(spark, dir, "lineitem")
     Tables.invalidate(spark, dir, "part")
     val postFp = dayStatsFingerprint(spark, dir)
-    // the merge WRITES A NEW GENERATION (reading the previous one, which
-    // stays intact for any live reader) — no in-place overwrite, so no
-    // self-read hazard and no checkpoint barrier needed
-    merged.write.mode("overwrite")
-      .parquet(ServingStore.generationPath(path, postFp))
-    spark.range(1).select(lit(postFp).as("fp"))
-      .coalesce(1).write.mode("overwrite").parquet(fpPath)
-    ServingStore.prune(path,
-      keep = Set(ServingStore.generationPath(path, postFp), prevGen))
+    // an unchanged fingerprint means the delta files have NOT landed in
+    // dir — stamping a merged state as fresh for the pre-delta corpus
+    // would serve a wrong state indefinitely (r11 review); refuse loudly
+    require(postFp != storedFp,
+      s"corpus fingerprint unchanged after the delta (still $storedFp) — " +
+        s"land the delta files in $dir BEFORE appending, so the stamped " +
+        "fingerprint proves the merged state")
+    // the merge WRITES A NEW unique GENERATION (reading the previous
+    // one, which stays intact for any live reader) — no in-place
+    // overwrite, so no self-read hazard and no checkpoint barrier needed
+    val newGen = ServingStore.newGenerationPath(path, postFp)
+    merged.write.mode("overwrite").parquet(newGen)
+    ServingStore.writeSidecar(spark, path, postFp, newGen)
+    ServingStore.prune(path, keep = Set(newGen, prevGen))
   }
 
   /** The daily-grain fact projection the state aggregates. */

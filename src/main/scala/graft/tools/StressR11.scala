@@ -52,8 +52,8 @@ object StressR11 {
     // cold serve pays the ONE build scan; the state is dims x days
     time("day_state_build+serve") { Forecast.forecastLinear(spark, tmp).count() }
     val stateRows = spark.read.parquet(
-      ServingStore.generationPath(Forecast.dayServePath(tmp),
-        Forecast.dayStatsFingerprint(spark, tmp))).count()
+      ServingStore.currentGeneration(spark, "forecast-days",
+        Forecast.dayServePath(tmp), Forecast.dayStatsFingerprint(spark, tmp)).get).count()
     val dimDays = Forecast.dailyBase(spark, tmp)
       .select(col("brand"), col("x")).distinct().count()
     assert(stateRows == dimDays, s"state rows $stateRows != brand-days $dimDays")
@@ -97,8 +97,9 @@ object StressR11 {
     }
     time("stamps_build+serve") { Events.funnel(spark, etmp).count() }
     val stampRows = spark.read.parquet(
-      ServingStore.generationPath(Events.stampsServePath(etmp),
-        Similarity.corpusFingerprint(spark, etmp, "events.parquet"))).count()
+      ServingStore.currentGeneration(spark, "funnel-stamps",
+        Events.stampsServePath(etmp),
+        Similarity.corpusFingerprint(spark, etmp, "events.parquet")).get).count()
     val userCount = e10.select("user_id").distinct().count()
     assert(stampRows == userCount, s"stamps rows $stampRows != users $userCount")
     println(s"[stress11] stamps rows: $stampRows (= users; half-corpus user folded)")

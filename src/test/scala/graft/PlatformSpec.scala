@@ -800,12 +800,15 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the r10 ADVICE race: ensure() returned a lazy read of a path the
     // next rebuild overwrote in place — a handed-out DataFrame could
     // FileNotFound or read a mixed generation. Generations now land in
-    // fp-suffixed subdirectories and the previous one survives exactly
-    // one rebuild cycle.
+    // UNIQUE sidecar-named subdirectories and the previous one survives
+    // exactly one rebuild cycle.
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("graftgen").toString + "/store"
     def buildOf(rows: Seq[(Long, String)]): String => Unit =
       gen => rows.toDF("id", "v").coalesce(1).write.mode("overwrite").parquet(gen)
+    def genDirs = Option(new java.io.File(store).listFiles)
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("gen_")).map(_.getName).toSet
     val genA = operators.ServingStore.ensure(spark, "t", store, 1L)(
       buildOf(Seq((1L, "a"), (2L, "a"))))
     // corpus "changes" (fp 1 -> 2) AFTER genA was handed out but BEFORE
@@ -815,16 +818,27 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(genA.collect().map(_.getString(1)).toSeq == Seq("a", "a"),
       "live reader of the previous generation broke after a rebuild")
     assert(genB.collect().map(_.getString(1)).toSeq == Seq("b"))
-    assert(new java.io.File(
-      operators.ServingStore.generationPath(store, 1L)).isDirectory,
-      "previous generation pruned too early")
-    // one more generation: the oldest is pruned (disk bounded at two)
-    operators.ServingStore.ensure(spark, "t", store, 3L)(buildOf(Seq((1L, "c"))))
-    assert(!new java.io.File(
-      operators.ServingStore.generationPath(store, 1L)).exists,
-      "two-rebuilds-old generation not pruned")
-    assert(new java.io.File(
-      operators.ServingStore.generationPath(store, 2L)).isDirectory)
+    // fp REVISIT (the r11 review finding): the corpus cycles back to
+    // fp=1 — the rebuild must land in a FRESH directory, never
+    // overwrite one an earlier fp=1 reader may still hold, and the
+    // previous generation (B) must survive this cycle for ITS readers
+    val genA2 = operators.ServingStore.ensure(spark, "t", store, 1L)(
+      buildOf(Seq((1L, "a2"))))
+    assert(genA2.collect().map(_.getString(1)).toSeq == Seq("a2"))
+    assert(genB.collect().map(_.getString(1)).toSeq == Seq("b"),
+      "previous generation broke after an fp-revisit rebuild")
+    assert(genDirs.size == 2, s"disk not bounded at two generations: $genDirs")
+    // warm re-serve: no new generation, nothing pruned
+    operators.ServingStore.ensure(spark, "t", store, 1L)(
+      _ => fail("fresh store must not rebuild"))
+    assert(genDirs.size == 2)
+    // unreadable sidecar: the live generation is UNKNOWN — the rebuild
+    // must SKIP pruning rather than guess (r11 review finding)
+    val before = genDirs
+    operators.Dedup.deleteTree(store + "_model")
+    operators.ServingStore.ensure(spark, "t", store, 9L)(buildOf(Seq((1L, "z"))))
+    assert(before.subsetOf(genDirs),
+      "unreadable sidecar pruned generations it could not prove dead")
   }
 
   test("r11 serving stores: corpus swap between ensure and serve (stamps store)") {
