@@ -46,6 +46,27 @@ class BenchLineSpec extends AnyFunSuite {
     assert(math.abs(node.get("value").asDouble - 99.99 * names.size) < 0.5)
   }
 
+  test("BASELINE.md's key-map appendix matches the code's abbreviation") {
+    // the published appendix is the judge's decoder ring for driver
+    // bench lines; if it drifts from Bench.abbrevKeys (new query, rule
+    // tweak) this fails in `sbt test` — regenerate with
+    // `runMain graft.tools.CompactKeys` and re-paste.
+    val md = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("BASELINE.md")), "UTF-8")
+    val appendix = md.split("## Appendix: compact-line key map").last
+    val published = appendix.linesIterator
+      .filter(l => l.startsWith("| ") && !l.startsWith("| full name") && !l.startsWith("|---"))
+      .map(_.split("\\|").map(_.trim).filter(_.nonEmpty))
+      .collect { case Array(full, short) => full -> short }
+      .toMap
+    val want = Bench.abbrevKeys(names)
+      .collect { case (n, a) if a != n.stripPrefix("q_") => n.stripPrefix("q_") -> a }
+    assert(published == want,
+      s"appendix drift: missing=${want.keySet -- published.keySet} " +
+        s"stale=${published.keySet -- want.keySet} " +
+        s"changed=${want.filter { case (k, v) => published.get(k).exists(_ != v) }.keys}")
+  }
+
   test("compact line stays parseable even in the all-failed worst case") {
     val results = names.map(n => (n, -1.0))
     val errs = scala.collection.immutable.ListMap(names.map(n => n -> 3): _*)
