@@ -83,6 +83,28 @@ object StressR11 {
     }
     time("forecast_linear_apnd") { Forecast.forecastLinear(spark, tmp).count() }
 
+    // ---- excise worst case at scale: ALTERNATING duplication — every
+    // doc is M disjoint shared 5-grams separated by unique tokens, so
+    // coverage CANNOT merge (M intervals per doc). The r10 HOF form was
+    // O(tokens x intervals) here; the fused kernel must stay linear.
+    val alt = {
+      val m = 400
+      val rows = (0 until 500).map { d =>
+        val tag = s"d$d"
+        (d.toLong, (0 until m).map(i =>
+          s"p${i}a p${i}b p${i}c p${i}d p${i}e u$i$tag").mkString(" "))
+      }
+      import spark.implicits._
+      rows.toDF("doc_id", "text")
+    }
+    time("excise_alternating") {
+      val r = Dedup.dedupExcise(alt)
+        .agg(sum(col("n_kept")).as("kept"), count(lit(1)).as("n")).collect()(0)
+      // only the per-doc unique separators survive: 400 per doc
+      assert(r.getLong(0) == 500L * 400, s"kept ${r.getLong(0)}")
+      r.getLong(1)
+    }
+
     // ---- stamps: 10x events, one user owns HALF of all rows
     val etmp = java.nio.file.Files.createTempDirectory("stress11ev").toString
     val e0 = Tables.events(spark, dir)
