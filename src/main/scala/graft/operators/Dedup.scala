@@ -858,34 +858,50 @@ object Dedup {
     * 64-sum aggregate per doc. Pruning before the join is what keeps the
     * vocabulary broadcastable; see the body comment. */
   def simhashIdfSignatures(docs: DataFrame): DataFrame = {
+    // ONE tokenization materialization feeds everything: the lazy
+    // checkpoint inside [[wordSets]] lets the df/weighting pass and the
+    // signature pass share the single kernel scan.
+    val sets = wordSets(docs)
+    signaturesFromSets(sets, idfWeightsOf(sets))
+  }
+
+  /** Per-doc DISTINCT word-hash sets from the scan kernel (no distinct
+    * shuffle of the exploded token stream — the same shape as
+    * [[shingleSets]]), lazily checkpointed for multi-consumer reuse. */
+  private[graft] def wordSets(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
-    // ONE tokenization materialization feeds everything: the word-set
-    // kernel emits each doc's DISTINCT word hashes inside the scan (no
-    // distinct shuffle of the exploded token stream — the same shape as
-    // [[shingleSets]]), and the lazy checkpoint lets the df pass and the
-    // weighting pass share that single computation.
-    val sets = docs
+    docs
       .select(col("doc_id"),
         call_function(graft.functions.GraftFunctions.WordSetName, col("text")).as("hs"))
       .localCheckpoint(eager = false)
-    val words = sets.select(col("doc_id"), explode(col("hs")).as("h"))
-    // the corpus size enters the plan as a broadcast scalar, NOT a
-    // driver-side count(): building this DataFrame stays lazy (the
-    // Catalog laziness contract), and the cross join is 1 row
-    val nDocs = sets.agg(countDistinct(col("doc_id")).as("n_docs"))
-    // Vocabulary pruning BEFORE the join, both ends: df = 1 terms occur
-    // in exactly one document, so they cannot be shared by any pair —
-    // for a pairing signature they only push singletons apart, and
-    // dropping them caps the vocabulary (on real corpora the df = 1 tail
-    // IS most of the vocabulary: typos, ids, hashes). df > N/2 terms are
-    // boilerplate with weight < log 2 ≈ noise. The pruned vocabulary is
-    // small enough for AQE to broadcast the join on any realistic corpus.
-    val weights = words.groupBy(col("h"))
+  }
+
+  /** The pruned IDF weight table (h, w) over a [[wordSets]] frame —
+    * shared by the inline signature pipeline and the persisted serving
+    * generation ([[ensureIdfWeights]]).
+    *
+    * Vocabulary pruning BEFORE any signature join, both ends: df = 1
+    * terms occur in exactly one document, so they cannot be shared by
+    * any pair — for a pairing signature they only push singletons
+    * apart, and dropping them caps the vocabulary (on real corpora the
+    * df = 1 tail IS most of the vocabulary: typos, ids, hashes).
+    * df > N/2 terms are boilerplate with weight < log 2 ≈ noise. The
+    * pruned vocabulary is small enough to broadcast on any realistic
+    * corpus. The corpus size enters the plan as a broadcast scalar, NOT
+    * a driver-side count(): building this DataFrame stays lazy. */
+  private[graft] def idfWeightsOf(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id"), explode(col("hs")).as("h"))
+      .groupBy(col("h"))
       .agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(nDocs))
+      .crossJoin(broadcast(sets.agg(countDistinct(col("doc_id")).as("n_docs"))))
       .filter(col("df") > 1 && col("df") * 2 <= col("n_docs"))
       .select(col("h"),
         log(col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)).as("w"))
+
+  /** Weighted 64-bit signatures from a sets frame and a (h, w) weight
+    * table: one hash-keyed join + one 64-sum aggregate per doc. */
+  private def signaturesFromSets(sets: DataFrame, weights: DataFrame): DataFrame = {
+    val words = sets.select(col("doc_id"), explode(col("hs")).as("h"))
     val weighted = words.join(weights, Seq("h"))
     val bitSums = (0 until SimHashBits).map { i =>
       sum((shiftright(col("h"), i).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
@@ -900,6 +916,27 @@ object Dedup {
       .select(col("doc_id"), packed.as("simhash"))
   }
 
+  private[graft] def idfWeightsServePath(dir: String): String =
+    Similarity.servePath("simhash_idfw_", dir)
+
+  /** Ensure the persisted IDF weight generation for `dir` — the model
+    * state of [[simhashIdfDedup]]'s dir-serving form, keyed on the
+    * documents fingerprint like the LM count tables. Serving reads the
+    * vocab-sized parquet (its stats are KNOWN to the planner, so the
+    * signature join broadcasts statically — this was the suite's one
+    * SortMergeJoin when both join sides were aggregate-derived) and the
+    * per-query corpus df pass disappears: the weight build amortizes
+    * across a corpus generation like every other model state. */
+  private[graft] def ensureIdfWeights(spark: SparkSession, dir: String): DataFrame = {
+    val path = idfWeightsServePath(dir)
+    val fp = Similarity.corpusFingerprint(spark, dir, "documents.parquet")
+    ServingStore.ensure(spark, "simhash-idf-weights", path, fp) { gen =>
+      Tables.invalidate(spark, dir, "documents")
+      idfWeightsOf(wordSets(Tables.documents(spark, dir)))
+        .write.mode("overwrite").parquet(gen)
+    }
+  }
+
   /** q_dedup_simhash_idf — [[simhashDedup]] with IDF-weighted signatures:
     * same chunked pigeonhole join and hot-bucket cap, boilerplate-robust
     * signatures. Docs whose every word is boilerplate (all df > N/2) have
@@ -907,8 +944,13 @@ object Dedup {
   def simhashIdfDedup(docs: DataFrame): DataFrame =
     chunkedHammingPairs(simhashIdfSignatures(docs))
 
+  /** Dir-serving form: signatures join the PERSISTED weight generation
+    * ([[ensureIdfWeights]]) instead of re-deriving corpus document
+    * frequencies per query; spec-pinned row-equal to the inline form. */
   def simhashIdfDedup(spark: SparkSession, dir: String): DataFrame =
-    simhashIdfDedup(Tables.documents(spark, dir))
+    chunkedHammingPairs(signaturesFromSets(
+      wordSets(Tables.documents(spark, dir)),
+      ensureIdfWeights(spark, dir)))
 
   /** q_dedup_simhash — near-dup pairs with hamming distance <= 3, found by
     * joining on 16-bit chunks (any pair within distance 3 shares at least

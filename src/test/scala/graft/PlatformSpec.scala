@@ -866,6 +866,21 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
       "held pre-swap stamps frame broke or changed after the rebuild")
   }
 
+  test("simhash-idf: weight-store-served pairs equal the inline form") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    assert(rows(operators.Dedup.simhashIdfDedup(spark, sf)) ==
+      rows(operators.Dedup.simhashIdfDedup(Tables.documents(spark, sf))),
+      "persisted IDF weight generation diverged from the inline df pass")
+    // the weights side is now a stats-known parquet read, so the
+    // signature join must broadcast — this was the suite's one
+    // SortMergeJoin while both sides were aggregate-derived
+    val plan = operators.Dedup.simhashIdfDedup(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"weight join still sort-merges:\n$plan")
+  }
+
   test("enrich attach: store-served equals from-scratch resolution") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
