@@ -866,6 +866,48 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
       "held pre-swap stamps frame broke or changed after the rebuild")
   }
 
+  test("r11 serving stores: a pre-generation flat-layout store migrates with one rebuild") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graftflat").toString + "/store"
+    // fabricate the r10 layout: parquet files flat at the store path and
+    // a sidecar carrying ONLY the fingerprint (no generation name)
+    Seq((1L, "old")).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(store)
+    spark.range(1).select(lit(7L).as("fp"))
+      .coalesce(1).write.mode("overwrite").parquet(store + "_model")
+    // same fingerprint, but the legacy sidecar names no generation —
+    // ensure must REBUILD (migrate), not serve the unproven flat files
+    var built = false
+    val out = operators.ServingStore.ensure(spark, "t", store, 7L) { gen =>
+      built = true
+      Seq((1L, "new")).toDF("id", "v").coalesce(1).write.mode("overwrite").parquet(gen)
+    }
+    assert(built, "legacy flat-layout store served without migrating")
+    assert(out.collect().map(_.getString(1)).toSeq == Seq("new"))
+    // and the migrated store now serves warm
+    operators.ServingStore.ensure(spark, "t", store, 7L)(
+      _ => fail("migrated store must serve warm"))
+  }
+
+  test("day-state append refuses a delta whose files have not landed") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graftnoland").toString
+    Tables.lineitem(spark, sf).write.mode("overwrite").parquet(tmp + "/lineitem.parquet")
+    Tables.part(spark, sf).write.mode("overwrite").parquet(tmp + "/part.parquet")
+    operators.Forecast.forecastLinear(spark, tmp).count() // build the generation
+    val preFp = operators.Forecast.dayStatsFingerprint(spark, tmp)
+    import spark.implicits._
+    val deltaFrame = Seq(("Brand#11", 100L, 9.99)).toDF("brand", "x", "y")
+    // the delta frame exists but nothing landed in dir: the post-delta
+    // fingerprint equals the stored one, and stamping the merge as fresh
+    // would serve a wrong state for the pre-delta corpus (r11 review)
+    val bad = intercept[IllegalArgumentException] {
+      operators.Forecast.appendDayStats(spark, tmp, deltaFrame, preFp)
+    }
+    assert(bad.getMessage.contains("fingerprint unchanged after the delta"),
+      s"wrong refusal: ${bad.getMessage}")
+  }
+
   test("simhash-idf: weight-store-served pairs equal the inline form") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
