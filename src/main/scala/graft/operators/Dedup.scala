@@ -919,24 +919,6 @@ object Dedup {
   private[graft] def idfWeightsServePath(dir: String): String =
     Similarity.servePath("simhash_idfw_", dir)
 
-  /** Ensure the persisted IDF weight generation for `dir` — the model
-    * state of [[simhashIdfDedup]]'s dir-serving form, keyed on the
-    * documents fingerprint like the LM count tables. Serving reads the
-    * vocab-sized parquet (its stats are KNOWN to the planner, so the
-    * signature join broadcasts statically — this was the suite's one
-    * SortMergeJoin when both join sides were aggregate-derived) and the
-    * per-query corpus df pass disappears: the weight build amortizes
-    * across a corpus generation like every other model state. */
-  private[graft] def ensureIdfWeights(spark: SparkSession, dir: String): DataFrame = {
-    val path = idfWeightsServePath(dir)
-    val fp = Similarity.corpusFingerprint(spark, dir, "documents.parquet")
-    ServingStore.ensure(spark, "simhash-idf-weights", path, fp) { gen =>
-      Tables.invalidate(spark, dir, "documents")
-      idfWeightsOf(wordSets(Tables.documents(spark, dir)))
-        .write.mode("overwrite").parquet(gen)
-    }
-  }
-
   /** q_dedup_simhash_idf — [[simhashDedup]] with IDF-weighted signatures:
     * same chunked pigeonhole join and hot-bucket cap, boilerplate-robust
     * signatures. Docs whose every word is boilerplate (all df > N/2) have
@@ -944,13 +926,32 @@ object Dedup {
   def simhashIdfDedup(docs: DataFrame): DataFrame =
     chunkedHammingPairs(simhashIdfSignatures(docs))
 
-  /** Dir-serving form: signatures join the PERSISTED weight generation
-    * ([[ensureIdfWeights]]) instead of re-deriving corpus document
-    * frequencies per query; spec-pinned row-equal to the inline form. */
-  def simhashIdfDedup(spark: SparkSession, dir: String): DataFrame =
-    chunkedHammingPairs(signaturesFromSets(
-      wordSets(Tables.documents(spark, dir)),
-      ensureIdfWeights(spark, dir)))
+  /** Dir-serving form: signatures join a PERSISTED weight generation —
+    * the model state of the IDF variant, keyed on the documents
+    * fingerprint like the LM count tables. Serving reads the vocab-sized
+    * parquet (its stats are KNOWN to the planner, so the signature join
+    * broadcasts statically — this was the suite's one SortMergeJoin when
+    * both join sides were aggregate-derived) and the per-query corpus df
+    * pass amortizes across a corpus generation; spec-pinned row-equal to
+    * the inline form. */
+  def simhashIdfDedup(spark: SparkSession, dir: String): DataFrame = {
+    val path = idfWeightsServePath(dir)
+    val fp = Similarity.corpusFingerprint(spark, dir, "documents.parquet")
+    // on a stale store, invalidate the memoized documents plan BEFORE
+    // building the shared sets frame (the r11 review caught the reverse
+    // order pinning a pre-change file listing on the signature side
+    // while the weights rebuilt from the fresh one) — and ONE
+    // tokenization checkpoint then feeds both the weight build and the
+    // signature pass, so the inline form's single-scan contract holds on
+    // the cold path too
+    if (ServingStore.currentGeneration(spark, "simhash-idf-weights", path, fp).isEmpty)
+      Tables.invalidate(spark, dir, "documents")
+    val sets = wordSets(Tables.documents(spark, dir))
+    val weights = ServingStore.ensure(spark, "simhash-idf-weights", path, fp) { gen =>
+      idfWeightsOf(sets).write.mode("overwrite").parquet(gen)
+    }
+    chunkedHammingPairs(signaturesFromSets(sets, weights))
+  }
 
   /** q_dedup_simhash — near-dup pairs with hamming distance <= 3, found by
     * joining on 16-bit chunks (any pair within distance 3 shares at least

@@ -50,13 +50,10 @@ private[graft] object ServingStore {
         Some((r.getLong(0), path + "/" + r.getString(1)))
       }
     } catch {
-      // a sidecar that simply does not exist yet is the NORMAL first
-      // build of a store — only a present-but-unreadable sidecar is
-      // worth a warning (the distinction also keeps first-serve logs
-      // out of the driver's bounded stdout tail)
-      case e: org.apache.spark.sql.AnalysisException
-          if String.valueOf(e.getMessage).contains("PATH_NOT_FOUND") =>
-        None
+      // missing-vs-unreadable is distinguished INSIDE
+      // warnUnreadableSidecar (a sidecar that does not exist yet is the
+      // normal first build and logs nothing; only a present-but-broken
+      // one warns) — keep that distinction in one place
       case e if scala.util.control.NonFatal(e) =>
         Similarity.warnUnreadableSidecar(what, path + "_model", e)
         None

@@ -53,6 +53,10 @@ class BenchLineSpec extends AnyFunSuite {
     // `runMain graft.tools.CompactKeys` and re-paste.
     val md = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("BASELINE.md")), "UTF-8")
+    // a renamed/removed heading must fail HERE, not degrade into parsing
+    // the whole file's tables as the "appendix"
+    assert(md.contains("## Appendix: compact-line key map"),
+      "BASELINE.md appendix heading missing or renamed")
     val appendix = md.split("## Appendix: compact-line key map").last
     val published = appendix.linesIterator
       .filter(l => l.startsWith("| ") && !l.startsWith("| full name") && !l.startsWith("|---"))

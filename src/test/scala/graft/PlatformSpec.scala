@@ -908,6 +908,33 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"wrong refusal: ${bad.getMessage}")
   }
 
+  test("simhash-idf: dir-serve tracks a corpus swap on BOTH join sides") {
+    // r11 review: the serve built the signature-side sets frame from the
+    // memoized documents plan BEFORE the weight ensure invalidated it —
+    // after a corpus swap, signatures scanned the stale listing while
+    // weights rebuilt fresh. Both sides must follow the swap.
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graftidfswap").toString
+    val docs = Tables.documents(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite")
+      .parquet(tmp + "/documents.parquet")
+    val before = rows(operators.Dedup.simhashIdfDedup(spark, tmp))
+    // swap the corpus in place (memoized plan + weight store both stale)
+    Tables.invalidate(spark, tmp, "documents")
+    docs.filter(col("doc_id") % 2 === 1).write.mode("overwrite")
+      .parquet(tmp + "/documents.parquet")
+    // re-memoize the OLD-style pinned plan like a long session would
+    Tables.documents(spark, tmp).count()
+    val served = rows(operators.Dedup.simhashIdfDedup(spark, tmp))
+    val inline = rows(operators.Dedup.simhashIdfDedup(
+      spark.read.parquet(tmp + "/documents.parquet")))
+    assert(served == inline,
+      "dir-serve diverged from the inline form after a corpus swap")
+    assert(served != before, "swap did not change pairs — bad test setup")
+  }
+
   test("simhash-idf: weight-store-served pairs equal the inline form") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
