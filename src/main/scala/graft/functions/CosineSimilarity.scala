@@ -164,6 +164,7 @@ object GraftFunctions {
   val KllName = "graft_kll"
   val KllMergeName = "graft_kll_merge"
   val KllQuantileName = "graft_kll_q"
+  val FunnelStampsName = "graft_funnel_stamps"
 
   // Sessions already registered — createOrReplaceTempFunction is itself
   // idempotent, but every call past the first logs a "replaced a
@@ -306,6 +307,10 @@ object GraftFunctions {
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       KllQuantileName,
       (exprs: Seq[Expression]) => KllQuantile(exprs.head, exprs(1)),
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FunnelStampsName,
+      (exprs: Seq[Expression]) => FunnelStampsAgg.fromArgs(exprs),
       "built-in")
     val rules = classic.experimental.extraOptimizations
     if (!rules.contains(graft.plans.CosineFusionRule))

@@ -135,16 +135,13 @@ object Events {
   /** q_funnel — ordered conversion funnel over each user's timeline.
     *
     * The sequential dependency (step i's first completion is the
-    * earliest step-i event after step i−1's) is expressed as CHAINED
-    * running-min windows over one per-user sort: `m_i` at a row is the
-    * earliest qualifying step-i stamp so far, so its value on the
-    * user's last row — equivalently `min(m_i)` in a plain aggregate —
-    * is the user's step-i completion time. All four windows share the
-    * (user_id; ts, event_id) spec, so the plan pays ONE hash exchange
-    * and ONE sort regardless of funnel depth; the per-step rollup is a
-    * driver-sized stack over a single aggregated row. Strict `<` on the
-    * millisecond stamp makes qualification order-free (ties never
-    * count), so results are partition-invariant.
+    * earliest step-i event after step i−1's) is computed by the
+    * mergeable stamps aggregate (see [[funnelStamps]]) — one hash
+    * exchange, no per-user sort, map-side-combining partials that make
+    * the build skew-proof. Strict `<` on the millisecond stamp makes
+    * qualification order-free (ties never count), so results are
+    * partition-invariant. The per-step rollup is a driver-sized stack
+    * over a single aggregated row.
     *
     * Serves from the persisted [[ensureStamps]] generation: the funnel
     * family (q_funnel / q_conversion_lag / q_conversion_cohort, plus
@@ -194,8 +191,42 @@ object Events {
   }
 
   /** Per-user step-completion stamps (user_id, s0..s3) — the funnel's
-    * intermediate frame, shared with the conversion-lag rollup. */
+    * intermediate frame, shared with the conversion-lag rollup.
+    *
+    * Built with the mergeable [[graft.functions.FunnelStampsAgg]]
+    * aggregate, not the chained-window form
+    * ([[funnelStampsWindowed]], kept as the semantic reference the
+    * equivalence specs pin against). The window build sorted every
+    * event row of a user inside one task — a hot user owning half the
+    * corpus serialized the whole build through that single sort, and
+    * AQE cannot split a window partition. The aggregate builds per-user
+    * candidate-stamp partials map-side (compacting to ~1 stamp per
+    * funnel step), so the one hash exchange moves user-cardinality
+    * partials and NO per-user sort appears anywhere in the plan. The
+    * step ordinal is pre-projected (a codegen'd when-chain) so the
+    * aggregate's unboxed BoundReference fast path binds. */
   private[graft] def funnelStamps(base: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(base.sparkSession)
+    val stepIdx = FunnelSteps.zipWithIndex.foldLeft(lit(null).cast(IntegerType)) {
+      case (acc, (step, i)) => when(col("event_type") === step, lit(i)).otherwise(acc)
+    }
+    base
+      .select(col("user_id"), stepIdx.as("step_idx"), col("ts_ms"))
+      .groupBy(col("user_id"))
+      .agg(call_function(
+        graft.functions.GraftFunctions.FunnelStampsName,
+        col("step_idx"), col("ts_ms"), lit(FunnelSteps.size)).as("st"))
+      .select(col("user_id") +:
+        FunnelSteps.indices.map(i => col(s"st.s$i").as(s"s$i")): _*)
+  }
+
+  /** The chained running-min window form of [[funnelStamps]] — the
+    * original build, retained as the reference implementation the
+    * aggregate is spec-pinned against (they must agree row-for-row,
+    * including users whose chain never starts). One per-user sort under
+    * four shared-spec windows; correct, but a single hot user's whole
+    * history sorts in one task. */
+  private[graft] def funnelStampsWindowed(base: DataFrame): DataFrame = {
     val byUser = Window
       .partitionBy(col("user_id"))
       .orderBy(col("ts_ms"), col("event_id"))

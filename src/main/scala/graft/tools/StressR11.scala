@@ -17,8 +17,11 @@ import org.apache.spark.sql.functions._
   *  - incremental append: a further skewed delta folds into the stored
   *    generation — delta-sized work, not a history rescan.
   *  - stamps: 10x events with one user owning HALF of all rows (worse
-  *    than StressR10's one-replica hot user) — the per-user sort-window
-  *    worst case; serves stay user-cardinality.
+  *    than StressR10's one-replica hot user) — the per-user skew worst
+  *    case; serves stay user-cardinality. The r12 A/B rows time the
+  *    mergeable-aggregate build against the retired sort-window form on
+  *    the same frame: the window form serializes the hot user's half
+  *    corpus through ONE task's sort, the aggregate folds it map-side.
   *
   * Not part of the driver contract.
   * Run: SPARK_GRAFT_CPUS=32 sbt 'runMain graft.tools.StressR11'
@@ -128,6 +131,17 @@ object StressR11 {
     time("funnel_warm") { Events.funnel(spark, etmp).count() }
     time("conv_cohort_warm") { Events.conversionCohort(spark, etmp).count() }
     time("conversion_lag_warm") { Events.conversionLag(spark, etmp).count() }
+
+    // ---- stamps build A/B under the same half-corpus hot user: the
+    // mergeable aggregate (shipped) vs the sort-window reference form.
+    // The window form's hot-user partition sorts in one task; the
+    // aggregate form's plan has NO sort node at all (spec-asserted) and
+    // its hot-user work distributes across map-side partials.
+    val ebase = spark.read.parquet(etmp + "/events.parquet").selectExpr(
+      "user_id", "event_id", "event_type",
+      "(ts - pmod(ts, 1000000)) DIV 1000000 AS ts_ms")
+    time("stamps_agg_form") { Events.funnelStamps(ebase).count() }
+    time("stamps_window_form") { Events.funnelStampsWindowed(ebase).count() }
     spark.stop()
   }
 }

@@ -336,8 +336,9 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(a.getAs[Long]("n_users") >= b.getAs[Long]("n_users"),
         s"funnel not monotone: $a -> $b")
     }
-    // the stamps BUILD pays one hash exchange: all four chained windows
-    // share the per-user sort
+    // the stamps BUILD pays one hash exchange and — with the mergeable
+    // aggregate replacing the chained windows — NO per-user sort: a hot
+    // user's history no longer serializes through one task
     val base = Tables.events(spark, sf).selectExpr(
       "user_id", "event_id", "event_type",
       "(ts - pmod(ts, 1000000)) DIV 1000000 AS ts_ms")
@@ -345,6 +346,16 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.executedPlan.toString
     val buildEx = "Exchange hashpartitioning".r.findAllIn(buildPlan).length
     assert(buildEx == 1, s"stamps build should shuffle once, saw $buildEx:\n$buildPlan")
+    assert(!buildPlan.contains("Sort "),
+      s"stamps build should not sort (skew bound):\n$buildPlan")
+    assert(buildPlan.contains("ObjectHashAggregate"),
+      s"stamps build should aggregate via ObjectHashAggregate:\n$buildPlan")
+    // the aggregate form is row-identical to the chained-window
+    // reference, including users whose chain never starts
+    def key(r: org.apache.spark.sql.Row): String = r.toSeq.mkString("|")
+    assert(operators.Events.funnelStamps(base).collect().map(key).sorted.toSeq ==
+      operators.Events.funnelStampsWindowed(base).collect().map(key).sorted.toSeq,
+      "stamps aggregate diverged from the window form")
     // the SERVE plan rides the persisted stamps store: no hash exchange
     // at all (only the single-partition gather of the global rollup)
     val servePlan = operators.Events.funnel(spark, sf).queryExecution.executedPlan.toString

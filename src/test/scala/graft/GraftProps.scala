@@ -513,4 +513,28 @@ object GraftProps extends Properties("graft") {
         .collect().head
       (kernel.getInt(0), kernel.getString(1)) == (ref.getInt(0), ref.getString(1))
     }
+
+  property("funnel stamps aggregate matches the chained-window formulation") =
+    forAll(
+      Gen.listOfN(
+        40,
+        for {
+          user <- Gen.chooseNum(1L, 4L)
+          // heavy tie density: strict-< qualification must reject equal
+          // stamps identically in both forms
+          step <- Gen.oneOf("signup", "view", "click", "purchase", "error")
+          ts <- Gen.chooseNum(0L, 12L)
+        } yield (user, step, ts)),
+      Gen.oneOf(1, 7, 32)) { (events, parts) =>
+      events.nonEmpty ==> {
+        val base = spark.createDataFrame(
+          events.zipWithIndex.map { case ((u, s, t), i) => (u, i.toLong, s, t) })
+          .toDF("user_id", "event_id", "event_type", "ts_ms")
+          .repartition(parts)
+        def m(d: org.apache.spark.sql.DataFrame) =
+          d.collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+        m(operators.Events.funnelStamps(base)) ==
+          m(operators.Events.funnelStampsWindowed(base))
+      }
+    }
 }
