@@ -308,6 +308,9 @@ object GramCountsKernel {
   * document's distinct n-gram xxhash64 values with occurrence counts
   * (see [[GramCountsKernel]]); null for docs under one gram. */
 case class GramCounts(child: Expression, n: Int) extends TextKernelExpr {
+  // a non-positive gram width degenerates silently (r11 ADVICE) — fail
+  // at construction like the non-literal argument path does
+  require(n > 0, s"graft_gram_counts requires n > 0, got $n")
   override def dataType: DataType = GramCountsKernel.schema
   override def nullable: Boolean = true
   override def prettyName: String = "graft_gram_counts"
@@ -392,6 +395,10 @@ object WinnowKernel {
 /** graft_winnow(text, k, w): STRUCT<sketch_size, sketch_min, sketch_xor
   * bigint> — see [[WinnowKernel]]; null for docs under one k-gram. */
 case class WinnowSketch(child: Expression, k: Int, w: Int) extends TextKernelExpr {
+  // a non-positive window would read uninitialized deque slots and
+  // return silent garbage (r11 ADVICE) — fail at construction instead
+  require(k > 0, s"graft_winnow requires k > 0, got $k")
+  require(w > 0, s"graft_winnow requires w > 0, got $w")
   override def dataType: DataType = WinnowKernel.schema
   override def nullable: Boolean = true
   override def prettyName: String = "graft_winnow"
@@ -1124,6 +1131,7 @@ object ExciseKernel {
   * ascending flagged window starts, `width` an INT literal. */
 case class ExciseTokens(left: Expression, right: Expression, width: Int)
     extends BinaryExpression {
+  require(width > 0, s"graft_excise requires width > 0, got $width")
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(StringType, _), ArrayType(org.apache.spark.sql.types.IntegerType, _)) =>
       TypeCheckResult.TypeCheckSuccess
@@ -1152,6 +1160,7 @@ case class ExciseTokens(left: Expression, right: Expression, width: Int)
   * disjoint coverage intervals (see [[CoverageKernel]]). `starts` must
   * be ascending (the operator sorts at aggregation). */
 case class CoverageIntervals(child: Expression, width: Int) extends UnaryExpression {
+  require(width > 0, s"graft_coverage requires width > 0, got $width")
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(org.apache.spark.sql.types.IntegerType, _) =>
       TypeCheckResult.TypeCheckSuccess

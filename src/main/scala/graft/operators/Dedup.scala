@@ -476,7 +476,14 @@ object Dedup {
     * integer, the fraction is one division — bit-deterministic under
     * partitioning. Hash-collision caveat as in [[shingleSets]]: the
     * oracle counts raw gram strings, so a collision fails hash parity
-    * loudly. */
+    * loudly.
+    *
+    * PRECONDITION: `doc_id` must be unique per row (true of the
+    * `documents` table and every graft corpus frame). The single-phase
+    * df count relies on it — the kernel emits per-DOC-distinct pairs,
+    * so duplicate doc_id rows would inflate `nd` and could flip the
+    * nd > 1 shared-gram cut where the old countDistinct(doc_id) form
+    * would not (r11 ADVICE). */
   def dupSpans(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     // per-doc DISTINCT (gram hash, multiplicity) pairs are born in the

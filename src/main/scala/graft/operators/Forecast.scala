@@ -137,11 +137,15 @@ object Forecast {
         "fingerprint proves the merged state")
     // the merge WRITES A NEW unique GENERATION (reading the previous
     // one, which stays intact for any live reader) — no in-place
-    // overwrite, so no self-read hazard and no checkpoint barrier needed
-    val newGen = ServingStore.newGenerationPath(path, postFp)
-    merged.write.mode("overwrite").parquet(newGen)
-    ServingStore.writeSidecar(spark, path, postFp, newGen)
-    ServingStore.prune(path, keep = Set(newGen, prevGen))
+    // overwrite, so no self-read hazard and no checkpoint barrier
+    // needed. Write + stamp + prune run under the store's build lock so
+    // an append can't interleave with a concurrent ensure-rebuild.
+    ServingStore.withBuildLock(path) {
+      val newGen = ServingStore.newGenerationPath(path, postFp)
+      merged.write.mode("overwrite").parquet(newGen)
+      ServingStore.writeSidecar(spark, path, postFp, newGen)
+      ServingStore.prune(path, keep = Set(newGen, prevGen))
+    }
   }
 
   /** The daily-grain fact projection the state aggregates. */

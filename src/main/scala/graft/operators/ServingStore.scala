@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * crash in between leaves a stale sidecar and the next ensure rebuilds
   * — never a fresh-looking stale store.
   *
-  * Each build writes a UNIQUE subdirectory (`path/gen_<fp-hex>_<nonce>`)
-  * and the sidecar names it: a rebuild can never overwrite files ANY
-  * live reader references — not even when a corpus cycles back to a
+  * Each build writes a UNIQUE subdirectory (`path/gen_<fp-hex>_<nonce>`,
+  * nonce a random UUID — process-unique, not merely JVM-monotonic) and
+  * the sidecar names it: a rebuild can never overwrite files ANY live
+  * reader references — not even when a corpus cycles back to a
   * previously-seen fingerprint (A→B→A would have re-targeted a pure
   * fp-derived directory in place; the r11 review caught it). The
   * sidecar-named previous generation survives exactly one rebuild cycle
@@ -23,31 +24,54 @@ import org.apache.spark.sql.functions._
   * sidecar is unreadable the previous generation is UNKNOWN, so pruning
   * is skipped entirely rather than guessed. Pre-generation (flat
   * layout) sidecars carry no generation name and read as unproven —
-  * they migrate with one rebuild. Callers with extra lifecycle
-  * (bucketed catalog registration, appendable generations) keep their
-  * own copies; plain parquet stores route here.
+  * they migrate with one rebuild, and the migration prunes the legacy
+  * flat part-files: generation-layout code never hands the flat files
+  * to a reader (a legacy sidecar always rebuilds), so no reader of THIS
+  * code can hold them, and the two-generation disk bound holds across
+  * the migration too.
+  *
+  * Builds run under a lock directory at `path + "_lock"`: two sessions
+  * ensuring the same stale store no longer both build (the r11-disclosed
+  * concurrent-builders race — never corrupting, but the loser's
+  * generation was orphaned until a later prune). The loser waits, then
+  * re-reads the sidecar and almost always serves the winner's fresh
+  * generation without building at all. A crashed builder's lock is
+  * taken over after [[ServingStore.LockStaleMs]] (lock-dir mtime).
+  *
+  * Callers with extra lifecycle (bucketed catalog registration,
+  * appendable generations) keep their own copies; plain parquet stores
+  * route here.
   */
 private[graft] object ServingStore {
 
+  /** What the sidecar proves about the store. */
+  private[graft] sealed trait SidecarState
+  /** Generation layout: fp + the generation directory it names. */
+  private[graft] final case class Stamped(fp: Long, gen: String) extends SidecarState
+  /** Readable sidecar from the pre-generation flat layout (fp only, no
+    * generation name): the flat files are unproven and must migrate —
+    * and since this code never serves them, they are safe to prune on
+    * the migration rebuild. */
+  private[graft] case object LegacyFlat extends SidecarState
+  /** Missing or unreadable sidecar: the live generation is UNKNOWN. */
+  private[graft] case object Unknown extends SidecarState
+
   /** Unique directory for a NEW generation build: fingerprint for
-    * auditability plus a nanotime nonce for uniqueness — never reuses a
-    * directory a previous build (even of the same fp) may have handed
-    * to a live reader. */
+    * auditability plus a random-UUID nonce for uniqueness — never
+    * reuses a directory a previous build (even of the same fp, even
+    * from another process) may have handed to a live reader. */
   private[graft] def newGenerationPath(path: String, fp: Long): String =
     path + "/gen_" + java.lang.Long.toHexString(fp) + "_" +
-      java.lang.Long.toHexString(System.nanoTime())
+      java.util.UUID.randomUUID().toString.replace("-", "")
 
-  /** (fp, generation dir path) from the sidecar — None when unreadable
-    * (warned) or when it predates the generation layout (no warn: that
-    * is the documented migration path). */
-  private[graft] def readSidecar(spark: SparkSession, what: String,
-      path: String): Option[(Long, String)] =
+  private[graft] def sidecarState(spark: SparkSession, what: String,
+      path: String): SidecarState =
     try {
       val df = spark.read.parquet(path + "_model")
-      if (!df.columns.contains("gen")) None
+      if (!df.columns.contains("gen")) LegacyFlat
       else {
         val r = df.select(col("fp"), col("gen")).collect()(0)
-        Some((r.getLong(0), path + "/" + r.getString(1)))
+        Stamped(r.getLong(0), path + "/" + r.getString(1))
       }
     } catch {
       // missing-vs-unreadable is distinguished INSIDE
@@ -56,7 +80,17 @@ private[graft] object ServingStore {
       // one warns) — keep that distinction in one place
       case e if scala.util.control.NonFatal(e) =>
         Similarity.warnUnreadableSidecar(what, path + "_model", e)
-        None
+        Unknown
+    }
+
+  /** (fp, generation dir path) from the sidecar — None when unreadable
+    * (warned) or when it predates the generation layout (no warn: that
+    * is the documented migration path). */
+  private[graft] def readSidecar(spark: SparkSession, what: String,
+      path: String): Option[(Long, String)] =
+    sidecarState(spark, what, path) match {
+      case Stamped(fp, gen) => Some((fp, gen))
+      case _ => None
     }
 
   private[graft] def writeSidecar(spark: SparkSession, path: String, fp: Long,
@@ -74,30 +108,91 @@ private[graft] object ServingStore {
         java.nio.file.Files.isDirectory(java.nio.file.Paths.get(g)) => g
     }
 
+  /** Age after which another builder's lock is presumed crashed and
+    * taken over. Volatile so the adversarial specs can shrink it. */
+  @volatile private[graft] var LockStaleMs: Long = 30L * 60 * 1000
+
+  private[graft] def lockPath(path: String): java.nio.file.Path =
+    java.nio.file.Paths.get(path + "_lock")
+
+  /** Run `body` holding the store's build lock (a lock DIRECTORY —
+    * creation is atomic on every local filesystem). Contenders poll;
+    * a lock older than [[LockStaleMs]] is presumed abandoned by a
+    * crashed builder and taken over. The callback re-checks freshness
+    * under the lock, so a waiting loser serves the winner's generation
+    * instead of building again. */
+  private[graft] def withBuildLock[T](path: String)(body: => T): T = {
+    val lock = lockPath(path)
+    Option(lock.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    var acquired = false
+    while (!acquired) {
+      try {
+        java.nio.file.Files.createDirectory(lock)
+        acquired = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val stale =
+            try {
+              val age = System.currentTimeMillis() -
+                java.nio.file.Files.getLastModifiedTime(lock).toMillis
+              age > LockStaleMs
+            } catch {
+              // vanished between the failed create and the stat: retry
+              case _: java.io.IOException => false
+            }
+          if (stale) {
+            // two takeover contenders may both delete; only one of the
+            // subsequent createDirectory calls wins — the loop re-enters
+            try java.nio.file.Files.deleteIfExists(lock)
+            catch { case _: java.io.IOException => () }
+          } else Thread.sleep(50)
+      }
+    }
+    try body
+    finally {
+      try java.nio.file.Files.deleteIfExists(lock)
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
   /** Ensure a generation of the store under `path` matching `fp`;
     * `build` must write the store to the directory it is handed.
     * Returns the fresh generation as a lazy parquet read. */
   def ensure(spark: SparkSession, what: String, path: String, fp: Long)(
       build: String => Unit): DataFrame = {
-    val stored = readSidecar(spark, what, path)
-    val fresh = stored.collect {
-      case (f, g) if f == fp &&
-        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(g)) => g
+    def freshGen(state: SidecarState): Option[String] = state match {
+      case Stamped(f, g) if f == fp &&
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(g)) => Some(g)
+      case _ => None
     }
-    fresh match {
+    freshGen(sidecarState(spark, what, path)) match {
       case Some(gen) => spark.read.parquet(gen)
       case None =>
-        val target = newGenerationPath(path, fp)
-        build(target)
-        writeSidecar(spark, path, fp, target)
-        // prune everything but the new generation and the sidecar-named
-        // previous one (live readers hold it for one rebuild cycle). An
-        // unreadable sidecar means the live generation is UNKNOWN —
-        // skip pruning rather than delete what a reader may hold.
-        stored.foreach { case (_, prevGen) =>
-          prune(path, keep = Set(target, prevGen))
+        withBuildLock(path) {
+          // re-check under the lock: a concurrent builder we waited out
+          // has usually stamped the store fresh already — serve it
+          val state = sidecarState(spark, what, path)
+          freshGen(state) match {
+            case Some(gen) => spark.read.parquet(gen)
+            case None =>
+              val target = newGenerationPath(path, fp)
+              build(target)
+              writeSidecar(spark, path, fp, target)
+              // prune everything but the new generation and the
+              // sidecar-named previous one (live readers hold it for one
+              // rebuild cycle). A LEGACY sidecar proves the flat layout:
+              // this code never served those files, so the migration
+              // rebuild prunes them outright. An UNREADABLE sidecar
+              // means the live generation is unknown — skip pruning
+              // rather than delete what a reader may hold.
+              state match {
+                case Stamped(_, prevGen) => prune(path, keep = Set(target, prevGen))
+                case LegacyFlat => prune(path, keep = Set(target))
+                case Unknown => ()
+              }
+              spark.read.parquet(target)
+          }
         }
-        spark.read.parquet(target)
     }
   }
 

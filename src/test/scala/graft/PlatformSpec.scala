@@ -887,6 +887,76 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and the migrated store now serves warm
     operators.ServingStore.ensure(spark, "t", store, 7L)(
       _ => fail("migrated store must serve warm"))
+    // the migration pruned the legacy flat part-files (r11 ADVICE: they
+    // lingered until a second fingerprint change, breaking the
+    // two-generation disk bound). Generation-layout code never served
+    // them, so no reader of this code could hold them.
+    val leftovers = Option(new java.io.File(store).listFiles)
+      .getOrElse(Array.empty[java.io.File])
+      .filterNot(f => f.isDirectory && f.getName.startsWith("gen_"))
+      .map(_.getName).toSeq
+    assert(leftovers.isEmpty,
+      s"legacy flat files survived the migration rebuild: $leftovers")
+  }
+
+  test("r12 serving stores: concurrent ensures build once — the loser waits and reuses") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graftlock").toString + "/store"
+    val aStarted = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    @volatile var loserBuilt = false
+    val ec = scala.concurrent.ExecutionContext.global
+    val winner = scala.concurrent.Future {
+      operators.ServingStore.ensure(spark, "t", store, 5L) { gen =>
+        aStarted.countDown()
+        assert(release.await(30, java.util.concurrent.TimeUnit.SECONDS))
+        Seq((1L, "w")).toDF("id", "v").coalesce(1).write.mode("overwrite").parquet(gen)
+      }
+    }(ec)
+    assert(aStarted.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    // the winner holds the build lock mid-build; a second session's
+    // ensure of the SAME stale store must wait, then serve the winner's
+    // generation — never run its own build, never orphan a directory
+    val loser = scala.concurrent.Future {
+      operators.ServingStore.ensure(spark, "t", store, 5L) { gen =>
+        loserBuilt = true
+        Seq((1L, "l")).toDF("id", "v").coalesce(1).write.mode("overwrite").parquet(gen)
+      }
+    }(ec)
+    Thread.sleep(300) // let the loser reach the lock poll loop
+    release.countDown()
+    import scala.concurrent.duration._
+    val wGot = scala.concurrent.Await.result(winner, 60.seconds).collect()
+    val lGot = scala.concurrent.Await.result(loser, 60.seconds).collect()
+    assert(!loserBuilt, "second ensure built concurrently instead of waiting")
+    assert(wGot.map(_.getString(1)).toSeq == Seq("w"))
+    assert(lGot.map(_.getString(1)).toSeq == Seq("w"),
+      "loser did not serve the winner's generation")
+    val gens = Option(new java.io.File(store).listFiles)
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("gen_"))
+    assert(gens.length == 1, s"concurrent ensures orphaned a generation: ${gens.toSeq}")
+    assert(!java.nio.file.Files.exists(operators.ServingStore.lockPath(store)),
+      "build lock leaked after both ensures returned")
+  }
+
+  test("r12 serving stores: a crashed builder's stale lock is taken over") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graftstale").toString + "/store"
+    val lock = operators.ServingStore.lockPath(store)
+    java.nio.file.Files.createDirectories(lock)
+    // fabricate a crash: the lock's mtime predates the staleness bound
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - operators.ServingStore.LockStaleMs - 60000))
+    var built = false
+    val out = operators.ServingStore.ensure(spark, "t", store, 3L) { gen =>
+      built = true
+      Seq((1L, "x")).toDF("id", "v").coalesce(1).write.mode("overwrite").parquet(gen)
+    }
+    assert(built, "stale lock blocked the takeover build")
+    assert(out.collect().map(_.getString(1)).toSeq == Seq("x"))
+    assert(!java.nio.file.Files.exists(lock), "lock leaked after takeover build")
   }
 
   test("day-state append refuses a delta whose files have not landed") {
@@ -1681,6 +1751,30 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     val zc = GenerateUnsafeProjection.generate(Seq(CosineSimilarity(v, v, hofCompat = true)))
     assert(zc(zrow).getDouble(0).isNaN)
     assert(CosineSimilarity(v, v, hofCompat = true).eval(zrow).asInstanceOf[Double].isNaN)
+  }
+
+  test("kernel width/window literals are validated at construction (r11 ADVICE)") {
+    // graft_winnow with w <= 0 read uninitialized deque slots and
+    // returned silent garbage; graft_gram_counts with n <= 0 degenerated
+    // similarly. All four parameterized kernels must now fail fast with
+    // the same IllegalArgumentException the non-literal path gets.
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
+    import graft.functions._
+    val s = BoundReference(0, StringType, nullable = true)
+    val w = BoundReference(1, ArrayType(StringType), nullable = true)
+    val st = BoundReference(2, ArrayType(IntegerType), nullable = true)
+    Seq[(String, () => Any)](
+      ("winnow k=0", () => WinnowSketch(s, 0, 4)),
+      ("winnow w=0", () => WinnowSketch(s, 5, 0)),
+      ("winnow w<0", () => WinnowSketch(s, 5, -3)),
+      ("gram_counts n=0", () => GramCounts(s, 0)),
+      ("coverage width=0", () => CoverageIntervals(st, 0)),
+      ("excise width=0", () => ExciseTokens(w, st, 0))
+    ).foreach { case (name, mk) =>
+      intercept[IllegalArgumentException] { mk() }
+      val _ = name
+    }
   }
 
   test("knn rankers use bounded-heap aggregation — no ordered Window over scored rows") {
