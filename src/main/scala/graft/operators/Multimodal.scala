@@ -85,6 +85,13 @@ object Multimodal {
       }
   }
 
+  /** The media corpus every registered multimodal query runs over:
+    * ingest from the documents table, then transcode into real
+    * containers — one shared derivation so the hash and dedup queries
+    * measure the same frame. */
+  def corpus(spark: SparkSession, dir: String): DataFrame =
+    transcode(spark, fromDocuments(graft.Tables.documents(spark, dir))).toDF()
+
   /** Derive a deterministic media corpus from the documents table (binary
     * payloads + typed metadata) — the harness ships no media files. */
   def fromDocuments(docs: DataFrame): DataFrame =
@@ -133,7 +140,12 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaItem].mapPartitions { it =>
       it.map { m =>
-        val seed = java.util.Arrays.hashCode(m.payload).toLong ^ (m.media_id << 32)
+        // seed from the PAYLOAD alone (not the media id): a duplicated
+        // ingest row — the same asset landing twice under two ids, the
+        // dup mode perceptual dedup exists for — must transcode into
+        // content-identical media. (An id-mixed seed made every copy
+        // pixel-unique and the dedup queries vacuously empty.)
+        val seed = java.util.Arrays.hashCode(m.payload).toLong * 0x9e3779b97f4a7c15L
         val payload = m.meta.kind match {
           case "image" =>
             val rgb = byteStream(seed, m.meta.width * m.meta.height * 3)
