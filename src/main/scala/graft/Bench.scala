@@ -165,9 +165,16 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    // warm-pass failures must be VISIBLE in the artifact: the r12 tail
+    // carried a swallowed warm-pass stack trace that the errors map (which
+    // only covers the measured loop) could not disclose — a query that
+    // fails at warm but recovers in the loop was silent
+    val warmErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def describe(e: Throwable): String =
+      s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(200)}"
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, warmDir).count()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable => warmErrors(s"$name@warmup") = describe(e) }
     }
     // untimed target-SF pass: pays per-corpus-generation sidecar builds +
     // cold parquet IO once, outside the measured window; its wall time is
@@ -175,7 +182,7 @@ object Bench {
     val warmTarget = names.map { name =>
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable => warmErrors(name) = describe(e) }
       (name, (System.nanoTime() - t0) / 1e9)
     }.toMap
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -225,6 +232,8 @@ object Bench {
     if (roundsRun < iters) System.err.println(
       s"[bench] wall budget ${budgetSec}s reached after $roundsRun of $iters rounds")
     errors.foreach { case (n, m) => System.err.println(s"[bench] $n FAILED: $m") }
+    warmErrors.foreach { case (n, m) =>
+      System.err.println(s"[bench] warm-pass $n FAILED: $m") }
     // The full artifact uses full query names and 0.1 ms precision; the
     // COMPACT line's per-query values use 10 ms precision while the line
     // fits (run-to-run spread is an order of magnitude above 10 ms).
@@ -240,12 +249,11 @@ object Bench {
     val sfName = new java.io.File(sfDir).getName
     val warmJson = names.map(n => "\"" + n + "\":" + fj(warmTarget.getOrElse(n, 0.0)))
       .mkString("{", ",", "}")
-    val errJson = errors
+    // escape EVERY control char: Spark 4 error messages are multi-line,
+    // and a raw \n inside the one-line full artifact breaks json.load
+    // exactly in the failure case these maps exist to disclose
+    def errMapJson(m: collection.Map[String, String]): String = m
       .map { case (k, v) =>
-        // escape EVERY control char: Spark 4 error messages are
-        // multi-line, and a raw \n inside the one-line full artifact
-        // breaks json.load exactly in the failure case this map exists
-        // to disclose
         val esc = v.flatMap {
           case '"' => "\\\""
           case '\\' => "\\\\"
@@ -255,13 +263,15 @@ object Bench {
         "\"" + k + "\":\"" + esc + "\""
       }
       .mkString("{", ",", "}")
+    val errJson = errMapJson(errors)
+    val warmErrJson = errMapJson(warmErrors)
     // the full-name → compact-key map rides in the artifact UNCONDITIONALLY
     // so the mapping is recoverable whichever ladder rung the line used
     val keyMapJson = abbrevKeys(names)
       .toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"warm_target_sec":$warmJson,"errors":$errJson,"iters":$roundsRun,"compact_keys":$keyMapJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"warm_target_sec":$warmJson,"warm_errors":$warmErrJson,"errors":$errJson,"iters":$roundsRun,"compact_keys":$keyMapJson,"sf":"$sfDir"}"""
     spark.stop()
     // full JSON (with spread) goes to a file FIRST — r10's compact-line
     // size guard sys.error'd after the measurement loop and before this

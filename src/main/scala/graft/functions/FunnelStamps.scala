@@ -3,7 +3,7 @@ package graft.functions
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types._
 
@@ -149,11 +149,16 @@ case class FunnelStampsAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[FunnelState] {
+    extends TypedImperativeAggregate[FunnelState] with ImplicitCastInputTypes {
 
   require(k > 0 && k <= 16, s"graft_funnel_stamps requires 0 < k <= 16, got $k")
 
   override def children: Seq[Expression] = Seq(step, ts)
+
+  // a SQL call with a BIGINT step or non-long ts must fail (or cast) at
+  // ANALYSIS, not ClassCastException inside the generic eval path on an
+  // executor (r12 advice)
+  override def inputTypes: Seq[DataType] = Seq(IntegerType, LongType)
 
   override def nullable: Boolean = false
 

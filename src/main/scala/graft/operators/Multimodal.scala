@@ -86,27 +86,84 @@ object Multimodal {
   }
 
   /** The media corpus every registered multimodal query runs over:
-    * ingest from the documents table, then transcode into real
+    * ingest from the documents table, plant the duplicate-ingest rows a
+    * dedup corpus needs ground truth for, then transcode into real
     * containers — one shared derivation so the hash and dedup queries
     * measure the same frame. */
   def corpus(spark: SparkSession, dir: String): DataFrame =
-    transcode(spark, fromDocuments(graft.Tables.documents(spark, dir))).toDF()
+    transcode(spark, plantIngestDups(fromDocuments(graft.Tables.documents(spark, dir)))).toDF()
 
   /** Derive a deterministic media corpus from the documents table (binary
-    * payloads + typed metadata) — the harness ships no media files. */
+    * payloads + typed metadata) — the harness ships no media files.
+    *
+    * `kind` derives from a hash of the PAYLOAD, not the row id: rows
+    * carrying the same asset under different ids (the duplicated-ingest
+    * mode perceptual dedup exists for) must land in the SAME modality,
+    * or two copies of one video can never pair (the r12 id-derived kind
+    * made q_video_dedup structurally vacuous). Width/height/nFrames
+    * already derive from n_chars — a payload property — for the same
+    * reason. */
   def fromDocuments(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("media_id"),
       col("text").cast(BinaryType).as("payload"),
       struct(
-        when(col("doc_id") % 3 === 0, "image")
-          .when(col("doc_id") % 3 === 1, "audio")
+        when(pmod(xxhash64(col("text")), lit(3)) === 0, "image")
+          .when(pmod(xxhash64(col("text")), lit(3)) === 1, "audio")
           .otherwise("video").as("kind"),
         (col("n_chars") % 64 + 1).cast(IntegerType).as("width"),
         (col("n_chars") % 48 + 1).cast(IntegerType).as("height"),
         lit(16000).as("sampleRateHz"),
         (col("n_chars") % 10 + 1).cast(IntegerType).as("nFrames"))
         .as("meta"))
+
+  /** Planted duplicate rows carry `media_id + DupIdOffset` — far above
+    * any doc_id, so planted ids never collide with ingest ids and a
+    * found pair's provenance is readable off the id. */
+  val DupIdOffset: Long = 1L << 40
+
+  /** Planted thumbnail-extract rows carry `media_id + ThumbIdOffset`. */
+  val ThumbIdOffset: Long = 1L << 41
+
+  /** Plant the two duplication modes a media-dedup corpus needs labeled
+    * ground truth for — the source documents table has NO duplicate
+    * payloads (500/500 distinct at every shipped SF), so without
+    * planting, every exact-content media-dedup query is structurally
+    * vacuous: it can only ever return hash collisions.
+    *
+    *  - duplicate ingest (~1 in 5 payloads): the same asset lands twice
+    *    under two ids — same payload, same metadata, same modality.
+    *    [[transcode]]'s payload-derived seed makes the two copies
+    *    content-identical media (possibly in DIFFERENT containers — the
+    *    format round-robin keys on the id — which is exactly the
+    *    transcode-invariance the perceptual hashes exist to see through).
+    *  - thumbnail extract (~1 in 4 video payloads): the video's payload
+    *    re-ingested as an IMAGE — [[transcode]] renders an image from
+    *    the same seed as the video's frame 0, so the planted image IS a
+    *    frame extract of the planted-from video, the cross-modal
+    *    duplication mode [[crossModalMatches]] resolves.
+    *
+    * Selection hashes the payload (with distinct salts), not the id:
+    * deterministic, re-derivable, and both copies of a duplicated
+    * payload make the same planting decision. */
+  def plantIngestDups(media: DataFrame): DataFrame = {
+    val dups = media
+      .filter(pmod(xxhash64(col("payload"), lit("dup")), lit(5)) === 0)
+      .select((col("media_id") + DupIdOffset).as("media_id"), col("payload"), col("meta"))
+    val thumbs = media
+      .filter(col("meta.kind") === "video" &&
+        pmod(xxhash64(col("payload"), lit("thumb")), lit(4)) === 0)
+      .select(
+        (col("media_id") + ThumbIdOffset).as("media_id"),
+        col("payload"),
+        struct(
+          lit("image").as("kind"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          col("meta.sampleRateHz").as("sampleRateHz"),
+          col("meta.nFrames").as("nFrames")).as("meta"))
+    media.unionByName(dups).unionByName(thumbs)
+  }
 
   /** Deterministic pseudo-random byte stream (splitmix64) — media sample
     * synthesis for the transcode stage; NOT runtime randomness. */
@@ -136,6 +193,20 @@ object Multimodal {
     * deterministically from the raw payload, so downstream stages do
     * genuine byte-level container parsing. Narrow mapPartitions — no
     * shuffle. */
+  /** 64-bit payload hash (FNV-1a folded through a splitmix finalizer) —
+    * the transcode seed. 64-bit because a 32-bit seed space collides two
+    * DISTINCT payloads into identical media at corpus scale (birthday
+    * bound ~2^16 items), a false-positive the dedup queries would then
+    * report as ground truth (r12 advice). */
+  private[operators] def payloadSeed(b: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < b.length) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+    h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+    h ^ (h >>> 31)
+  }
+
   def transcode(spark: SparkSession, media: DataFrame): Dataset[MediaItem] = {
     import spark.implicits._
     media.as[MediaItem].mapPartitions { it =>
@@ -145,7 +216,7 @@ object Multimodal {
         // dup mode perceptual dedup exists for — must transcode into
         // content-identical media. (An id-mixed seed made every copy
         // pixel-unique and the dedup queries vacuously empty.)
-        val seed = java.util.Arrays.hashCode(m.payload).toLong * 0x9e3779b97f4a7c15L
+        val seed = payloadSeed(m.payload)
         val payload = m.meta.kind match {
           case "image" =>
             val rgb = byteStream(seed, m.meta.width * m.meta.height * 3)
@@ -245,9 +316,13 @@ object Multimodal {
     * hash bits, so pairs surface through the SAME capped pigeonhole
     * hamming join the text/image families use. */
   def audioDedup(spark: SparkSession, media: DataFrame): DataFrame =
+    audioDedupFrom(audioHashes(spark, media).toDF())
+
+  /** [[audioDedup]] over an already-extracted `(media_id, ahash)` frame —
+    * the form the persisted hash store serves. */
+  def audioDedupFrom(hashes: DataFrame): DataFrame =
     Dedup.chunkedHammingPairs(
-      audioHashes(spark, media).toDF()
-        .select(col("media_id").as("doc_id"), col("ahash").as("simhash")))
+      hashes.select(col("media_id").as("doc_id"), col("ahash").as("simhash")))
       .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"), col("hamming"))
 
   /** Resize image payloads: REAL nearest-neighbor resampling on the
@@ -281,21 +356,35 @@ object Multimodal {
   private[operators] def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     PpmCodec.decode(payload).orElse(ImageIoCodec.decode(payload))
 
+  /** Stride for sampling an `n`-frame video at nominal stride `every`:
+    * a clip too short for the stride to keep at least two samples
+    * samples EVERY frame instead — with stride 2, a 2-frame video
+    * sampled only frame 0, so even an EXACT duplicate could never reach
+    * a shared-frame threshold of 2 (the r12 q_video_dedup vacuity's
+    * second cause). */
+  private[operators] def frameStride(n: Int, every: Int): Int = {
+    val e = math.max(1, every)
+    if (n < 2 * e) 1 else e
+  }
+
   /** Sample every `every`-th frame of video payloads (one output row per
-    * sampled frame). Concatenated-PPM payloads are split at REAL frame
-    * boundaries (each output is a valid standalone PPM); unparseable
-    * payloads fall back to stub fixed-stride slicing. */
+    * sampled frame; short clips sample every frame — [[frameStride]]).
+    * Concatenated-PPM payloads are split at REAL frame boundaries (each
+    * output is a valid standalone PPM); unparseable payloads fall back
+    * to stub fixed-stride slicing. */
   def sampleFrames(spark: SparkSession, media: DataFrame, every: Int = 2): Dataset[Frame] = {
     import spark.implicits._
     media.as[MediaItem].mapPartitions { it =>
       it.filter(_.meta.kind == "video").flatMap { m =>
         splitPpmFrames(m.payload) match {
           case Some(frames) =>
+            val stride = frameStride(frames.length, every)
             frames.zipWithIndex.collect {
-              case (fb, idx) if idx % math.max(1, every) == 0 => Frame(m.media_id, idx, fb)
+              case (fb, idx) if idx % stride == 0 => Frame(m.media_id, idx, fb)
             }.iterator
           case None =>
-            StubCodec.sampleFrames(m.payload, m.meta.nFrames, every)
+            StubCodec.sampleFrames(m.payload, m.meta.nFrames,
+              frameStride(m.meta.nFrames, every))
               .map { case (idx, bytes) => Frame(m.media_id, idx, bytes) }
         }
       }
@@ -360,9 +449,13 @@ object Multimodal {
     * hot-bucket discipline included). At 100 TB this is the image-side
     * dedup pass a multimodal corpus build runs next to text near-dup. */
   def imageDedup(spark: SparkSession, media: DataFrame): DataFrame =
+    imageDedupFrom(imageHashes(media.sparkSession, media).toDF())
+
+  /** [[imageDedup]] over an already-extracted `(media_id, phash)` frame —
+    * the form the persisted hash store serves ([[imageDedupServe]]). */
+  def imageDedupFrom(hashes: DataFrame): DataFrame =
     Dedup.chunkedHammingPairs(
-      imageHashes(media.sparkSession, media).toDF()
-        .select(col("media_id").as("doc_id"), col("phash").as("simhash")))
+      hashes.select(col("media_id").as("doc_id"), col("phash").as("simhash")))
       .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"), col("hamming"))
 
   case class FrameHash(media_id: Long, frame_idx: Int, phash: Long)
@@ -394,20 +487,43 @@ object Multimodal {
     * frames, logo cards) would otherwise quadratically explode the
     * candidate set. */
   def videoDedup(spark: SparkSession, media: DataFrame, every: Int = 2,
-      minShared: Int = 2): DataFrame = {
-    val hashes = frameHashes(spark, media, every).toDF()
+      minShared: Int = 2): DataFrame =
+    videoDedupFrom(frameHashes(spark, media, every).toDF(), minShared)
+
+  /** [[videoDedup]] over an already-extracted `(media_id, frame_idx,
+    * phash)` frame — the form the persisted hash store serves
+    * ([[videoDedupServe]]).
+    *
+    * The threshold is `least(minShared, n_a, n_b)` where `n` is a
+    * video's count of distinct surviving frame hashes: a clip with
+    * fewer distinct frames than `minShared` (a 1-frame video, a clip
+    * whose frames all hash alike) still pairs on FULL overlap — an
+    * exact duplicate of a short clip is exactly as duplicated as one of
+    * a long clip (the r12 vacuity's second cause; a fixed threshold
+    * silently exempted every short video from dedup). */
+  def videoDedupFrom(frameHashes: DataFrame, minShared: Int = 2): DataFrame = {
+    val hashes = frameHashes
       .select(col("media_id"), col("phash")).distinct()
       .localCheckpoint(eager = false)
     val hot = hashes.groupBy(col("phash")).agg(count(lit(1)).as("df"))
       .filter(col("df") > FrameHashCap)
       .select(col("phash"))
     val kept = hashes.join(hot, Seq("phash"), "left_anti")
+      .localCheckpoint(eager = false)
+    // video-cardinality (tiny next to the frame table); joined onto the
+    // PAIRS — smaller still — rather than carried through the self-join
+    val counts = kept.groupBy(col("media_id")).agg(count(lit(1)).as("n_hashes"))
     kept
       .join(kept.select(col("media_id").as("media_b"), col("phash")), Seq("phash"))
       .filter(col("media_id") < col("media_b"))
       .groupBy(col("media_id").as("media_a"), col("media_b"))
       .agg(count(lit(1)).as("shared_frames"))
-      .filter(col("shared_frames") >= minShared)
+      .join(counts.select(col("media_id").as("media_a"), col("n_hashes").as("n_a")),
+        Seq("media_a"))
+      .join(counts.select(col("media_id").as("media_b"), col("n_hashes").as("n_b")),
+        Seq("media_b"))
+      .filter(col("shared_frames") >= least(lit(minShared), col("n_a"), col("n_b")))
+      .select(col("media_a"), col("media_b"), col("shared_frames"))
   }
 
   /** Videos sharing one frame hash beyond this are boilerplate-frame
@@ -425,10 +541,16 @@ object Multimodal {
     * plain hash join on the 64-bit dHash (a frame extract preserves
     * pixels, so exact equality is the right key). Output: (image_id,
     * video_id, n_matching_frames, first_frame_idx). */
-  def crossModalMatches(spark: SparkSession, media: DataFrame, every: Int = 2): DataFrame = {
-    val imgs = imageHashes(spark, media).toDF()
+  def crossModalMatches(spark: SparkSession, media: DataFrame, every: Int = 2): DataFrame =
+    crossModalFrom(imageHashes(spark, media).toDF(), frameHashes(spark, media, every).toDF())
+
+  /** [[crossModalMatches]] over already-extracted image and frame hash
+    * frames — the form the persisted hash store serves
+    * ([[crossModalServe]]). */
+  def crossModalFrom(imageHashes: DataFrame, frameHashes: DataFrame): DataFrame = {
+    val imgs = imageHashes
       .select(col("media_id").as("image_id"), col("phash"))
-    val frames = frameHashes(spark, media, every).toDF()
+    val frames = frameHashes
       .groupBy(col("media_id").as("video_id"), col("phash"))
       .agg(min(col("frame_idx")).as("frame_idx"))
       .localCheckpoint(eager = false)
@@ -532,10 +654,15 @@ object Multimodal {
     * so the image-side survival mask alone decides first-emission —
     * the [[Dedup.chunkedHammingPairs]] mask discipline, two-sided. */
   def mosaicMatches(spark: SparkSession, media: DataFrame,
-      k: Int = MosaicGrid): DataFrame = {
-    val imgs = imageHashes(spark, media).toDF()
+      k: Int = MosaicGrid): DataFrame =
+    mosaicMatchesFrom(imageHashes(spark, media).toDF(), mosaicHashes(spark, media, k).toDF())
+
+  /** [[mosaicMatches]] over already-extracted image and mosaic hash
+    * frames — the form the persisted hash store serves. */
+  def mosaicMatchesFrom(imageHashes: DataFrame, mosaicHashes: DataFrame): DataFrame = {
+    val imgs = imageHashes
       .select(col("media_id").as("image_id"), col("phash"))
-    val mosaics = mosaicHashes(spark, media, k).toDF()
+    val mosaics = mosaicHashes
       .select(col("media_id").as("video_id"), col("mosaic_phash"))
     def chunks(sig: Column) = (0 until Dedup.Chunks).map { c =>
       struct(lit(c).as("c"),
@@ -587,6 +714,138 @@ object Multimodal {
         bit_count(col("phash").bitwiseXOR(col("mosaic_phash"))).as("hamming"))
       .filter(col("hamming") <= MosaicHammingMax)
   }
+
+  // ------------------------------------------------------------------
+  // Persisted media-hash generations
+  // ------------------------------------------------------------------
+
+  /** One row of the persisted hash store: `family` is which hash table
+    * the row belongs to (image | audio | frame | mosaic), `frame_idx`
+    * and `n_frames` only carry meaning for family=frame (and n_frames
+    * for mosaic); `hash` is the family's 64-bit perceptual hash. */
+  case class MediaHashRow(media_id: Long, family: String, frame_idx: Int,
+      n_frames: Int, hash: Long)
+
+  /** Bumped on any change to the corpus derivation or hash semantics:
+    * the store generation is keyed by (corpus fingerprint, version), so
+    * a code change can never serve a generation built under older
+    * semantics — the fingerprint alone only sees the FILES. */
+  private[operators] val HashStoreVersion = 1
+
+  /** ALL four hash families in ONE decode pass over the media corpus —
+    * the build behind [[ensureMediaHashes]]. Per video, every frame is
+    * decoded exactly once and feeds both its per-frame dHash row and the
+    * contact-sheet mosaic row; frames persist UNSAMPLED (every frame),
+    * so any serving stride filters rather than re-decodes. Narrow
+    * mapPartitions, no shuffle — payload bytes never move. */
+  def hashRows(spark: SparkSession, media: DataFrame): Dataset[MediaHashRow] = {
+    import spark.implicits._
+    media.as[MediaItem].mapPartitions { it =>
+      it.flatMap { m =>
+        m.meta.kind match {
+          case "image" =>
+            decodeImage(m.payload).map { case (w, h, rgb) =>
+              MediaHashRow(m.media_id, "image", 0, 1, dHash64(w, h, rgb))
+            }.iterator
+          case "audio" =>
+            WavCodec.decode(m.payload).map { case (rate, samples) =>
+              MediaHashRow(m.media_id, "audio", 0, 1, Dsp.audioHash64(rate, samples))
+            }.iterator
+          case _ =>
+            splitPpmFrames(m.payload) match {
+              case Some(fbs) =>
+                val decodedAll = fbs.map(decodeImage)
+                val frameRows = decodedAll.zipWithIndex.collect {
+                  case (Some((w, h, rgb)), idx) =>
+                    MediaHashRow(m.media_id, "frame", idx, fbs.length, dHash64(w, h, rgb))
+                }
+                val decoded = decodedAll.flatten.toIndexedSeq
+                val mosaicRow =
+                  if (decoded.isEmpty) Nil
+                  else {
+                    val (w, h, rgb) = mosaicRaster(decoded, MosaicGrid, MosaicCell)
+                    MediaHashRow(m.media_id, "mosaic", 0, fbs.length,
+                      dHash64(w, h, rgb)) :: Nil
+                  }
+                (frameRows ++ mosaicRow).iterator
+              case None =>
+                // mirror the from-scratch stub path exactly: fixed-stride
+                // slices (stride 1 here — serving re-applies any stride by
+                // index), decode attempted, undecodables drop; no mosaic
+                // ([[mosaicHashes]] requires real PPM frames)
+                StubCodec.sampleFrames(m.payload, m.meta.nFrames, 1).flatMap {
+                  case (idx, bytes) =>
+                    decodeImage(bytes).map { case (w, h, rgb) =>
+                      MediaHashRow(m.media_id, "frame", idx, m.meta.nFrames,
+                        dHash64(w, h, rgb))
+                    }
+                }
+            }
+        }
+      }
+    }
+  }
+
+  /** Ensure (and serve) the persisted media-hash generation for `dir`'s
+    * documents corpus: [[ServingStore]] discipline — fingerprint-keyed,
+    * crash-safe, lock-guarded, two-generation disk bound. The full
+    * transcode+decode pipeline runs ONCE per corpus generation; all six
+    * registered media queries serve from the resulting hash tables
+    * (tiny — a few longs per asset — next to the payload bytes they
+    * summarize). At 100 TB of media this is the difference between one
+    * decode pass amortized across every dedup/search run and re-decoding
+    * the corpus per query (the r12 media family's scale-killer). */
+  def ensureMediaHashes(spark: SparkSession, dir: String): DataFrame = {
+    val path = Similarity.servePath("media_hashes_", dir)
+    val fp = Similarity.corpusFingerprint(spark, dir, "documents.parquet") * 31 +
+      HashStoreVersion
+    ServingStore.ensure(spark, "media-hashes", path, fp) { gen =>
+      graft.Tables.invalidate(spark, dir, "documents")
+      hashRows(spark, corpus(spark, dir)).toDF()
+        .write.mode("overwrite").parquet(gen)
+    }
+  }
+
+  /** `(media_id, phash)` of decodable images, served from the persisted
+    * hash generation (one decode pass per corpus generation). */
+  def imageHashesServe(spark: SparkSession, dir: String): DataFrame =
+    ensureMediaHashes(spark, dir).filter(col("family") === "image")
+      .select(col("media_id"), col("hash").as("phash"))
+
+  /** `(media_id, ahash)` of decodable audio clips, served. */
+  def audioHashesServe(spark: SparkSession, dir: String): DataFrame =
+    ensureMediaHashes(spark, dir).filter(col("family") === "audio")
+      .select(col("media_id"), col("hash").as("ahash"))
+
+  /** `(media_id, mosaic_phash)` of videos with decodable frames, served. */
+  def mosaicHashesServe(spark: SparkSession, dir: String): DataFrame =
+    ensureMediaHashes(spark, dir).filter(col("family") === "mosaic")
+      .select(col("media_id"), col("hash").as("mosaic_phash"))
+
+  /** `(media_id, frame_idx, phash)` of decodable sampled video frames,
+    * served: frames persist unsampled, so the nominal stride (and the
+    * short-clip every-frame rule — [[frameStride]]) filters by INDEX
+    * here, reproducing [[frameHashes]] exactly without touching a
+    * payload byte. */
+  def frameHashesServe(spark: SparkSession, dir: String, every: Int = 2): DataFrame = {
+    val e = math.max(1, every)
+    ensureMediaHashes(spark, dir).filter(col("family") === "frame")
+      .filter(col("n_frames") < 2 * e || col("frame_idx") % e === 0)
+      .select(col("media_id"), col("frame_idx"), col("hash").as("phash"))
+  }
+
+  /** [[imageDedup]] served from the persisted hash generation. */
+  def imageDedupServe(spark: SparkSession, dir: String): DataFrame =
+    imageDedupFrom(imageHashesServe(spark, dir))
+
+  /** [[videoDedup]] served from the persisted hash generation. */
+  def videoDedupServe(spark: SparkSession, dir: String, every: Int = 2,
+      minShared: Int = 2): DataFrame =
+    videoDedupFrom(frameHashesServe(spark, dir, every), minShared)
+
+  /** [[crossModalMatches]] served from the persisted hash generation. */
+  def crossModalServe(spark: SparkSession, dir: String, every: Int = 2): DataFrame =
+    crossModalFrom(imageHashesServe(spark, dir), frameHashesServe(spark, dir, every))
 
   /** Split a payload of back-to-back binary PPMs at real frame
     * boundaries; None unless the WHOLE payload parses as PPM frames.

@@ -141,10 +141,24 @@ private[graft] object ServingStore {
               case _: java.io.IOException => false
             }
           if (stale) {
-            // two takeover contenders may both delete; only one of the
-            // subsequent createDirectory calls wins — the loop re-enters
-            try java.nio.file.Files.deleteIfExists(lock)
-            catch { case _: java.io.IOException => () }
+            // takeover must be ATOMIC: delete-then-create lets contender
+            // B's delayed delete remove contender A's freshly created
+            // lock (two builders then hold it at once — r12 advice).
+            // Rename the stale lock to a contender-unique tombstone
+            // instead: same-directory Files.move with ATOMIC_MOVE is
+            // atomic on local filesystems, so exactly ONE renamer owns
+            // the stale lock; it removes the tombstone and loops into
+            // the normal createDirectory race. Losers' moves throw (the
+            // source is gone) and they just re-enter the loop. A crash
+            // between move and delete leaks an empty tombstone dir that
+            // blocks nothing (it is not the lock path).
+            val tomb = java.nio.file.Paths.get(path + "_lock_tomb_" +
+              java.util.UUID.randomUUID().toString.replace("-", ""))
+            try {
+              java.nio.file.Files.move(lock, tomb,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              java.nio.file.Files.deleteIfExists(tomb)
+            } catch { case _: java.io.IOException => () }
           } else Thread.sleep(50)
       }
     }
