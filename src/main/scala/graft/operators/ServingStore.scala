@@ -169,6 +169,33 @@ private[graft] object ServingStore {
     }
   }
 
+  /** Freshness-aware serve memo: the sidecar parquet IS the freshness
+    * proof, but re-reading it (plus re-listing the generation files)
+    * through `spark.read.parquet` costs ~0.1s of driver fixed overhead
+    * per serve — paid by every serving-store query every time. The memo
+    * keys the served DataFrame on a driver-side stat SIGNATURE of the
+    * sidecar directory (file names + lengths + mtimes — microseconds on
+    * the node-local warehouse): any rebuild/append rewrites the sidecar,
+    * changing the signature and invalidating the entry, so the
+    * freshness semantics are exactly the sidecar read's, minus the
+    * parquet round-trips. Session-scoped (DataFrames bind a session). */
+  private val serveMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long, DataFrame)]()
+
+  private def sidecarSig(path: String): String = {
+    val dir = java.nio.file.Paths.get(path + "_model")
+    if (!java.nio.file.Files.isDirectory(dir)) "absent"
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(dir)
+      try s.iterator().asScala.toSeq
+        .map(p => p.getFileName.toString + ":" + java.nio.file.Files.size(p) + ":" +
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .sorted.mkString("|")
+      finally s.close()
+    }
+  }
+
   /** Ensure a generation of the store under `path` matching `fp`;
     * `build` must write the store to the directory it is handed.
     * Returns the fresh generation as a lazy parquet read. */
@@ -179,15 +206,26 @@ private[graft] object ServingStore {
         java.nio.file.Files.isDirectory(java.nio.file.Paths.get(g)) => Some(g)
       case _ => None
     }
+    val memoKey = System.identityHashCode(spark).toString + "|" + path
+    val sig0 = sidecarSig(path)
+    Option(serveMemo.get(memoKey)) match {
+      case Some((s, f, df)) if s == sig0 && f == fp => return df
+      case _ => ()
+    }
+    def serve(gen: String): DataFrame = {
+      val df = spark.read.parquet(gen)
+      serveMemo.put(memoKey, (sidecarSig(path), fp, df))
+      df
+    }
     freshGen(sidecarState(spark, what, path)) match {
-      case Some(gen) => spark.read.parquet(gen)
+      case Some(gen) => serve(gen)
       case None =>
         withBuildLock(path) {
           // re-check under the lock: a concurrent builder we waited out
           // has usually stamped the store fresh already — serve it
           val state = sidecarState(spark, what, path)
           freshGen(state) match {
-            case Some(gen) => spark.read.parquet(gen)
+            case Some(gen) => serve(gen)
             case None =>
               val target = newGenerationPath(path, fp)
               build(target)
@@ -204,7 +242,7 @@ private[graft] object ServingStore {
                 case LegacyFlat => prune(path, keep = Set(target))
                 case Unknown => ()
               }
-              spark.read.parquet(target)
+              serve(target)
           }
         }
     }
