@@ -51,14 +51,20 @@ object Golden {
     * (r10 verdict, residual docs nit). */
   val PinSf = "/root/testdata/sf0.001"
 
+  /** Second pin corpus (r12 verdict #9): pins are the ONLY net under
+    * the no-oracle family, so a drift that happens to cancel at one
+    * tiny sf (a swapped pair, an sf-correlated constant) needs a second
+    * independent corpus to trip on. QueriesSpec commits a map per sf. */
+  val PinSf2 = "/root/testdata/sf0.01"
+
   /** Pin generator: `runMain graft.tools.Golden [sfDir]` prints the
     * committed map entries for QueriesSpec. */
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse(PinSf)
-    if (dir != PinSf) System.err.println(
+    if (dir != PinSf && dir != PinSf2) System.err.println(
       s"[golden] WARNING: generating pins against $dir, but QueriesSpec " +
-        s"binds its committed pins to $PinSf — update Golden.PinSf and " +
-        "the QueriesSpec header together if the pin corpus is changing")
+        s"binds its committed pins to $PinSf / $PinSf2 — update Golden.PinSf " +
+        "and the QueriesSpec header together if the pin corpus is changing")
     val spark = graft.GraftSession.local("graft-golden")
     NoOracle.foreach { name =>
       val (n, h) = checksum(graft.SparkEntry.queries(name)(spark, dir))
