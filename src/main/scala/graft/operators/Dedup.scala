@@ -944,20 +944,32 @@ object Dedup {
   def simhashIdfDedup(spark: SparkSession, dir: String): DataFrame = {
     val path = idfWeightsServePath(dir)
     val fp = Similarity.corpusFingerprint(spark, dir, "documents.parquet")
-    // on a stale store, invalidate the memoized documents plan BEFORE
-    // building the shared sets frame (the r11 review caught the reverse
-    // order pinning a pre-change file listing on the signature side
-    // while the weights rebuilt from the fresh one) — and ONE
-    // tokenization checkpoint then feeds both the weight build and the
-    // signature pass, so the inline form's single-scan contract holds on
-    // the cold path too
-    if (ServingStore.currentGeneration(spark, "simhash-idf-weights", path, fp).isEmpty)
+    // the per-doc SIGNATURES persist as their own generation (the media
+    // hash-store discipline, r13): a signature is a pure per-document
+    // function of the corpus + weights, so the tokenization scan, the
+    // vocabulary join and the 64-sum aggregate are paid once per corpus
+    // generation — per query only the pigeonhole pairing runs. The
+    // weight generation stays a separate (inner) store: it is the
+    // model state other surfaces cite, and a crash between the two
+    // writes leaves the sigs sidecar stale -> sigs rebuild, weights
+    // serve (never a fresh-looking half-built pair).
+    val sigs = ServingStore.ensure(spark, "simhash-idf-sigs",
+      Similarity.servePath("simhash_idf_sigs_", dir), fp) { gen =>
+      // on a stale store, invalidate the memoized documents plan BEFORE
+      // building the shared sets frame (the r11 review caught the
+      // reverse order pinning a pre-change file listing on the
+      // signature side while the weights rebuilt from the fresh one) —
+      // and ONE tokenization checkpoint then feeds both the weight
+      // build and the signature pass, so the inline form's single-scan
+      // contract holds on the cold path too
       Tables.invalidate(spark, dir, "documents")
-    val sets = wordSets(Tables.documents(spark, dir))
-    val weights = ServingStore.ensure(spark, "simhash-idf-weights", path, fp) { gen =>
-      idfWeightsOf(sets).write.mode("overwrite").parquet(gen)
+      val sets = wordSets(Tables.documents(spark, dir))
+      val weights = ServingStore.ensure(spark, "simhash-idf-weights", path, fp) { wgen =>
+        idfWeightsOf(sets).write.mode("overwrite").parquet(wgen)
+      }
+      signaturesFromSets(sets, weights).write.mode("overwrite").parquet(gen)
     }
-    chunkedHammingPairs(signaturesFromSets(sets, weights))
+    chunkedHammingPairs(sigs)
   }
 
   /** q_dedup_simhash — near-dup pairs with hamming distance <= 3, found by
@@ -1047,8 +1059,21 @@ object Dedup {
       .filter(col("hamming") <= HammingMax)
   }
 
-  def simhashDedup(spark: SparkSession, dir: String): DataFrame =
-    simhashDedup(Tables.documents(spark, dir))
+  /** Dir-serving form: the per-doc simhash signatures persist as a
+    * fingerprint-keyed generation (same rationale as the IDF variant
+    * above — a signature is a pure per-document function, so the corpus
+    * scan + signature kernel amortize across a corpus generation and
+    * the per-query cost is the pairing alone). */
+  def simhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Similarity.corpusFingerprint(spark, dir, "documents.parquet")
+    val sigs = ServingStore.ensure(spark, "simhash-sigs",
+      Similarity.servePath("simhash_sigs_", dir), fp) { gen =>
+      Tables.invalidate(spark, dir, "documents")
+      simhashSignatures(Tables.documents(spark, dir))
+        .write.mode("overwrite").parquet(gen)
+    }
+    chunkedHammingPairs(sigs)
+  }
 
   // ------------------------------------------- keep-one-copy resolution
 
