@@ -72,6 +72,15 @@ object GraftSession {
       // truncatedString paths (RDD/metric renders) read spark.debug.*.
       .config("spark.sql.debug.maxToStringFields", "2000")
       .config("spark.debug.maxToStringFields", "2000")
+      // ContextCleaner only forces a driver GC every 30 MINUTES by
+      // default — tuned for long-lived clusters, not a 92-query suite
+      // in one JVM, where every lazily-checkpointed RDD's blocks stay
+      // resident until a GC lets the cleaner see the dead reference.
+      // The accumulated blocks pressure storage memory into evicting
+      // LIVE checkpoint blocks (the "block already exists" re-add
+      // notices = silent recomputation mid-suite). One forced GC a
+      // minute keeps dead blocks bounded at negligible cost.
+      .config("spark.cleaner.periodicGC.interval", "1min")
   }
 
   /** Post-init log tuning shared by every entry point. Runs AFTER the
