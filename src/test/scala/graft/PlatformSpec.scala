@@ -940,6 +940,33 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
       "build lock leaked after both ensures returned")
   }
 
+  test("r13 serving stores: the serve memo invalidates on an out-of-band " +
+      "same-fp restamp") {
+    import spark.implicits._
+    // the r13 serve memo keys on a stat signature of the sidecar dir; a
+    // rebuild by ANOTHER process at the SAME fingerprint (new generation,
+    // rewritten sidecar) must invalidate it — serving the memoized old
+    // generation would pin this session to files the other process's
+    // next prune deletes
+    val store = java.nio.file.Files.createTempDirectory("graftmemo").toString + "/store"
+    def buildOf(v: String): String => Unit =
+      gen => Seq((1L, v)).toDF("id", "v").coalesce(1).write.mode("overwrite").parquet(gen)
+    operators.ServingStore.ensure(spark, "t", store, 3L)(buildOf("one"))
+    // memo warm: a second ensure must not re-read (can't observe
+    // directly; assert the served value instead after the swap)
+    assert(operators.ServingStore.ensure(spark, "t", store, 3L)(
+      _ => fail("fresh store must not rebuild"))
+      .collect().map(_.getString(1)).toSeq == Seq("one"))
+    // another process restamps the SAME fp with a new generation
+    val gen2 = operators.ServingStore.newGenerationPath(store, 3L)
+    buildOf("two")(gen2)
+    operators.ServingStore.writeSidecar(spark, store, 3L, gen2)
+    val served = operators.ServingStore.ensure(spark, "t", store, 3L)(
+      _ => fail("restamped store is fresh for fp=3 — must not rebuild"))
+    assert(served.collect().map(_.getString(1)).toSeq == Seq("two"),
+      "serve memo survived an out-of-band sidecar rewrite at the same fp")
+  }
+
   test("r12 serving stores: a crashed builder's stale lock is taken over") {
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("graftstale").toString + "/store"
