@@ -1600,6 +1600,9 @@ object Similarity {
     }
   }
 
+  private[graft] def semAssignServePath(dir: String): String =
+    servePath("semassign_serve_", dir)
+
   /** q_dedup_embedding_cells — SemDeDup-style cluster-blocked embedding
     * near-dup (Abbas et al. 2023, arXiv:2303.09540: k-means the
     * embedding space, verify pairs WITHIN cells): candidates share one
@@ -1612,16 +1615,53 @@ object Similarity {
     * Lloyd fit and sidecar discipline as the ANN index family); blocking
     * is one codegen'd top-2 argmin projection over the scan, pairs are
     * emitted exactly once at their smallest shared cell (no pair-stream
-    * distinct), hot cells capped with observed drops. */
+    * distinct), hot cells capped with observed drops.
+    *
+    * Serving: the per-vector ASSIGNMENT table (vec_id, vec, cs, mask)
+    * persists as its own fingerprint-keyed generation — an assignment
+    * is a pure per-vector function of the corpus + quantizer, so the
+    * argmin projection, the hot-cell census and the survival-mask
+    * aggregate are paid once per corpus generation (the simhash
+    * signature-store discipline, r13); per query only the cell-local
+    * pairing join runs. The store carries the vector alongside its
+    * assignment (the IVF-cell layout) so serving never rescans the
+    * corpus table. */
   def embeddingDedupCells(spark: SparkSession, dir: String,
       threshold: Double = 0.45): DataFrame =
-    embeddingDedupCellsOf(emb(spark, dir), serveSemCells(spark, dir), threshold)
+    cellPairsFrom(serveCellAssignments(spark, dir), threshold)
 
-  /** Frame-based core of [[embeddingDedupCells]] — specs run it with
-    * planted corpora and their own quantizers. */
+  /** Serve-or-build the cell-assignment generation. The quantizer stays
+    * its own (inner) store: it is model state other surfaces could
+    * cite, and a crash between the two writes leaves the assignment
+    * sidecar stale -> assignments rebuild, quantizer serves (never a
+    * fresh-looking half-built pair). */
+  private[graft] def serveCellAssignments(spark: SparkSession, dir: String): DataFrame = {
+    val fp = corpusFingerprint(spark, dir)
+    ServingStore.ensure(spark, "sem-cell-assignments", semAssignServePath(dir), fp) { gen =>
+      // invalidate the memoized corpus plan BEFORE the quantizer ensure
+      // reads it (the r11 ordering lesson: the reverse pins a pre-change
+      // file listing on one side while the other rebuilds fresh)
+      Tables.invalidate(spark, dir, "embeddings")
+      val cents = serveSemCells(spark, dir)
+      cellAssignmentsOf(emb(spark, dir), cents)
+        .write.mode("overwrite").parquet(gen)
+    }
+  }
+
+  /** Frame-based composition of [[cellAssignmentsOf]] and
+    * [[cellPairsFrom]] — specs run it with planted corpora and their
+    * own quantizers; the serving form is bit-equal by construction
+    * (spec-pinned). */
   private[graft] def embeddingDedupCellsOf(corpus: DataFrame,
       cents: Array[Array[Double]], threshold: Double,
-      cellCap: Int = SemCellCap): DataFrame = {
+      cellCap: Int = SemCellCap): DataFrame =
+    cellPairsFrom(cellAssignmentsOf(corpus, cents, cellCap), threshold)
+
+  /** Build phase: per-vector top-2 cell assignment with the hot-cell
+    * survival mask — (vec_id, vec, cs, mask), one row per vector that
+    * survived in at least one of its cells. */
+  private[graft] def cellAssignmentsOf(corpus: DataFrame,
+      cents: Array[Array[Double]], cellCap: Int = SemCellCap): DataFrame = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
     // typedLit, NOT centsLit: the dedup quantizer is ~n/24 cells (250+
     // at sf0.1), and a CreateArray tree of cells x dim literal nodes
@@ -1654,11 +1694,22 @@ object Similarity {
     // survival term, a pair whose smallest shared cell is hot would be
     // suppressed at its surviving cell too and silently lost (the
     // [[Dedup.chunkedHammingPairs]] mask discipline)
-    val cells = cells0
+    cells0
       .join(hot, Seq("cell"), "left_anti")
       .groupBy(col("vec_id"))
       .agg(first(col("vec")).as("vec"), first(col("cs")).as("cs"),
         sum(when(col("slot") === 0, 1L).otherwise(2L)).as("mask"))
+      .select(col("vec_id"), col("vec"), col("cs"), col("mask"))
+  }
+
+  /** Serve phase: cell-local pairing over an assignment frame
+    * (vec_id, vec, cs, mask) — re-derives the surviving (slot, cell)
+    * stream from the mask, joins within cells, and emits each pair
+    * exactly once at its smallest shared SURVIVING cell. */
+  private[graft] def cellPairsFrom(assignments: DataFrame,
+      threshold: Double): DataFrame = {
+    GraftFunctions.ensureRegistered(assignments.sparkSession)
+    val cells = assignments
       .select(col("vec_id"), col("vec"), col("cs"), col("mask"),
         posexplode(col("cs")))
       .toDF("vec_id", "vec", "cs", "mask", "slot", "cell")
@@ -1682,22 +1733,53 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  private[graft] def embSigsServePath(dir: String): String =
+    servePath("emb_sigs_", dir)
+
   /** q_dedup_embedding — embedding-cosine near-dup pairs via LSH-banded
     * candidate generation (threshold tuned to the harness corpus, which
-    * has no planted >0.9 pairs — see SURVEY §2B). */
-  def embeddingDedup(spark: SparkSession, dir: String, threshold: Double = 0.45): DataFrame = {
-    val corpus = emb(spark, dir)
-    // banded blocking through the shared exactly-once core
-    // ([[Dedup.firstSharedBandPairs]] — one kernel scan, no pair-stream
-    // distinct)
+    * has no planted >0.9 pairs — see SURVEY §2B).
+    *
+    * Serving: the per-vector band-signature table (vec_id, vec, bks)
+    * persists as a fingerprint-keyed generation (the simhash
+    * signature-store discipline, r13) — the hyperplane projection scan
+    * is paid once per corpus generation, and the store carries the
+    * vector so the verify joins read it instead of rescanning the
+    * corpus. [[embeddingDedupResolve]] serves the SAME generation, so
+    * the pair of queries shares one projection instead of two.
+    * Signatures are threshold-independent: the store key is the corpus
+    * fingerprint alone. */
+  def embeddingDedup(spark: SparkSession, dir: String, threshold: Double = 0.45): DataFrame =
+    embeddingDedupOf(serveEmbSigs(spark, dir), threshold)
+
+  /** Serve-or-build the LSH band-signature generation. */
+  private[graft] def serveEmbSigs(spark: SparkSession, dir: String): DataFrame = {
+    val fp = corpusFingerprint(spark, dir)
+    ServingStore.ensure(spark, "emb-lsh-sigs", embSigsServePath(dir), fp) { gen =>
+      Tables.invalidate(spark, dir, "embeddings")
+      embSigsOf(emb(spark, dir)).write.mode("overwrite").parquet(gen)
+    }
+  }
+
+  /** Build phase: one codegen'd hyperplane projection over the corpus
+    * scan — (vec_id, vec, bks). */
+  private[graft] def embSigsOf(corpus: DataFrame): DataFrame = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    corpus.select(col("vec_id"), col("vec"),
+      call_function(GraftFunctions.HplaneIndexName, col("vec")).as("bks"))
+  }
+
+  /** Serve phase: banded blocking through the shared exactly-once core
+    * ([[Dedup.firstSharedBandPairs]] — no pair-stream distinct), exact
+    * cosine verification over the store's own vector column. Bit-equal
+    * to projecting signatures inline (spec-pinned). */
+  private[graft] def embeddingDedupOf(sigs: DataFrame, threshold: Double): DataFrame = {
     val candidates = Dedup.firstSharedBandPairs(
-      corpus.select(col("vec_id").as("id"),
-        call_function(GraftFunctions.HplaneIndexName, col("vec")).as("bks")),
-      LshBands)
+      sigs.select(col("vec_id").as("id"), col("bks")), LshBands)
       .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
     candidates
-      .join(corpus.select(col("vec_id").as("vec_a"), col("vec").as("va")), Seq("vec_a"))
-      .join(corpus.select(col("vec_id").as("vec_b"), col("vec").as("vb")), Seq("vec_b"))
+      .join(sigs.select(col("vec_id").as("vec_a"), col("vec").as("va")), Seq("vec_a"))
+      .join(sigs.select(col("vec_id").as("vec_b"), col("vec").as("vb")), Seq("vec_b"))
       .withColumn("cosine", cosine(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))

@@ -1047,6 +1047,65 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"weight join still sort-merges:\n$plan")
   }
 
+  test("embedding dedup: signature-store-served pairs equal the inline projection") {
+    import org.apache.spark.sql.functions._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val corpus = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").as("vec"))
+    assert(rows(operators.Similarity.embeddingDedup(spark, sf)) ==
+      rows(operators.Similarity.embeddingDedupOf(
+        operators.Similarity.embSigsOf(corpus), 0.45)),
+      "persisted band-signature generation diverged from the inline projection")
+    // resolve shares the SAME signature generation — same inline parity
+    assert(rows(operators.Similarity.embeddingDedupResolve(spark, sf)) ==
+      rows(operators.Dedup.resolveComponents(
+        operators.Similarity.embeddingDedupOf(
+          operators.Similarity.embSigsOf(corpus), 0.45)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+        .select(col("doc_id").as("vec_id"), col("canonical_id"))),
+      "resolve over the served signatures diverged from the inline form")
+  }
+
+  test("embedding cells: assignment-store-served pairs equal the inline form") {
+    import org.apache.spark.sql.functions._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val corpus = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").as("vec"))
+    assert(rows(operators.Similarity.embeddingDedupCells(spark, sf)) ==
+      rows(operators.Similarity.embeddingDedupCellsOf(corpus,
+        operators.Similarity.serveSemCells(spark, sf), 0.45)),
+      "persisted assignment generation diverged from the inline form")
+  }
+
+  test("embedding sig store: dir-serve tracks a corpus swap") {
+    // the sig build invalidates the memoized embeddings plan before the
+    // projection scan (the simhash-idf swap lesson) — after an in-place
+    // corpus swap a long session must serve the NEW corpus's pairs
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graftembswap").toString
+    val embs = Tables.embeddings(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    embs.filter(col("vec_id") % 2 === 0).write.mode("overwrite")
+      .parquet(tmp + "/embeddings.parquet")
+    val before = rows(operators.Similarity.embeddingDedup(spark, tmp))
+    Tables.invalidate(spark, tmp, "embeddings")
+    embs.filter(col("vec_id") % 2 === 1).write.mode("overwrite")
+      .parquet(tmp + "/embeddings.parquet")
+    // re-memoize the OLD-style pinned plan like a long session would
+    Tables.embeddings(spark, tmp).count()
+    val served = rows(operators.Similarity.embeddingDedup(spark, tmp))
+    val inline = rows(operators.Similarity.embeddingDedupOf(
+      operators.Similarity.embSigsOf(
+        spark.read.parquet(tmp + "/embeddings.parquet")
+          .select(col("vec_id"), col("embedding").as("vec"))), 0.45))
+    assert(served == inline,
+      "dir-serve diverged from the inline form after a corpus swap")
+    assert(served != before, "swap did not change pairs — bad test setup")
+  }
+
   test("enrich attach: store-served equals from-scratch resolution") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
