@@ -797,12 +797,77 @@ object Multimodal {
     * the corpus per query (the r12 media family's scale-killer). */
   def ensureMediaHashes(spark: SparkSession, dir: String): DataFrame = {
     val path = Similarity.servePath("media_hashes_", dir)
-    val fp = Similarity.corpusFingerprint(spark, dir, "documents.parquet") * 31 +
-      HashStoreVersion
+    val fp = mediaHashesFingerprint(spark, dir)
     ServingStore.ensure(spark, "media-hashes", path, fp) { gen =>
       graft.Tables.invalidate(spark, dir, "documents")
       hashRows(spark, corpus(spark, dir)).toDF()
         .write.mode("overwrite").parquet(gen)
+    }
+  }
+
+  /** The fingerprint [[ensureMediaHashes]] keys its generation by —
+    * callers snapshot it BEFORE landing a delta so the append can prove
+    * the store still matches the pre-delta corpus. */
+  def mediaHashesFingerprint(spark: SparkSession, dir: String): Long =
+    Similarity.corpusFingerprint(spark, dir, "documents.parquet") * 31 +
+      HashStoreVersion
+
+  /** Incremental ingest for the media-hash store: decode ONLY the delta.
+    *
+    * `newDocs` are the document rows whose files have already landed in
+    * `dir`; the corpus derivation is row-local end to end (payload-hash
+    * kind/planting, per-row transcode seed — [[fromDocuments]],
+    * [[plantIngestDups]], [[payloadSeed]]), so hashing the delta's
+    * derived media alone produces EXACTLY the rows a full rebuild over
+    * old ∪ delta would add — spec-asserted. At 100 TB of media this is
+    * the difference between a day's ingest costing a day's decode and
+    * costing the whole corpus's: the merge rewrite that follows is
+    * hash-store-sized (a few longs per asset, orders below payload
+    * bytes), and the decode — the part that dwarfs everything — runs on
+    * the delta only.
+    *
+    * Same protocol as [[Forecast.appendDayStats]]: the whole append runs
+    * under the build lock; the sidecar must prove the live generation
+    * was built for `expectedFp` (else rebuild, don't append); the merged
+    * state writes a NEW generation (live readers keep the previous one);
+    * the post-delta fingerprint must differ from the stored one, so a
+    * delta that never landed cannot stamp fresh-looking state. */
+  def appendMediaHashes(spark: SparkSession, dir: String, newDocs: DataFrame,
+      expectedFp: Long): Unit = {
+    val path = Similarity.servePath("media_hashes_", dir)
+    ServingStore.withBuildLock(path) {
+      val (storedFp, prevGen) = ServingStore.readSidecar(spark, "media-hashes", path)
+        .getOrElse(throw new IllegalStateException(
+          s"media-hash sidecar at ${path}_model unreadable or pre-generation " +
+            "layout — run ensureMediaHashes (full rebuild) instead of " +
+            "appending into an unproven generation"))
+      require(storedFp == expectedFp,
+        s"media-hash store at $path was built for a different corpus state " +
+          s"(stored fp $storedFp != pre-delta fp $expectedFp): the store is " +
+          "stale and must be rebuilt with ensureMediaHashes, not appended into")
+      val deltaHashes = hashRows(spark,
+        transcode(spark, plantIngestDups(fromDocuments(newDocs))).toDF()).toDF()
+      val prev = spark.read.parquet(prevGen)
+      // id-collision guard: hash rows are per-asset pure, so an id on
+      // both sides means the same document was appended twice — the
+      // merged store would carry doubled rows and every dedup query
+      // would pair the asset with itself. Delta ids are few: the probe
+      // is a broadcast join against the hash-sized store.
+      require(prev.join(
+        deltaHashes.select(col("media_id")).distinct(), Seq("media_id")).isEmpty,
+        s"delta media_ids already present in the generation at $prevGen — " +
+          "the same documents were appended twice; rebuild with ensureMediaHashes")
+      val merged = prev.unionByName(deltaHashes)
+      graft.Tables.invalidate(spark, dir, "documents")
+      val postFp = mediaHashesFingerprint(spark, dir)
+      require(postFp != storedFp,
+        s"corpus fingerprint unchanged after the delta (still $storedFp) — " +
+          s"land the delta files in $dir BEFORE appending, so the stamped " +
+          "fingerprint proves the merged state")
+      val newGen = ServingStore.newGenerationPath(path, postFp)
+      merged.write.mode("overwrite").parquet(newGen)
+      ServingStore.writeSidecar(spark, path, postFp, newGen)
+      ServingStore.prune(path, keep = Set(newGen, prevGen))
     }
   }
 
