@@ -725,15 +725,32 @@ object Dedup {
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Band buckets holding more rows than this are dropped from candidate
+    * generation — the quadratic-candidate valve every banding family
+    * carries ([[SimHashChunkCap]], [[HotShingleCap]],
+    * [[Similarity.SemCellCap]], [[Multimodal.FrameHashCap]]): a
+    * degenerate bucket (boilerplate signatures, embedding-collapse zero
+    * vectors) would otherwise emit O(B^2) pairs at its band and kill the
+    * job at corpus scale. Drops are observed, not silent. */
+  val BandBucketCap = 500
+
   /** Exactly-once banded pair candidates over any (id, bks) frame —
     * the shared core of [[minhashDedup]] and
     * [[Similarity.embeddingDedup]]'s LSH blocking: posexplode the
     * per-row bucket array, self-join on (band, bucket), and emit each
-    * pair ONCE at its first shared band via an unrolled codegen
-    * predicate (no pair-stream distinct; the higher-order
+    * pair ONCE at its first shared SURVIVING band via an unrolled
+    * codegen predicate (no pair-stream distinct; the higher-order
     * exists/zip_with form of the predicate is interpreted per candidate
-    * row and measurably slower than the distinct it replaces). The
-    * banded stream is lazily checkpointed — it feeds both join sides.
+    * row and measurably slower than the distinct it replaces).
+    *
+    * Hot buckets above `bucketCap` are dropped before pairing (observed
+    * via the `band_hot_drops_` counter), with the
+    * [[chunkedHammingPairs]] survival-mask discipline: a shared band
+    * has the SAME bucket on both sides, so survival is a shared
+    * property of the pair, "first shared surviving band" is
+    * well-defined from one side's mask alone, and a pair whose earliest
+    * shared band was hot is still emitted at its first surviving one —
+    * never silently lost to the cap.
     *
     * Disclosed trade (ADVICE r9): both sides carry their FULL bks
     * array (nBands x 8 bytes per row) through the (band, bucket)
@@ -745,18 +762,67 @@ object Dedup {
     * hashes instead of the arrays — same exactly-once emission, 8 bytes
     * per side — at the cost of a (vanishingly unlikely) prefix-hash
     * collision dropping a pair's first emission. */
-  private[operators] def firstSharedBandPairs(ids: DataFrame, nBands: Int): DataFrame = {
-    val banded = ids
+  private[graft] def firstSharedBandPairs(ids: DataFrame, nBands: Int,
+      bucketCap: Int = BandBucketCap): DataFrame = {
+    require(nBands <= 63, s"survival mask is a long: nBands $nBands > 63")
+    val banded0 = ids
       .select(col("id"), col("bks"), posexplode(col("bks")))
       .toDF("id", "bks", "band", "bucket")
       .localCheckpoint(eager = false)
+    val hot = banded0.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > bucketCap)
+      .select(col("band"), col("bucket"), col("df"))
+      .observe(s"band_hot_drops_${obsId.incrementAndGet()}",
+        count(lit(1)).as("hot_buckets"),
+        coalesce(sum(col("df")), lit(0L)).as("dropped_band_rows"))
+      .select(col("band"), col("bucket"))
+    // The valve engages lazily: one bounded probe over the (partial-
+    // aggregated, bucket-cardinality) census decides whether any bucket
+    // is hot. On every sane corpus none is, and the zero-overhead
+    // original plan runs — no anti-join, no id-regroup, no extra
+    // exchanges; the probe itself materializes the lazily-checkpointed
+    // banded stream the main plan reuses, so the scan is still paid
+    // once. Only a corpus that actually holds a degenerate bucket pays
+    // the survival-mask stages — exactly when they are worth paying.
+    // Output is identical on both branches (an all-ones mask reduces
+    // the predicate to the uncapped form), so the runtime branch is a
+    // plan choice, not a semantic one — spec-asserted both ways.
+    if (hot.isEmpty) {
+      val firstShared = (0 until nBands).map { bp =>
+        when(lit(bp) < col("band"),
+          element_at(col("bks"), bp + 1) =!= element_at(col("bks_b"), bp + 1))
+          .otherwise(lit(true))
+      }.reduce(_ && _)
+      return banded0
+        .join(banded0.select(col("id").as("id_b"), col("bks").as("bks_b"),
+          col("band"), col("bucket")), Seq("band", "bucket"))
+        .filter(col("id") < col("id_b"))
+        .filter(firstShared)
+        .select(col("id").as("id_a"), col("id_b"))
+    }
+    // total over band indexes by construction: band comes from
+    // posexplode over the same nBands-long array the mask covers
+    val bitOf = (1 until nBands).foldLeft(when(col("band") === 0, 1L)) {
+      (acc, b) => acc.when(col("band") === b, 1L << b)
+    }
+    val withMask = banded0
+      .join(hot, Seq("band", "bucket"), "left_anti")
+      .groupBy(col("id"))
+      .agg(first(col("bks")).as("bks"), sum(bitOf).as("mask"))
+    val restream = withMask
+      .select(col("id"), col("bks"), col("mask"), posexplode(col("bks")))
+      .toDF("id", "bks", "mask", "band", "bucket")
+      .filter(col("mask").bitwiseAND(bitOf) =!= 0L)
+      .localCheckpoint(eager = false)
     val firstShared = (0 until nBands).map { bp =>
       when(lit(bp) < col("band"),
-        element_at(col("bks"), bp + 1) =!= element_at(col("bks_b"), bp + 1))
+        !((element_at(col("bks"), bp + 1) === element_at(col("bks_b"), bp + 1)) &&
+          (col("mask").bitwiseAND(lit(1L << bp)) =!= 0L)))
         .otherwise(lit(true))
     }.reduce(_ && _)
-    banded
-      .join(banded.select(col("id").as("id_b"), col("bks").as("bks_b"),
+    restream
+      .join(restream.select(col("id").as("id_b"), col("bks").as("bks_b"),
         col("band"), col("bucket")), Seq("band", "bucket"))
       .filter(col("id") < col("id_b"))
       .filter(firstShared)

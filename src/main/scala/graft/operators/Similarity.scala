@@ -1774,6 +1774,9 @@ object Similarity {
     * cosine verification over the store's own vector column. Bit-equal
     * to projecting signatures inline (spec-pinned). */
   private[graft] def embeddingDedupOf(sigs: DataFrame, threshold: Double): DataFrame = {
+    // a warm store serves without ever touching the build projection, so
+    // the cosine registration must happen HERE, not only in embSigsOf
+    GraftFunctions.ensureRegistered(sigs.sparkSession)
     val candidates = Dedup.firstSharedBandPairs(
       sigs.select(col("vec_id").as("id"), col("bks")), LshBands)
       .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))

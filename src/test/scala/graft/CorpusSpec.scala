@@ -123,6 +123,31 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       "hot chunk buckets must be dropped, not joined quadratically")
   }
 
+  test("band hot-bucket cap bounds degenerate LSH joins without losing capped pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 1200 identical docs -> identical minhash signatures -> every band
+    // bucket holds all 1200; without the cap the band join is quadratic
+    // (~720k candidate pairs). Every bucket exceeds the cap and drops.
+    val degenerate = (1L to 1200L)
+      .map(i => (i, "same words repeated here forever and ever more"))
+      .toDF("doc_id", "text")
+    assert(operators.Dedup.minhashDedup(degenerate).count() == 0,
+      "hot band buckets must be dropped, not joined quadratically")
+    // survival-mask discipline: a pair whose FIRST shared band is hot
+    // must still be emitted at its first surviving band. Hand-built
+    // (id, bks) frames: ids 1/2 share band 0 (hot: 600 fillers share
+    // its bucket) AND band 1 (cold) — the pair must surface exactly
+    // once via band 1.
+    val fillers = (10L until 610L).map(i => (i, Seq(7L, 100L + i, 10000L + i)))
+    val pair = Seq((1L, Seq(7L, 9L, 301L)), (2L, Seq(7L, 9L, 302L)))
+    val ids = (fillers ++ pair).toDF("id", "bks")
+    val got = operators.Dedup.firstSharedBandPairs(ids, 3, bucketCap = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L)),
+      s"capped first-shared-band emission lost or duplicated the pair: $got")
+  }
+
   test("idf simhash keeps true dups and rejects boilerplate-driven false pairs") {
     import spark.implicits._
     // 40 shared boilerplate words dominate the unweighted signature; each
