@@ -322,10 +322,31 @@ object Similarity {
     * their previous centroid. Each round's tiny centroid frame is
     * eagerly checkpointed (one distributed job per Lloyd round — the
     * iteration itself, not driver traffic) so plans stay bounded. */
-  def ivfFit(corpus: DataFrame, nList: Int = IvfNList, iters: Int = IvfIters): Array[Array[Double]] = {
+  /** FAISS-style training-sample bound (max_points_per_centroid): Lloyd
+    * cost is iters x n_train x k x dim, so an unsampled fit re-derives
+    * from a billion vectors what a 256-per-cell sample already
+    * determines — quantizer quality is set by points-per-centroid, not
+    * corpus size, once cells are populated. The sample is a
+    * deterministic hash-range filter on vec_id (content-keyed,
+    * partition-invariant, no sort), and it never engages below
+    * 256 x nList vectors — every shipped SF and pin corpus trains
+    * unsampled, so this is purely the capital-cost bound for the
+    * clamped-k regime (StressR13b's 103 s assignment-store build at
+    * 200k x 4096 cells is the row it exists for). */
+  val MaxFitPointsPerCentroid = 256
+
+  def ivfFit(corpus: DataFrame, nList: Int = IvfNList, iters: Int = IvfIters,
+      maxFitPointsPerCentroid: Int = MaxFitPointsPerCentroid): Array[Array[Double]] = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val cap = nList.toLong * maxFitPointsPerCentroid
+    val n = corpus.count()
+    val train =
+      if (n <= cap) corpus
+      else corpus.filter(
+        pmod(xxhash64(col("vec_id")), lit(1L << 20)) <
+          lit(math.ceil(cap.toDouble / n * (1L << 20)).toLong))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
-    var cents: DataFrame = corpus
+    var cents: DataFrame = train
       .orderBy(col("vec_id")).limit(nList)
       .select((row_number().over(w) - 1).as("cid"),
         transform(col("vec"), x => x.cast(DoubleType)).as("cvec"))
@@ -335,7 +356,7 @@ object Similarity {
         .groupBy()
         .agg(transform(array_sort(collect_list(struct(col("cid"), col("cvec")))),
           s => s.getField("cvec")).as("cents"))
-      val assigned = corpus
+      val assigned = train
         .crossJoin(broadcast(packed)) // ONE row — the model state rides the plan
         .withColumn("cid", GraftFunctions.graftArgminL2(col("vec"), col("cents")))
       val updates = assigned
@@ -1748,7 +1769,20 @@ object Similarity {
     * corpus. [[embeddingDedupResolve]] serves the SAME generation, so
     * the pair of queries shares one projection instead of two.
     * Signatures are threshold-independent: the store key is the corpus
-    * fingerprint alone. */
+    * fingerprint alone.
+    *
+    * DISCLOSED SCALE BOUND: the band space is FIXED at 2^PlanesPerBand
+    * = 16 buckets per band (more planes per band would collapse recall
+    * at this cosine threshold — the classic LSH tuning coupling), so
+    * expected bucket population is n/16 and every bucket crosses
+    * [[Dedup.BandBucketCap]] once the corpus passes ~16 x cap vectors
+    * (~8k at the default): beyond that the valve drops ALL buckets
+    * (observed, not silent — StressR13b shows the 10x replica corpus
+    * serving 0 pairs) rather than letting the join run its inherent
+    * n^2/16-per-band candidate quadratic. The data-oblivious LSH
+    * variant is therefore the SMALL-CORPUS member of the family;
+    * [[embeddingDedupCells]], whose cell count scales with n, is the
+    * corpus-adaptive operator the 100 TB path uses. */
   def embeddingDedup(spark: SparkSession, dir: String, threshold: Double = 0.45): DataFrame =
     embeddingDedupOf(serveEmbSigs(spark, dir), threshold)
 

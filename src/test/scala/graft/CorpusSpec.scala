@@ -248,6 +248,33 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaIndex == direct, "indexed search diverged from in-memory IVF")
   }
 
+  test("sampled lloyd fit: deterministic, partition-invariant, recovers planted clusters") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 3 well-separated planted clusters x 200 vectors; a 50-per-centroid
+    // sample cap (cap = 150 < 600) forces the hash-range sample to engage
+    val corpus = (0L until 600L).map { i =>
+      val c = (i % 3).toInt
+      (i, Array.tabulate(8)(d => (if (d == c) 10f else 0f) + (i % 7) * 0.01f).toSeq)
+    }.toDF("vec_id", "vec")
+    def fit(df: org.apache.spark.sql.DataFrame) =
+      operators.Similarity.ivfFit(df, nList = 3, maxFitPointsPerCentroid = 50)
+        .map(_.toSeq).toSeq
+    val a = fit(corpus)
+    val b = fit(corpus.repartition(13, col("vec_id")))
+    assert(a == b, "sampled fit is partition-dependent")
+    // each planted cluster direction is some centroid's dominant axis
+    val dominant = a.map(c => c.indexOf(c.max)).toSet
+    assert(dominant == Set(0, 1, 2),
+      s"sampled fit missed a planted cluster: dominant axes $dominant")
+    // unsampled path unchanged when n is under the cap
+    val small = corpus.limit(100)
+    assert(operators.Similarity.ivfFit(small, nList = 3).map(_.toSeq).toSeq ==
+      operators.Similarity.ivfFit(small, nList = 3, maxFitPointsPerCentroid = Int.MaxValue)
+        .map(_.toSeq).toSeq,
+      "cap changed the fit on a corpus it should never engage for")
+  }
+
   test("driver-side probe ranking is bit-identical to the expression form") {
     import org.apache.spark.sql.functions.col
     val full = graft.Tables.embeddings(spark, sf)
