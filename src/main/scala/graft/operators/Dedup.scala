@@ -831,10 +831,16 @@ object Dedup {
 
   /** q_dedup_minhash — LSH banding: docs sharing any band bucket become
     * candidates; estimated Jaccard = fraction of equal signature slots. */
-  def minhashDedup(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def minhashDedup(docs: DataFrame, threshold: Double = 0.5): DataFrame =
     // the signature frame feeds the banding AND both verifier sides —
     // truncate lineage so the per-row signature kernel runs once
-    val sigs = minhashSignatures(docs).localCheckpoint(eager = false)
+    minhashDedupFromSigs(
+      minhashSignatures(docs).localCheckpoint(eager = false), threshold)
+
+  /** Banding + estimate-verify over any (doc_id, sig_0..sig_k-1)
+    * signature frame — the serve phase behind both forms. */
+  private[graft] def minhashDedupFromSigs(sigs: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
     val bandCols = (0 until Bands).map { b =>
       val slot = (0 until RowsPerBand).map(r => col(s"sig_${b * RowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(slot: _*).as("bucket"))
@@ -859,8 +865,24 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
   }
 
-  def minhashDedup(spark: SparkSession, dir: String): DataFrame =
-    minhashDedup(Tables.documents(spark, dir))
+  /** Dir-serving form: the per-doc minhash signatures persist as a
+    * fingerprint-keyed generation — the last signature family without
+    * one (simhash, IDF-simhash and the embedding LSH bands all persist
+    * theirs). A signature is a pure per-document function of the
+    * corpus, so the tokenization + shingle + 32-min kernel scan is paid
+    * once per corpus generation and per query only the banding and the
+    * estimate-verify joins run; integer signatures round-trip parquet
+    * exactly (spec-pinned serve == inline). */
+  def minhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Similarity.corpusFingerprint(spark, dir, "documents.parquet")
+    val sigs = ServingStore.ensure(spark, "minhash-sigs",
+      Similarity.servePath("minhash_sigs_", dir), fp) { gen =>
+      Tables.invalidate(spark, dir, "documents")
+      minhashSignatures(Tables.documents(spark, dir))
+        .write.mode("overwrite").parquet(gen)
+    }
+    minhashDedupFromSigs(sigs)
+  }
 
   // ---------------------------------------------------------------- SimHash
 

@@ -1047,6 +1047,14 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"weight join still sort-merges:\n$plan")
   }
 
+  test("minhash dedup: signature-store-served pairs equal the inline kernel scan") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    assert(rows(operators.Dedup.minhashDedup(spark, sf)) ==
+      rows(operators.Dedup.minhashDedup(Tables.documents(spark, sf))),
+      "persisted minhash signature generation diverged from the inline kernel scan")
+  }
+
   test("embedding dedup: signature-store-served pairs equal the inline projection") {
     import org.apache.spark.sql.functions._
     def rows(df: org.apache.spark.sql.DataFrame) =
