@@ -884,6 +884,39 @@ object Dedup {
     minhashDedupFromSigs(sigs)
   }
 
+  /** Incremental ingest for the minhash signature store: a signature is
+    * a pure per-document function, so the delta's kernel scan alone
+    * produces exactly the rows a full rebuild over old ∪ delta adds —
+    * the [[ServingStore.append]] protocol (lock, staleness proofs,
+    * double-append refusal). `newDocs` must already have landed in
+    * `dir`. */
+  def appendMinhashSigs(spark: SparkSession, dir: String, newDocs: DataFrame,
+      expectedFp: Long): Unit =
+    ServingStore.append(spark, "minhash-sigs",
+      Similarity.servePath("minhash_sigs_", dir), expectedFp,
+      delta = minhashSignatures(newDocs),
+      postFp = () => {
+        Tables.invalidate(spark, dir, "documents")
+        Similarity.corpusFingerprint(spark, dir, "documents.parquet")
+      },
+      uniqueKey = Some("doc_id"))
+
+  /** Incremental ingest for the plain simhash signature store — same
+    * row-local argument as [[appendMinhashSigs]]. The IDF variant has
+    * NO append on purpose: its signatures join corpus-global document
+    * frequencies, so a delta shifts every weight and the append IS the
+    * rebuild ([[ServingStore.append]]'s validity note). */
+  def appendSimhashSigs(spark: SparkSession, dir: String, newDocs: DataFrame,
+      expectedFp: Long): Unit =
+    ServingStore.append(spark, "simhash-sigs",
+      Similarity.servePath("simhash_sigs_", dir), expectedFp,
+      delta = simhashSignatures(newDocs),
+      postFp = () => {
+        Tables.invalidate(spark, dir, "documents")
+        Similarity.corpusFingerprint(spark, dir, "documents.parquet")
+      },
+      uniqueKey = Some("doc_id"))
+
   // ---------------------------------------------------------------- SimHash
 
   val SimHashBits = 64

@@ -833,43 +833,16 @@ object Multimodal {
     * the post-delta fingerprint must differ from the stored one, so a
     * delta that never landed cannot stamp fresh-looking state. */
   def appendMediaHashes(spark: SparkSession, dir: String, newDocs: DataFrame,
-      expectedFp: Long): Unit = {
-    val path = Similarity.servePath("media_hashes_", dir)
-    ServingStore.withBuildLock(path) {
-      val (storedFp, prevGen) = ServingStore.readSidecar(spark, "media-hashes", path)
-        .getOrElse(throw new IllegalStateException(
-          s"media-hash sidecar at ${path}_model unreadable or pre-generation " +
-            "layout — run ensureMediaHashes (full rebuild) instead of " +
-            "appending into an unproven generation"))
-      require(storedFp == expectedFp,
-        s"media-hash store at $path was built for a different corpus state " +
-          s"(stored fp $storedFp != pre-delta fp $expectedFp): the store is " +
-          "stale and must be rebuilt with ensureMediaHashes, not appended into")
-      val deltaHashes = hashRows(spark,
-        transcode(spark, plantIngestDups(fromDocuments(newDocs))).toDF()).toDF()
-      val prev = spark.read.parquet(prevGen)
-      // id-collision guard: hash rows are per-asset pure, so an id on
-      // both sides means the same document was appended twice — the
-      // merged store would carry doubled rows and every dedup query
-      // would pair the asset with itself. Delta ids are few: the probe
-      // is a broadcast join against the hash-sized store.
-      require(prev.join(
-        deltaHashes.select(col("media_id")).distinct(), Seq("media_id")).isEmpty,
-        s"delta media_ids already present in the generation at $prevGen — " +
-          "the same documents were appended twice; rebuild with ensureMediaHashes")
-      val merged = prev.unionByName(deltaHashes)
-      graft.Tables.invalidate(spark, dir, "documents")
-      val postFp = mediaHashesFingerprint(spark, dir)
-      require(postFp != storedFp,
-        s"corpus fingerprint unchanged after the delta (still $storedFp) — " +
-          s"land the delta files in $dir BEFORE appending, so the stamped " +
-          "fingerprint proves the merged state")
-      val newGen = ServingStore.newGenerationPath(path, postFp)
-      merged.write.mode("overwrite").parquet(newGen)
-      ServingStore.writeSidecar(spark, path, postFp, newGen)
-      ServingStore.prune(path, keep = Set(newGen, prevGen))
-    }
-  }
+      expectedFp: Long): Unit =
+    ServingStore.append(spark, "media-hashes",
+      Similarity.servePath("media_hashes_", dir), expectedFp,
+      delta = hashRows(spark,
+        transcode(spark, plantIngestDups(fromDocuments(newDocs))).toDF()).toDF(),
+      postFp = () => {
+        graft.Tables.invalidate(spark, dir, "documents")
+        mediaHashesFingerprint(spark, dir)
+      },
+      uniqueKey = Some("media_id"))
 
   /** `(media_id, phash)` of decodable images, served from the persisted
     * hash generation (one decode pass per corpus generation). */

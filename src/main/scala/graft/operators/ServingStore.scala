@@ -248,6 +248,60 @@ private[graft] object ServingStore {
     }
   }
 
+  /** Merge-append a delta into the live generation — the shared
+    * incremental-ingest protocol ([[Forecast.appendDayStats]]'s shape,
+    * extracted): the WHOLE append runs under the build lock; the
+    * sidecar must prove the live generation was built for `expectedFp`
+    * (else the store is stale — rebuild, don't append); `postFp` is
+    * evaluated under the lock AFTER the caller's invalidations and
+    * must differ from the stored fp, so a delta whose files never
+    * landed cannot stamp fresh-looking state; `merge(prev, delta)`
+    * writes a NEW generation (live readers keep the previous one) and
+    * prune keeps {new, prev}. With `uniqueKey` set, delta keys already
+    * present in the live generation are refused loudly — for pure
+    * per-row stores a key on both sides means the same rows were
+    * appended twice and every downstream dedup would pair rows with
+    * themselves.
+    *
+    * Only valid for stores whose rows are PURE functions of their own
+    * input rows (media hashes, minhash/simhash/embedding-LSH
+    * signatures): a store derived corpus-globally (IDF weights and the
+    * signatures joined against them, hot-cell assignment masks) cannot
+    * absorb a delta row-locally — its append IS the rebuild. */
+  private[graft] def append(spark: SparkSession, what: String, path: String,
+      expectedFp: Long, delta: DataFrame, postFp: () => Long,
+      merge: (DataFrame, DataFrame) => DataFrame = _ unionByName _,
+      uniqueKey: Option[String] = None): Unit = {
+    withBuildLock(path) {
+      val (storedFp, prevGen) = readSidecar(spark, what, path)
+        .getOrElse(throw new IllegalStateException(
+          s"$what sidecar at ${path}_model unreadable or pre-generation " +
+            "layout — run the full ensure rebuild instead of appending " +
+            "into an unproven generation"))
+      require(storedFp == expectedFp,
+        s"$what store at $path was built for a different corpus state " +
+          s"(stored fp $storedFp != pre-delta fp $expectedFp): the store " +
+          "is stale and must be rebuilt, not appended into")
+      val prev = spark.read.parquet(prevGen)
+      uniqueKey.foreach { k =>
+        // delta keys are few: a broadcast probe against the store
+        require(prev.join(delta.select(col(k)).distinct(), Seq(k)).isEmpty,
+          s"delta ${k}s already present in the generation at $prevGen — " +
+            "the same rows were appended twice; rebuild instead")
+      }
+      val merged = merge(prev, delta)
+      val newFp = postFp()
+      require(newFp != storedFp,
+        s"corpus fingerprint unchanged after the delta (still $storedFp) — " +
+          "land the delta files BEFORE appending, so the stamped " +
+          "fingerprint proves the merged state")
+      val newGen = newGenerationPath(path, newFp)
+      merged.write.mode("overwrite").parquet(newGen)
+      writeSidecar(spark, path, newFp, newGen)
+      prune(path, keep = Set(newGen, prevGen))
+    }
+  }
+
   /** Delete everything under `path` except the directories in `keep`:
     * generations two or more rebuilds old (no plan handed out before the
     * previous rebuild can still be live across a later one without

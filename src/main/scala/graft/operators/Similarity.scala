@@ -1795,6 +1795,25 @@ object Similarity {
     }
   }
 
+  /** Incremental ingest for the band-signature store: a signature is a
+    * pure per-vector function (fixed hyperplanes), so the delta's
+    * projection alone produces exactly the rows a full rebuild over
+    * old ∪ delta adds — the [[ServingStore.append]] protocol. The cell
+    * ASSIGNMENT store has no append on purpose: its survival masks
+    * derive from the corpus-global hot-cell census, so a delta can
+    * flip any vector's mask and the append IS the rebuild. `newVecs`
+    * are raw embeddings-table rows already landed in `dir`. */
+  def appendEmbSigs(spark: SparkSession, dir: String, newVecs: DataFrame,
+      expectedFp: Long): Unit =
+    ServingStore.append(spark, "emb-lsh-sigs", embSigsServePath(dir), expectedFp,
+      delta = embSigsOf(
+        newVecs.select(col("vec_id"), col("embedding").as("vec"))),
+      postFp = () => {
+        Tables.invalidate(spark, dir, "embeddings")
+        corpusFingerprint(spark, dir)
+      },
+      uniqueKey = Some("vec_id"))
+
   /** Build phase: one codegen'd hyperplane projection over the corpus
     * scan — (vec_id, vec, bks). */
   private[graft] def embSigsOf(corpus: DataFrame): DataFrame = {

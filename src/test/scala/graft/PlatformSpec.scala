@@ -1047,6 +1047,49 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"weight join still sort-merges:\n$plan")
   }
 
+  test("signature stores: delta append equals the full rebuild for every row-local family") {
+    import org.apache.spark.sql.functions._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("graftsigappend").toString
+    val docs = Tables.documents(spark, sf)
+    val embs = Tables.embeddings(spark, sf)
+    docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite")
+      .parquet(tmp + "/documents.parquet")
+    embs.filter(col("vec_id") % 2 === 0).write.mode("overwrite")
+      .parquet(tmp + "/embeddings.parquet")
+    // build every store on the half corpus
+    operators.Dedup.minhashDedup(spark, tmp).count()
+    operators.Dedup.simhashDedup(spark, tmp).count()
+    operators.Similarity.embeddingDedup(spark, tmp).count()
+    val docFp = operators.Similarity.corpusFingerprint(spark, tmp, "documents.parquet")
+    val embFp = operators.Similarity.corpusFingerprint(spark, tmp)
+    // land the deltas, then append each store delta-only
+    val docDelta = docs.filter(col("doc_id") % 2 === 1)
+    val embDelta = embs.filter(col("vec_id") % 2 === 1)
+    docDelta.write.mode("append").parquet(tmp + "/documents.parquet")
+    embDelta.write.mode("append").parquet(tmp + "/embeddings.parquet")
+    operators.Dedup.appendMinhashSigs(spark, tmp, docDelta, docFp)
+    operators.Dedup.appendSimhashSigs(spark, tmp, docDelta, docFp)
+    operators.Similarity.appendEmbSigs(spark, tmp, embDelta, embFp)
+    // served pairs over the appended stores must equal the inline
+    // computation over the full corpus (no rebuild may have happened:
+    // the appends stamped the post-delta fingerprints)
+    val fullDocs = spark.read.parquet(tmp + "/documents.parquet")
+    assert(rows(operators.Dedup.minhashDedup(spark, tmp)) ==
+      rows(operators.Dedup.minhashDedup(fullDocs)),
+      "appended minhash store diverged from the full-corpus inline form")
+    assert(rows(operators.Dedup.simhashDedup(spark, tmp)) ==
+      rows(operators.Dedup.simhashDedup(fullDocs)),
+      "appended simhash store diverged from the full-corpus inline form")
+    assert(rows(operators.Similarity.embeddingDedup(spark, tmp)) ==
+      rows(operators.Similarity.embeddingDedupOf(
+        operators.Similarity.embSigsOf(
+          spark.read.parquet(tmp + "/embeddings.parquet")
+            .select(col("vec_id"), col("embedding").as("vec"))), 0.45)),
+      "appended embedding sig store diverged from the full-corpus inline form")
+  }
+
   test("minhash dedup: signature-store-served pairs equal the inline kernel scan") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
