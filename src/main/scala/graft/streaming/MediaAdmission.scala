@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming PERCEPTUAL admission for media ingest — the media twin of
+  * [[DedupAdmission]]: each micro-batch of transcoded media rows
+  * (media_id, payload, meta — real containers, the shape a door sees)
+  * is decoded once and reduced to its per-asset 64-bit perceptual key,
+  * and the persisted store admits only first-seen (family, hash)
+  * content. The key is container- and resolution-invariant by
+  * construction (images: dHash over decoded pixels; audio: the
+  * framed-FFT band-delta hash; video: the contact-sheet MOSAIC dHash —
+  * one key per asset; per-frame rows are a dedup-join granularity, not
+  * an admission key, and are dropped here), so the same asset arriving
+  * re-encoded in a different container is refused as a duplicate — the
+  * cross-container case the planted duplicate-ingest ground truth
+  * exercises, spec-asserted.
+  *
+  * Admission keys on hash EQUALITY — the exact-perceptual gate a door
+  * admission wants (decide per arriving asset, no pairing). Hamming-
+  * tolerant NEAR-dup resolution stays batch-side
+  * ([[Multimodal.imageDedup]] and friends), where both sides of a
+  * candidate pair are visible to the capped pigeonhole join.
+  *
+  * Store and replay semantics are [[DedupAdmission]]'s exactly (the
+  * shared [[DedupAdmission.firstArrivalFold]] + [[StreamStateStore]]
+  * exactly-once batch application): first-arrival canonical id, fold-in
+  * copy counts, state grows with distinct CONTENT seen — a
+  * duplicate-heavy media stream converges. Per-batch work is the one
+  * decode pass plus a hash-keyed fold; admission never rescans history.
+  */
+object MediaAdmission {
+
+  /** Canonical (content_hash, keep_media_id, n_copies) rows of one
+    * batch — one decode pass ([[Multimodal.hashRows]]), per-asset key
+    * rows only (family != frame), smallest media_id canonical within
+    * the batch. Undecodable payloads produce no key and are NOT
+    * admitted (no perceptual evidence — the hashRows drop contract). */
+  private[graft] def batchCanonical(spark: SparkSession, batch: DataFrame): DataFrame =
+    Multimodal.hashRows(spark, batch).toDF()
+      .filter(col("family") =!= "frame")
+      .select(
+        concat_ws(":", col("family"), hex(col("hash"))).as("content_hash"),
+        col("media_id"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("media_id")).as("keep_media_id"), count(lit(1)).as("n_copies"))
+
+  /** One micro-batch application — the testable core of [[sink]]. */
+  private[graft] def applyAdmissionBatch(
+      batch: DataFrame, batchId: Long, stateDir: String): Unit =
+    StreamStateStore.applyBatch(
+      batch.sparkSession, batchId, stateDir, "mediaAdmissionSink") {
+      case None => batchCanonical(batch.sparkSession, batch)
+      case Some(prev) => DedupAdmission.firstArrivalFold(
+        prev, batchCanonical(batch.sparkSession, batch),
+        carry = Seq("keep_media_id"))
+    }
+
+  /** The admitted store at `stateDir`'s current state:
+    * (content_hash, keep_media_id, n_copies) with content_hash =
+    * "family:hex(perceptual hash)". */
+  def currentStore(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(stateDir)
+
+  /** foreachBatch sink maintaining the admitted store from a stream of
+    * transcoded media rows. */
+  def sink(media: DataFrame, stateDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    media.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyAdmissionBatch(batch, batchId, stateDir)
+      }
+}

@@ -446,6 +446,48 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.size == inc.size)
   }
 
+  test("streaming media admission: id-ordered stream equals the batch key census, " +
+      "cross-container duplicates fold, replay-safe") {
+    import graft.streaming.MediaAdmission
+    import operators.Multimodal
+    val media = Multimodal.corpus(spark, sf).localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("graftmediaadmit").toString + "/state"
+    def storeMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // id-ordered 3-way split (planted ids sit above 2^40, so percentile
+    // bounds keep each batch contiguous in media_id)
+    val bounds = media.stat.approxQuantile("media_id", Array(1.0 / 3, 2.0 / 3), 0.0)
+    val batches = Seq(
+      media.filter(col("media_id") <= bounds(0)),
+      media.filter(col("media_id") > bounds(0) && col("media_id") <= bounds(1)),
+      media.filter(col("media_id") > bounds(1)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      MediaAdmission.applyAdmissionBatch(b, i, dir)
+    }
+    val inc = storeMap(MediaAdmission.currentStore(spark, dir))
+    // batch reference: one decode pass over everything seen, min id per
+    // perceptual key — the admission must equal it under id order
+    val ref = storeMap(Multimodal.hashRows(spark, media).toDF()
+      .filter(col("family") =!= "frame")
+      .select(concat_ws(":", col("family"), hex(col("hash"))).as("content_hash"),
+        col("media_id"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("media_id")).as("keep_media_id"), count(lit(1)).as("n_copies")))
+    assert(inc == ref, "id-ordered streamed media store diverged from the batch census")
+    // the planted duplicate-ingest rows transcode content-identical in
+    // (usually) DIFFERENT containers — the perceptual key must fold
+    // them: some admitted key carries >1 copy with its canonical BELOW
+    // the planted-id offset
+    val folded = MediaAdmission.currentStore(spark, dir)
+      .filter(col("n_copies") > 1 && col("keep_media_id") < Multimodal.DupIdOffset)
+      .count()
+    assert(folded > 0, "no planted duplicate folded under its perceptual key")
+    // replay: re-applying the last batch is a no-op
+    MediaAdmission.applyAdmissionBatch(batches(2), 2, dir)
+    assert(storeMap(MediaAdmission.currentStore(spark, dir)) == inc,
+      "replaying the last media batch changed the store")
+  }
+
   test("bucketed admission store: touched-bucket-only IO, replay-safe, torn swaps recover") {
     import graft.streaming.DedupAdmission
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
