@@ -58,6 +58,34 @@ object MediaAdmission {
         carry = Seq("keep_media_id"))
     }
 
+  /** One micro-batch against the BUCKETED store — the at-scale layout
+    * ([[DedupAdmission.sinkBucketed]]'s shape): per-batch IO is
+    * O(content in touched buckets), not O(store); the store grows with
+    * distinct assets ever admitted, so at warehouse scale the
+    * whole-store rewrite of [[applyAdmissionBatch]] is the thing to
+    * shed. */
+  private[graft] def applyAdmissionBatchBucketed(
+      batch: DataFrame, batchId: Long, stateDir: String,
+      nBuckets: Int = DedupAdmission.StoreBuckets): Unit =
+    StreamStateStore.applyBatchBucketed(
+      batch.sparkSession, batchId, stateDir, "mediaAdmissionSink",
+      keyCol = "content_hash", nBuckets)(
+      batchCanonical(batch.sparkSession, batch)) {
+      case (None, cur) => cur
+      case (Some(prev), cur) => DedupAdmission.firstArrivalFold(
+        prev, cur, carry = Seq("keep_media_id", "b"))
+    }
+
+  /** foreachBatch sink over the bucketed store. */
+  def sinkBucketed(media: DataFrame, stateDir: String,
+      nBuckets: Int = DedupAdmission.StoreBuckets)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    media.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyAdmissionBatchBucketed(batch, batchId, stateDir, nBuckets)
+      }
+
   /** The admitted store at `stateDir`'s current state:
     * (content_hash, keep_media_id, n_copies) with content_hash =
     * "family:hex(perceptual hash)". */

@@ -488,6 +488,30 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
       "replaying the last media batch changed the store")
   }
 
+  test("bucketed media admission equals the flat store, replay-safe") {
+    import graft.streaming.MediaAdmission
+    import operators.Multimodal
+    val media = Multimodal.corpus(spark, sf).localCheckpoint()
+    val base = java.nio.file.Files.createTempDirectory("graftmediabkt").toString
+    def storeMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val bounds = media.stat.approxQuantile("media_id", Array(0.5), 0.0)
+    val batches = Seq(
+      media.filter(col("media_id") <= bounds(0)),
+      media.filter(col("media_id") > bounds(0)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      MediaAdmission.applyAdmissionBatch(b, i, base + "/flat")
+      MediaAdmission.applyAdmissionBatchBucketed(b, i, base + "/bkt", nBuckets = 8)
+    }
+    val flat = storeMap(MediaAdmission.currentStore(spark, base + "/flat"))
+    val bkt = storeMap(MediaAdmission.currentStore(spark, base + "/bkt")
+      .drop("b"))
+    assert(bkt == flat, "bucketed media store diverged from the flat layout")
+    MediaAdmission.applyAdmissionBatchBucketed(batches(1), 1, base + "/bkt", nBuckets = 8)
+    assert(storeMap(MediaAdmission.currentStore(spark, base + "/bkt").drop("b")) == flat,
+      "replaying the last bucketed media batch changed the store")
+  }
+
   test("bucketed admission store: touched-bucket-only IO, replay-safe, torn swaps recover") {
     import graft.streaming.DedupAdmission
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
