@@ -752,6 +752,15 @@ object Dedup {
     * shared band was hot is still emitted at its first surviving one —
     * never silently lost to the cap.
     *
+    * DISCLOSED EAGERNESS: constructing the frame runs ONE bounded job
+    * (the census probe that picks the branch), so plan-only callers —
+    * explain(), the exchange audit — pay the signature scan + census
+    * where the pre-valve code was lazy end to end. The serve paths
+    * always execute the frame they build, so per-query cost is
+    * unchanged; a caller that genuinely needs a lazy frame passes
+    * bucketCap = Int.MaxValue (the probe is skipped — no bucket can
+    * exceed it — and the plan is the uncapped one, fully lazy).
+    *
     * Disclosed trade (ADVICE r9): both sides carry their FULL bks
     * array (nBands x 8 bytes per row) through the (band, bucket)
     * exchange so the first-shared-band predicate can evaluate at the
@@ -788,7 +797,9 @@ object Dedup {
     // Output is identical on both branches (an all-ones mask reduces
     // the predicate to the uncapped form), so the runtime branch is a
     // plan choice, not a semantic one — spec-asserted both ways.
-    if (hot.isEmpty) {
+    // Int.MaxValue skips the probe entirely (no bucket can exceed it):
+    // the documented lazy escape hatch for plan-only callers.
+    if (bucketCap == Int.MaxValue || hot.isEmpty) {
       val firstShared = (0 until nBands).map { bp =>
         when(lit(bp) < col("band"),
           element_at(col("bks"), bp + 1) =!= element_at(col("bks_b"), bp + 1))
@@ -874,7 +885,7 @@ object Dedup {
     * estimate-verify joins run; integer signatures round-trip parquet
     * exactly (spec-pinned serve == inline). */
   def minhashDedup(spark: SparkSession, dir: String): DataFrame = {
-    val fp = Similarity.corpusFingerprint(spark, dir, "documents.parquet")
+    val fp = minhashSigsFingerprint(spark, dir)
     val sigs = ServingStore.ensure(spark, "minhash-sigs",
       Similarity.servePath("minhash_sigs_", dir), fp) { gen =>
       Tables.invalidate(spark, dir, "documents")
@@ -883,6 +894,26 @@ object Dedup {
     }
     minhashDedupFromSigs(sigs)
   }
+
+  /** Bumped on any change to minhash signature semantics (the kernel's
+    * coefficient table, K, shingling) — the store key must see code
+    * changes the file fingerprint cannot ([[Multimodal.HashStoreVersion]]
+    * convention). */
+  private[graft] val MinhashSigStoreVersion = 1
+
+  /** The fingerprint the minhash signature generation is keyed by —
+    * callers snapshot it BEFORE landing a delta. */
+  def minhashSigsFingerprint(spark: SparkSession, dir: String): Long =
+    Similarity.corpusFingerprint(spark, dir, "documents.parquet") * 31 +
+      MinhashSigStoreVersion
+
+  /** Bumped on any change to plain-simhash signature semantics. */
+  private[graft] val SimhashSigStoreVersion = 1
+
+  /** The fingerprint the simhash signature generation is keyed by. */
+  def simhashSigsFingerprint(spark: SparkSession, dir: String): Long =
+    Similarity.corpusFingerprint(spark, dir, "documents.parquet") * 31 +
+      SimhashSigStoreVersion
 
   /** Incremental ingest for the minhash signature store: a signature is
     * a pure per-document function, so the delta's kernel scan alone
@@ -897,7 +928,7 @@ object Dedup {
       delta = minhashSignatures(newDocs),
       postFp = () => {
         Tables.invalidate(spark, dir, "documents")
-        Similarity.corpusFingerprint(spark, dir, "documents.parquet")
+        minhashSigsFingerprint(spark, dir)
       },
       uniqueKey = Some("doc_id"))
 
@@ -913,7 +944,7 @@ object Dedup {
       delta = simhashSignatures(newDocs),
       postFp = () => {
         Tables.invalidate(spark, dir, "documents")
-        Similarity.corpusFingerprint(spark, dir, "documents.parquet")
+        simhashSigsFingerprint(spark, dir)
       },
       uniqueKey = Some("doc_id"))
 
@@ -1186,7 +1217,7 @@ object Dedup {
     * scan + signature kernel amortize across a corpus generation and
     * the per-query cost is the pairing alone). */
   def simhashDedup(spark: SparkSession, dir: String): DataFrame = {
-    val fp = Similarity.corpusFingerprint(spark, dir, "documents.parquet")
+    val fp = simhashSigsFingerprint(spark, dir)
     val sigs = ServingStore.ensure(spark, "simhash-sigs",
       Similarity.servePath("simhash_sigs_", dir), fp) { gen =>
       Tables.invalidate(spark, dir, "documents")

@@ -99,58 +99,32 @@ object Forecast {
     * [[ensureDayStats]] rebuilding from scratch — never serving a
     * half-merged state. */
   def appendDayStats(spark: SparkSession, dir: String, delta: DataFrame,
-      expectedFp: Long): Unit = {
-    val path = dayServePath(dir)
-    // the ENTIRE append — sidecar read, freshness proof, merge, stamp,
-    // prune — runs under the store's build lock: a sidecar read before
-    // the lock raced a concurrent ensure-rebuild (r12 advice) — the
-    // rebuild stamps a new generation in the window, the append's stale
-    // prevGen then prunes the freshly stamped generation a live reader
-    // holds, and the sidecar gets overwritten from superseded state.
-    ServingStore.withBuildLock(path) {
-      // the sidecar names the live generation; unreadable OR pre-r11
-      // flat-layout sidecars (no generation name) are both unproven — the
-      // guided answer is a full rebuild, not a raw path error (r11 review)
-      val (storedFp, prevGen) = ServingStore.readSidecar(spark, "forecast-days", path)
-        .getOrElse(throw new IllegalStateException(
-          s"day-state sidecar at ${path}_model unreadable or pre-generation " +
-            "layout — run ensureDayStats (full rebuild) instead of appending " +
-            "into an unproven generation"))
-      require(storedFp == expectedFp,
-        s"day state at $path was built for a different corpus state " +
-          s"(stored fp $storedFp != pre-delta fp $expectedFp): rebuild with ensureDayStats")
-      val add = delta
+      expectedFp: Long): Unit =
+    // the shared merge-append protocol ([[ServingStore.append]] — this
+    // method's original hand-rolled sequence, extracted r13): whole
+    // append under the build lock, sidecar staleness + landed-delta
+    // proofs, new-generation merge, two-generation prune. The one
+    // non-default piece is the MERGE: day state is an aggregate, so the
+    // delta's partial sums re-aggregate with the previous state's
+    // (decimal-exact, cast back to the stored schema).
+    ServingStore.append(spark, "forecast-days", dayServePath(dir), expectedFp,
+      delta = delta
         .groupBy(col("brand"), col("x"))
         .agg(
           cnt.as("n_x"),
           sum(dec2(col("y"))).as("syx_dec"),
-          sum(dec2(col("y")) * dec2(col("y"))).as("syyx_dec"))
-      val prev = spark.read.parquet(prevGen)
-      val merged = prev.unionByName(add)
+          sum(dec2(col("y")) * dec2(col("y"))).as("syyx_dec")),
+      postFp = () => {
+        Tables.invalidate(spark, dir, "lineitem")
+        Tables.invalidate(spark, dir, "part")
+        dayStatsFingerprint(spark, dir)
+      },
+      merge = (prev, add) => prev.unionByName(add)
         .groupBy(col("brand"), col("x"))
         .agg(
           sum(col("n_x")).as("n_x"),
           sum(col("syx_dec")).cast(prev.schema("syx_dec").dataType).as("syx_dec"),
-          sum(col("syyx_dec")).cast(prev.schema("syyx_dec").dataType).as("syyx_dec"))
-      Tables.invalidate(spark, dir, "lineitem")
-      Tables.invalidate(spark, dir, "part")
-      val postFp = dayStatsFingerprint(spark, dir)
-      // an unchanged fingerprint means the delta files have NOT landed in
-      // dir — stamping a merged state as fresh for the pre-delta corpus
-      // would serve a wrong state indefinitely (r11 review); refuse loudly
-      require(postFp != storedFp,
-        s"corpus fingerprint unchanged after the delta (still $storedFp) — " +
-          s"land the delta files in $dir BEFORE appending, so the stamped " +
-          "fingerprint proves the merged state")
-      // the merge WRITES A NEW unique GENERATION (reading the previous
-      // one, which stays intact for any live reader) — no in-place
-      // overwrite, so no self-read hazard and no checkpoint barrier needed
-      val newGen = ServingStore.newGenerationPath(path, postFp)
-      merged.write.mode("overwrite").parquet(newGen)
-      ServingStore.writeSidecar(spark, path, postFp, newGen)
-      ServingStore.prune(path, keep = Set(newGen, prevGen))
-    }
-  }
+          sum(col("syyx_dec")).cast(prev.schema("syyx_dec").dataType).as("syyx_dec")))
 
   /** The daily-grain fact projection the state aggregates. */
   private[graft] def dailyBase(spark: SparkSession, dir: String): DataFrame = {

@@ -267,7 +267,18 @@ private[graft] object ServingStore {
     * input rows (media hashes, minhash/simhash/embedding-LSH
     * signatures): a store derived corpus-globally (IDF weights and the
     * signatures joined against them, hot-cell assignment masks) cannot
-    * absorb a delta row-locally — its append IS the rebuild. */
+    * absorb a delta row-locally — its append IS the rebuild.
+    *
+    * DISCLOSED PRECONDITION (shared by every append API here,
+    * [[Dedup.appendPostings]] included): the caller is the only agent
+    * landing corpus files between its fingerprint snapshot and the
+    * append — the single-ingest-writer contract of an ingest pipeline.
+    * The stamped post-delta fingerprint hashes the WHOLE dir, so files
+    * landed out-of-band in that window would be covered by the stamp
+    * while their rows are absent from the merged store, and no refusal
+    * can see it (a dir hash cannot prove which files a delta frame
+    * came from; a writer-stamped manifest would — the same residual
+    * the corpusFingerprint docstring discloses). */
   private[graft] def append(spark: SparkSession, what: String, path: String,
       expectedFp: Long, delta: DataFrame, postFp: () => Long,
       merge: (DataFrame, DataFrame) => DataFrame = _ unionByName _,
@@ -282,19 +293,26 @@ private[graft] object ServingStore {
         s"$what store at $path was built for a different corpus state " +
           s"(stored fp $storedFp != pre-delta fp $expectedFp): the store " +
           "is stale and must be rebuilt, not appended into")
-      val prev = spark.read.parquet(prevGen)
-      uniqueKey.foreach { k =>
-        // delta keys are few: a broadcast probe against the store
-        require(prev.join(delta.select(col(k)).distinct(), Seq(k)).isEmpty,
-          s"delta ${k}s already present in the generation at $prevGen — " +
-            "the same rows were appended twice; rebuild instead")
-      }
-      val merged = merge(prev, delta)
+      // the landed-delta refusal runs FIRST: it is a driver-side dir
+      // listing, while the key probe and the merge evaluate the delta —
+      // for media that is a decode pass, which a refused append must
+      // not pay
       val newFp = postFp()
       require(newFp != storedFp,
         s"corpus fingerprint unchanged after the delta (still $storedFp) — " +
           "land the delta files BEFORE appending, so the stamped " +
           "fingerprint proves the merged state")
+      // one evaluation of the (possibly expensive) delta feeds BOTH the
+      // key probe and the merge write
+      val deltaOnce = delta.localCheckpoint(eager = false)
+      val prev = spark.read.parquet(prevGen)
+      uniqueKey.foreach { k =>
+        // delta keys are few: a broadcast probe against the store
+        require(prev.join(deltaOnce.select(col(k)).distinct(), Seq(k)).isEmpty,
+          s"delta ${k}s already present in the generation at $prevGen — " +
+            "the same rows were appended twice; rebuild instead")
+      }
+      val merged = merge(prev, deltaOnce)
       val newGen = newGenerationPath(path, newFp)
       merged.write.mode("overwrite").parquet(newGen)
       writeSidecar(spark, path, newFp, newGen)

@@ -336,10 +336,13 @@ object Similarity {
   val MaxFitPointsPerCentroid = 256
 
   def ivfFit(corpus: DataFrame, nList: Int = IvfNList, iters: Int = IvfIters,
-      maxFitPointsPerCentroid: Int = MaxFitPointsPerCentroid): Array[Array[Double]] = {
+      maxFitPointsPerCentroid: Int = MaxFitPointsPerCentroid,
+      knownCount: Option[Long] = None): Array[Array[Double]] = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
     val cap = nList.toLong * maxFitPointsPerCentroid
-    val n = corpus.count()
+    // callers that already counted the corpus (serveSemCells sizes its
+    // cell count from it) pass the count instead of paying a second job
+    val n = knownCount.getOrElse(corpus.count())
     val train =
       if (n <= cap) corpus
       else corpus.filter(
@@ -1615,7 +1618,8 @@ object Similarity {
       case _ =>
         Tables.invalidate(spark, dir, "embeddings")
         val corpus = emb(spark, dir)
-        val cents = ivfFit(corpus, semCellCount(corpus.count()))
+        val n = corpus.count()
+        val cents = ivfFit(corpus, semCellCount(n), knownCount = Some(n))
         writeIvfModel(spark, path, cents, 0L, Some(fp))
         cents
     }
@@ -1623,6 +1627,16 @@ object Similarity {
 
   private[graft] def semAssignServePath(dir: String): String =
     servePath("semassign_serve_", dir)
+
+  /** Bumped on any change to assignment semantics (argmin2 kernel,
+    * SemCellCap, the mask encoding): the generation key must see code
+    * changes the file fingerprint cannot (the
+    * [[Multimodal.HashStoreVersion]] convention, shared by every r13
+    * signature store). */
+  private[graft] val SemAssignStoreVersion = 1
+
+  private[graft] def semAssignFingerprint(spark: SparkSession, dir: String): Long =
+    corpusFingerprint(spark, dir) * 31 + SemAssignStoreVersion
 
   /** q_dedup_embedding_cells — SemDeDup-style cluster-blocked embedding
     * near-dup (Abbas et al. 2023, arXiv:2303.09540: k-means the
@@ -1657,7 +1671,7 @@ object Similarity {
     * sidecar stale -> assignments rebuild, quantizer serves (never a
     * fresh-looking half-built pair). */
   private[graft] def serveCellAssignments(spark: SparkSession, dir: String): DataFrame = {
-    val fp = corpusFingerprint(spark, dir)
+    val fp = semAssignFingerprint(spark, dir)
     ServingStore.ensure(spark, "sem-cell-assignments", semAssignServePath(dir), fp) { gen =>
       // invalidate the memoized corpus plan BEFORE the quantizer ensure
       // reads it (the r11 ordering lesson: the reverse pins a pre-change
@@ -1757,6 +1771,16 @@ object Similarity {
   private[graft] def embSigsServePath(dir: String): String =
     servePath("emb_sigs_", dir)
 
+  /** Bumped on any change to signature semantics (the hyperplane
+    * table, Bands/PlanesPerBand) — the [[SemAssignStoreVersion]]
+    * convention. */
+  private[graft] val EmbSigStoreVersion = 1
+
+  /** The fingerprint the signature generation is keyed by — callers
+    * snapshot it BEFORE landing a delta ([[appendEmbSigs]]). */
+  def embSigsFingerprint(spark: SparkSession, dir: String): Long =
+    corpusFingerprint(spark, dir) * 31 + EmbSigStoreVersion
+
   /** q_dedup_embedding — embedding-cosine near-dup pairs via LSH-banded
     * candidate generation (threshold tuned to the harness corpus, which
     * has no planted >0.9 pairs — see SURVEY §2B).
@@ -1769,7 +1793,8 @@ object Similarity {
     * corpus. [[embeddingDedupResolve]] serves the SAME generation, so
     * the pair of queries shares one projection instead of two.
     * Signatures are threshold-independent: the store key is the corpus
-    * fingerprint alone.
+    * fingerprint and the signature-semantics version
+    * ([[EmbSigStoreVersion]]) — no threshold term.
     *
     * DISCLOSED SCALE BOUND: the band space is FIXED at 2^PlanesPerBand
     * = 16 buckets per band (more planes per band would collapse recall
@@ -1788,7 +1813,7 @@ object Similarity {
 
   /** Serve-or-build the LSH band-signature generation. */
   private[graft] def serveEmbSigs(spark: SparkSession, dir: String): DataFrame = {
-    val fp = corpusFingerprint(spark, dir)
+    val fp = embSigsFingerprint(spark, dir)
     ServingStore.ensure(spark, "emb-lsh-sigs", embSigsServePath(dir), fp) { gen =>
       Tables.invalidate(spark, dir, "embeddings")
       embSigsOf(emb(spark, dir)).write.mode("overwrite").parquet(gen)
@@ -1810,7 +1835,7 @@ object Similarity {
         newVecs.select(col("vec_id"), col("embedding").as("vec"))),
       postFp = () => {
         Tables.invalidate(spark, dir, "embeddings")
-        corpusFingerprint(spark, dir)
+        embSigsFingerprint(spark, dir)
       },
       uniqueKey = Some("vec_id"))
 

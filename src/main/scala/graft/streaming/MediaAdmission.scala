@@ -12,11 +12,15 @@ import org.apache.spark.sql.functions._
   * content. The key is container- and resolution-invariant by
   * construction (images: dHash over decoded pixels; audio: the
   * framed-FFT band-delta hash; video: the contact-sheet MOSAIC dHash —
-  * one key per asset; per-frame rows are a dedup-join granularity, not
-  * an admission key, and are dropped here), so the same asset arriving
-  * re-encoded in a different container is refused as a duplicate — the
-  * cross-container case the planted duplicate-ingest ground truth
-  * exercises, spec-asserted.
+  * one key per asset; a video whose container yields only per-frame
+  * hashes folds its ordered frame-hash roll into one key instead), so
+  * the same asset arriving re-encoded in a different LOSSLESS
+  * container is refused as a duplicate — the cross-container case the
+  * planted duplicate-ingest ground truth exercises, spec-asserted.
+  * A LOSSY re-encode (JPEG/GIF) can drift decoded pixels and so the
+  * hash by a bit or two; exact-key admission then admits both copies,
+  * and the batch-side hamming-tolerant dedup is what reconciles them —
+  * the same precision split the batch family documents.
   *
   * Admission keys on hash EQUALITY — the exact-perceptual gate a door
   * admission wants (decide per arriving asset, no pairing). Hamming-
@@ -34,18 +38,37 @@ import org.apache.spark.sql.functions._
 object MediaAdmission {
 
   /** Canonical (content_hash, keep_media_id, n_copies) rows of one
-    * batch — one decode pass ([[Multimodal.hashRows]]), per-asset key
-    * rows only (family != frame), smallest media_id canonical within
-    * the batch. Undecodable payloads produce no key and are NOT
-    * admitted (no perceptual evidence — the hashRows drop contract). */
-  private[graft] def batchCanonical(spark: SparkSession, batch: DataFrame): DataFrame =
-    Multimodal.hashRows(spark, batch).toDF()
-      .filter(col("family") =!= "frame")
+    * batch — one decode pass ([[Multimodal.hashRows]]), smallest
+    * media_id canonical within the batch. Per asset the key is the
+    * image/audio/mosaic hash row; a video whose container decodes to
+    * per-frame rows WITHOUT a mosaic (the non-PPM stub-codec path)
+    * folds its ordered (frame_idx, hash) roll into one deterministic
+    * key, so identical such videos still collide instead of slipping
+    * through unkeyed. Payloads with no decodable content produce no
+    * key and are NOT admitted (no perceptual evidence — the hashRows
+    * drop contract). */
+  private[graft] def batchCanonical(spark: SparkSession, batch: DataFrame): DataFrame = {
+    val rows = Multimodal.hashRows(spark, batch).toDF()
+      .localCheckpoint(eager = false) // feeds three consumers below
+    val direct = rows.filter(col("family") =!= "frame")
       .select(
         concat_ws(":", col("family"), hex(col("hash"))).as("content_hash"),
         col("media_id"))
+    val frameRoll = rows.filter(col("family") === "frame")
+      .join(rows.filter(col("family") === "mosaic").select(col("media_id")),
+        Seq("media_id"), "left_anti")
+      .groupBy(col("media_id"))
+      // sort_array makes the collect_list order-invariant (frame_idx is
+      // unique per asset, so the struct order is total)
+      .agg(xxhash64(sort_array(collect_list(
+        struct(col("frame_idx"), col("hash"))))).as("hash"))
+      .select(
+        concat_ws(":", lit("frameroll"), hex(col("hash"))).as("content_hash"),
+        col("media_id"))
+    direct.unionByName(frameRoll)
       .groupBy(col("content_hash"))
       .agg(min(col("media_id")).as("keep_media_id"), count(lit(1)).as("n_copies"))
+  }
 
   /** One micro-batch application — the testable core of [[sink]]. */
   private[graft] def applyAdmissionBatch(

@@ -465,14 +465,9 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
       MediaAdmission.applyAdmissionBatch(b, i, dir)
     }
     val inc = storeMap(MediaAdmission.currentStore(spark, dir))
-    // batch reference: one decode pass over everything seen, min id per
-    // perceptual key — the admission must equal it under id order
-    val ref = storeMap(Multimodal.hashRows(spark, media).toDF()
-      .filter(col("family") =!= "frame")
-      .select(concat_ws(":", col("family"), hex(col("hash"))).as("content_hash"),
-        col("media_id"))
-      .groupBy(col("content_hash"))
-      .agg(min(col("media_id")).as("keep_media_id"), count(lit(1)).as("n_copies")))
+    // batch reference: the one-shot key census over everything seen —
+    // the incremental first-arrival fold must equal it under id order
+    val ref = storeMap(MediaAdmission.batchCanonical(spark, media))
     assert(inc == ref, "id-ordered streamed media store diverged from the batch census")
     // the planted duplicate-ingest rows transcode content-identical in
     // (usually) DIFFERENT containers — the perceptual key must fold
@@ -486,6 +481,32 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     MediaAdmission.applyAdmissionBatch(batches(2), 2, dir)
     assert(storeMap(MediaAdmission.currentStore(spark, dir)) == inc,
       "replaying the last media batch changed the store")
+  }
+
+  test("media admission keys frame-only videos by their frame roll") {
+    import graft.streaming.MediaAdmission
+    import operators.Multimodal
+    import spark.implicits._
+    // a PPM image with trailing garbage: decodeImage parses the frame,
+    // but splitPpmFrames rejects the WHOLE payload, so hashRows takes
+    // the stub path and emits per-frame rows with NO mosaic — the
+    // asset must still get an admission key (its ordered frame roll)
+    val header = "P6\n2 2\n255\n".getBytes("US-ASCII")
+    val payloadA = header ++ Array.tabulate(12)(_.toByte) ++ Array[Byte](9, 9, 9)
+    // different raster -> different frame hash -> different roll
+    val payloadB = header ++ Array.tabulate(12)(i => (255 - i * 20).toByte) ++ Array[Byte](1, 2, 3)
+    val items = Seq(
+      Multimodal.MediaItem(1L, payloadA, Multimodal.MediaMeta("video", 2, 2, 16000, 1)),
+      Multimodal.MediaItem(2L, payloadA, Multimodal.MediaMeta("video", 2, 2, 16000, 1)),
+      Multimodal.MediaItem(3L, payloadB, Multimodal.MediaMeta("video", 2, 2, 16000, 1)))
+    val store = MediaAdmission.batchCanonical(spark, items.toDF())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rolls = store.filter(_._1.startsWith("frameroll:"))
+    assert(rolls.nonEmpty, s"frame-only video produced no admission key: ${store.toSeq}")
+    // the identical pair (ids 1, 2) must fold to the first arrival
+    val dupRoll = rolls.find(_._2 == 1L)
+    assert(dupRoll.exists(_._3 >= 2L),
+      s"identical frame-only videos did not fold: ${rolls.toSeq}")
   }
 
   test("bucketed media admission equals the flat store, replay-safe") {
@@ -1128,15 +1149,16 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     operators.Dedup.minhashDedup(spark, tmp).count()
     operators.Dedup.simhashDedup(spark, tmp).count()
     operators.Similarity.embeddingDedup(spark, tmp).count()
-    val docFp = operators.Similarity.corpusFingerprint(spark, tmp, "documents.parquet")
-    val embFp = operators.Similarity.corpusFingerprint(spark, tmp)
+    val minhashFp = operators.Dedup.minhashSigsFingerprint(spark, tmp)
+    val simhashFp = operators.Dedup.simhashSigsFingerprint(spark, tmp)
+    val embFp = operators.Similarity.embSigsFingerprint(spark, tmp)
     // land the deltas, then append each store delta-only
     val docDelta = docs.filter(col("doc_id") % 2 === 1)
     val embDelta = embs.filter(col("vec_id") % 2 === 1)
     docDelta.write.mode("append").parquet(tmp + "/documents.parquet")
     embDelta.write.mode("append").parquet(tmp + "/embeddings.parquet")
-    operators.Dedup.appendMinhashSigs(spark, tmp, docDelta, docFp)
-    operators.Dedup.appendSimhashSigs(spark, tmp, docDelta, docFp)
+    operators.Dedup.appendMinhashSigs(spark, tmp, docDelta, minhashFp)
+    operators.Dedup.appendSimhashSigs(spark, tmp, docDelta, simhashFp)
     operators.Similarity.appendEmbSigs(spark, tmp, embDelta, embFp)
     // served pairs over the appended stores must equal the inline
     // computation over the full corpus (no rebuild may have happened:
