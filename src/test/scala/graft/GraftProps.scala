@@ -537,4 +537,30 @@ object GraftProps extends Properties("graft") {
           m(operators.Events.funnelStampsWindowed(base))
       }
     }
+
+  property("capped band pairs equal the naive surviving-band definition, exactly once") =
+    forAll(
+      Gen.listOfN(
+        36,
+        // a 5-value bucket alphabet over 3 bands: collisions are dense,
+        // so small caps produce real hot buckets and real survivors
+        Gen.listOfN(3, Gen.chooseNum(0L, 4L))),
+      Gen.chooseNum(1, 15)) { (bksList, cap) =>
+      bksList.nonEmpty ==> {
+        val rows = bksList.zipWithIndex.map { case (bks, i) => (i.toLong, bks) }
+        val counts = rows.flatMap { case (_, bks) =>
+          bks.zipWithIndex.map { case (b, i) => (i, b) }
+        }.groupBy(identity).map { case (k, v) => k -> v.size }
+        def survives(band: Int, bucket: Long) = counts((band, bucket)) <= cap
+        val expect = (for {
+          (a, ba) <- rows; (b, bb) <- rows if a < b
+          if (0 until 3).exists(i => ba(i) == bb(i) && survives(i, ba(i)))
+        } yield (a, b)).toSet
+        import spark.implicits._
+        val got = operators.Dedup.firstSharedBandPairs(
+          rows.toDF("id", "bks"), 3, bucketCap = cap)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        got.length == got.distinct.length && got.toSet == expect
+      }
+    }
 }
