@@ -124,10 +124,17 @@ private[graft] object ServingStore {
   private[graft] def withBuildLock[T](path: String)(body: => T): T = {
     val lock = lockPath(path)
     Option(lock.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    // ownership nonce: release must only remove a lock THIS holder still
+    // owns — after a (mistaken or legitimate) takeover, the original
+    // holder's nonce went with the renamed tombstone, so its release
+    // sees a foreign lock and leaves it alone instead of unlocking the
+    // new holder's build
+    val nonce = "owner_" + java.util.UUID.randomUUID().toString.replace("-", "")
     var acquired = false
     while (!acquired) {
       try {
         java.nio.file.Files.createDirectory(lock)
+        java.nio.file.Files.createFile(lock.resolve(nonce))
         acquired = true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -162,10 +169,33 @@ private[graft] object ServingStore {
           } else Thread.sleep(50)
       }
     }
+    // heartbeat: a legitimate build longer than LockStaleMs must not
+    // read as abandoned — a daemon thread refreshes the lock mtime at a
+    // third of the staleness bound, so takeover only ever fires on a
+    // holder that actually stopped (crashed process, dead JVM). Touch
+    // failures are swallowed: if the lock was stolen anyway (extreme
+    // clock skew), the ownership check below keeps release correct.
+    val beat = new Thread(() => {
+      try {
+        while (!Thread.currentThread().isInterrupted) {
+          Thread.sleep(math.max(1000L, LockStaleMs / 3))
+          try java.nio.file.Files.setLastModifiedTime(lock,
+            java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+          catch { case _: java.io.IOException => () }
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-lock-heartbeat-${lock.getFileName}")
+    beat.setDaemon(true)
+    beat.start()
     try body
     finally {
-      try java.nio.file.Files.deleteIfExists(lock)
-      catch { case _: java.io.IOException => () }
+      beat.interrupt()
+      try {
+        // release ONLY if our nonce is still inside — i.e. the lock dir
+        // is still the one we created, not a successor's
+        if (java.nio.file.Files.deleteIfExists(lock.resolve(nonce)))
+          java.nio.file.Files.deleteIfExists(lock)
+      } catch { case _: java.io.IOException => () }
     }
   }
 
@@ -185,15 +215,24 @@ private[graft] object ServingStore {
   private def sidecarSig(path: String): String = {
     val dir = java.nio.file.Paths.get(path + "_model")
     if (!java.nio.file.Files.isDirectory(dir)) "absent"
-    else {
-      import scala.jdk.CollectionConverters._
-      val s = java.nio.file.Files.list(dir)
-      try s.iterator().asScala.toSeq
-        .map(p => p.getFileName.toString + ":" + java.nio.file.Files.size(p) + ":" +
-          java.nio.file.Files.getLastModifiedTime(p).toMillis)
-        .sorted.mkString("|")
-      finally s.close()
-    }
+    else
+      try {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.list(dir)
+        try s.iterator().asScala.toSeq
+          .map(p => p.getFileName.toString + ":" + java.nio.file.Files.size(p) + ":" +
+            java.nio.file.Files.getLastModifiedTime(p).toMillis)
+          .sorted.mkString("|")
+        finally s.close()
+      } catch {
+        // a concurrent sidecar rewrite (writeSidecar's overwrite deletes
+        // the old part files) can vanish a just-listed file before its
+        // stat — the signature is mid-change, so return a UNIQUE token:
+        // the memo misses and the slow path's own handlers take over,
+        // instead of the stat race crashing the query
+        case _: java.io.IOException | _: java.io.UncheckedIOException =>
+          "racing_" + System.nanoTime()
+      }
   }
 
   /** Ensure a generation of the store under `path` matching `fp`;
@@ -209,11 +248,21 @@ private[graft] object ServingStore {
     val memoKey = System.identityHashCode(spark).toString + "|" + path
     val sig0 = sidecarSig(path)
     Option(serveMemo.get(memoKey)) match {
-      case Some((s, f, df)) if s == sig0 && f == fp => return df
+      // the identity hash is not unique across a collected session's
+      // lifetime: verify the memo'd frame is bound to THIS session, or
+      // a hash-reusing new session would be served a dead session's plan
+      case Some((s, f, df)) if s == sig0 && f == fp &&
+        (df.sparkSession eq spark) => return df
       case _ => ()
     }
     def serve(gen: String): DataFrame = {
       val df = spark.read.parquet(gen)
+      // crude bound: the memo holds one entry per (session, store) —
+      // dozens in any real process — but a session-cycling harness
+      // would otherwise grow it without limit (each entry pins a full
+      // QueryExecution); reset rather than LRU, the rebuild cost is one
+      // sidecar read per store
+      if (serveMemo.size > 256) serveMemo.clear()
       serveMemo.put(memoKey, (sidecarSig(path), fp, df))
       df
     }
@@ -307,8 +356,13 @@ private[graft] object ServingStore {
       val deltaOnce = delta.localCheckpoint(eager = false)
       val prev = spark.read.parquet(prevGen)
       uniqueKey.foreach { k =>
-        // delta keys are few: a broadcast probe against the store
-        require(prev.join(deltaOnce.select(col(k)).distinct(), Seq(k)).isEmpty,
+        // delta keys are few, but the checkpointed delta has no stats
+        // (LogicalRDD defaults to unknown size), so auto-broadcast never
+        // fires — hint it explicitly or the probe sort-merges, shuffling
+        // the whole store on every append
+        require(prev.join(
+          org.apache.spark.sql.functions.broadcast(
+            deltaOnce.select(col(k)).distinct()), Seq(k)).isEmpty,
           s"delta ${k}s already present in the generation at $prevGen — " +
             "the same rows were appended twice; rebuild instead")
       }

@@ -77,11 +77,16 @@ private[graft] object StreamStateStore {
     }
   }
 
+  // hardened like ServingStore.prune's inner loop: the walk stream is
+  // closed eagerly (it holds a directory fd) and deletes tolerate files
+  // vanishing concurrently (deleteIfExists, not delete)
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
-        .foreach(java.nio.file.Files.delete)
+      val s = java.nio.file.Files.walk(p)
+      try s.iterator().asScala.toSeq.reverseIterator
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally s.close()
     }
 
   // --------------------------------------------- bucketed (partitioned) state
@@ -121,8 +126,19 @@ private[graft] object StreamStateStore {
       .collect().map(_.getInt(0)).sorted
     val touched = touchedAll.filterNot(b =>
       markerOf(state.resolve(s"b=$b")).exists(_ >= batchId))
+    // a skipped bucket with marker == batchId is the normal crash-replay
+    // self-heal; marker > batchId means the state dir belongs to another
+    // checkpoint lineage and THIS batch's rows for that bucket are being
+    // dropped — that must be loud even when other buckets still apply
+    val lineageViolated = touchedAll.filter(b =>
+      markerOf(state.resolve(s"b=$b")).exists(_ > batchId))
+    if (lineageViolated.nonEmpty)
+      logger.warn(s"$sinkName: buckets ${lineageViolated.mkString(",")} carry " +
+        s"markers beyond batch $batchId — the state dir is bound to a " +
+        "different checkpoint lineage and their rows from this batch are " +
+        "DROPPED; clear the state dir to reuse it with a fresh checkpoint")
     if (touched.isEmpty) {
-      if (touchedAll.nonEmpty)
+      if (touchedAll.nonEmpty && lineageViolated.isEmpty)
         logger.warn(s"$sinkName: skipping batch $batchId (every touched " +
           "bucket already applied it); if this stream was restarted with " +
           "a fresh checkpoint over an existing state dir, clear the state dir")
@@ -136,6 +152,12 @@ private[graft] object StreamStateStore {
     val prevDirs = touched
       .map(b => state.resolve(s"b=$b"))
       .filter(p => markerOf(p).isDefined)
+      // a marker-only bucket (a past merge emitted zero rows for it) has
+      // no parquet files: feeding it to the reader would fail schema
+      // inference when EVERY touched bucket is such — and an empty
+      // bucket contributes no prev rows either way
+      .filter(p => Option(p.toFile.listFiles).exists(_.exists(f =>
+        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))))
       .map(_.toString)
     val prev =
       if (prevDirs.isEmpty) None
@@ -182,12 +204,20 @@ private[graft] object StreamStateStore {
     * Stamped on first use, required equal afterwards. */
   private def checkBucketCount(state: java.nio.file.Path, nBuckets: Int): Unit = {
     val f = state.resolve("_n_buckets")
-    if (java.nio.file.Files.exists(f)) {
-      val stored = new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toInt
-      require(stored == nBuckets,
-        s"bucketed state at $state was laid out with $stored buckets; " +
-          s"reopening with $nBuckets would mis-route keys — migrate or clear")
-    } else
-      java.nio.file.Files.write(f, nBuckets.toString.getBytes("UTF-8"))
+    // the markerOf convention: a partial/unparseable stamp (crash
+    // mid-write) reads as ABSENT and is re-stamped — never a
+    // NumberFormatException poisoning every restart
+    val stored =
+      if (!java.nio.file.Files.exists(f)) None
+      else scala.util.Try(
+        new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toInt).toOption
+    stored match {
+      case Some(n) =>
+        require(n == nBuckets,
+          s"bucketed state at $state was laid out with $n buckets; " +
+            s"reopening with $nBuckets would mis-route keys — migrate or clear")
+      case None =>
+        java.nio.file.Files.write(f, nBuckets.toString.getBytes("UTF-8"))
+    }
   }
 }

@@ -1054,6 +1054,37 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
       "serve memo survived an out-of-band sidecar rewrite at the same fp")
   }
 
+  test("lock heartbeat keeps a live long build from takeover; release is ownership-checked") {
+    import operators.ServingStore
+    val store = java.nio.file.Files.createTempDirectory("graftlockbeat").toString + "/store"
+    val old = ServingStore.LockStaleMs
+    ServingStore.LockStaleMs = 2000
+    try {
+      // a build 2.5x the staleness bound: without the heartbeat the
+      // waiter would read the lock stale at 2s and run concurrently
+      val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val a = new Thread(() => ServingStore.withBuildLock(store) {
+        order.add("a-start"); Thread.sleep(5000); order.add("a-end")
+      })
+      a.start(); Thread.sleep(400)
+      val b = new Thread(() => ServingStore.withBuildLock(store) { order.add("b") })
+      b.start(); a.join(30000); b.join(30000)
+      assert(order.toArray.toSeq == Seq("a-start", "a-end", "b"),
+        s"waiter overlapped a live heartbeating build: ${order.toArray.toSeq}")
+      // ownership-checked release: fabricate a takeover while held —
+      // the original holder's release must leave the successor's lock
+      val lock = ServingStore.lockPath(store)
+      ServingStore.withBuildLock(store) {
+        val tomb = java.nio.file.Paths.get(store + "_lock_spectomb")
+        java.nio.file.Files.move(lock, tomb)
+        java.nio.file.Files.createDirectory(lock)
+        java.nio.file.Files.createFile(lock.resolve("owner_foreign"))
+      }
+      assert(java.nio.file.Files.exists(lock),
+        "release deleted a successor's lock it no longer owned")
+    } finally ServingStore.LockStaleMs = old
+  }
+
   test("r12 serving stores: a crashed builder's stale lock is taken over") {
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("graftstale").toString + "/store"
