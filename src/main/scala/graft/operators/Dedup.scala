@@ -725,13 +725,17 @@ object Dedup {
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Band buckets holding more rows than this are dropped from candidate
-    * generation — the quadratic-candidate valve every banding family
+  /** Band buckets holding more rows than this lose their all-pairs
+    * expansion — the quadratic-candidate valve every banding family
     * carries ([[SimHashChunkCap]], [[HotShingleCap]],
     * [[Similarity.SemCellCap]], [[Multimodal.FrameHashCap]]): a
     * degenerate bucket (boilerplate signatures, embedding-collapse zero
     * vectors) would otherwise emit O(B^2) pairs at its band and kill the
-    * job at corpus scale. Drops are observed, not silent. */
+    * job at corpus scale. Over-cap buckets contribute a representative
+    * STAR (bucket-min id x each member, O(B)) instead of being dropped
+    * (r13 advice: an empty candidate set from a giant exact-duplicate
+    * cluster silently keeps every copy downstream); the cap'd expansion
+    * loss is also observed via the hot-drops metric. */
   val BandBucketCap = 500
 
   /** Exactly-once banded pair candidates over any (id, bks) frame —
@@ -743,14 +747,17 @@ object Dedup {
     * exists/zip_with form of the predicate is interpreted per candidate
     * row and measurably slower than the distinct it replaces).
     *
-    * Hot buckets above `bucketCap` are dropped before pairing (observed
-    * via the `band_hot_drops_` counter), with the
+    * Hot buckets above `bucketCap` lose their all-pairs expansion
+    * (observed via the `band_hot_drops_` counter) but keep a
+    * representative star (see [[BandBucketCap]]), with the
     * [[chunkedHammingPairs]] survival-mask discipline: a shared band
     * has the SAME bucket on both sides, so survival is a shared
     * property of the pair, "first shared surviving band" is
     * well-defined from one side's mask alone, and a pair whose earliest
     * shared band was hot is still emitted at its first surviving one —
-    * never silently lost to the cap.
+    * never silently lost to the cap. Pairs with NO surviving shared
+    * band surface through the star path exactly when one side is the
+    * bucket representative.
     *
     * DISCLOSED EAGERNESS: constructing the frame runs ONE bounded job
     * (the census probe that picks the branch), so plan-only callers —
@@ -817,10 +824,16 @@ object Dedup {
     val bitOf = (1 until nBands).foldLeft(when(col("band") === 0, 1L)) {
       (acc, b) => acc.when(col("band") === b, 1L << b)
     }
+    // mask bit b set <=> this id's band-b bucket is NOT hot. Fully-hot
+    // ids (every band over cap — the 1200-identical-docs shape) keep a
+    // row with mask 0 so the star path below can still see them; the
+    // old left_anti dropped them from the frame entirely.
     val withMask = banded0
-      .join(hot, Seq("band", "bucket"), "left_anti")
+      .join(hot.withColumn("is_hot", lit(true)), Seq("band", "bucket"), "left_outer")
       .groupBy(col("id"))
-      .agg(first(col("bks")).as("bks"), sum(bitOf).as("mask"))
+      .agg(first(col("bks")).as("bks"),
+        coalesce(sum(when(col("is_hot").isNull, bitOf)), lit(0L)).as("mask"))
+      .localCheckpoint(eager = false)
     val restream = withMask
       .select(col("id"), col("bks"), col("mask"), posexplode(col("bks")))
       .toDF("id", "bks", "mask", "band", "bucket")
@@ -832,12 +845,49 @@ object Dedup {
           (col("mask").bitwiseAND(lit(1L << bp)) =!= 0L)))
         .otherwise(lit(true))
     }.reduce(_ && _)
-    restream
+    val survivorPairs = restream
       .join(restream.select(col("id").as("id_b"), col("bks").as("bks_b"),
         col("band"), col("bucket")), Seq("band", "bucket"))
       .filter(col("id") < col("id_b"))
       .filter(firstShared)
       .select(col("id").as("id_a"), col("id_b"))
+    // Over-cap buckets are NOT silently dropped (r13 advice): giant
+    // exact-duplicate clusters are precisely dedup's highest-value
+    // targets, and a keep-one-copy resolution downstream of an empty
+    // candidate set silently keeps every copy. Each hot bucket instead
+    // contributes a representative STAR — its min id paired to every
+    // other member, O(B) pairs not O(B^2) — which preserves the
+    // bucket's connectivity for component resolution while keeping the
+    // valve's quadratic bound. Exactly-once across the union: a star
+    // pair is emitted only when it shares NO surviving band (those
+    // pairs are the survivor path's, by first-shared-surviving-band);
+    // cross-band star duplicates are removed by a distinct over the
+    // star stream, which is LINEAR in corpus size (<= one pair per
+    // member per band), so the exchange the main path avoids is
+    // harmless here.
+    val hotStream = withMask
+      .select(col("id"), col("bks"), col("mask"), posexplode(col("bks")))
+      .toDF("id", "bks", "mask", "band", "bucket")
+      .filter(col("mask").bitwiseAND(bitOf) === 0L)
+    val reps = hotStream.groupBy(col("band"), col("bucket"))
+      .agg(min(struct(col("id"), col("bks"))).as("rep"))
+      .select(col("band"), col("bucket"),
+        col("rep").getField("id").as("rep_id"),
+        col("rep").getField("bks").as("rep_bks"))
+    // buckets equal at band bp => hotness equal at bp (hotness is a
+    // property of the shared (band, bucket)), so the member's mask
+    // decides survival for the PAIR at every shared band
+    val noSurvivingShared = (0 until nBands).map { bp =>
+      !((element_at(col("bks"), bp + 1) === element_at(col("rep_bks"), bp + 1)) &&
+        (col("mask").bitwiseAND(lit(1L << bp)) =!= 0L))
+    }.reduce(_ && _)
+    val starPairs = hotStream
+      .join(reps, Seq("band", "bucket"))
+      .filter(col("id") =!= col("rep_id"))
+      .filter(noSurvivingShared)
+      .select(col("rep_id").as("id_a"), col("id").as("id_b"))
+      .distinct()
+    survivorPairs.unionByName(starPairs)
   }
 
   /** q_dedup_minhash — LSH banding: docs sharing any band bucket become

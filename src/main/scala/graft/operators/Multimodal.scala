@@ -220,7 +220,18 @@ object Multimodal {
         val payload = m.meta.kind match {
           case "image" =>
             val rgb = byteStream(seed, m.meta.width * m.meta.height * 3)
-            (m.media_id / 3) % 5 match {
+            // planted thumbnail extracts (ids >= ThumbIdOffset) go
+            // through LOSSLESS containers only: JPEG/GIF decoded-pixel
+            // drift breaks the exact dHash equality crossModalMatches
+            // verifies, demoting planted ground truth to a soft
+            // at-least-half bound (r13 advice). The duplicate-ingest
+            // mode keeps the full 5-container round-robin — mixed
+            // containers there ARE the transcode invariance under test.
+            if (m.media_id >= ThumbIdOffset) (m.media_id / 3) % 3 match {
+              case 1 => ImageIoCodec.encodePng(m.meta.width, m.meta.height, rgb)
+              case 2 => ImageIoCodec.encodeBmp(m.meta.width, m.meta.height, rgb)
+              case _ => PpmCodec.encode(m.meta.width, m.meta.height, rgb)
+            } else (m.media_id / 3) % 5 match {
               case 1 => ImageIoCodec.encodePng(m.meta.width, m.meta.height, rgb)
               case 2 => ImageIoCodec.encodeJpeg(m.meta.width, m.meta.height, rgb)
               case 3 => ImageIoCodec.encodeBmp(m.meta.width, m.meta.height, rgb)
@@ -729,8 +740,9 @@ object Multimodal {
   /** Bumped on any change to the corpus derivation or hash semantics:
     * the store generation is keyed by (corpus fingerprint, version), so
     * a code change can never serve a generation built under older
-    * semantics — the fingerprint alone only sees the FILES. */
-  private[operators] val HashStoreVersion = 1
+    * semantics — the fingerprint alone only sees the FILES.
+    * v2: planted thumbnails transcode lossless-only (r14). */
+  private[operators] val HashStoreVersion = 2
 
   /** ALL four hash families in ONE decode pass over the media corpus —
     * the build behind [[ensureMediaHashes]]. Per video, every frame is

@@ -157,14 +157,23 @@ private[graft] object ServingStore {
             // the stale lock; it removes the tombstone and loops into
             // the normal createDirectory race. Losers' moves throw (the
             // source is gone) and they just re-enter the loop. A crash
-            // between move and delete leaks an empty tombstone dir that
+            // between move and delete leaks a tombstone dir that
             // blocks nothing (it is not the lock path).
             val tomb = java.nio.file.Paths.get(path + "_lock_tomb_" +
               java.util.UUID.randomUUID().toString.replace("-", ""))
             try {
               java.nio.file.Files.move(lock, tomb,
                 java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-              java.nio.file.Files.deleteIfExists(tomb)
+              // the renamed dir still carries the crashed holder's
+              // owner_* nonce file — a bare delete on the dir throws
+              // DirectoryNotEmptyException and leaks a tombstone on
+              // EVERY takeover; delete bottom-up like prune
+              val walked = {
+                val s = java.nio.file.Files.walk(tomb)
+                try { import scala.jdk.CollectionConverters._
+                  s.iterator().asScala.toList } finally s.close()
+              }
+              walked.reverseIterator.foreach(java.nio.file.Files.deleteIfExists(_))
             } catch { case _: java.io.IOException => () }
           } else Thread.sleep(50)
       }
@@ -255,7 +264,15 @@ private[graft] object ServingStore {
         (df.sparkSession eq spark) => return df
       case _ => ()
     }
-    def serve(gen: String): DataFrame = {
+    // `sig` must be a signature captured BEFORE the sidecar read that
+    // chose `gen` (or computed under the build lock, where sidecar
+    // writes are serialized): storing a signature recomputed AFTER the
+    // choice would let a concurrent same-fp rebuild landing in between
+    // bind the NEW sidecar signature to the OLD generation's frame, and
+    // every later ensure would memo-hit a pruned generation — the
+    // transient race pinned persistent. With the pre-read signature the
+    // worst case is one stale memo MISS on the next call.
+    def serve(gen: String, sig: String): DataFrame = {
       val df = spark.read.parquet(gen)
       // crude bound: the memo holds one entry per (session, store) —
       // dozens in any real process — but a session-cycling harness
@@ -263,18 +280,18 @@ private[graft] object ServingStore {
       // QueryExecution); reset rather than LRU, the rebuild cost is one
       // sidecar read per store
       if (serveMemo.size > 256) serveMemo.clear()
-      serveMemo.put(memoKey, (sidecarSig(path), fp, df))
+      serveMemo.put(memoKey, (sig, fp, df))
       df
     }
     freshGen(sidecarState(spark, what, path)) match {
-      case Some(gen) => serve(gen)
+      case Some(gen) => serve(gen, sig0)
       case None =>
         withBuildLock(path) {
           // re-check under the lock: a concurrent builder we waited out
           // has usually stamped the store fresh already — serve it
           val state = sidecarState(spark, what, path)
           freshGen(state) match {
-            case Some(gen) => serve(gen)
+            case Some(gen) => serve(gen, sidecarSig(path))
             case None =>
               val target = newGenerationPath(path, fp)
               build(target)
@@ -291,7 +308,7 @@ private[graft] object ServingStore {
                 case LegacyFlat => prune(path, keep = Set(target))
                 case Unknown => ()
               }
-              serve(target)
+              serve(target, sidecarSig(path))
           }
         }
     }

@@ -1796,20 +1796,34 @@ object Similarity {
     * fingerprint and the signature-semantics version
     * ([[EmbSigStoreVersion]]) — no threshold term.
     *
-    * DISCLOSED SCALE BOUND: the band space is FIXED at 2^PlanesPerBand
-    * = 16 buckets per band (more planes per band would collapse recall
-    * at this cosine threshold — the classic LSH tuning coupling), so
-    * expected bucket population is n/16 and every bucket crosses
-    * [[Dedup.BandBucketCap]] once the corpus passes ~16 x cap vectors
-    * (~8k at the default): beyond that the valve drops ALL buckets
-    * (observed, not silent — StressR13b shows the 10x replica corpus
-    * serving 0 pairs) rather than letting the join run its inherent
-    * n^2/16-per-band candidate quadratic. The data-oblivious LSH
-    * variant is therefore the SMALL-CORPUS member of the family;
-    * [[embeddingDedupCells]], whose cell count scales with n, is the
-    * corpus-adaptive operator the 100 TB path uses. */
+    * SIZE-ADAPTIVE STRATEGY (r13 verdict): the band space is FIXED at
+    * 2^PlanesPerBand = 16 buckets per band (more planes per band would
+    * collapse recall at this cosine threshold — the classic LSH tuning
+    * coupling), so expected bucket population is n/16 and every bucket
+    * crosses [[Dedup.BandBucketCap]] once the corpus passes
+    * [[LshSaturationBound]] (~8k vectors at the defaults) — past that
+    * the LSH blocking degenerates to the hot-bucket representative
+    * stars. The registered query therefore switches strategy at the
+    * bound, the [[Dedup.resolveComponents]] precedent: below it the
+    * data-oblivious LSH banding runs (and its signature store serves);
+    * above it the query delegates to [[embeddingDedupCells]], whose
+    * cell count scales with the corpus — same output contract
+    * (near-dup pairs with exact cosine at `threshold`), corpus-adaptive
+    * blocking. Do NOT raise PlanesPerBand instead: recall collapses.
+    * The strategy probe is one parquet count over the embeddings
+    * table — footer metadata, no column scan. */
   def embeddingDedup(spark: SparkSession, dir: String, threshold: Double = 0.45): DataFrame =
-    embeddingDedupOf(serveEmbSigs(spark, dir), threshold)
+    if (emb(spark, dir).count() > LshSaturationBound)
+      embeddingDedupCells(spark, dir, threshold)
+    else embeddingDedupOf(serveEmbSigs(spark, dir), threshold)
+
+  /** Corpus size at which the fixed 2^PlanesPerBand-bucket band space
+    * saturates: expected bucket population n / 2^PlanesPerBand crosses
+    * [[Dedup.BandBucketCap]] at cap x 2^PlanesPerBand vectors (8000 at
+    * the defaults). Above it [[embeddingDedup]] runs the cells
+    * blocking. */
+  private[graft] val LshSaturationBound: Long =
+    (1L << PlanesPerBand).toLong * Dedup.BandBucketCap
 
   /** Serve-or-build the LSH band-signature generation. */
   private[graft] def serveEmbSigs(spark: SparkSession, dir: String): DataFrame = {

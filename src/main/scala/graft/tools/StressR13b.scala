@@ -66,14 +66,17 @@ object StressR13b {
     time("emb_sig_build_100x") { Similarity.serveEmbSigs(spark, e100).count() }
     exponent("emb_sig_build_10x", "emb_sig_build_100x")
 
-    // LSH dedup serve: the band space is FIXED at 16 buckets/band, so
+    // dedup serve: the LSH band space is FIXED at 16 buckets/band, so
     // at 10x (20k vectors, ~1250/bucket) EVERY bucket crosses
-    // BandBucketCap and the valve drops them all — 0 pairs, observed,
-    // instead of the inherent n^2/16-per-band candidate quadratic (the
-    // disclosed small-corpus bound on this variant; the cells variant
-    // below is the corpus-adaptive scale path and must keep finding)
-    time("emb_dedup_serve_10x") { Similarity.embeddingDedup(spark, e10).count() }
-    time("emb_dedup_serve_100x") { Similarity.embeddingDedup(spark, e100).count() }
+    // BandBucketCap — r13 served 0 pairs here. r14 makes the registered
+    // query size-adaptive: past LshSaturationBound (8k vectors) it
+    // delegates to the corpus-adaptive cells blocking, so the planted
+    // duplicate cliques MUST now be found at both stress tiers
+    val d10 = time("emb_dedup_serve_10x") { Similarity.embeddingDedup(spark, e10).count() }
+    require(d10 > 0, s"size-adaptive embeddingDedup served $d10 pairs at 10x — " +
+      "the strategy switch did not engage")
+    val d100 = time("emb_dedup_serve_100x") { Similarity.embeddingDedup(spark, e100).count() }
+    require(d100 > 0, s"size-adaptive embeddingDedup served $d100 pairs at 100x")
 
     // cluster-blocked variant: assignment-store build then serve; hot
     // CELLS cap independently (SemCellCap) — same shape expectations

@@ -128,24 +128,60 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     import org.apache.spark.sql.functions._
     // 1200 identical docs -> identical minhash signatures -> every band
     // bucket holds all 1200; without the cap the band join is quadratic
-    // (~720k candidate pairs). Every bucket exceeds the cap and drops.
+    // (~720k candidate pairs). Every bucket exceeds the cap, so the
+    // all-pairs expansion is refused — but the cluster must NOT vanish
+    // (r13 advice: keep-one-copy downstream would keep all 1200):
+    // the bucket's representative star pairs doc 1 with each of the
+    // other 1199, linear in cluster size, one component.
     val degenerate = (1L to 1200L)
       .map(i => (i, "same words repeated here forever and ever more"))
       .toDF("doc_id", "text")
-    assert(operators.Dedup.minhashDedup(degenerate).count() == 0,
-      "hot band buckets must be dropped, not joined quadratically")
+    val degeneratePairs = operators.Dedup.minhashDedup(degenerate)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(degeneratePairs == (2L to 1200L).map(m => (1L, m)).toSet,
+      s"expected the 1199-pair representative star, got ${degeneratePairs.size} pairs")
     // survival-mask discipline: a pair whose FIRST shared band is hot
-    // must still be emitted at its first surviving band. Hand-built
-    // (id, bks) frames: ids 1/2 share band 0 (hot: 600 fillers share
-    // its bucket) AND band 1 (cold) — the pair must surface exactly
-    // once via band 1.
+    // must still be emitted at its first surviving band, exactly once —
+    // NOT again through the hot bucket's star. Hand-built (id, bks)
+    // frames: ids 1/2 share band 0 (hot: 600 fillers share its bucket)
+    // AND band 1 (cold) — (1,2) surfaces once via band 1, while the hot
+    // band-0 bucket contributes its star (rep id 1 x each filler; the
+    // filler pairs share no surviving band).
     val fillers = (10L until 610L).map(i => (i, Seq(7L, 100L + i, 10000L + i)))
     val pair = Seq((1L, Seq(7L, 9L, 301L)), (2L, Seq(7L, 9L, 302L)))
     val ids = (fillers ++ pair).toDF("id", "bks")
     val got = operators.Dedup.firstSharedBandPairs(ids, 3, bucketCap = 500)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    assert(got == Seq((1L, 2L)),
-      s"capped first-shared-band emission lost or duplicated the pair: $got")
+    assert(got.length == got.distinct.length,
+      s"capped emission duplicated pairs: ${got.diff(got.distinct)}")
+    assert(got.toSet ==
+      (Set((1L, 2L)) ++ (10L until 610L).map(f => (1L, f))),
+      s"capped emission lost the surviving pair or the hot star: ${got.size} pairs")
+  }
+
+  test("embedding dedup switches to the cells blocking above the band-saturation bound") {
+    import spark.implicits._
+    // 8100 vectors (> LshSaturationBound = 8000): the fixed 16-bucket
+    // band space saturates (every bucket ~8100/16 >> BandBucketCap), so
+    // the registered query must delegate to the corpus-adaptive cells
+    // blocking and keep finding the planted exact-duplicate pairs —
+    // r13's registered LSH variant served 0 here (disclosed vacuity).
+    val dir = java.nio.file.Files.createTempDirectory("graftswitch").toString
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 8000L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat), 0))
+    val planted = (0 until 100).map(j => (100000L + j, base(j * 79)._2, 0))
+    (base ++ planted).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(dir + "/embeddings.parquet")
+    val got = operators.Similarity.embeddingDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cells = operators.Similarity.embeddingDedupCells(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == cells,
+      s"above the saturation bound the query must BE the cells blocking " +
+        s"(got ${got.size} vs cells ${cells.size} pairs)")
+    val plantedPairs = (0 until 100).map(j => (j * 79L, 100000L + j)).toSet
+    assert(plantedPairs.subsetOf(got),
+      s"planted duplicate pairs lost: ${(plantedPairs -- got).take(5)}")
   }
 
   test("idf simhash keeps true dups and rejects boilerplate-driven false pairs") {

@@ -538,7 +538,7 @@ object GraftProps extends Properties("graft") {
       }
     }
 
-  property("capped band pairs equal the naive surviving-band definition, exactly once") =
+  property("capped band pairs equal the naive surviving-band + hot-star definition, exactly once") =
     forAll(
       Gen.listOfN(
         36,
@@ -552,10 +552,23 @@ object GraftProps extends Properties("graft") {
           bks.zipWithIndex.map { case (b, i) => (i, b) }
         }.groupBy(identity).map { case (k, v) => k -> v.size }
         def survives(band: Int, bucket: Long) = counts((band, bucket)) <= cap
-        val expect = (for {
+        def sharesSurviving(ba: List[Long], bb: List[Long]) =
+          (0 until 3).exists(i => ba(i) == bb(i) && survives(i, ba(i)))
+        val expectSurvivors = (for {
           (a, ba) <- rows; (b, bb) <- rows if a < b
-          if (0 until 3).exists(i => ba(i) == bb(i) && survives(i, ba(i)))
+          if sharesSurviving(ba, bb)
         } yield (a, b)).toSet
+        // hot buckets contribute a star: bucket-min id x each member,
+        // minus pairs the survivor path already owns
+        val expectStars = (for {
+          band <- 0 until 3
+          (bucket, members) <- rows.groupBy { case (_, bks) => bks(band) }.toList
+          if members.size > cap
+          (rep, repBks) = members.minBy(_._1)
+          (m, mBks) <- members if m != rep
+          if !sharesSurviving(repBks, mBks)
+        } yield (rep, m)).toSet
+        val expect = expectSurvivors ++ expectStars
         import spark.implicits._
         val got = operators.Dedup.firstSharedBandPairs(
           rows.toDF("id", "bks"), 3, bucketCap = cap)
