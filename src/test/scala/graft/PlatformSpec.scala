@@ -465,10 +465,36 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
       MediaAdmission.applyAdmissionBatch(b, i, dir)
     }
     val inc = storeMap(MediaAdmission.currentStore(spark, dir))
-    // batch reference: the one-shot key census over everything seen —
-    // the incremental first-arrival fold must equal it under id order
+    // batch reference: the one-shot key census over everything seen.
+    // The streamed store equals it up to HAMMING RECONCILIATION: the
+    // tolerant gate folds a census key arriving AFTER a within-
+    // HammingTol same-family key onto that admitted row (exactly what
+    // batch hamming dedup would pair), so assert (a) every census key
+    // is stored or refused-as-near-copy of a stored key, (b) stored
+    // keys are a subset of census keys with their canonical ids,
+    // (c) copy counts are conserved overall.
     val ref = storeMap(MediaAdmission.batchCanonical(spark, media))
-    assert(inc == ref, "id-ordered streamed media store diverged from the batch census")
+    def parse(k: String): (String, Long) = {
+      val Array(fam, hx) = k.split(":")
+      (fam, java.lang.Long.parseUnsignedLong(hx, 16))
+    }
+    assert(inc.keySet.subsetOf(ref.keySet), "streamed store invented keys: " +
+      (inc.keySet -- ref.keySet).take(3))
+    inc.foreach { case (k, (keep, _)) =>
+      assert(ref(k)._1 == keep, s"canonical drifted for $k: $keep vs ${ref(k)._1}")
+    }
+    (ref.keySet -- inc.keySet).foreach { k =>
+      val (fam, h) = parse(k)
+      val near = inc.keys.exists { k2 =>
+        val (fam2, h2) = parse(k2)
+        fam == fam2 && fam != "frameroll" &&
+          java.lang.Long.bitCount(h ^ h2) <= MediaAdmission.HammingTol
+      }
+      assert(near, s"census key $k missing from the streamed store without a " +
+        "within-tolerance admitted twin")
+    }
+    assert(inc.values.map(_._2).sum == ref.values.map(_._2).sum,
+      "copy counts not conserved across the hamming reconciliation")
     // the planted duplicate-ingest rows transcode content-identical in
     // (usually) DIFFERENT containers — the perceptual key must fold
     // them: some admitted key carries >1 copy with its canonical BELOW
@@ -507,6 +533,60 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dupRoll = rolls.find(_._2 == 1L)
     assert(dupRoll.exists(_._3 >= 2L),
       s"identical frame-only videos did not fold: ${rolls.toSeq}")
+  }
+
+  test("media admission refuses a hamming-drifted twin exact keys would admit") {
+    import graft.streaming.MediaAdmission
+    import operators.{Multimodal, PpmCodec}
+    import spark.implicits._
+    // the lossy re-encode shape, pixel-controlled: image B decodes to
+    // the same 18x16 raster as A except one 2x2 grid cell nudged so
+    // EXACTLY one dHash gradient bit flips — a drifted perceptual key
+    // with a distinct content_hash (so the exact gate admits it as new
+    // content) within HammingTol of the admitted one (so the tolerant
+    // gate must refuse it)
+    val w = 18; val h = 16
+    def rgbOf(bump: Option[(Int, Int)]): Array[Byte] = {
+      val rgb = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = bump match {
+          case Some((bx, by)) if x == bx * 2 && y == by * 2 => 200
+          case _ => x * 10
+        }
+        val p = (y * w + x) * 3
+        rgb(p) = v.toByte; rgb(p + 1) = v.toByte; rgb(p + 2) = v.toByte
+      }
+      rgb
+    }
+    val a = Multimodal.MediaItem(1L, PpmCodec.encode(w, h, rgbOf(None)),
+      Multimodal.MediaMeta("image", w, h, 16000, 1))
+    val b = Multimodal.MediaItem(2L, PpmCodec.encode(w, h, rgbOf(Some((3, 4)))),
+      Multimodal.MediaMeta("image", w, h, 16000, 1))
+    val (keyA, hashA) = MediaAdmission.batchCanonical(spark, Seq(a).toDF())
+      .collect().map(r => (r.getString(0), r.getAs[Long]("hash"))).head
+    val (keyB, hashB) = MediaAdmission.batchCanonical(spark, Seq(b).toDF())
+      .collect().map(r => (r.getString(0), r.getAs[Long]("hash"))).head
+    assert(keyA != keyB, "twin must carry a DISTINCT exact key (else the " +
+      "exact gate refuses it and the tolerant gate is not exercised)")
+    val drift = java.lang.Long.bitCount(hashA ^ hashB)
+    assert(drift > 0 && drift <= MediaAdmission.HammingTol,
+      s"planted drift $drift outside (0, ${MediaAdmission.HammingTol}]")
+    // flat store: A admits, B is refused as A's copy
+    val dir = java.nio.file.Files.createTempDirectory("graftham").toString + "/state"
+    MediaAdmission.applyAdmissionBatch(Seq(a).toDF(), 0, dir)
+    MediaAdmission.applyAdmissionBatch(Seq(b).toDF(), 1, dir)
+    val flat = MediaAdmission.currentStore(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(flat.toSeq == Seq((keyA, 1L, 2L)),
+      s"tolerant gate admitted the drifted twin: ${flat.toSeq}")
+    // bucketed store (chunk-index sidecar probe): same refusal
+    val bdir = java.nio.file.Files.createTempDirectory("grafthamb").toString + "/state"
+    MediaAdmission.applyAdmissionBatchBucketed(Seq(a).toDF(), 0, bdir, nBuckets = 8)
+    MediaAdmission.applyAdmissionBatchBucketed(Seq(b).toDF(), 1, bdir, nBuckets = 8)
+    val bkt = MediaAdmission.currentStore(spark, bdir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(bkt.toSeq == Seq((keyA, 1L, 2L)),
+      s"bucketed tolerant gate admitted the drifted twin: ${bkt.toSeq}")
   }
 
   test("bucketed media admission equals the flat store, replay-safe") {
@@ -1087,9 +1167,14 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("r12 serving stores: a crashed builder's stale lock is taken over") {
     import spark.implicits._
-    val store = java.nio.file.Files.createTempDirectory("graftstale").toString + "/store"
+    val base = java.nio.file.Files.createTempDirectory("graftstale").toString
+    val store = base + "/store"
     val lock = operators.ServingStore.lockPath(store)
     java.nio.file.Files.createDirectories(lock)
+    // the crashed holder's ownership nonce rides inside the lock dir —
+    // the takeover's tombstone delete must remove it bottom-up, or a
+    // *_lock_tomb_* dir leaks on EVERY takeover (r13 advice)
+    java.nio.file.Files.createFile(lock.resolve("owner_crashedholder"))
     // fabricate a crash: the lock's mtime predates the staleness bound
     java.nio.file.Files.setLastModifiedTime(lock,
       java.nio.file.attribute.FileTime.fromMillis(
@@ -1102,6 +1187,14 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(built, "stale lock blocked the takeover build")
     assert(out.collect().map(_.getString(1)).toSeq == Seq("x"))
     assert(!java.nio.file.Files.exists(lock), "lock leaked after takeover build")
+    val leaked = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(base))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.contains("_lock_tomb_")).toList
+      finally s.close()
+    }
+    assert(leaked.isEmpty, s"takeover leaked tombstone dirs: $leaked")
   }
 
   test("day-state append refuses a delta whose files have not landed") {
