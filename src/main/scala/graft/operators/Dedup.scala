@@ -934,15 +934,20 @@ object Dedup {
     * once per corpus generation and per query only the banding and the
     * estimate-verify joins run; integer signatures round-trip parquet
     * exactly (spec-pinned serve == inline). */
-  def minhashDedup(spark: SparkSession, dir: String): DataFrame = {
+  def minhashDedup(spark: SparkSession, dir: String): DataFrame =
+    minhashDedupFromSigs(serveMinhashSigs(spark, dir))
+
+  /** Serve-or-build the minhash signature generation — shared by the
+    * dedup serve and the streaming ingest twin
+    * ([[graft.streaming.SigSink]]). */
+  private[graft] def serveMinhashSigs(spark: SparkSession, dir: String): DataFrame = {
     val fp = minhashSigsFingerprint(spark, dir)
-    val sigs = ServingStore.ensure(spark, "minhash-sigs",
+    ServingStore.ensure(spark, "minhash-sigs",
       Similarity.servePath("minhash_sigs_", dir), fp) { gen =>
       Tables.invalidate(spark, dir, "documents")
       minhashSignatures(Tables.documents(spark, dir))
         .write.mode("overwrite").parquet(gen)
     }
-    minhashDedupFromSigs(sigs)
   }
 
   /** Bumped on any change to minhash signature semantics (the kernel's
@@ -1266,15 +1271,19 @@ object Dedup {
     * above — a signature is a pure per-document function, so the corpus
     * scan + signature kernel amortize across a corpus generation and
     * the per-query cost is the pairing alone). */
-  def simhashDedup(spark: SparkSession, dir: String): DataFrame = {
+  def simhashDedup(spark: SparkSession, dir: String): DataFrame =
+    chunkedHammingPairs(serveSimhashSigs(spark, dir))
+
+  /** Serve-or-build the plain-simhash signature generation — shared by
+    * the dedup serve and [[graft.streaming.SigSink]]. */
+  private[graft] def serveSimhashSigs(spark: SparkSession, dir: String): DataFrame = {
     val fp = simhashSigsFingerprint(spark, dir)
-    val sigs = ServingStore.ensure(spark, "simhash-sigs",
+    ServingStore.ensure(spark, "simhash-sigs",
       Similarity.servePath("simhash_sigs_", dir), fp) { gen =>
       Tables.invalidate(spark, dir, "documents")
       simhashSignatures(Tables.documents(spark, dir))
         .write.mode("overwrite").parquet(gen)
     }
-    chunkedHammingPairs(sigs)
   }
 
   // ------------------------------------------- keep-one-copy resolution

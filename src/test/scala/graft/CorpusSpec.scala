@@ -159,6 +159,43 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"capped emission lost the surviving pair or the hot star: ${got.size} pairs")
   }
 
+  test("embedding dedup blockers: recall quantified against exact cosine ground truth") {
+    // r13 verdict #8: the ANN ladder carries recall_at_k in every row;
+    // the dedup BLOCKERS (LSH bands, cells) emitted pairs with no
+    // recall figure. Quantify both against the exact all-pairs cosine
+    // ground truth at the pin corpus: precision is 1 by construction
+    // (both verify candidates with exact cosine), so blocking quality
+    // IS recall — the cells variant (the at-scale path) must hold >= 0.9.
+    val dir = tools.Golden.PinSf2
+    val vecs = spark.read.parquet(dir + "/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+    }
+    val exact = (for {
+      i <- vecs.indices.iterator; j <- (i + 1) until vecs.length
+      if cos(vecs(i)._2, vecs(j)._2) >= 0.45
+    } yield {
+      val (a, b) = (vecs(i)._1, vecs(j)._1)
+      (math.min(a, b), math.max(a, b))
+    }).toSet
+    assert(exact.nonEmpty, "no exact pairs at 0.45 — the recall bound is vacuous")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cells = pairsOf(operators.Similarity.embeddingDedupCells(spark, dir))
+    val lsh = pairsOf(operators.Similarity.embeddingDedup(spark, dir))
+    assert(cells.subsetOf(exact) && lsh.subsetOf(exact),
+      "verified pairs outside the exact ground truth — precision broke")
+    val cellsRecall = cells.size.toDouble / exact.size
+    val lshRecall = lsh.size.toDouble / exact.size
+    info(f"exact=${exact.size} cells recall=$cellsRecall%.3f lsh recall=$lshRecall%.3f")
+    assert(cellsRecall >= 0.9,
+      f"cells blocking recall $cellsRecall%.3f < 0.9 against ${exact.size} exact pairs")
+  }
+
   test("embedding dedup switches to the cells blocking above the band-saturation bound") {
     import spark.implicits._
     // 8100 vectors (> LshSaturationBound = 8000): the fixed 16-bucket

@@ -535,6 +535,59 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"identical frame-only videos did not fold: ${rolls.toSeq}")
   }
 
+  test("sig sink: streamed micro-batches equal the batch append chain and a cold rebuild") {
+    import graft.streaming.SigSink
+    import operators.Dedup
+    val all = Tables.documents(spark, sf).localCheckpoint()
+    val bounds = all.stat.approxQuantile("doc_id", Array(2.0 / 3, 5.0 / 6), 0.0)
+    val b0 = all.filter(col("doc_id") <= bounds(0))
+    val d1 = all.filter(col("doc_id") > bounds(0) && col("doc_id") <= bounds(1))
+    val d2 = all.filter(col("doc_id") > bounds(1))
+    def land(dir: String, df: org.apache.spark.sql.DataFrame, first: Boolean): Unit =
+      df.write.mode(if (first) "overwrite" else "append")
+        .parquet(dir + "/documents.parquet")
+    def sigsOf(dir: String) = tools.Golden.checksum(Dedup.serveMinhashSigs(spark, dir))
+
+    // streamed: the file-source shape — each batch's rows land, then
+    // the sink folds their signatures (batch 0 = the full ensure)
+    val dirS = java.nio.file.Files.createTempDirectory("graftsigsink").toString
+    land(dirS, b0, first = true)
+    SigSink.applyMinhashBatch(b0, 0, dirS)
+    land(dirS, d1, first = false)
+    SigSink.applyMinhashBatch(d1, 1, dirS)
+    land(dirS, d2, first = false)
+    SigSink.applyMinhashBatch(d2, 2, dirS)
+    val streamed = sigsOf(dirS)
+
+    // batch-append chain: the appenders' documented discipline
+    // (fingerprint snapshotted BEFORE each landing)
+    val dirB = java.nio.file.Files.createTempDirectory("graftsigbatch").toString
+    land(dirB, b0, first = true)
+    Dedup.serveMinhashSigs(spark, dirB).count()
+    val fp1 = Dedup.minhashSigsFingerprint(spark, dirB)
+    land(dirB, d1, first = false)
+    Dedup.appendMinhashSigs(spark, dirB, d1, fp1)
+    val fp2 = Dedup.minhashSigsFingerprint(spark, dirB)
+    land(dirB, d2, first = false)
+    Dedup.appendMinhashSigs(spark, dirB, d2, fp2)
+    assert(streamed == sigsOf(dirB),
+      "streamed sig store diverged from the batch append chain")
+
+    // cold rebuild over the final corpus: the ground truth both
+    // incremental paths must be bit-equal to
+    val dirC = java.nio.file.Files.createTempDirectory("graftsigcold").toString
+    land(dirC, all, first = true)
+    assert(streamed == sigsOf(dirC),
+      "streamed sig store diverged from a cold full rebuild")
+
+    // replay of an applied batch id is a marker-skip no-op; a NEW batch
+    // id re-delivering already-folded rows self-heals through the
+    // protocol's own refusal (no new files -> fingerprint unchanged)
+    SigSink.applyMinhashBatch(d2, 2, dirS)
+    SigSink.applyMinhashBatch(d2, 3, dirS)
+    assert(sigsOf(dirS) == streamed, "replayed/re-delivered batch changed the store")
+  }
+
   test("media admission refuses a hamming-drifted twin exact keys would admit") {
     import graft.streaming.MediaAdmission
     import operators.{Multimodal, PpmCodec}
