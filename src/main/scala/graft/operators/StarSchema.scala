@@ -135,10 +135,30 @@ object StarSchema {
     * only key joins, handled by AQE (broadcast at test SF, sort-merge with
     * skew handling at cluster scale). */
   def starJoin(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables
+    val one = lit(1).cast(DecimalType(18, 2))
+    // pre-aggregate the fact stream on its join key BEFORE the
+    // fact-fact join (r14, the sf1 pair's worst offender): the map-side
+    // partial collapses the ~4 lineitem rows per order into one
+    // (orderkey, revenue partial, count) row, so the orderkey exchange
+    // ships a quarter of the rows and the join probes orders-many rows,
+    // not lineitem-many. Decimal partials are associative — the final
+    // sum-of-partials is bit-equal to the flat sum (oracle parity).
+    val liAgg = Tables
       .lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .select(col("l_orderkey"),
+        dec4(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))).as("rev"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("rev")).as("rev"), cnt.as("n"))
+    // orders-lineitem is FACT-FACT: at warehouse scale neither side
+    // broadcasts (orders grows with the corpus — the 64 MB session
+    // threshold was quietly turning this into a driver-built 1.5M-key
+    // hashed relation at sf1, the measured 5x row). A SHUFFLED hash
+    // join keyed on the orderkey reuses the pre-aggregation's hash
+    // partitioning on the lineitem side — one orders-side exchange,
+    // no sort, and the same plan shape a 1000-executor run wants.
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .hint("shuffle_hash")
     // conformed-dim flattening: the customer->nation->region snowflake
     // joins INSIDE one broadcast build (customer-cardinality, region
     // name attached), so the fact probes ONE bundled dim instead of
@@ -150,15 +170,12 @@ object StarSchema {
         .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
         .join(Tables.region(spark, dir), col("n_regionkey") === col("r_regionkey"))
         .select(col("c_custkey"), col("r_name")))
-    val one = lit(1).cast(DecimalType(18, 2))
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
+    liAgg.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(dim, col("o_custkey") === col("c_custkey"))
       .groupBy(col("r_name").as("region_name"), year(col("o_orderdate")).as("order_year"))
       .agg(
-        sum(dec4(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))))
-          .cast(DoubleType)
-          .as("revenue"),
-        cnt.as("n_items"))
+        sum(col("rev")).cast(DoubleType).as("revenue"),
+        sum(col("n")).as("n_items"))
   }
 
   val starJoinOracle: String =

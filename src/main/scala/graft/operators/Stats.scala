@@ -62,7 +62,12 @@ object Stats {
     val li = Tables
       .lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_shipdate"))
+    // orders-lineitem is FACT-FACT: shuffled hash join, not a broadcast
+    // (the 64 MB session threshold was driver-building a 1.5M-key
+    // hashed relation of orders at sf1 — the starJoin lesson, r14);
+    // customer is a true dim and broadcasts below the threshold
     val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .hint("shuffle_hash")
     val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
     // Monthly revenue per nation kept DECIMAL end-to-end: never re-quantize
     // a derived double back to decimal (Spark's double->decimal cast goes
@@ -70,7 +75,7 @@ object Stats {
     // they can disagree by 1 ulp of the target scale).
     val monthly = li
       .join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(c, col("c_custkey") === col("o_custkey"))
+      .join(broadcast(c), col("c_custkey") === col("o_custkey"))
       .groupBy(
         col("c_nationkey").as("nationkey"),
         year(col("l_shipdate")).as("yy"),

@@ -414,14 +414,30 @@ object TextAnalysis {
     * from it, [[corpusCleanAdaptive]] applies them). */
   private def scoredDocs(spark: SparkSession, dir: String): DataFrame = {
     val keep = dedupExact(spark, dir).select(col("keep_doc_id").as("doc_id"))
+    // kernel BEFORE the dedup semi-join (r14): joining first semi-joins
+    // the raw text column, and when the keep side's size estimate blocks
+    // the broadcast the full text shuffles on doc_id — at sf1 that wire
+    // cost tripled the query. Projected to (doc_id, stats struct) the
+    // rows crossing the join are 11 ints wide whatever the planner
+    // picks, and at warehouse scale text-never-shuffles is the shape
+    // that survives (stats on later-discarded duplicates are scan-local
+    // compute, the cheap currency).
     docs(spark, dir)
-      .join(keep, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), textStatsCol(spark).as("ts"))
+      .join(keep, Seq("doc_id"), "left_semi")
       .select(
         col("doc_id"),
         predLangOf(col("ts")).as("pred_lang"),
         qualityScoreOf(col("ts")).as("quality_score"),
         bpeTokensOf(col("ts")).as("n_bpe_tokens"))
+      // lineage barrier: without it a caller's pred_lang filter pushes
+      // below the projection and the rewrite re-invokes the stats
+      // kernel PER FIELD REFERENCE in the Filter stage (the executed
+      // plan showed graft_text_stats(text) 14x inside one condition —
+      // kernel paid twice per row end-to-end, the sf1 pair's
+      // quality_thresholds row). Behind the barrier the kernel runs
+      // once in the scan stage and filters see materialized columns.
+      .localCheckpoint(eager = false)
   }
 
   def corpusClean(spark: SparkSession, dir: String, minQuality: Double = 0.5): DataFrame =

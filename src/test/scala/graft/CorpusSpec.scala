@@ -837,6 +837,28 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(margin > 0.5, s"ivf recall degenerate: $margin")
   }
 
+  test("scoredDocs lineage barrier: consumers never re-invoke the stats kernel") {
+    // r14 regression guard: without the barrier, a caller's pred_lang
+    // filter pushes below the scoredDocs projection and Catalyst's
+    // rewrite re-invokes graft_text_stats PER FIELD REFERENCE inside
+    // the Filter condition (the executed sf1 plan showed 14
+    // invocations in one predicate — the kernel paid twice per row
+    // end-to-end). Behind the lazy localCheckpoint the consumers'
+    // plans must reference materialized columns only: zero kernel
+    // calls visible above the barrier.
+    for ((name, df) <- Seq(
+        "qualityThresholds" -> operators.TextAnalysis.qualityThresholds(spark, sf),
+        "corpusClean" -> operators.TextAnalysis.corpusClean(spark, sf),
+        "corpusCleanAdaptive" -> operators.TextAnalysis.corpusCleanAdaptive(spark, sf))) {
+      val plan = df.queryExecution.executedPlan.toString
+      val kernelCalls = plan.sliding(functions.GraftFunctions.TextStatsName.length)
+        .count(_ == functions.GraftFunctions.TextStatsName)
+      assert(kernelCalls == 0,
+        s"$name re-invokes the stats kernel above the barrier ($kernelCalls call sites)")
+      assert(df.limit(1).count() == 1, s"$name serves no rows")
+    }
+  }
+
   test("approx quality thresholds: rank drift bounded vs the exact quantile") {
     import org.apache.spark.sql.functions._
     val exact = operators.TextAnalysis.qualityThresholds(spark, sf)
