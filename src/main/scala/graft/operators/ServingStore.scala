@@ -44,6 +44,21 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object ServingStore {
 
+  /** Typed [[append]] refusals — protocol callers (the streaming
+    * [[graft.streaming.SigSink]]) dispatch on the TYPE, never on the
+    * human-readable message (the r14 review: substring dispatch turns
+    * a message rewording into a stream-killing regression). They
+    * extend IllegalArgumentException so existing intercepts and the
+    * require-style call sites keep their contract. */
+  private[graft] sealed abstract class AppendRefused(msg: String)
+      extends IllegalArgumentException(msg)
+  /** storedFp != the caller's pre-delta snapshot: the store is stale. */
+  private[graft] final class StaleStoreRefusal(msg: String) extends AppendRefused(msg)
+  /** The post-delta fingerprint did not advance: delta files not landed. */
+  private[graft] final class DeltaNotLandedRefusal(msg: String) extends AppendRefused(msg)
+  /** Delta unique keys already present in the generation: double append. */
+  private[graft] final class KeysAlreadyPresentRefusal(msg: String) extends AppendRefused(msg)
+
   /** What the sidecar proves about the store. */
   private[graft] sealed trait SidecarState
   /** Generation layout: fp + the generation directory it names. */
@@ -355,7 +370,7 @@ private[graft] object ServingStore {
           s"$what sidecar at ${path}_model unreadable or pre-generation " +
             "layout — run the full ensure rebuild instead of appending " +
             "into an unproven generation"))
-      require(storedFp == expectedFp,
+      if (storedFp != expectedFp) throw new StaleStoreRefusal(
         s"$what store at $path was built for a different corpus state " +
           s"(stored fp $storedFp != pre-delta fp $expectedFp): the store " +
           "is stale and must be rebuilt, not appended into")
@@ -364,7 +379,7 @@ private[graft] object ServingStore {
       // for media that is a decode pass, which a refused append must
       // not pay
       val newFp = postFp()
-      require(newFp != storedFp,
+      if (newFp == storedFp) throw new DeltaNotLandedRefusal(
         s"corpus fingerprint unchanged after the delta (still $storedFp) — " +
           "land the delta files BEFORE appending, so the stamped " +
           "fingerprint proves the merged state")
@@ -377,11 +392,12 @@ private[graft] object ServingStore {
         // (LogicalRDD defaults to unknown size), so auto-broadcast never
         // fires — hint it explicitly or the probe sort-merges, shuffling
         // the whole store on every append
-        require(prev.join(
-          org.apache.spark.sql.functions.broadcast(
-            deltaOnce.select(col(k)).distinct()), Seq(k)).isEmpty,
-          s"delta ${k}s already present in the generation at $prevGen — " +
-            "the same rows were appended twice; rebuild instead")
+        if (!prev.join(
+            org.apache.spark.sql.functions.broadcast(
+              deltaOnce.select(col(k)).distinct()), Seq(k)).isEmpty)
+          throw new KeysAlreadyPresentRefusal(
+            s"delta ${k}s already present in the generation at $prevGen — " +
+              "the same rows were appended twice; rebuild instead")
       }
       val merged = merge(prev, deltaOnce)
       val newGen = newGenerationPath(path, newFp)
