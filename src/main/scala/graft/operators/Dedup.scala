@@ -939,15 +939,20 @@ object Dedup {
 
   /** Serve-or-build the minhash signature generation — shared by the
     * dedup serve and the streaming ingest twin
-    * ([[graft.streaming.SigSink]]). */
-  private[graft] def serveMinhashSigs(spark: SparkSession, dir: String): DataFrame = {
+    * ([[graft.streaming.SigSink]]). `force` rebuilds even when the
+    * fingerprint matches — the sink's repair path for a generation
+    * whose fp covers files whose rows were never merged. */
+  private[graft] def serveMinhashSigs(spark: SparkSession, dir: String,
+      force: Boolean = false): DataFrame = {
     val fp = minhashSigsFingerprint(spark, dir)
-    ServingStore.ensure(spark, "minhash-sigs",
-      Similarity.servePath("minhash_sigs_", dir), fp) { gen =>
+    val path = Similarity.servePath("minhash_sigs_", dir)
+    val build = (gen: String) => {
       Tables.invalidate(spark, dir, "documents")
       minhashSignatures(Tables.documents(spark, dir))
         .write.mode("overwrite").parquet(gen)
     }
+    if (force) ServingStore.rebuild(spark, "minhash-sigs", path, fp)(build)
+    else ServingStore.ensure(spark, "minhash-sigs", path, fp)(build)
   }
 
   /** Bumped on any change to minhash signature semantics (the kernel's
@@ -1275,15 +1280,19 @@ object Dedup {
     chunkedHammingPairs(serveSimhashSigs(spark, dir))
 
   /** Serve-or-build the plain-simhash signature generation — shared by
-    * the dedup serve and [[graft.streaming.SigSink]]. */
-  private[graft] def serveSimhashSigs(spark: SparkSession, dir: String): DataFrame = {
+    * the dedup serve and [[graft.streaming.SigSink]]. `force` as in
+    * [[serveMinhashSigs]]. */
+  private[graft] def serveSimhashSigs(spark: SparkSession, dir: String,
+      force: Boolean = false): DataFrame = {
     val fp = simhashSigsFingerprint(spark, dir)
-    ServingStore.ensure(spark, "simhash-sigs",
-      Similarity.servePath("simhash_sigs_", dir), fp) { gen =>
+    val path = Similarity.servePath("simhash_sigs_", dir)
+    val build = (gen: String) => {
       Tables.invalidate(spark, dir, "documents")
       simhashSignatures(Tables.documents(spark, dir))
         .write.mode("overwrite").parquet(gen)
     }
+    if (force) ServingStore.rebuild(spark, "simhash-sigs", path, fp)(build)
+    else ServingStore.ensure(spark, "simhash-sigs", path, fp)(build)
   }
 
   // ------------------------------------------- keep-one-copy resolution

@@ -329,6 +329,33 @@ private[graft] object ServingStore {
     }
   }
 
+  /** Unconditionally build and stamp a NEW generation for `fp`, even
+    * when the sidecar already claims `fp` — for the one case where the
+    * fingerprint is current but the CONTENT is proven incomplete: the
+    * streaming-append landing race ([[graft.streaming.SigSink]]), where
+    * batch N's `postFp` stamped a fingerprint that also covered batch
+    * N+1's files while only N's rows were merged. [[ensure]] cannot
+    * repair that state (fp matches, so it serves the incomplete
+    * generation); this rebuild covers every landed file by
+    * construction. Same lock/stamp/prune discipline as ensure's build
+    * branch; live readers keep the previous generation for one cycle. */
+  private[graft] def rebuild(spark: SparkSession, what: String, path: String,
+      fp: Long)(build: String => Unit): DataFrame =
+    withBuildLock(path) {
+      val state = sidecarState(spark, what, path)
+      val target = newGenerationPath(path, fp)
+      build(target)
+      writeSidecar(spark, path, fp, target)
+      state match {
+        case Stamped(_, prevGen) => prune(path, keep = Set(target, prevGen))
+        case LegacyFlat => prune(path, keep = Set(target))
+        case Unknown => ()
+      }
+      // the sidecar rewrite changed its stat signature, so any memo
+      // entry for this store misses naturally on the next ensure
+      spark.read.parquet(target)
+    }
+
   /** Merge-append a delta into the live generation — the shared
     * incremental-ingest protocol ([[Forecast.appendDayStats]]'s shape,
     * extracted): the WHOLE append runs under the build lock; the

@@ -1825,13 +1825,18 @@ object Similarity {
   private[graft] val LshSaturationBound: Long =
     (1L << PlanesPerBand).toLong * Dedup.BandBucketCap
 
-  /** Serve-or-build the LSH band-signature generation. */
-  private[graft] def serveEmbSigs(spark: SparkSession, dir: String): DataFrame = {
+  /** Serve-or-build the LSH band-signature generation. `force`
+    * rebuilds even when the fingerprint matches — the streaming sink's
+    * repair path ([[Dedup.serveMinhashSigs]]). */
+  private[graft] def serveEmbSigs(spark: SparkSession, dir: String,
+      force: Boolean = false): DataFrame = {
     val fp = embSigsFingerprint(spark, dir)
-    ServingStore.ensure(spark, "emb-lsh-sigs", embSigsServePath(dir), fp) { gen =>
+    val build = (gen: String) => {
       Tables.invalidate(spark, dir, "embeddings")
       embSigsOf(emb(spark, dir)).write.mode("overwrite").parquet(gen)
     }
+    if (force) ServingStore.rebuild(spark, "emb-lsh-sigs", embSigsServePath(dir), fp)(build)
+    else ServingStore.ensure(spark, "emb-lsh-sigs", embSigsServePath(dir), fp)(build)
   }
 
   /** Incremental ingest for the band-signature store: a signature is a

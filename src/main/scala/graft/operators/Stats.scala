@@ -64,8 +64,7 @@ object Stats {
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_shipdate"))
     // orders-lineitem is FACT-FACT: shuffled hash join, not a broadcast
     // (the 64 MB session threshold was driver-building a 1.5M-key
-    // hashed relation of orders at sf1 — the starJoin lesson, r14);
-    // customer is a true dim and broadcasts below the threshold
+    // hashed relation of orders at sf1 — the starJoin lesson, r14)
     val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
       .hint("shuffle_hash")
     val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
@@ -75,7 +74,12 @@ object Stats {
     // they can disagree by 1 ulp of the target scale).
     val monthly = li
       .join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("c_custkey") === col("o_custkey"))
+      // customer is dim-LIKE but grows with scale factor (~150k rows/SF),
+      // so no forced broadcast hint (r14 review): below the session
+      // threshold the optimizer broadcasts it on its own parquet stats;
+      // past it (warehouse scale) AQE picks the shuffle plan instead of
+      // driver-building a giant hashed relation
+      .join(c, col("c_custkey") === col("o_custkey"))
       .groupBy(
         col("c_nationkey").as("nationkey"),
         year(col("l_shipdate")).as("yy"),

@@ -23,10 +23,10 @@ import org.apache.spark.sql.functions._
   * the arriving key's 4 pigeonhole chunks probe the admitted chunk
   * index, and a key within [[HammingTol]] bits of admitted content in
   * the same family is refused as that content's copy — a bounded
-  * candidate set, still no pairing among arrivals. Within one batch
-  * two drifted copies can both admit (neither is in the store yet);
-  * batch-side hamming dedup ([[Multimodal.imageDedup]] and friends)
-  * reconciles that residue, and `frameroll` keys stay exact-only
+  * candidate set. Within one batch, two drifted copies of the same
+  * asset fold to one admission BEFORE the store probe
+  * ([[foldBatchDrift]], r14 verdict #7 — the same chunk discipline
+  * turned on the batch itself), and `frameroll` keys stay exact-only
   * (avalanche hashes carry no meaningful bit distance).
   *
   * Store and replay semantics are [[DedupAdmission]]'s exactly (the
@@ -75,6 +75,21 @@ object MediaAdmission {
         first(col("family")).as("family"), first(col("hash")).as("hash"))
   }
 
+  /** Legacy-layout guard (r14 review): a store written by the
+    * pre-tolerant 3-column layout (content_hash, keep_media_id,
+    * n_copies) lacks the family/hash columns the tolerant gate and the
+    * fold carry need — resuming a stream over one must not throw.
+    * content_hash IS "family:hex(hash)" (its rendering), so both are
+    * derived losslessly on read; the next store rewrite persists them
+    * and the store is migrated forward. conv's negative target base
+    * reads the hex as a SIGNED 64-bit value, matching hex(long). */
+  private[graft] def withFamilyHash(store: DataFrame): DataFrame =
+    if (store.columns.contains("family")) store
+    else store
+      .withColumn("family", substring_index(col("content_hash"), ":", 1))
+      .withColumn("hash",
+        conv(substring_index(col("content_hash"), ":", -1), 16, -10).cast("long"))
+
   /** Hamming tolerance of the admission gate — the batch dedup
     * family's bound ([[graft.operators.Dedup.HammingMax]]), so what
     * the door refuses matches what batch hamming dedup would pair. */
@@ -118,10 +133,13 @@ object MediaAdmission {
     * row's copy count) exactly as if the key had matched. Per-asset
     * decision over a bounded candidate set — the arriving key's 4
     * pigeonhole chunks probe the admitted chunk index; no pairing
-    * among arrivals (within-batch near-dups still admit separately,
-    * the same in-batch limit [[DedupAdmission]] documents; batch
-    * hamming dedup reconciles). Deterministic: ties take the smallest
-    * admitted key. */
+    * among arrivals (within-batch near-dups are folded beforehand by
+    * [[foldBatchDrift]]). Deterministic: ties take the smallest
+    * admitted key. EXACT matches take precedence over the tolerant
+    * reroute (r14 review): an arrival whose content_hash is already
+    * admitted is excluded from the probe entirely, so it folds onto
+    * its own exact twin instead of being attributed to some other
+    * near-dup admitted key. */
   private[graft] def rerouteByHamming(cur: DataFrame, admitted: DataFrame): DataFrame = {
     val admChunks0 = chunked(admitted)
     // probe valve: skip degenerate admitted-side buckets (bounded
@@ -133,6 +151,10 @@ object MediaAdmission {
       .select(col("family"), col("c"), col("v"),
         col("content_hash").as("adm_key"), col("hash").as("adm_hash"))
     val matched = chunked(cur)
+      // exact-duplicate arrivals never enter the probe: their own key
+      // already folds onto its admitted row, and a reroute could
+      // misattribute them to a DIFFERENT near-dup admitted key
+      .join(admitted.select(col("content_hash")), Seq("content_hash"), "left_anti")
       .join(admChunks, Seq("family", "c", "v"))
       .filter(col("content_hash") =!= col("adm_key"))
       .filter(bit_count(col("hash").bitwiseXOR(col("adm_hash"))) <= HammingTol)
@@ -154,20 +176,71 @@ object MediaAdmission {
         first(col("family")).as("family"), first(col("hash")).as("hash"))
   }
 
+  /** The in-batch drift residue, closed (r14 verdict #7): two LOSSY
+    * re-encodes of the same asset arriving in ONE micro-batch both
+    * admitted (neither was in the store when the other probed). The
+    * same bounded chunk discipline as the store probe, turned on the
+    * batch itself: a chunk-bucketed self-join among the batch's
+    * canonical rows (hot buckets skipped under [[ChunkProbeCap]], the
+    * probe's own valve) yields within-[[HammingTol]] same-family
+    * pairs; components are resolved exactly
+    * ([[graft.operators.Dedup.resolveComponents]] — driver union-find
+    * at micro-batch cardinality) so drift CHAINS fold to one canonical
+    * key too, then every member's copies fold onto its component
+    * root's identity. Keys are bridged to the resolver's long-id
+    * domain via xxhash64(content_hash) (the frameroll convention;
+    * a 2^-64 same-batch collision folds two unrelated assets — the
+    * trade every xxhash-keyed store here makes). No-drift batches pay
+    * one empty-check on the bounded pair frame. */
+  private[graft] def foldBatchDrift(cur0: DataFrame): DataFrame = {
+    val cur = cur0.localCheckpoint(eager = false) // feeds chunks + fold
+    val ch = chunked(cur).withColumn("kid", xxhash64(col("content_hash")))
+    val hot = ch.groupBy(col("family"), col("c"), col("v"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > ChunkProbeCap)
+      .select(col("family"), col("c"), col("v"))
+    val cold = ch.join(hot, Seq("family", "c", "v"), "left_anti")
+      .select(col("family"), col("c"), col("v"), col("kid"), col("hash"))
+    val pairs = cold.as("x").join(cold.as("y"), Seq("family", "c", "v"))
+      .filter(col("x.kid") < col("y.kid"))
+      .filter(bit_count(col("x.hash").bitwiseXOR(col("y.hash"))) <= HammingTol)
+      .select(col("x.kid").as("doc_a"), col("y.kid").as("doc_b")).distinct()
+    if (pairs.isEmpty) cur0
+    else {
+      val canon = graft.operators.Dedup.resolveComponents(pairs)
+      // component identity is FIRST-ARRIVAL (smallest member media_id),
+      // the door's own philosophy — the component root's key/hash
+      // become the admitted identity, exactly as if the batch had
+      // arrived one asset at a time in id order
+      cur.withColumn("kid", xxhash64(col("content_hash")))
+        .join(canon, col("kid") === col("doc_id"), "left")
+        .groupBy(coalesce(col("canonical_id"), col("kid")).as("root"))
+        .agg(min(struct(col("keep_media_id"), col("content_hash"), col("hash"))).as("r"),
+          sum(col("n_copies")).as("n_copies"),
+          first(col("family")).as("family"))
+        .select(col("r.content_hash").as("content_hash"),
+          col("r.keep_media_id").as("keep_media_id"),
+          col("n_copies"), col("family"), col("r.hash").as("hash"))
+    }
+  }
+
   /** One micro-batch application — the testable core of [[sink]].
-    * The arriving census is rerouted through the hamming-tolerant gate
-    * against the PRE-BATCH store before the exact-key fold. */
+    * The arriving census folds its own within-batch drift, then is
+    * rerouted through the hamming-tolerant gate against the PRE-BATCH
+    * store before the exact-key fold. */
   private[graft] def applyAdmissionBatch(
       batch: DataFrame, batchId: Long, stateDir: String): Unit =
     StreamStateStore.applyBatch(
       batch.sparkSession, batchId, stateDir, "mediaAdmissionSink") {
-      case None => batchCanonical(batch.sparkSession, batch)
-      case Some(prev) => DedupAdmission.firstArrivalFold(
-        prev, rerouteByHamming(batchCanonical(batch.sparkSession, batch), prev),
-        carry = Seq("keep_media_id", "family", "hash"))
-        // the fold emits carry columns before n_copies — restore the
-        // store's positional layout (readers index the legacy triple)
-        .select("content_hash", "keep_media_id", "n_copies", "family", "hash")
+      case None => foldBatchDrift(batchCanonical(batch.sparkSession, batch))
+      case Some(prev0) =>
+        val prev = withFamilyHash(prev0)
+        DedupAdmission.firstArrivalFold(
+          prev, rerouteByHamming(
+            foldBatchDrift(batchCanonical(batch.sparkSession, batch)), prev),
+          carry = Seq("keep_media_id", "family", "hash"))
+          // the fold emits carry columns before n_copies — restore the
+          // store's positional layout (readers index the legacy triple)
+          .select("content_hash", "keep_media_id", "n_copies", "family", "hash")
     }
 
   /** One micro-batch against the BUCKETED store — the at-scale layout
@@ -194,7 +267,8 @@ object MediaAdmission {
       nBuckets: Int = DedupAdmission.StoreBuckets): Unit = {
     val spark = batch.sparkSession
     val chunksDir = stateDir + "_chunks"
-    val cur0 = batchCanonical(spark, batch).localCheckpoint(eager = false)
+    val cur0 = foldBatchDrift(batchCanonical(spark, batch))
+      .localCheckpoint(eager = false)
     val cur = rerouteByHamming(cur0, chunkIndexProbe(spark, chunksDir, cur0, nBuckets))
       .localCheckpoint(eager = false)
     StreamStateStore.applyBatchBucketed(
@@ -202,7 +276,7 @@ object MediaAdmission {
       keyCol = "content_hash", nBuckets)(cur) {
       case (None, c) => c
       case (Some(prev), c) => DedupAdmission.firstArrivalFold(
-        prev, c, carry = Seq("keep_media_id", "family", "hash", "b"))
+        withFamilyHash(prev), c, carry = Seq("keep_media_id", "family", "hash", "b"))
         .select("content_hash", "keep_media_id", "n_copies", "family", "hash", "b")
     }
     // fold this batch's keys into the chunk index (distinct-union — a

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.operators.{Dedup, ServingStore, Similarity}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Streaming twin for the per-row SIGNATURE stores (r13 verdict #7) —
   * the ingest-side discipline the batch appenders
@@ -21,13 +22,26 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * Replay/idempotency: a `_stream_batch` marker next to the store
   * records the last applied batch id — replays skip. A crash between
   * a completed merge and the marker write self-heals through the
-  * protocol's own refusals on the replay: `already present` (the
-  * merge landed — mark and move on) and `fingerprint unchanged` (the
-  * batch's rows were already covered by a full build). The first
+  * protocol's own TYPED refusals on the replay
+  * ([[graft.operators.ServingStore.KeysAlreadyPresentRefusal]] — the
+  * merge landed — and
+  * [[graft.operators.ServingStore.DeltaNotLandedRefusal]]). The first
   * batch against a store-less corpus runs the full ensure instead of
   * an append — it covers every file landed so far, including rows the
   * source has not batched yet; later batches of those rows fold into
-  * the no-op refusals above.
+  * the refusals above.
+  *
+  * A refusal is NOT blindly treated as benign (the r14 review): under
+  * continuous ingest, batch N+1's files can land during batch N's
+  * append window, so N's `postFp` stamps a fingerprint that COVERS
+  * N+1's files while only N's rows were merged — N+1's own append is
+  * then refused (`fingerprint unchanged`) even though its rows are
+  * missing from the store. Every refusal therefore verifies coverage:
+  * anti-join the batch's keys against the served generation; zero
+  * missing → genuinely benign, mark applied; any missing → a FORCED
+  * full rebuild (same-fp generation swap,
+  * [[graft.operators.ServingStore.rebuild]]) folds them in before the
+  * batch is marked applied.
   *
   * DISCLOSED RELAXATION: the batch appenders take an `expectedFp`
   * snapshotted BEFORE the delta landed, proving no out-of-band writer
@@ -55,30 +69,48 @@ object SigSink {
   }
 
   /** One micro-batch against one signature store — the testable core
-    * shared by the three sinks. `ensure` is the store's full
-    * serve-or-build; `append` folds the batch rows given the stored
-    * fp. */
+    * shared by the three sinks. `batchKeys` are the batch's distinct
+    * unique-key rows (one `keyCol` column), used to verify coverage
+    * when the protocol refuses the append; `serve(force)` is the
+    * store's serve-or-build (force = same-fp repair rebuild); `append`
+    * folds the batch rows given the stored fp. */
   private[graft] def applySigBatch(spark: SparkSession, batchId: Long,
-      what: String, store: String)(
-      ensure: () => Unit)(append: Long => Unit): Unit = {
+      what: String, store: String, batchKeys: DataFrame, keyCol: String)(
+      serve: Boolean => DataFrame)(append: Long => Unit): Unit = {
     if (lastApplied(store).exists(_ >= batchId)) {
       logger.info(s"$what sig sink: skipping replayed batch $batchId")
       return
     }
+    // a refused append only marks the batch applied after proving the
+    // batch's keys are actually served; otherwise the same-window
+    // landing race (docstring) would silently drop the batch forever
+    def verifyCoveredOrRepair(refusal: String): Unit = {
+      val served = serve(false)
+      val missing = batchKeys.select(col(keyCol)).distinct()
+        .join(served.select(col(keyCol)), Seq(keyCol), "left_anti")
+      if (missing.isEmpty)
+        logger.warn(s"$what sig sink: batch $batchId append refused " +
+          s"($refusal) and all batch keys verified served — marking applied")
+      else {
+        logger.warn(s"$what sig sink: batch $batchId append refused " +
+          s"($refusal) but some batch keys are MISSING from the served " +
+          "generation (same-window landing race) — running the forced " +
+          "full rebuild before marking applied")
+        serve(true)
+      }
+    }
     ServingStore.readSidecar(spark, what, store) match {
-      case None => ensure()
+      case None => serve(false)
       case Some((storedFp, _)) =>
         try append(storedFp)
         catch {
-          case e: IllegalArgumentException
-              if e.getMessage != null && e.getMessage.contains("already present") =>
-            logger.warn(s"$what sig sink: batch $batchId rows already served " +
-              "(crash-replay after a completed merge, or rows covered by the " +
-              "initial full build) — marking applied")
-          case e: IllegalArgumentException
-              if e.getMessage != null && e.getMessage.contains("fingerprint unchanged") =>
-            logger.warn(s"$what sig sink: batch $batchId added no corpus files " +
-              "beyond the stamped state — nothing to fold")
+          // dispatch on the protocol's TYPES, never the message text —
+          // a rewording must not turn a benign replay into a
+          // stream-killing exception (r14 review)
+          case _: ServingStore.KeysAlreadyPresentRefusal =>
+            verifyCoveredOrRepair("keys already present")
+          case _: ServingStore.DeltaNotLandedRefusal =>
+            verifyCoveredOrRepair("fingerprint unchanged")
         }
     }
     java.nio.file.Files.write(markerPath(store),
@@ -98,8 +130,8 @@ object SigSink {
       dir: String): Unit = {
     val s = batch.sparkSession
     applySigBatch(s, batchId, "minhash-sigs",
-      Similarity.servePath("minhash_sigs_", dir))(
-      () => Dedup.serveMinhashSigs(s, dir))(
+      Similarity.servePath("minhash_sigs_", dir), batch, "doc_id")(
+      force => Dedup.serveMinhashSigs(s, dir, force))(
       fp => Dedup.appendMinhashSigs(s, dir, batch, fp))
   }
 
@@ -118,8 +150,8 @@ object SigSink {
       dir: String): Unit = {
     val s = batch.sparkSession
     applySigBatch(s, batchId, "simhash-sigs",
-      Similarity.servePath("simhash_sigs_", dir))(
-      () => Dedup.serveSimhashSigs(s, dir))(
+      Similarity.servePath("simhash_sigs_", dir), batch, "doc_id")(
+      force => Dedup.serveSimhashSigs(s, dir, force))(
       fp => Dedup.appendSimhashSigs(s, dir, batch, fp))
   }
 
@@ -138,8 +170,9 @@ object SigSink {
   private[graft] def applyEmbBatch(batch: DataFrame, batchId: Long,
       dir: String): Unit = {
     val s = batch.sparkSession
-    applySigBatch(s, batchId, "emb-lsh-sigs", Similarity.embSigsServePath(dir))(
-      () => Similarity.serveEmbSigs(s, dir))(
+    applySigBatch(s, batchId, "emb-lsh-sigs", Similarity.embSigsServePath(dir),
+      batch, "vec_id")(
+      force => Similarity.serveEmbSigs(s, dir, force))(
       fp => Similarity.appendEmbSigs(s, dir, batch, fp))
   }
 }

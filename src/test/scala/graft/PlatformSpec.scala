@@ -478,20 +478,34 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
       val Array(fam, hx) = k.split(":")
       (fam, java.lang.Long.parseUnsignedLong(hx, 16))
     }
+    def withinTol(k: String, k2: String): Boolean = {
+      val (fam, h) = parse(k); val (fam2, h2) = parse(k2)
+      k != k2 && fam == fam2 && fam != "frameroll" &&
+        java.lang.Long.bitCount(h ^ h2) <= MediaAdmission.HammingTol
+    }
+    // census keys with a within-tolerance same-family census neighbor
+    // are drift-CLUSTER members: the tolerant gate (store probe +
+    // in-batch fold) may legitimately fold them, transitively — their
+    // stored canonical is the id of SOME exact copy (>= the census
+    // min), not necessarily the census min itself
+    val clustered = ref.keySet.filter(k => ref.keySet.exists(withinTol(k, _)))
     assert(inc.keySet.subsetOf(ref.keySet), "streamed store invented keys: " +
       (inc.keySet -- ref.keySet).take(3))
     inc.foreach { case (k, (keep, _)) =>
-      assert(ref(k)._1 == keep, s"canonical drifted for $k: $keep vs ${ref(k)._1}")
+      if (clustered(k))
+        assert(ref(k)._1 <= keep, s"stored canonical for drift-cluster key $k " +
+          s"is not an exact copy's id: $keep < census min ${ref(k)._1}")
+      else
+        assert(ref(k)._1 == keep, s"canonical drifted for isolated key $k: " +
+          s"$keep vs ${ref(k)._1}")
     }
     (ref.keySet -- inc.keySet).foreach { k =>
-      val (fam, h) = parse(k)
-      val near = inc.keys.exists { k2 =>
-        val (fam2, h2) = parse(k2)
-        fam == fam2 && fam != "frameroll" &&
-          java.lang.Long.bitCount(h ^ h2) <= MediaAdmission.HammingTol
-      }
-      assert(near, s"census key $k missing from the streamed store without a " +
-        "within-tolerance admitted twin")
+      // a missing census key was folded: by the store probe (within tol
+      // of an admitted key) or by the in-batch drift fold (a member of
+      // a drift component — within tol of another census key)
+      assert(inc.keys.exists(withinTol(k, _)) || clustered(k),
+        s"census key $k missing from the streamed store without a " +
+          "within-tolerance twin")
     }
     assert(inc.values.map(_._2).sum == ref.values.map(_._2).sum,
       "copy counts not conserved across the hamming reconciliation")
@@ -588,6 +602,39 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sigsOf(dirS) == streamed, "replayed/re-delivered batch changed the store")
   }
 
+  test("sig sink: same-window landing race repairs instead of dropping the batch") {
+    import graft.streaming.SigSink
+    import operators.Dedup
+    val all = Tables.documents(spark, sf).localCheckpoint()
+    val bounds = all.stat.approxQuantile("doc_id", Array(2.0 / 3, 5.0 / 6), 0.0)
+    val b0 = all.filter(col("doc_id") <= bounds(0))
+    val d1 = all.filter(col("doc_id") > bounds(0) && col("doc_id") <= bounds(1))
+    val d2 = all.filter(col("doc_id") > bounds(1))
+    val dir = java.nio.file.Files.createTempDirectory("graftsigrace").toString
+    b0.write.mode("overwrite").parquet(dir + "/documents.parquet")
+    SigSink.applyMinhashBatch(b0, 0, dir)
+    // the r14-review race: batch 2's files land DURING batch 1's append
+    // window, so batch 1's postFp stamps a fingerprint that also covers
+    // batch 2's files while only batch 1's rows were merged
+    d1.write.mode("append").parquet(dir + "/documents.parquet")
+    d2.write.mode("append").parquet(dir + "/documents.parquet")
+    SigSink.applyMinhashBatch(d1, 1, dir)
+    val served1 = Dedup.serveMinhashSigs(spark, dir)
+    assert(served1.join(d2.select(col("doc_id")), Seq("doc_id")).isEmpty,
+      "precondition lost: batch 2's rows should be missing after batch 1's append")
+    // batch 2's own append sees no new files (fingerprint unchanged) —
+    // the sink must detect the missing keys and run the repair rebuild,
+    // NOT mark the batch applied with its rows absent
+    SigSink.applyMinhashBatch(d2, 2, dir)
+    val dirC = java.nio.file.Files.createTempDirectory("graftsigracecold").toString
+    all.write.mode("overwrite").parquet(dirC + "/documents.parquet")
+    assert(tools.Golden.checksum(Dedup.serveMinhashSigs(spark, dir)) ==
+      tools.Golden.checksum(Dedup.serveMinhashSigs(spark, dirC)),
+      "repaired store diverged from a cold rebuild over the full corpus")
+    // and the marker advanced: a replay of batch 2 is a no-op skip
+    SigSink.applyMinhashBatch(d2, 2, dir)
+  }
+
   test("media admission refuses a hamming-drifted twin exact keys would admit") {
     import graft.streaming.MediaAdmission
     import operators.{Multimodal, PpmCodec}
@@ -640,6 +687,112 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(bkt.toSeq == Seq((keyA, 1L, 2L)),
       s"bucketed tolerant gate admitted the drifted twin: ${bkt.toSeq}")
+  }
+
+  test("media admission folds two drifted twins arriving in ONE batch to one admission") {
+    import graft.streaming.MediaAdmission
+    import operators.{Multimodal, PpmCodec}
+    import spark.implicits._
+    // same planted geometry as the cross-batch hamming spec: B's raster
+    // drifts A's by exactly one dHash gradient bit — but here BOTH
+    // arrive in the SAME micro-batch (the r14-disclosed residue: with
+    // neither in the store, the store probe saw no candidate and both
+    // admitted)
+    val w = 18; val h = 16
+    def rgbOf(bump: Option[(Int, Int)]): Array[Byte] = {
+      val rgb = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = bump match {
+          case Some((bx, by)) if x == bx * 2 && y == by * 2 => 200
+          case _ => x * 10
+        }
+        val p = (y * w + x) * 3
+        rgb(p) = v.toByte; rgb(p + 1) = v.toByte; rgb(p + 2) = v.toByte
+      }
+      rgb
+    }
+    val a = Multimodal.MediaItem(1L, PpmCodec.encode(w, h, rgbOf(None)),
+      Multimodal.MediaMeta("image", w, h, 16000, 1))
+    val b = Multimodal.MediaItem(2L, PpmCodec.encode(w, h, rgbOf(Some((3, 4)))),
+      Multimodal.MediaMeta("image", w, h, 16000, 1))
+    val dir = java.nio.file.Files.createTempDirectory("graftinbatch").toString + "/state"
+    MediaAdmission.applyAdmissionBatch(Seq(a, b).toDF(), 0, dir)
+    val rows = MediaAdmission.currentStore(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 1 && rows.head._2 == 1L && rows.head._3 == 2L,
+      s"two drifted twins in one batch did not fold to one admission: ${rows.toSeq}")
+    // bucketed layout: same fold, batch 0
+    val bdir = java.nio.file.Files.createTempDirectory("graftinbatchb").toString + "/state"
+    MediaAdmission.applyAdmissionBatchBucketed(Seq(a, b).toDF(), 0, bdir, nBuckets = 8)
+    val bkt = MediaAdmission.currentStore(spark, bdir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(bkt.length == 1 && bkt.head._2 == 1L && bkt.head._3 == 2L,
+      s"bucketed in-batch drift fold failed: ${bkt.toSeq}")
+  }
+
+  test("media admission: exact duplicates fold onto their own key, never a near-dup reroute") {
+    import graft.streaming.MediaAdmission
+    import spark.implicits._
+    // a store holding two admitted keys one bit apart (reachable via
+    // legacy stores or the hot-bucket valve): an arrival EXACTLY equal
+    // to K1 must fold onto K1, even though the reroute's min tie-break
+    // would prefer K2's smaller key
+    val h1 = 0x0F0F0F0F0F0F0F0FL
+    val h2 = h1 ^ 1L
+    def keyOf(h: Long) = "image:" + java.lang.Long.toHexString(h).toUpperCase
+    val admitted = Seq(
+      (keyOf(h2), 10L, 1L, "image", h2), // K2: smaller hex string (ends E)
+      (keyOf(h1), 20L, 1L, "image", h1))
+      .toDF("content_hash", "keep_media_id", "n_copies", "family", "hash")
+    assert(keyOf(h2) < keyOf(h1), "tie-break bait lost: K2 must sort first")
+    val arrival = Seq((keyOf(h1), 30L, 1L, "image", h1))
+      .toDF("content_hash", "keep_media_id", "n_copies", "family", "hash")
+    val out = MediaAdmission.rerouteByHamming(arrival, admitted)
+      .collect().map(_.getString(0))
+    assert(out.toSeq == Seq(keyOf(h1)),
+      s"exact twin was rerouted onto a different admitted key: ${out.toSeq}")
+  }
+
+  test("media admission resumes over a legacy 3-column store and migrates it forward") {
+    import graft.streaming.MediaAdmission
+    import operators.{Multimodal, PpmCodec}
+    import spark.implicits._
+    val w = 18; val h = 16
+    def rgbOf(bump: Option[(Int, Int)]): Array[Byte] = {
+      val rgb = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = bump match {
+          case Some((bx, by)) if x == bx * 2 && y == by * 2 => 200
+          case _ => x * 10
+        }
+        val p = (y * w + x) * 3
+        rgb(p) = v.toByte; rgb(p + 1) = v.toByte; rgb(p + 2) = v.toByte
+      }
+      rgb
+    }
+    val a = Multimodal.MediaItem(1L, PpmCodec.encode(w, h, rgbOf(None)),
+      Multimodal.MediaMeta("image", w, h, 16000, 1))
+    val b = Multimodal.MediaItem(2L, PpmCodec.encode(w, h, rgbOf(Some((3, 4)))),
+      Multimodal.MediaMeta("image", w, h, 16000, 1))
+    val keyA = MediaAdmission.batchCanonical(spark, Seq(a).toDF())
+      .collect().map(_.getString(0)).head
+    // hand-write the PRE-tolerant 3-column layout (the r14 review's
+    // resume scenario): triple only, batch marker 0
+    val dir = java.nio.file.Files.createTempDirectory("graftlegacy").toString + "/state"
+    MediaAdmission.batchCanonical(spark, Seq(a).toDF())
+      .select(col("content_hash"), col("keep_media_id"), col("n_copies"))
+      .write.parquet(dir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir).resolve("_last_batch"), "0".getBytes("UTF-8"))
+    // resuming with the drifted twin must not throw AND the tolerant
+    // gate must still see A (family/hash derived from content_hash)
+    MediaAdmission.applyAdmissionBatch(Seq(b).toDF(), 1, dir)
+    val store = MediaAdmission.currentStore(spark, dir)
+    val rows = store.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((keyA, 1L, 2L)),
+      s"legacy-store resume lost the tolerant refusal: ${rows.toSeq}")
+    assert(store.columns.contains("family") && store.columns.contains("hash"),
+      "legacy store was not migrated forward to the family/hash layout")
   }
 
   test("bucketed media admission equals the flat store, replay-safe") {
