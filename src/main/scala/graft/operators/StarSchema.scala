@@ -234,6 +234,207 @@ object StarSchema {
         cnt.as("n_items"))
   }
 
+  // ------------------------------ persisted co-bucketed fact layout (serving)
+
+  /** Buckets for the serving fact layout. 32 matches the local
+    * harness's cores; at warehouse scale the knob scales with fact
+    * volume like the posting index's ([[Dedup.PostingsBuckets]]). */
+  val FactBuckets = 32
+
+  /** Bumped on any change to the served fact tables' shape (columns,
+    * partial-aggregation semantics) — the store key must see code
+    * changes the file fingerprint cannot. */
+  private[graft] val FactLayoutVersion = 3
+
+  private[graft] def factServePath(dir: String): String =
+    new java.io.File(Similarity.servePath("factlayout_", dir)).getAbsolutePath
+
+  private def factTableName(dir: String, which: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
+    s"graft_fact_${which}_$digest"
+  }
+
+  private[graft] def factFingerprint(spark: SparkSession, dir: String): Long =
+    (Similarity.corpusFingerprint(spark, dir, "lineitem.parquet") * 31 +
+      Similarity.corpusFingerprint(spark, dir, "orders.parquet")) * 31 +
+      FactLayoutVersion
+
+  /** Ensure the co-bucketed-on-orderkey FACT layout exists for `dir`
+    * and is registered; returns (lineitem-revenue table, orders table).
+    *
+    * The r14 sf1 trial left q_star_join as the one row that GROWS with
+    * data: the per-query cost was the agg exchange + the orderkey
+    * exchange + the join build, paid on every run. This layout is the
+    * ingest-side answer (the reference's dbt `fact_transaction` builds
+    * its fact table once per load, not per query): lineitem's
+    * per-orderkey revenue partials (decimal-associative — the rollup
+    * of partials is bit-equal to the flat sum) and the slim orders
+    * columns are persisted bucketed AND sorted on the orderkey, so
+    * every subsequent orderkey join between them is bucket-local —
+    * zero exchanges, zero sorts, paid once at layout time. Same
+    * fingerprint-sidecar generation discipline as
+    * [[Dedup.ensurePostings]] (file-metadata keyed, rebuild on corpus
+    * swap, cheap catalog re-registration for a warm store written by
+    * an earlier session). */
+  /** Serve memo: the sidecar parquet read + catalog existence checks
+    * cost ~0.1s of driver fixed overhead per serve. Keyed on the
+    * corpus fingerprint (recomputed every call — a driver-side file
+    * listing + 12 KB CRC stamps, sub-ms on the node-local dir), so a
+    * corpus swap misses and takes the slow path; same discipline as
+    * ServingStore.serveMemo. Session-scoped (catalog names bind a
+    * session). */
+  private val factMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, FactLayout)]()
+
+  private[graft] def ensureFactLayout(spark: SparkSession, dir: String,
+      numBuckets: Int = FactBuckets): FactLayout = {
+    val path = factServePath(dir)
+    val liTable = factTableName(dir, "lirev")
+    val liMonthTable = factTableName(dir, "limonth")
+    val oTable = factTableName(dir, "orders")
+    val fpPath = path + "_model"
+    val fp = factFingerprint(spark, dir)
+    val memoKey = System.identityHashCode(spark).toString + "|" + dir
+    Option(factMemo.get(memoKey)) match {
+      case Some((f, layout)) if f == fp => return layout
+      case _ => ()
+    }
+    val storedFp =
+      try Some(Similarity.readSidecarRows(spark, fpPath)(0).getLong(0))
+      catch {
+        case e if scala.util.control.NonFatal(e) =>
+          Similarity.warnUnreadableSidecar("fact-layout", fpPath, e)
+          None
+      }
+    if (!storedFp.contains(fp)) {
+      Tables.invalidate(spark, dir, "lineitem")
+      Tables.invalidate(spark, dir, "orders")
+      spark.sql(s"DROP TABLE IF EXISTS $liTable")
+      spark.sql(s"DROP TABLE IF EXISTS $liMonthTable")
+      spark.sql(s"DROP TABLE IF EXISTS $oTable")
+      val one = lit(1).cast(DecimalType(18, 2))
+      // one lineitem scan feeds both partial tables
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"),
+          dec4(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))).as("rev"),
+          dec2(col("l_extendedprice")).as("price"),
+          col("l_shipdate"))
+        .localCheckpoint(eager = false)
+      // per-orderkey revenue partials: orders-cardinality, the star
+      // rollup's probe side needs NO per-query aggregation at all.
+      // Partials are cast back to width-18 decimals (exact: per-order
+      // sums are far below 10^14) so parquet stores them as plain
+      // INT64 columns — half the bytes and the fast vectorized-read
+      // path, instead of 16-byte binary decimals
+      // every write is pre-partitioned on the BUCKET key with exactly
+      // numBuckets partitions: bucketBy does not shuffle, so a write
+      // whose tasks each hold rows of many buckets fans out to
+      // tasks x buckets files (measured: 1024 for the month partials)
+      // and every later scan pays the per-file footer cost. One
+      // aligned task per bucket = one file per bucket. The groupBys
+      // reuse the repartition (hash on a subset of the group keys
+      // satisfies the aggregation's distribution).
+      writeBucketed(
+        li.repartition(numBuckets, col("l_orderkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("rev")).cast(DecimalType(18, 4)).as("rev"), cnt.as("n")),
+        liTable, "l_orderkey", numBuckets, s"$path/lirev")
+      // per-(orderkey, ship month) price partials: the monthly rollups'
+      // (hdi volatility) probe side
+      writeBucketed(
+        li.repartition(numBuckets, col("l_orderkey"))
+          .groupBy(col("l_orderkey"),
+            year(col("l_shipdate")).as("ship_yy"), month(col("l_shipdate")).as("ship_mm"))
+          .agg(sum(col("price")).cast(DecimalType(18, 2)).as("price")),
+        liMonthTable, "l_orderkey", numBuckets, s"$path/limonth")
+      writeBucketed(
+        Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+          .repartition(numBuckets, col("o_orderkey")),
+        oTable, "o_orderkey", numBuckets, s"$path/orders")
+      // DENORMALIZED facts — the reference's own architecture (dbt
+      // fact_transaction.sql materializes the joined fact once per
+      // load; queries read the fact table). The co-bucketed tables
+      // above make this build join exchange-free; the conformed dim
+      // attributes (region name, customer nation) are broadcast in at
+      // build time, so the serve paths are pure scan+rollup.
+      // Transaction grain, not pre-aggregated: any rollup over
+      // region/year (or nation/month) serves from them.
+      val dim = broadcast(
+        Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+          .join(broadcast(Tables.nation(spark, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(spark, dir)),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("c_custkey"), col("c_nationkey"), col("r_name")))
+      spark.table(liTable)
+        .join(spark.table(oTable).hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(dim, col("o_custkey") === col("c_custkey"))
+        .select(col("r_name"), year(col("o_orderdate")).as("order_year"),
+          col("rev"), col("n"))
+        .repartition(numBuckets)
+        .write.mode("overwrite").parquet(s"$path/fact")
+      spark.table(liMonthTable)
+        .join(spark.table(oTable).hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(dim, col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("nationkey"),
+          col("ship_yy"), col("ship_mm"), col("price"))
+        .repartition(numBuckets)
+        .write.mode("overwrite").parquet(s"$path/monthfact")
+      // sidecar written only after all table writes succeeded — a
+      // crash in between reads as stale and rebuilds
+      spark.range(1).select(lit(fp).as("fp"))
+        .coalesce(1).write.mode("overwrite").parquet(fpPath)
+    } else {
+      // warm store written by an earlier session: re-register over the
+      // existing files. The DDL schema comes from the FILES, never a
+      // hand-written literal — a drifted literal (e.g. DATE vs the
+      // stored INT64) reads clean at registration and fails at scan
+      // time (the r13 warm-store registration trap)
+      def register(table: String, location: String, key: String): Unit =
+        if (!spark.catalog.tableExists(table))
+          spark.sql(
+            s"""CREATE TABLE $table (${spark.read.parquet(location).schema.toDDL})
+               |USING parquet
+               |CLUSTERED BY ($key) SORTED BY ($key) INTO $numBuckets BUCKETS
+               |LOCATION '$location'""".stripMargin)
+      register(liTable, s"$path/lirev", "l_orderkey")
+      register(liMonthTable, s"$path/limonth", "l_orderkey")
+      register(oTable, s"$path/orders", "o_orderkey")
+    }
+    val layout = FactLayout(liTable, liMonthTable, oTable,
+      s"$path/fact", s"$path/monthfact")
+    if (factMemo.size > 256) factMemo.clear()
+    factMemo.put(memoKey, (fp, layout))
+    layout
+  }
+
+  /** The served fact tables' catalog names and the denormalized-fact
+    * paths ([[ensureFactLayout]]). */
+  private[graft] final case class FactLayout(
+      liRevTable: String, liMonthTable: String, ordersTable: String,
+      factPath: String, monthFactPath: String)
+
+  /** q_star_join's SERVE path: a pure scan+rollup over
+    * [[ensureFactLayout]]'s denormalized transaction-grain fact — the
+    * joins were paid once at layout time (bucket-local fact-fact +
+    * broadcast dims, the dbt fact_transaction discipline), so the
+    * plan's only exchange is the final 25-row-scale (region, year)
+    * rollup (spec-pinned: zero orderkey exchanges, zero joins).
+    * Identical results to the inline [[starJoin]] (same oracle — the
+    * partials are decimal-associative). */
+  def starJoinServed(spark: SparkSession, dir: String): DataFrame = {
+    val layout = ensureFactLayout(spark, dir)
+    spark.read.parquet(layout.factPath)
+      .groupBy(col("r_name").as("region_name"), col("order_year"))
+      .agg(
+        sum(col("rev")).cast(DoubleType).as("revenue"),
+        sum(col("n")).as("n_items"))
+  }
+
   /** q_price_usd — fx conversion via a derived rate dim
     * (dag_prophet_output.py:22-23 `price/dim_currency_value.value`). The
     * rate is aggregated-then-divided so the heavy pass stays decimal-exact. */

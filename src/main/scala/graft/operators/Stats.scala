@@ -59,32 +59,27 @@ object Stats {
     * aggregation levels; the final 25-row correlation is computed from
     * decimal sums so the scalar output is bit-deterministic. */
   def hdiVolatility(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables
-      .lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_extendedprice"), col("l_shipdate"))
-    // orders-lineitem is FACT-FACT: shuffled hash join, not a broadcast
-    // (the 64 MB session threshold was driver-building a 1.5M-key
-    // hashed relation of orders at sf1 — the starJoin lesson, r14)
-    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
-      .hint("shuffle_hash")
+    // orders-lineitem is FACT-FACT: served from the fact layout's
+    // denormalized monthly fact (r15) — the orderkey join and the
+    // customer-nation attach were paid once at layout time (bucket-
+    // local over the co-bucketed tables + broadcast dims; the r14 sf1
+    // trial showed the per-query join cost GROWS with data), so this
+    // query is a pure scan+rollup over (nationkey, ship month, price
+    // partial) rows — the dbt fact_transaction discipline.
+    val layout = StarSchema.ensureFactLayout(spark, dir)
     val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
     // Monthly revenue per nation kept DECIMAL end-to-end: never re-quantize
     // a derived double back to decimal (Spark's double->decimal cast goes
     // through the shortest string repr; DuckDB rounds the binary value —
-    // they can disagree by 1 ulp of the target scale).
-    val monthly = li
-      .join(o, col("l_orderkey") === col("o_orderkey"))
-      // customer is dim-LIKE but grows with scale factor (~150k rows/SF),
-      // so no forced broadcast hint (r14 review): below the session
-      // threshold the optimizer broadcasts it on its own parquet stats;
-      // past it (warehouse scale) AQE picks the shuffle plan instead of
-      // driver-building a giant hashed relation
-      .join(c, col("c_custkey") === col("o_custkey"))
+    // they can disagree by 1 ulp of the target scale). Summing the
+    // persisted per-(order, month) partials is bit-equal to the flat
+    // sum (decimal addition is associative).
+    val monthly = spark.read.parquet(layout.monthFactPath)
       .groupBy(
-        col("c_nationkey").as("nationkey"),
-        year(col("l_shipdate")).as("yy"),
-        month(col("l_shipdate")).as("mm"))
-      .agg(sum(dec2(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("m_rev"))
+        col("nationkey"),
+        col("ship_yy").as("yy"),
+        col("ship_mm").as("mm"))
+      .agg(sum(col("price")).cast(DecimalType(18, 2)).as("m_rev"))
     val vol = monthly
       .groupBy(col("nationkey"))
       .agg(

@@ -2448,6 +2448,50 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("fact SERVE layout: star join and hdi orders-attach are orderkey-exchange-free") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val savedBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // serve resolves (and if needed builds) the fingerprint-keyed
+      // co-bucketed layout; the QUERY plan itself must be bucket-local
+      // on the orderkey: the star join's ONLY exchange is the final
+      // (region, year) rollup
+      val star = operators.StarSchema.starJoinServed(spark, sf)
+      val starEx = star.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(starEx.size == 1,
+        s"served star join: expected ONLY the rollup exchange, got ${starEx.size}:\n" +
+          star.queryExecution.executedPlan)
+      val starPlan = star.queryExecution.executedPlan.toString
+      assert(!starPlan.contains("Exchange hashpartitioning(l_orderkey#") &&
+        !starPlan.contains("Exchange hashpartitioning(o_orderkey#"),
+        s"served star join shuffles on the orderkey:\n$starPlan")
+      // the serve is scan+rollup over the denormalized fact: the joins
+      // were paid at layout-build time (bucket-local + broadcast dims)
+      assert(!starPlan.contains("Join"),
+        s"served star join still joins per-query:\n$starPlan")
+      // results bit-identical to the inline form (same oracle): the
+      // persisted partials are decimal-associative
+      val got = star.collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+      val want = operators.StarSchema.starJoin(spark, sf).collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+      assert(got == want, "served star join diverged from the inline form")
+      // hdi's orders attach reads the same layout: no orderkey exchange
+      val hdi = operators.Stats.hdiVolatility(spark, sf)
+      val hdiPlan = hdi.queryExecution.executedPlan.toString
+      assert(!hdiPlan.contains("Exchange hashpartitioning(l_orderkey#") &&
+        !hdiPlan.contains("Exchange hashpartitioning(o_orderkey#"),
+        s"hdi orders attach shuffles on the orderkey:\n$hdiPlan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+    }
+  }
+
   test("unit parsing yields NULL factor for unparseable unit strings") {
     val df = spark.createDataFrame(Seq((1L, "box of things"), (2L, "12 kg")))
       .toDF("id", "unit_name")
