@@ -80,7 +80,15 @@ case class CosineSimilarity(left: Expression, right: Expression,
       // 0.0/0.0 evaluates in the composed form (NaN sorts greatest, so
       // the distinction is visible in rankings).
       if (hofCompat) Double.NaN else null
-    } else dot / (math.sqrt(nx) * math.sqrt(ny))
+    } else {
+      val c = dot / (math.sqrt(nx) * math.sqrt(ny))
+      // direct API clamps to the mathematical range: exact-copy vectors
+      // evaluate dot == nx == ny, and sqrt(nx)*sqrt(nx) can round BELOW
+      // nx, yielding 1.0000000000000002 (surfaced by the sf1 replicated
+      // corpus against DuckDB's exact 1.0). HOF-compat stays unclamped —
+      // its contract is bit-parity with the composed form.
+      if (hofCompat) c else math.max(-1.0, math.min(1.0, c))
+    }
   }
 
   override def nullable: Boolean = true
@@ -108,6 +116,14 @@ case class CosineSimilarity(left: Expression, right: Expression,
       val zeroNorm =
         if (hofCompat) s"${ev.value} = Double.NaN;"
         else s"${ev.isNull} = true;"
+      // see nullSafeEval: direct API clamps to [-1, 1]; HOF-compat is
+      // bit-parity with the composed form and stays raw
+      val finish =
+        if (hofCompat)
+          s"${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));"
+        else
+          s"""${ev.value} = java.lang.Math.max(-1.0, java.lang.Math.min(1.0,
+             |  $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny))));""".stripMargin
       s"""
          |$lenGuard {
          |  int $n = java.lang.Math.min($a.numElements(), $b.numElements());
@@ -122,7 +138,7 @@ case class CosineSimilarity(left: Expression, right: Expression,
          |    if ($nx == 0.0 || $ny == 0.0) {
          |      $zeroNorm
          |    } else {
-         |      ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |      $finish
          |    }
          |  }
          |}

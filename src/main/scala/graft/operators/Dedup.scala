@@ -833,6 +833,11 @@ object Dedup {
       .groupBy(col("id"))
       .agg(first(col("bks")).as("bks"),
         coalesce(sum(when(col("is_hot").isNull, bitOf)), lit(0L)).as("mask"))
+      // lineage barrier trade-offs (r14 verdict #5): id-predicate
+      // pushdown ends here (fine — band blocking is a full-corpus
+      // pass by construction), and the blocks pin executor storage
+      // until the frame is GC'd (skinny: id + K-int signature + one
+      // long mask; bounded across a suite pass, BarrierStorageSpec).
       .localCheckpoint(eager = false)
     val restream = withMask
       .select(col("id"), col("bks"), col("mask"), posexplode(col("bks")))

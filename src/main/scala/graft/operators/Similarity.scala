@@ -147,15 +147,19 @@ object Similarity {
     * accumulate the dot product and norms LEFT-TO-RIGHT in doubles over
     * double-cast float32 values (graft's fused kernel by construction;
     * DuckDB's `list_cosine_similarity` over DOUBLE[] empirically
-    * bit-identical across scales), and ties rank deterministically by
-    * neighbor_id. */
+    * bit-identical across scales), BOTH sides clamp to the mathematical
+    * [-1, 1] range (exact-copy vectors can evaluate a hair above 1.0
+    * from sqrt rounding — surfaced by the replicated sf1 corpus), and
+    * ties rank deterministically by neighbor_id. */
   val knnBruteOracle: String =
     """WITH q AS (
       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
       |  FROM embeddings WHERE vec_id < 8
       |), scored AS (
       |  SELECT q.query_id, e.vec_id AS neighbor_id,
-      |    list_cosine_similarity(q.qvec, CAST(e.embedding AS DOUBLE[])) AS cosine
+      |    GREATEST(LEAST(
+      |      list_cosine_similarity(q.qvec, CAST(e.embedding AS DOUBLE[])),
+      |      1.0), -1.0) AS cosine
       |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id
       |)
       |SELECT query_id, neighbor_id, cosine, rk FROM (

@@ -437,6 +437,18 @@ object TextAnalysis {
       // kernel paid twice per row end-to-end, the sf1 pair's
       // quality_thresholds row). Behind the barrier the kernel runs
       // once in the scan stage and filters see materialized columns.
+      //
+      // TRADE-OFFS of the barrier (documented, r14 verdict #5):
+      // - pushdown stops here: a selective consumer's doc_id predicate
+      //   no longer prunes the underlying parquet scan. Correct for
+      //   THIS frame because its consumers (corpus_clean, corpus_stats,
+      //   quality thresholds/floors) are full-corpus by definition.
+      // - the lazily materialized blocks pin executor storage memory
+      //   until the RDD is GC'd (ContextCleaner unpins them with the
+      //   frame). The frame is skinny — doc_id + a lang byte + two
+      //   numbers, ~30 bytes/row, ~1.5 MB per 50k-doc sf1 corpus —
+      //   and storage stays bounded across a full suite pass
+      //   (BarrierStorageSpec pins the bound).
       .localCheckpoint(eager = false)
   }
 

@@ -46,6 +46,27 @@ class BenchLineSpec extends AnyFunSuite {
     assert(math.abs(node.get("value").asDouble - 99.99 * names.size) < 0.5)
   }
 
+  test("compact line carries the same-window pair ratio and still fits") {
+    val results = names.map(n => (n, 99.99))
+    val (line, _) = Bench.compactLine(
+      results, Map.empty[String, Int], "sf0.1", Some(("r15", 1.4384)))
+    assert(line.length <= Bench.CompactBudget)
+    val node = parse(line)
+    assert(node.get("pair").asText === "r15:1.44",
+      "pair ratio missing or misrendered in the compact line")
+  }
+
+  test("pairRatio reads the latest committed driver-protocol pair") {
+    // the committed r14 pair is a fixture: the ratio must reproduce the
+    // published 1.44x over the 70 shared oracled queries
+    val got = Bench.pairRatio()
+    assert(got.isDefined, "no driver_protocol pair found under tools/")
+    val (round, ratio) = got.get
+    assert(round.drop(1).toInt >= 14)
+    if (round == "r14")
+      assert(math.abs(ratio - 1.438) < 0.01, s"r14 pair ratio drifted: $ratio")
+  }
+
   test("BASELINE.md's key-map appendix matches the code's abbreviation") {
     // the published appendix is the judge's decoder ring for driver
     // bench lines; if it drifts from Bench.abbrevKeys (new query, rule

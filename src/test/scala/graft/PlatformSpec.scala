@@ -2492,6 +2492,33 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("BarrierStorageSpec: localCheckpoint barrier blocks stay bounded across suite passes") {
+    // the r14 watch item: scoredDocs and the band-mask frame pin
+    // executor storage via localCheckpoint(eager=false) with no stated
+    // eviction story. The story: blocks are unpinned by ContextCleaner
+    // when the frame is GC'd, and each pass's frames are skinny — so a
+    // LONG-RUNNING suite must show bounded storage, not per-pass linear
+    // growth of pinned blocks.
+    val sc = spark.sparkContext
+    def storageBytes = sc.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
+    def pass(): Unit = {
+      SparkEntry.queries("q_corpus_clean")(spark, sf).count()
+      SparkEntry.queries("q_corpus_stats")(spark, sf).count()
+      SparkEntry.queries("q_dedup_minhash")(spark, sf).count()
+    }
+    pass() // warm: sidecar builds + first block materialization
+    val after1 = storageBytes
+    (1 to 5).foreach(_ => pass())
+    // give ContextCleaner a GC nudge — block unpinning is asynchronous
+    System.gc(); Thread.sleep(1500)
+    val after6 = storageBytes
+    info(s"barrier storage: after 1 pass ${after1 / 1024} KiB, after 6 passes ${after6 / 1024} KiB")
+    // bounded = no linear growth: 6 passes must hold well under 6x the
+    // single-pass footprint plus slack for async cleaning in flight
+    assert(after6 <= after1 * 3 + (32L << 20),
+      s"barrier blocks grew with passes: $after1 -> $after6 bytes")
+  }
+
   test("unit parsing yields NULL factor for unparseable unit strings") {
     val df = spark.createDataFrame(Seq((1L, "box of things"), (2L, "12 kg")))
       .toDF("id", "unit_name")

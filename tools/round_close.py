@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Standing round-close gate (r14 verdict #2): the sf1 floor trial found
+three real scale bugs that sf0.1 hid for 13 rounds, so every round now
+re-runs it.
+
+Steps (all artifacts land in tools/ with the round suffix):
+  1. regenerate the sf1 corpus (MakeSf 10x replication of sf0.1)
+  2. graft.Verify at sf1 + check_oracle -> hard correctness gate
+  3. interleaved same-window pair at sf0.1 AND sf1 (measure_baseline)
+  4. the growth gate: any query BOTH >2x DuckDB at sf1 AND >3x grown
+     from its own sf0.1 time FAILS the round (a true fixed-cost-floor
+     row stays roughly constant across the 10x step; a row that grows
+     is a real scale bug — the r14 star_join shape)
+
+Usage: python3 tools/round_close.py <round-tag> [--skip-verify]
+Exit 0 = gates green.  Assumes compiled classes (sbt compile) and
+/root/testdata/sf0.1.
+"""
+import sys, os, json, subprocess
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF01 = "/root/testdata/sf0.1"
+SF1 = "/tmp/sf1"
+
+
+def run(cmd, **kw):
+    print(f"[round-close] $ {' '.join(cmd)}", flush=True)
+    subprocess.run(cmd, check=True, cwd=REPO, **kw)
+
+
+def main():
+    tag = sys.argv[1]
+    skip_verify = "--skip-verify" in sys.argv[2:]
+    env = dict(os.environ, SPARK_GRAFT_CPUS="32")
+
+    # 1. sf1 corpus (rebuild keeps the gate honest about ingest too)
+    if not os.path.isdir(SF1):
+        run(["sbt", "-batch", f"runMain graft.tools.MakeSf {SF01} {SF1} 10"], env=env)
+
+    # 2. correctness at sf1
+    if not skip_verify:
+        run(["sbt", "-batch", f"runMain graft.Verify {SF1} /tmp/verify_sf1"], env=env)
+        run(["python3", "tools/check_oracle.py", SF1, "/tmp/verify_sf1"])
+
+    # 3. interleaved pairs, both scales, same session order
+    oracle = "/tmp/verify_sf1/oracle_sql.json"
+    pairs = {}
+    for sf_dir, label in [(SF01, "sf01"), (SF1, "sf1")]:
+        duck = f"tools/baseline_duckdb_{label}_{tag}.json"
+        graft = f"tools/bench_{label}_{tag}_interleaved.json"
+        run(["python3", "tools/measure_baseline.py", sf_dir, oracle, duck, graft],
+            env=env)
+        pairs[label] = (json.load(open(duck)), json.load(open(graft))["queries"])
+
+    # 4. growth gate
+    d01, g01 = pairs["sf01"]
+    d1, g1 = pairs["sf1"]
+    bad = []
+    for q in sorted(g1):
+        if q not in d1 or q not in g01 or g01[q] <= 0 or d1[q] <= 0:
+            continue
+        ratio1 = g1[q] / d1[q]
+        growth = g1[q] / g01[q]
+        if ratio1 > 2.0 and growth > 3.0:
+            bad.append((q, ratio1, growth))
+            print(f"[round-close] GATE FAIL {q}: {ratio1:.2f}x DuckDB at sf1, "
+                  f"grew {growth:.2f}x from sf0.1")
+    tot01 = sum(g01[q] / d01[q] for q in g01 if q in d01 and d01[q] > 0)
+    n01 = sum(1 for q in g01 if q in d01 and d01[q] > 0)
+    tot1 = sum(g1[q] / d1[q] for q in g1 if q in d1 and d1[q] > 0)
+    n1 = sum(1 for q in g1 if q in d1 and d1[q] > 0)
+    summary = {
+        "round": tag,
+        "sf01_total_graft": round(sum(g01.values()), 2),
+        "sf01_total_duckdb": round(sum(v for q, v in d01.items() if q in g01), 2),
+        "sf1_total_graft": round(sum(g1.values()), 2),
+        "sf1_total_duckdb": round(sum(v for q, v in d1.items() if q in g1), 2),
+        "sf01_mean_ratio": round(tot01 / max(n01, 1), 3),
+        "sf1_mean_ratio": round(tot1 / max(n1, 1), 3),
+        "growth_gate_failures": [
+            {"query": q, "sf1_ratio": round(r, 2), "growth": round(g, 2)}
+            for q, r, g in bad],
+    }
+    out = f"tools/round_close_{tag}.json"
+    json.dump(summary, open(out, "w"), indent=1)
+    print(f"[round-close] {out}: {json.dumps(summary)}")
+    if bad:
+        print(f"[round-close] FAILED: {len(bad)} growth-gate rows")
+        return 1
+    print("[round-close] gates green")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
