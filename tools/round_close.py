@@ -6,8 +6,11 @@ re-runs it.
 Steps (all artifacts land in tools/ with the round suffix):
   1. regenerate the sf1 corpus (MakeSf 10x replication of sf0.1)
   2. graft.Verify at sf1 + check_oracle -> hard correctness gate
-  3. interleaved same-window pair at sf0.1 AND sf1 (measure_baseline)
-  4. the growth gate: any query BOTH >2x DuckDB at sf1 AND >3x grown
+  3. StoreContention: the two-JVM ensure/append/reader race over one
+     serving store, its invariants require()'d in-process (r14 verdict
+     #6 — a tool a human remembers to run is not a gate)
+  4. interleaved same-window pair at sf0.1 AND sf1 (measure_baseline)
+  5. the growth gate: any query BOTH >2x DuckDB at sf1 AND >3x grown
      from its own sf0.1 time FAILS the round (a true fixed-cost-floor
      row stays roughly constant across the 10x step; a row that grows
      is a real scale bug — the r14 star_join shape)
@@ -42,7 +45,14 @@ def main():
         run(["sbt", "-batch", f"runMain graft.Verify {SF1} /tmp/verify_sf1"], env=env)
         run(["python3", "tools/check_oracle.py", SF1, "/tmp/verify_sf1"])
 
-    # 3. interleaved pairs, both scales, same session order
+    # 3. two-JVM store-contention invariants (asserted inside the tool;
+    # a nonzero exit fails the round via check=True)
+    contention = "skipped"
+    if "--skip-contention" not in sys.argv[2:]:
+        run(["sbt", "-batch", "runMain graft.tools.StoreContention"], env=env)
+        contention = "pass"
+
+    # 4. interleaved pairs, both scales, same session order
     oracle = "/tmp/verify_sf1/oracle_sql.json"
     pairs = {}
     for sf_dir, label in [(SF01, "sf01"), (SF1, "sf1")]:
@@ -52,7 +62,7 @@ def main():
             env=env)
         pairs[label] = (json.load(open(duck)), json.load(open(graft))["queries"])
 
-    # 4. growth gate
+    # 5. growth gate
     d01, g01 = pairs["sf01"]
     d1, g1 = pairs["sf1"]
     bad = []
@@ -71,6 +81,7 @@ def main():
     n1 = sum(1 for q in g1 if q in d1 and d1[q] > 0)
     summary = {
         "round": tag,
+        "store_contention": contention,
         "sf01_total_graft": round(sum(g01.values()), 2),
         "sf01_total_duckdb": round(sum(v for q, v in d01.items() if q in g01), 2),
         "sf1_total_graft": round(sum(g1.values()), 2),
