@@ -10,10 +10,14 @@ Steps (all artifacts land in tools/ with the round suffix):
      serving store, its invariants require()'d in-process (r14 verdict
      #6 — a tool a human remembers to run is not a gate)
   4. interleaved same-window pair at sf0.1 AND sf1 (measure_baseline)
-  5. the growth gate: any query BOTH >2x DuckDB at sf1 AND >3x grown
-     from its own sf0.1 time FAILS the round (a true fixed-cost-floor
-     row stays roughly constant across the 10x step; a row that grows
-     is a real scale bug — the r14 star_join shape)
+  5. the growth gate: any query BOTH >2x DuckDB at sf1 AND whose
+     RATIO deteriorated >1.5x from its own sf0.1 ratio FAILS the round.
+     (Raw graft-time growth alone is not the signal: on a true
+     data-proportional row BOTH engines grow ~10x and the ratio stays
+     flat — r14's q_sample_stratified grew 3.6x with a stable 4.2x
+     ratio, a floor row; the real scale bug is the r14 star_join
+     shape, whose ratio went 3.1x -> 5.1x across the step. Rows with
+     >3x raw growth are still reported informationally.)
 
 Usage: python3 tools/round_close.py <round-tag> [--skip-verify]
 Exit 0 = gates green.  Assumes compiled classes (sbt compile) and
@@ -67,14 +71,19 @@ def main():
     d1, g1 = pairs["sf1"]
     bad = []
     for q in sorted(g1):
-        if q not in d1 or q not in g01 or g01[q] <= 0 or d1[q] <= 0:
+        if (q not in d1 or q not in g01 or q not in d01 or
+                g01[q] <= 0 or d1[q] <= 0 or d01[q] <= 0):
             continue
         ratio1 = g1[q] / d1[q]
+        ratio01 = g01[q] / d01[q]
         growth = g1[q] / g01[q]
-        if ratio1 > 2.0 and growth > 3.0:
-            bad.append((q, ratio1, growth))
+        if ratio1 > 2.0 and ratio01 > 0 and ratio1 > 1.5 * ratio01:
+            bad.append((q, ratio1, ratio1 / ratio01))
             print(f"[round-close] GATE FAIL {q}: {ratio1:.2f}x DuckDB at sf1, "
-                  f"grew {growth:.2f}x from sf0.1")
+                  f"ratio deteriorated {ratio1 / ratio01:.2f}x from sf0.1's {ratio01:.2f}x")
+        elif growth > 3.0:
+            print(f"[round-close] info {q}: grew {growth:.2f}x from sf0.1 "
+                  f"(ratio {ratio01:.2f}x -> {ratio1:.2f}x — data-proportional)")
     tot01 = sum(g01[q] / d01[q] for q in g01 if q in d01 and d01[q] > 0)
     n01 = sum(1 for q in g01 if q in d01 and d01[q] > 0)
     tot1 = sum(g1[q] / d1[q] for q in g1 if q in d1 and d1[q] > 0)
@@ -89,7 +98,7 @@ def main():
         "sf01_mean_ratio": round(tot01 / max(n01, 1), 3),
         "sf1_mean_ratio": round(tot1 / max(n1, 1), 3),
         "growth_gate_failures": [
-            {"query": q, "sf1_ratio": round(r, 2), "growth": round(g, 2)}
+            {"query": q, "sf1_ratio": round(r, 2), "ratio_deterioration": round(g, 2)}
             for q, r, g in bad],
     }
     out = f"tools/round_close_{tag}.json"
