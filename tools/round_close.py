@@ -10,14 +10,22 @@ Steps (all artifacts land in tools/ with the round suffix):
      serving store, its invariants require()'d in-process (r14 verdict
      #6 — a tool a human remembers to run is not a gate)
   4. interleaved same-window pair at sf0.1 AND sf1 (measure_baseline)
-  5. the growth gate: any query BOTH >2x DuckDB at sf1 AND whose
-     RATIO deteriorated >1.5x from its own sf0.1 ratio FAILS the round.
+  5. the growth gate: any query that is ALL of (>2x DuckDB at sf1,
+     ratio deteriorated >1.5x from its own sf0.1 ratio, DuckDB >=50ms,
+     graft >=0.5s) FAILS the round.
      (Raw graft-time growth alone is not the signal: on a true
      data-proportional row BOTH engines grow ~10x and the ratio stays
      flat — r14's q_sample_stratified grew 3.6x with a stable 4.2x
      ratio, a floor row; the real scale bug is the r14 star_join
-     shape, whose ratio went 3.1x -> 5.1x across the step. Rows with
-     >3x raw growth are still reported informationally.)
+     shape, whose ratio went 3.1x -> 5.1x across the step AND cost
+     1.9s absolute. The materiality floors keep denominators-too-small
+     noise out: the r15 run showed flat-graft dim rows "deteriorating"
+     because DuckDB's own 10 ms times halved between windows. Rows
+     with >3x raw growth or sub-floor deterioration are still
+     reported informationally.)
+
+Pass --gate-only to recompute step 5 from the existing tools/ artifacts
+without re-measuring.
 
 Usage: python3 tools/round_close.py <round-tag> [--skip-verify]
 Exit 0 = gates green.  Assumes compiled classes (sbt compile) and
@@ -38,23 +46,29 @@ def run(cmd, **kw):
 def main():
     tag = sys.argv[1]
     skip_verify = "--skip-verify" in sys.argv[2:]
+    gate_only = "--gate-only" in sys.argv[2:]
     env = dict(os.environ, SPARK_GRAFT_CPUS="32")
-
-    # 1. sf1 corpus (rebuild keeps the gate honest about ingest too)
-    if not os.path.isdir(SF1):
-        run(["sbt", "-batch", f"runMain graft.tools.MakeSf {SF01} {SF1} 10"], env=env)
-
-    # 2. correctness at sf1
-    if not skip_verify:
-        run(["sbt", "-batch", f"runMain graft.Verify {SF1} /tmp/verify_sf1"], env=env)
-        run(["python3", "tools/check_oracle.py", SF1, "/tmp/verify_sf1"])
-
-    # 3. two-JVM store-contention invariants (asserted inside the tool;
-    # a nonzero exit fails the round via check=True)
     contention = "skipped"
-    if "--skip-contention" not in sys.argv[2:]:
-        run(["sbt", "-batch", "runMain graft.tools.StoreContention"], env=env)
-        contention = "pass"
+
+    if not gate_only:
+        # 1. sf1 corpus (rebuild keeps the gate honest about ingest too)
+        if not os.path.isdir(SF1):
+            run(["sbt", "-batch", f"runMain graft.tools.MakeSf {SF01} {SF1} 10"], env=env)
+
+        # 2. correctness at sf1
+        if not skip_verify:
+            run(["sbt", "-batch", f"runMain graft.Verify {SF1} /tmp/verify_sf1"], env=env)
+            run(["python3", "tools/check_oracle.py", SF1, "/tmp/verify_sf1"])
+
+        # 3. two-JVM store-contention invariants (asserted inside the tool;
+        # a nonzero exit fails the round via check=True)
+        if "--skip-contention" not in sys.argv[2:]:
+            run(["sbt", "-batch", "runMain graft.tools.StoreContention"], env=env)
+            contention = "pass"
+
+    if gate_only and os.path.exists(f"tools/round_close_{tag}.json"):
+        contention = json.load(open(f"tools/round_close_{tag}.json")) \
+            .get("store_contention", contention)
 
     # 4. interleaved pairs, both scales, same session order
     oracle = "/tmp/verify_sf1/oracle_sql.json"
@@ -62,8 +76,9 @@ def main():
     for sf_dir, label in [(SF01, "sf01"), (SF1, "sf1")]:
         duck = f"tools/baseline_duckdb_{label}_{tag}.json"
         graft = f"tools/bench_{label}_{tag}_interleaved.json"
-        run(["python3", "tools/measure_baseline.py", sf_dir, oracle, duck, graft],
-            env=env)
+        if not gate_only:
+            run(["python3", "tools/measure_baseline.py", sf_dir, oracle, duck, graft],
+                env=env)
         pairs[label] = (json.load(open(duck)), json.load(open(graft))["queries"])
 
     # 5. growth gate
@@ -77,10 +92,16 @@ def main():
         ratio1 = g1[q] / d1[q]
         ratio01 = g01[q] / d01[q]
         growth = g1[q] / g01[q]
-        if ratio1 > 2.0 and ratio01 > 0 and ratio1 > 1.5 * ratio01:
+        deteriorated = ratio1 > 2.0 and ratio01 > 0 and ratio1 > 1.5 * ratio01
+        material = d1[q] >= 0.05 and g1[q] >= 0.5
+        if deteriorated and material:
             bad.append((q, ratio1, ratio1 / ratio01))
-            print(f"[round-close] GATE FAIL {q}: {ratio1:.2f}x DuckDB at sf1, "
-                  f"ratio deteriorated {ratio1 / ratio01:.2f}x from sf0.1's {ratio01:.2f}x")
+            print(f"[round-close] GATE FAIL {q}: {ratio1:.2f}x DuckDB at sf1 "
+                  f"({g1[q]:.2f}s), ratio deteriorated {ratio1 / ratio01:.2f}x "
+                  f"from sf0.1's {ratio01:.2f}x")
+        elif deteriorated:
+            print(f"[round-close] info {q}: ratio {ratio01:.2f}x -> {ratio1:.2f}x "
+                  f"below the materiality floor (duck {d1[q]:.3f}s, graft {g1[q]:.3f}s)")
         elif growth > 3.0:
             print(f"[round-close] info {q}: grew {growth:.2f}x from sf0.1 "
                   f"(ratio {ratio01:.2f}x -> {ratio1:.2f}x — data-proportional)")
@@ -91,10 +112,14 @@ def main():
     summary = {
         "round": tag,
         "store_contention": contention,
-        "sf01_total_graft": round(sum(g01.values()), 2),
+        # totals over the ORACLED intersection only, so the two columns
+        # divide; the all-queries graft suite time rides separately
+        "sf01_total_graft": round(sum(v for q, v in g01.items() if q in d01), 2),
         "sf01_total_duckdb": round(sum(v for q, v in d01.items() if q in g01), 2),
-        "sf1_total_graft": round(sum(g1.values()), 2),
+        "sf1_total_graft": round(sum(v for q, v in g1.items() if q in d1), 2),
         "sf1_total_duckdb": round(sum(v for q, v in d1.items() if q in g1), 2),
+        "sf01_suite_graft_all": round(sum(g01.values()), 2),
+        "sf1_suite_graft_all": round(sum(g1.values()), 2),
         "sf01_mean_ratio": round(tot01 / max(n01, 1), 3),
         "sf1_mean_ratio": round(tot1 / max(n1, 1), 3),
         "growth_gate_failures": [
