@@ -418,6 +418,132 @@ object StarSchema {
       liRevTable: String, liMonthTable: String, ordersTable: String,
       factPath: String, monthFactPath: String)
 
+  /** Incrementally maintain the fact layout after an ingest: fold ONLY
+    * the newly landed orders' partials and denormalized fact rows into
+    * the existing generation, then advance the fingerprint sidecar —
+    * the [[Dedup.appendPostings]] discipline applied to the fact
+    * tables. This is what makes the layout viable at warehouse scale:
+    * a daily ingest appends bucket files next to the existing ones
+    * (bucket ids live in file names, so the bucket spec — and the
+    * exchange-free orderkey join — survives) instead of re-scanning
+    * and re-shuffling the whole fact history. The reference's dbt
+    * models are incremental for the same reason.
+    *
+    * PRECONDITION (the TPC-H ingest shape, probed with loud refusals):
+    * the delta is ORDER-COMPLETE — every delta lineitem row belongs to
+    * a delta order, and no delta orderkey is already served. An order
+    * whose lineitems land across two deltas would split its revenue
+    * partial into two rows per orderkey, breaking the fact's
+    * one-row-per-order grain; refuse and rebuild instead.
+    *
+    * Call AFTER the delta files land in `dir`, passing exactly the
+    * newly landed rows. `expectedFp` (snapshotted BEFORE the delta
+    * landed) proves the generation matches the pre-append corpus —
+    * out-of-band edits must take the full-rebuild path. Crash safety:
+    * the sidecar advances only after every append committed, so a
+    * crash in between reads as stale and the next ensure rebuilds —
+    * never a fresh-looking layout missing rows. (Partial appends
+    * before a crash leave orphan rows a rebuild prunes with the
+    * generation, the same exposure window appendPostings documents.) */
+  def appendFactLayout(spark: SparkSession, dir: String,
+      newLineitem: DataFrame, newOrders: DataFrame,
+      expectedFp: Option[Long] = None,
+      numBuckets: Int = FactBuckets): Unit = {
+    val path = factServePath(dir)
+    val fpPath = path + "_model"
+    require(new java.io.File(path).exists(),
+      s"no fact layout at $path to append into — run ensureFactLayout first")
+    val storedFp =
+      try Similarity.readSidecarRows(spark, fpPath)(0).getLong(0)
+      catch {
+        case e if scala.util.control.NonFatal(e) =>
+          throw new IllegalStateException(
+            s"fact-layout sidecar at $fpPath unreadable — run ensureFactLayout " +
+              "(full rebuild) instead of appending into an unproven generation", e)
+      }
+    expectedFp.foreach(f => require(storedFp == f,
+      s"fact layout at $path was built for a different corpus state " +
+        s"(stored fp $storedFp != pre-append fp $f): the layout is stale " +
+        "and must be rebuilt with ensureFactLayout, not appended into"))
+    val liTable = factTableName(dir, "lirev")
+    val liMonthTable = factTableName(dir, "limonth")
+    val oTable = factTableName(dir, "orders")
+    // landed-delta refusal FIRST (the ServingStore.append ordering): a
+    // fingerprint that did not advance must refuse BEFORE any append
+    // writes, or a no-op delta would leave orphan rows behind a
+    // fresh-looking stamp
+    Tables.invalidate(spark, dir, "lineitem")
+    Tables.invalidate(spark, dir, "orders")
+    val newFp = factFingerprint(spark, dir)
+    require(newFp != storedFp,
+      "corpus fingerprint unchanged after the delta — land the delta " +
+        "files BEFORE appending, so the stamped fingerprint proves the " +
+        "merged state")
+    val one = lit(1).cast(DecimalType(18, 2))
+    // one evaluation of each delta feeds the probes AND the writes
+    val o = newOrders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .localCheckpoint(eager = false)
+    val li = newLineitem
+      .select(col("l_orderkey"),
+        dec4(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))).as("rev"),
+        dec2(col("l_extendedprice")).as("price"),
+        col("l_shipdate"))
+      .localCheckpoint(eager = false)
+    // order-completeness probes (delta-sized broadcasts — the
+    // ServingStore.append key-probe convention: checkpointed frames
+    // carry no stats, so hint or the probe sort-merges the store)
+    val deltaKeys = broadcast(o.select(col("o_orderkey")).distinct())
+    require(li.join(deltaKeys, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .isEmpty,
+      "delta lineitem rows reference orderkeys outside the delta orders — " +
+        "the delta is not order-complete; rebuild with ensureFactLayout")
+    require(spark.table(oTable).join(deltaKeys, Seq("o_orderkey")).isEmpty,
+      "delta orderkeys already present in the served layout — the same " +
+        "rows were appended twice; rebuild with ensureFactLayout")
+    // delta partials, same expressions as the build (bit-equal rollups)
+    val liRev = li.repartition(numBuckets, col("l_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("rev")).cast(DecimalType(18, 4)).as("rev"), cnt.as("n"))
+      .localCheckpoint(eager = false) // feeds the bucketed append AND the fact join
+    val liMonth = li.repartition(numBuckets, col("l_orderkey"))
+      .groupBy(col("l_orderkey"),
+        year(col("l_shipdate")).as("ship_yy"), month(col("l_shipdate")).as("ship_mm"))
+      .agg(sum(col("price")).cast(DecimalType(18, 2)).as("price"))
+      .localCheckpoint(eager = false)
+    def appendBucketed(df: DataFrame, table: String, key: String, sub: String): Unit =
+      df.write.mode("append").format("parquet")
+        .bucketBy(numBuckets, key).sortBy(key)
+        .option("path", s"$path/$sub").saveAsTable(table)
+    appendBucketed(liRev, liTable, "l_orderkey", "lirev")
+    appendBucketed(liMonth, liMonthTable, "l_orderkey", "limonth")
+    appendBucketed(o.repartition(numBuckets, col("o_orderkey")),
+      oTable, "o_orderkey", "orders")
+    // denormalized fact deltas: the delta-local join (delta orders
+    // broadcast against delta partials) + the conformed dims
+    val dim = broadcast(
+      Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(Tables.nation(spark, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(spark, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("r_name")))
+    liRev.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+      .join(dim, col("o_custkey") === col("c_custkey"))
+      .select(col("r_name"), year(col("o_orderdate")).as("order_year"),
+        col("rev"), col("n"))
+      .write.mode("append").parquet(s"$path/fact")
+    liMonth.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+      .join(dim, col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("nationkey"),
+        col("ship_yy"), col("ship_mm"), col("price"))
+      .write.mode("append").parquet(s"$path/monthfact")
+    // every append committed: stamp the post-append fingerprint
+    // (snapshotted BEFORE the writes, under the landed-delta refusal)
+    spark.range(1).select(lit(newFp).as("fp"))
+      .coalesce(1).write.mode("overwrite").parquet(fpPath)
+  }
+
   /** q_star_join's SERVE path: a pure scan+rollup over
     * [[ensureFactLayout]]'s denormalized transaction-grain fact — the
     * joins were paid once at layout time (bucket-local fact-fact +

@@ -2519,6 +2519,62 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"barrier blocks grew with passes: $after1 -> $after6 bytes")
   }
 
+  test("fact layout append: delta ingest equals a cold rebuild, refusals fire") {
+    import operators.StarSchema
+    def copy(t: String, from: String, to: String): Unit =
+      spark.read.parquet(s"$from/$t.parquet")
+        .write.mode("overwrite").parquet(s"$to/$t.parquet")
+    def land(dir: String, t: String, df: org.apache.spark.sql.DataFrame,
+        first: Boolean): Unit =
+      df.write.mode(if (first) "overwrite" else "append").parquet(s"$dir/$t.parquet")
+    val dirA = java.nio.file.Files.createTempDirectory("graftfactappend").toString
+    val dirC = java.nio.file.Files.createTempDirectory("graftfactcold").toString
+    Seq("customer", "nation", "region").foreach { t =>
+      copy(t, sf, dirA); copy(t, sf, dirC)
+    }
+    val orders = Tables.orders(spark, sf).localCheckpoint()
+    val lineitem = Tables.lineitem(spark, sf).localCheckpoint()
+    // id-ordered split: base orders + their lineitems, then the delta
+    // (order-complete by construction — lineitems follow their order)
+    val cut = orders.stat.approxQuantile("o_orderkey", Array(0.7), 0.0)(0)
+    val oBase = orders.filter(col("o_orderkey") <= cut)
+    val oDelta = orders.filter(col("o_orderkey") > cut)
+    val liBase = lineitem.filter(col("l_orderkey") <= cut)
+    val liDelta = lineitem.filter(col("l_orderkey") > cut)
+    // incremental path: build on the base, land the delta, append
+    land(dirA, "orders", oBase, first = true)
+    land(dirA, "lineitem", liBase, first = true)
+    StarSchema.ensureFactLayout(spark, dirA)
+    val preFp = StarSchema.factFingerprint(spark, dirA)
+    land(dirA, "orders", oDelta, first = false)
+    land(dirA, "lineitem", liDelta, first = false)
+    StarSchema.appendFactLayout(spark, dirA, liDelta, oDelta, Some(preFp))
+    // cold path: full corpus, one build
+    land(dirC, "orders", orders, first = true)
+    land(dirC, "lineitem", lineitem, first = true)
+    def sig(dir: String) = (
+      tools.Golden.checksum(StarSchema.starJoinServed(spark, dir)),
+      tools.Golden.checksum(operators.Stats.hdiVolatility(spark, dir)))
+    assert(sig(dirA) == sig(dirC),
+      "appended fact layout diverged from a cold rebuild over the full corpus")
+    // refusals: a replayed delta is refused loudly (keys already served) —
+    // and BEFORE that, an unchanged fingerprint refuses the whole append
+    val replay = intercept[IllegalArgumentException] {
+      StarSchema.appendFactLayout(spark, dirA, liDelta, oDelta)
+    }
+    assert(replay.getMessage.contains("fingerprint unchanged"),
+      s"unexpected refusal: ${replay.getMessage}")
+    // an order-INCOMPLETE delta (lineitems without their orders) refuses
+    land(dirA, "lineitem", liDelta.limit(50), first = false)
+    val incomplete = intercept[IllegalArgumentException] {
+      StarSchema.appendFactLayout(spark, dirA, liDelta.limit(50),
+        oDelta.limit(0))
+    }
+    assert(incomplete.getMessage.contains("order-complete") ||
+      incomplete.getMessage.contains("outside the delta orders"),
+      s"unexpected refusal: ${incomplete.getMessage}")
+  }
+
   test("unit parsing yields NULL factor for unparseable unit strings") {
     val df = spark.createDataFrame(Seq((1L, "box of things"), (2L, "12 kg")))
       .toDF("id", "unit_name")
