@@ -288,7 +288,7 @@ object StarSchema {
     new java.util.concurrent.ConcurrentHashMap[String, (Long, FactLayout)]()
 
   private[graft] def ensureFactLayout(spark: SparkSession, dir: String,
-      numBuckets: Int = FactBuckets): FactLayout = {
+      numBuckets: Int = FactBuckets, force: Boolean = false): FactLayout = {
     val path = factServePath(dir)
     val liTable = factTableName(dir, "lirev")
     val liMonthTable = factTableName(dir, "limonth")
@@ -296,7 +296,7 @@ object StarSchema {
     val fpPath = path + "_model"
     val fp = factFingerprint(spark, dir)
     val memoKey = System.identityHashCode(spark).toString + "|" + dir
-    Option(factMemo.get(memoKey)) match {
+    if (!force) Option(factMemo.get(memoKey)) match {
       case Some((f, layout)) if f == fp => return layout
       case _ => ()
     }
@@ -307,7 +307,10 @@ object StarSchema {
           Similarity.warnUnreadableSidecar("fact-layout", fpPath, e)
           None
       }
-    if (!storedFp.contains(fp)) {
+    // `force` rebuilds even when the fingerprint matches — the
+    // streaming sink's repair path for a generation whose fp covers
+    // files whose rows were never appended (the SigSink landing race)
+    if (force || !storedFp.contains(fp)) {
       Tables.invalidate(spark, dir, "lineitem")
       Tables.invalidate(spark, dir, "orders")
       spark.sql(s"DROP TABLE IF EXISTS $liTable")
@@ -461,7 +464,7 @@ object StarSchema {
             s"fact-layout sidecar at $fpPath unreadable — run ensureFactLayout " +
               "(full rebuild) instead of appending into an unproven generation", e)
       }
-    expectedFp.foreach(f => require(storedFp == f,
+    expectedFp.foreach(f => if (storedFp != f) throw new ServingStore.StaleStoreRefusal(
       s"fact layout at $path was built for a different corpus state " +
         s"(stored fp $storedFp != pre-append fp $f): the layout is stale " +
         "and must be rebuilt with ensureFactLayout, not appended into"))
@@ -475,7 +478,7 @@ object StarSchema {
     Tables.invalidate(spark, dir, "lineitem")
     Tables.invalidate(spark, dir, "orders")
     val newFp = factFingerprint(spark, dir)
-    require(newFp != storedFp,
+    if (newFp == storedFp) throw new ServingStore.DeltaNotLandedRefusal(
       "corpus fingerprint unchanged after the delta — land the delta " +
         "files BEFORE appending, so the stamped fingerprint proves the " +
         "merged state")
@@ -498,9 +501,10 @@ object StarSchema {
       .isEmpty,
       "delta lineitem rows reference orderkeys outside the delta orders — " +
         "the delta is not order-complete; rebuild with ensureFactLayout")
-    require(spark.table(oTable).join(deltaKeys, Seq("o_orderkey")).isEmpty,
-      "delta orderkeys already present in the served layout — the same " +
-        "rows were appended twice; rebuild with ensureFactLayout")
+    if (!spark.table(oTable).join(deltaKeys, Seq("o_orderkey")).isEmpty)
+      throw new ServingStore.KeysAlreadyPresentRefusal(
+        "delta orderkeys already present in the served layout — the same " +
+          "rows were appended twice; rebuild with ensureFactLayout")
     // delta partials, same expressions as the build (bit-equal rollups)
     val liRev = li.repartition(numBuckets, col("l_orderkey"))
       .groupBy(col("l_orderkey"))

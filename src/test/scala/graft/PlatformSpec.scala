@@ -2575,6 +2575,68 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unexpected refusal: ${incomplete.getMessage}")
   }
 
+  test("fact sink: streamed order batches equal a cold rebuild, landing race repairs") {
+    import graft.streaming.FactSink
+    import operators.StarSchema
+    def copy(t: String, to: String): Unit =
+      spark.read.parquet(s"$sf/$t.parquet")
+        .write.mode("overwrite").parquet(s"$to/$t.parquet")
+    def land(dir: String, t: String, df: org.apache.spark.sql.DataFrame,
+        first: Boolean): Unit =
+      df.write.mode(if (first) "overwrite" else "append").parquet(s"$dir/$t.parquet")
+    val orders = Tables.orders(spark, sf).localCheckpoint()
+    val lineitem = Tables.lineitem(spark, sf).localCheckpoint()
+    val cuts = orders.stat.approxQuantile("o_orderkey", Array(0.5, 0.8), 0.0)
+    def oB(i: Int) = i match {
+      case 0 => orders.filter(col("o_orderkey") <= cuts(0))
+      case 1 => orders.filter(col("o_orderkey") > cuts(0) && col("o_orderkey") <= cuts(1))
+      case _ => orders.filter(col("o_orderkey") > cuts(1))
+    }
+    def liB(i: Int) = i match {
+      case 0 => lineitem.filter(col("l_orderkey") <= cuts(0))
+      case 1 => lineitem.filter(col("l_orderkey") > cuts(0) && col("l_orderkey") <= cuts(1))
+      case _ => lineitem.filter(col("l_orderkey") > cuts(1))
+    }
+    def sig(dir: String) = (
+      tools.Golden.checksum(StarSchema.starJoinServed(spark, dir)),
+      tools.Golden.checksum(operators.Stats.hdiVolatility(spark, dir)))
+    // cold reference over the full corpus
+    val dirC = java.nio.file.Files.createTempDirectory("graftfactsinkcold").toString
+    Seq("customer", "nation", "region").foreach(copy(_, dirC))
+    land(dirC, "orders", orders, first = true)
+    land(dirC, "lineitem", lineitem, first = true)
+    val cold = sig(dirC)
+    // streamed: land each batch's files, then the sink folds them
+    val dirS = java.nio.file.Files.createTempDirectory("graftfactsink").toString
+    Seq("customer", "nation", "region").foreach(copy(_, dirS))
+    (0 to 2).foreach { i =>
+      land(dirS, "orders", oB(i), first = i == 0)
+      land(dirS, "lineitem", liB(i), first = i == 0)
+      FactSink.applyFactBatch(oB(i), i, dirS)
+    }
+    assert(sig(dirS) == cold, "streamed fact layout diverged from a cold rebuild")
+    // replay of an applied batch id is a marker-skip no-op
+    FactSink.applyFactBatch(oB(2), 2, dirS)
+    assert(sig(dirS) == cold, "replayed batch changed the layout")
+    // the same-window landing race: batch 2's files land DURING batch
+    // 1's append window — batch 1's stamp covers them, batch 2's own
+    // append is refused, and the sink must repair via forced rebuild,
+    // not mark the batch applied with its rows missing
+    val dirR = java.nio.file.Files.createTempDirectory("graftfactsinkrace").toString
+    Seq("customer", "nation", "region").foreach(copy(_, dirR))
+    land(dirR, "orders", oB(0), first = true)
+    land(dirR, "lineitem", liB(0), first = true)
+    FactSink.applyFactBatch(oB(0), 0, dirR)
+    land(dirR, "orders", oB(1), first = false)
+    land(dirR, "lineitem", liB(1), first = false)
+    land(dirR, "orders", oB(2), first = false)
+    land(dirR, "lineitem", liB(2), first = false)
+    FactSink.applyFactBatch(oB(1), 1, dirR)
+    FactSink.applyFactBatch(oB(2), 2, dirR)
+    assert(sig(dirR) == cold,
+      "landing-race repair diverged from a cold rebuild over the full corpus")
+  }
+
   test("unit parsing yields NULL factor for unparseable unit strings") {
     val df = spark.createDataFrame(Seq((1L, "box of things"), (2L, "12 kg")))
       .toDF("id", "unit_name")
