@@ -548,6 +548,68 @@ object StarSchema {
       .coalesce(1).write.mode("overwrite").parquet(fpPath)
   }
 
+  /** Compact the fact layout back to ONE file per bucket/partition —
+    * [[Dedup.compactPostings]]'s discipline for all five stores: every
+    * [[appendFactLayout]] lays new files next to the existing ones, and
+    * after a season of daily ingests each scan opens O(appends) small
+    * files (LSM read-amplification). Content, bucket spec and corpus
+    * fingerprint are unchanged — queries before and after are equal by
+    * construction. Crash safety: all compacted copies are fully written
+    * to side paths FIRST; the fingerprint sidecar is deleted before any
+    * live file moves and re-stamped (same fp) only after all five
+    * swapped — a crash anywhere in the window reads as unproven and the
+    * next ensure rebuilds, never a half-swapped layout. */
+  def compactFactLayout(spark: SparkSession, dir: String,
+      numBuckets: Int = FactBuckets): Unit = {
+    ensureFactLayout(spark, dir, numBuckets)
+    val path = factServePath(dir)
+    val fpPath = path + "_model"
+    val fp = Similarity.readSidecarRows(spark, fpPath)(0).getLong(0)
+    val bucketed = Seq(
+      (factTableName(dir, "lirev"), "lirev", "l_orderkey"),
+      (factTableName(dir, "limonth"), "limonth", "l_orderkey"),
+      (factTableName(dir, "orders"), "orders", "o_orderkey"))
+    val plain = Seq("fact", "monthfact")
+    // phase 1: full compacted copies on side paths. Read the RAW files,
+    // not the catalog table — the bucketed relation's advertised
+    // partitioning would elide the one-task-per-bucket repartition
+    // (compactPostings' note)
+    bucketed.foreach { case (table, sub, key) =>
+      val tmpTable = table + "_compact_tmp"
+      spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+      Dedup.deleteTree(s"$path/${sub}_compact_tmp")
+      spark.read.parquet(s"$path/$sub")
+        .repartition(numBuckets, col(key))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(numBuckets, key).sortBy(key)
+        .option("path", s"$path/${sub}_compact_tmp").saveAsTable(tmpTable)
+      spark.sql(s"DROP TABLE IF EXISTS $tmpTable") // catalog entry only
+    }
+    plain.foreach { sub =>
+      Dedup.deleteTree(s"$path/${sub}_compact_tmp")
+      spark.read.parquet(s"$path/$sub").repartition(numBuckets)
+        .write.mode("overwrite").parquet(s"$path/${sub}_compact_tmp")
+    }
+    // phase 2: unprove, swap everything, re-register, restamp
+    Dedup.deleteTree(fpPath)
+    bucketed.foreach { case (table, _, _) =>
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+    (bucketed.map(_._2) ++ plain).foreach { sub =>
+      Dedup.deleteTree(s"$path/$sub")
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$path/${sub}_compact_tmp"),
+        java.nio.file.Paths.get(s"$path/$sub"))
+    }
+    spark.range(1).select(lit(fp).as("fp"))
+      .coalesce(1).write.mode("overwrite").parquet(fpPath)
+    // the memo still holds this (fp, names) pair but the catalog entries
+    // are gone — drop it so the next ensure re-registers over the
+    // compacted files
+    factMemo.clear()
+    ensureFactLayout(spark, dir, numBuckets)
+  }
+
   /** q_star_join's SERVE path: a pure scan+rollup over
     * [[ensureFactLayout]]'s denormalized transaction-grain fact — the
     * joins were paid once at layout time (bucket-local fact-fact +

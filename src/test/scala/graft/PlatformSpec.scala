@@ -2573,6 +2573,20 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(incomplete.getMessage.contains("order-complete") ||
       incomplete.getMessage.contains("outside the delta orders"),
       s"unexpected refusal: ${incomplete.getMessage}")
+    // compaction: back to one file per bucket, content and fp unchanged
+    val before = sig(dirA)
+    val fpBefore = StarSchema.factFingerprint(spark, dirA)
+    StarSchema.compactFactLayout(spark, dirA)
+    val layoutPath = StarSchema.factServePath(dirA)
+    Seq("lirev", "orders").foreach { sub =>
+      val files = new java.io.File(s"$layoutPath/$sub")
+        .listFiles.count(_.getName.endsWith(".parquet"))
+      assert(files == StarSchema.FactBuckets,
+        s"$sub not compacted to one file per bucket: $files files")
+    }
+    assert(sig(dirA) == before, "compaction changed query results")
+    assert(operators.Similarity.readSidecarRows(spark, layoutPath + "_model")(0)
+      .getLong(0) == fpBefore, "compaction changed the fingerprint")
   }
 
   test("fact sink: streamed order batches equal a cold rebuild, landing race repairs") {
