@@ -88,19 +88,22 @@ object Bench {
       val rounds = Option(new java.io.File(toolsDir).listFiles)
         .getOrElse(Array.empty[java.io.File]).map(_.getName)
         .collect { case re(r) => r }
-      if (rounds.isEmpty) None
-      else {
-        val r = rounds.maxBy(_.drop(1).toInt)
-        val om = new com.fasterxml.jackson.databind.ObjectMapper()
-        val duck = om.readTree(new java.io.File(s"$toolsDir/driver_protocol_sf01_${r}_duckdb.json"))
-        val graft = om.readTree(new java.io.File(s"$toolsDir/driver_protocol_sf01_${r}_graft.json"))
-          .get("queries")
-        import scala.jdk.CollectionConverters._
-        val shared = graft.fieldNames().asScala.filter(duck.has(_)).toSeq
-        val g = shared.map(graft.get(_).asDouble).sum
-        val d = shared.map(duck.get(_).asDouble).sum
-        if (shared.nonEmpty && d > 0) Some((r, g / d)) else None
-      }
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      // newest COMPLETE pair wins: a round whose graft twin is missing
+      // (withdrawn, or not yet committed) must not void the fallback to
+      // the previous complete pair
+      rounds.sortBy(-_.drop(1).toInt).iterator.flatMap { r =>
+        try {
+          val duck = om.readTree(new java.io.File(s"$toolsDir/driver_protocol_sf01_${r}_duckdb.json"))
+          val graft = om.readTree(new java.io.File(s"$toolsDir/driver_protocol_sf01_${r}_graft.json"))
+            .get("queries")
+          import scala.jdk.CollectionConverters._
+          val shared = graft.fieldNames().asScala.filter(duck.has(_)).toSeq
+          val g = shared.map(graft.get(_).asDouble).sum
+          val d = shared.map(duck.get(_).asDouble).sum
+          if (shared.nonEmpty && d > 0) Some((r, g / d)) else None
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }.nextOption()
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Fit the compact stdout line inside [[CompactBudget]]. TOTAL — every

@@ -255,10 +255,58 @@ object StarSchema {
     s"graft_fact_${which}_$digest"
   }
 
-  private[graft] def factFingerprint(spark: SparkSession, dir: String): Long =
-    (Similarity.corpusFingerprint(spark, dir, "lineitem.parquet") * 31 +
+  /** The fingerprint the fact layout is keyed by. Covers the DIM
+    * tables too (r15 review): the denormalized facts BAKE IN region
+    * names and customer nations at build time, so an in-place dim
+    * rewrite (nation reassignment, region rename) must read as stale
+    * and rebuild — a lineitem/orders-only fingerprint would serve the
+    * old attribution with a fresh-looking stamp. `numBuckets` is part
+    * of the key for the same reason: re-registering a different bucket
+    * spec over existing files would make joins treat rows as
+    * co-partitioned when they are not. */
+  private[graft] def factFingerprint(spark: SparkSession, dir: String,
+      numBuckets: Int = FactBuckets): Long =
+    ((((Similarity.corpusFingerprint(spark, dir, "lineitem.parquet") * 31 +
       Similarity.corpusFingerprint(spark, dir, "orders.parquet")) * 31 +
-      FactLayoutVersion
+      Similarity.corpusFingerprint(spark, dir, "customer.parquet")) * 31 +
+      Similarity.corpusFingerprint(spark, dir, "nation.parquet") * 31 +
+      Similarity.corpusFingerprint(spark, dir, "region.parquet")) * 31 +
+      numBuckets) * 31 + FactLayoutVersion
+
+  /** The conformed locality dim bundle (customer -> nation -> region
+    * flattened to custkey -> nation key + region name) — ONE definition
+    * shared by the layout build and the delta append, which must stay
+    * bit-identical for the append-equals-rebuild invariant (r15
+    * review: this was copy-pasted at both sites). */
+  private def conformedDim(spark: SparkSession, dir: String): DataFrame =
+    broadcast(
+      Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(Tables.nation(spark, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(spark, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("r_name")))
+
+  /** Register the layout's catalog tables over existing files — the
+    * DDL schema comes from the FILES, never a hand-written literal (a
+    * drifted literal reads clean at registration and fails at scan
+    * time — the r13 warm-store trap). Shared by the warm ensure path
+    * and the append (a fresh session resuming a stream must register
+    * before it can probe the served tables). */
+  private def registerFactTables(spark: SparkSession, dir: String,
+      numBuckets: Int): Unit = {
+    val path = factServePath(dir)
+    def register(table: String, location: String, key: String): Unit =
+      if (!spark.catalog.tableExists(table))
+        spark.sql(
+          s"""CREATE TABLE $table (${spark.read.parquet(location).schema.toDDL})
+             |USING parquet
+             |CLUSTERED BY ($key) SORTED BY ($key) INTO $numBuckets BUCKETS
+             |LOCATION '$location'""".stripMargin)
+    register(factTableName(dir, "lirev"), s"$path/lirev", "l_orderkey")
+    register(factTableName(dir, "limonth"), s"$path/limonth", "l_orderkey")
+    register(factTableName(dir, "orders"), s"$path/orders", "o_orderkey")
+  }
 
   /** Ensure the co-bucketed-on-orderkey FACT layout exists for `dir`
     * and is registered; returns (lineitem-revenue table, orders table).
@@ -294,8 +342,8 @@ object StarSchema {
     val liMonthTable = factTableName(dir, "limonth")
     val oTable = factTableName(dir, "orders")
     val fpPath = path + "_model"
-    val fp = factFingerprint(spark, dir)
-    val memoKey = System.identityHashCode(spark).toString + "|" + dir
+    val fp = factFingerprint(spark, dir, numBuckets)
+    val memoKey = System.identityHashCode(spark).toString + "|" + dir + "|" + numBuckets
     if (!force) Option(factMemo.get(memoKey)) match {
       case Some((f, layout)) if f == fp => return layout
       case _ => ()
@@ -311,6 +359,12 @@ object StarSchema {
     // streaming sink's repair path for a generation whose fp covers
     // files whose rows were never appended (the SigSink landing race)
     if (force || !storedFp.contains(fp)) {
+      // a SAME-fp force rebuild mutates live files the sidecar still
+      // stamps fresh — unprove FIRST (delete the sidecar), so a crash
+      // mid-rebuild reads as stale and the next ensure rebuilds, never
+      // a fresh-looking half-written layout (r15 review; the stale-fp
+      // path needs no unprove — its sidecar already mismatches)
+      if (force) Dedup.deleteTree(fpPath)
       Tables.invalidate(spark, dir, "lineitem")
       Tables.invalidate(spark, dir, "orders")
       spark.sql(s"DROP TABLE IF EXISTS $liTable")
@@ -364,13 +418,7 @@ object StarSchema {
       // build time, so the serve paths are pure scan+rollup.
       // Transaction grain, not pre-aggregated: any rollup over
       // region/year (or nation/month) serves from them.
-      val dim = broadcast(
-        Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
-          .join(broadcast(Tables.nation(spark, dir)),
-            col("c_nationkey") === col("n_nationkey"))
-          .join(broadcast(Tables.region(spark, dir)),
-            col("n_regionkey") === col("r_regionkey"))
-          .select(col("c_custkey"), col("c_nationkey"), col("r_name")))
+      val dim = conformedDim(spark, dir)
       spark.table(liTable)
         .join(spark.table(oTable).hint("shuffle_hash"),
           col("l_orderkey") === col("o_orderkey"))
@@ -392,21 +440,9 @@ object StarSchema {
       spark.range(1).select(lit(fp).as("fp"))
         .coalesce(1).write.mode("overwrite").parquet(fpPath)
     } else {
-      // warm store written by an earlier session: re-register over the
-      // existing files. The DDL schema comes from the FILES, never a
-      // hand-written literal — a drifted literal (e.g. DATE vs the
-      // stored INT64) reads clean at registration and fails at scan
-      // time (the r13 warm-store registration trap)
-      def register(table: String, location: String, key: String): Unit =
-        if (!spark.catalog.tableExists(table))
-          spark.sql(
-            s"""CREATE TABLE $table (${spark.read.parquet(location).schema.toDDL})
-               |USING parquet
-               |CLUSTERED BY ($key) SORTED BY ($key) INTO $numBuckets BUCKETS
-               |LOCATION '$location'""".stripMargin)
-      register(liTable, s"$path/lirev", "l_orderkey")
-      register(liMonthTable, s"$path/limonth", "l_orderkey")
-      register(oTable, s"$path/orders", "o_orderkey")
+      // warm store written by an earlier session: re-register over
+      // the existing files ([[registerFactTables]])
+      registerFactTables(spark, dir, numBuckets)
     }
     val layout = FactLayout(liTable, liMonthTable, oTable,
       s"$path/fact", s"$path/monthfact")
@@ -471,13 +507,17 @@ object StarSchema {
     val liTable = factTableName(dir, "lirev")
     val liMonthTable = factTableName(dir, "limonth")
     val oTable = factTableName(dir, "orders")
+    // a fresh session resuming over an on-disk layout has no catalog
+    // entries yet — register BEFORE probing the served tables (r15
+    // review; the r13 warm-store trap's session-resume variant)
+    registerFactTables(spark, dir, numBuckets)
     // landed-delta refusal FIRST (the ServingStore.append ordering): a
     // fingerprint that did not advance must refuse BEFORE any append
     // writes, or a no-op delta would leave orphan rows behind a
     // fresh-looking stamp
     Tables.invalidate(spark, dir, "lineitem")
     Tables.invalidate(spark, dir, "orders")
-    val newFp = factFingerprint(spark, dir)
+    val newFp = factFingerprint(spark, dir, numBuckets)
     if (newFp == storedFp) throw new ServingStore.DeltaNotLandedRefusal(
       "corpus fingerprint unchanged after the delta — land the delta " +
         "files BEFORE appending, so the stamped fingerprint proves the " +
@@ -525,13 +565,7 @@ object StarSchema {
       oTable, "o_orderkey", "orders")
     // denormalized fact deltas: the delta-local join (delta orders
     // broadcast against delta partials) + the conformed dims
-    val dim = broadcast(
-      Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
-        .join(broadcast(Tables.nation(spark, dir)),
-          col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(Tables.region(spark, dir)),
-          col("n_regionkey") === col("r_regionkey"))
-        .select(col("c_custkey"), col("c_nationkey"), col("r_name")))
+    val dim = conformedDim(spark, dir)
     liRev.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
       .join(dim, col("o_custkey") === col("c_custkey"))
       .select(col("r_name"), year(col("o_orderdate")).as("order_year"),

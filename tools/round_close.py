@@ -51,8 +51,10 @@ def main():
     contention = "skipped"
 
     if not gate_only:
-        # 1. sf1 corpus (rebuild keeps the gate honest about ingest too)
-        if not os.path.isdir(SF1):
+        # 1. sf1 corpus — ALWAYS regenerated (a crashed MakeSf or an sf1
+        # built from an older sf0.1 generation must not feed the gate);
+        # --keep-sf1 is the explicit escape for fast iteration
+        if "--keep-sf1" not in sys.argv[2:] or not os.path.isdir(SF1):
             run(["sbt", "-batch", f"runMain graft.tools.MakeSf {SF01} {SF1} 10"], env=env)
 
         # 2. correctness at sf1
@@ -72,6 +74,9 @@ def main():
 
     # 4. interleaved pairs, both scales, same session order
     oracle = "/tmp/verify_sf1/oracle_sql.json"
+    if not gate_only and not os.path.exists(oracle):
+        sys.exit(f"[round-close] {oracle} missing — run without --skip-verify "
+                 "once (graft.Verify writes it) before measuring")
     pairs = {}
     for sf_dir, label in [(SF01, "sf01"), (SF1, "sf1")]:
         duck = f"tools/baseline_duckdb_{label}_{tag}.json"
