@@ -348,17 +348,26 @@ object StarSchema {
       case Some((f, layout)) if f == fp => return layout
       case _ => ()
     }
-    val storedFp =
+    def readStoredFp(): Option[Long] =
       try Some(Similarity.readSidecarRows(spark, fpPath)(0).getLong(0))
       catch {
         case e if scala.util.control.NonFatal(e) =>
           Similarity.warnUnreadableSidecar("fact-layout", fpPath, e)
           None
       }
+    var storedFp = readStoredFp()
     // `force` rebuilds even when the fingerprint matches — the
     // streaming sink's repair path for a generation whose fp covers
-    // files whose rows were never appended (the SigSink landing race)
-    if (force || !storedFp.contains(fp)) {
+    // files whose rows were never appended (the SigSink landing race).
+    // The build runs under the store's BUILD LOCK (r15 review followup):
+    // unlike ServingStore generations, this layout overwrites LIVE
+    // paths, so two sessions ensuring the same stale store must not
+    // both build; the loser re-checks under the lock and almost always
+    // registers the winner's fresh layout instead.
+    if (force || !storedFp.contains(fp)) ServingStore.withBuildLock(path) {
+      storedFp = readStoredFp()
+      if (!force && storedFp.contains(fp)) registerFactTables(spark, dir, numBuckets)
+      else {
       // a SAME-fp force rebuild mutates live files the sidecar still
       // stamps fresh — unprove FIRST (delete the sidecar), so a crash
       // mid-rebuild reads as stale and the next ensure rebuilds, never
@@ -439,6 +448,7 @@ object StarSchema {
       // crash in between reads as stale and rebuilds
       spark.range(1).select(lit(fp).as("fp"))
         .coalesce(1).write.mode("overwrite").parquet(fpPath)
+      }
     } else {
       // warm store written by an earlier session: re-register over
       // the existing files ([[registerFactTables]])
@@ -492,6 +502,10 @@ object StarSchema {
     val fpPath = path + "_model"
     require(new java.io.File(path).exists(),
       s"no fact layout at $path to append into — run ensureFactLayout first")
+    // the WHOLE append runs under the store's build lock (the
+    // ServingStore.append discipline): the layout mutates live paths,
+    // so a concurrent ensure/append/compact must serialize with it
+    ServingStore.withBuildLock(path) {
     val storedFp =
       try Similarity.readSidecarRows(spark, fpPath)(0).getLong(0)
       catch {
@@ -580,6 +594,7 @@ object StarSchema {
     // (snapshotted BEFORE the writes, under the landed-delta refusal)
     spark.range(1).select(lit(newFp).as("fp"))
       .coalesce(1).write.mode("overwrite").parquet(fpPath)
+    }
   }
 
   /** Compact the fact layout back to ONE file per bucket/partition —
@@ -598,6 +613,10 @@ object StarSchema {
     ensureFactLayout(spark, dir, numBuckets)
     val path = factServePath(dir)
     val fpPath = path + "_model"
+    // phases 1-2 under the store's build lock (live-path mutation);
+    // the trailing re-ensure runs AFTER release — the lock directory
+    // is not reentrant, and registration alone mutates no files
+    ServingStore.withBuildLock(path) {
     val fp = Similarity.readSidecarRows(spark, fpPath)(0).getLong(0)
     val bucketed = Seq(
       (factTableName(dir, "lirev"), "lirev", "l_orderkey"),
@@ -637,6 +656,7 @@ object StarSchema {
     }
     spark.range(1).select(lit(fp).as("fp"))
       .coalesce(1).write.mode("overwrite").parquet(fpPath)
+    }
     // the memo still holds this (fp, names) pair but the catalog entries
     // are gone — drop it so the next ensure re-registers over the
     // compacted files
