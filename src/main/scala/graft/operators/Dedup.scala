@@ -213,24 +213,39 @@ object Dedup {
     val table = postingsTableName(dir)
     val fpPath = path + "_model"
     val fp = Similarity.corpusFingerprint(spark, dir, "documents.parquet")
-    val storedFp =
+    def readStoredFp(): Option[Long] =
       try Some(Similarity.readSidecarRows(spark, fpPath)(0).getLong(0))
       catch {
         case e if scala.util.control.NonFatal(e) =>
           Similarity.warnUnreadableSidecar("posting-index", fpPath, e)
           None
       }
+    val storedFp = readStoredFp()
     if (!storedFp.contains(fp)) {
-      // stale or absent: the corpus files changed, so drop the memoized
-      // plan pinned to the old file listing before re-reading
-      Tables.invalidate(spark, dir, "documents")
-      spark.sql(s"DROP TABLE IF EXISTS $table")
-      writeBucketedPostings(spark, Tables.documents(spark, dir), table, path, numBuckets)
-      // sidecar written only after the table write succeeded: a crash
-      // in between leaves a missing/stale sidecar -> rebuild, never a
-      // fresh-looking stale index
-      spark.range(1).select(lit(fp).as("fp"))
-        .coalesce(1).write.mode("overwrite").parquet(fpPath)
+      // stale or absent: rebuild under the store's BUILD LOCK (r15 —
+      // unlike ServingStore generations, this table overwrites a LIVE
+      // path, so two sessions ensuring the same stale index must not
+      // both build; the loser re-checks under the lock and registers
+      // the winner's index instead)
+      ServingStore.withBuildLock(path) {
+        if (readStoredFp().contains(fp)) ()
+        else {
+          // drop the memoized plan pinned to the old file listing
+          Tables.invalidate(spark, dir, "documents")
+          spark.sql(s"DROP TABLE IF EXISTS $table")
+          writeBucketedPostings(spark, Tables.documents(spark, dir), table, path, numBuckets)
+          // sidecar written only after the table write succeeded: a crash
+          // in between leaves a missing/stale sidecar -> rebuild, never a
+          // fresh-looking stale index
+          spark.range(1).select(lit(fp).as("fp"))
+            .coalesce(1).write.mode("overwrite").parquet(fpPath)
+        }
+      }
+      if (!spark.catalog.tableExists(table))
+        spark.sql(
+          s"""CREATE TABLE $table (doc_id BIGINT, h BIGINT) USING parquet
+             |CLUSTERED BY (h) SORTED BY (h) INTO $numBuckets BUCKETS
+             |LOCATION '$path'""".stripMargin)
     } else if (!spark.catalog.tableExists(table)) {
       spark.sql(
         s"""CREATE TABLE $table (doc_id BIGINT, h BIGINT) USING parquet
@@ -280,6 +295,7 @@ object Dedup {
     val fpPath = path + "_model"
     require(new java.io.File(path).exists(),
       s"no posting generation at $path to append into — run ensurePostings first")
+    ServingStore.withBuildLock(path) {
     // an unreadable sidecar means the generation's provenance is unknown:
     // appending into it and re-stamping would manufacture freshness
     val storedFp =
@@ -324,6 +340,7 @@ object Dedup {
         .coalesce(1).write.mode("overwrite").parquet(statsFpPath)
     }
     table
+    }
   }
 
   /** Per-doc stats sidecar of a posting generation. */
@@ -410,6 +427,8 @@ object Dedup {
     val table = ensurePostings(spark, dir, numBuckets)
     val path = postingsServePath(dir)
     val fpPath = path + "_model"
+    // live-path mutation: serialize with concurrent ensure/append (r15)
+    ServingStore.withBuildLock(path) {
     val fp = Similarity.readSidecarRows(spark, fpPath)(0).getLong(0)
     val tmpPath = path + "_compact_tmp"
     val tmpTable = table + "_compact_tmp"
@@ -440,6 +459,7 @@ object Dedup {
          |LOCATION '$path'""".stripMargin)
     spark.range(1).select(lit(fp).as("fp"))
       .coalesce(1).write.mode("overwrite").parquet(fpPath)
+    }
   }
 
   private[graft] def deleteTree(p: String): Unit = {
