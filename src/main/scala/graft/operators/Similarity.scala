@@ -194,11 +194,18 @@ object Similarity {
           warnUnreadableSidecar("ground-truth", fpPath, e)
           None
       }
-    if (!storedFp.contains(fp)) {
-      Tables.invalidate(spark, dir, "embeddings")
-      knnBrute(spark, dir, k).write.mode("overwrite").parquet(path)
-      spark.range(1).select(lit(fp).as("fp"))
-        .coalesce(1).write.mode("overwrite").parquet(fpPath)
+    if (!storedFp.contains(fp)) ServingStore.withBuildLock(path) {
+      // re-probe under the lock: a waiting loser serves the winner's
+      // ground truth instead of overwriting it (live-path store, r15)
+      val again =
+        try Some(readSidecarRows(spark, fpPath)(0).getLong(0))
+        catch { case e if scala.util.control.NonFatal(e) => None }
+      if (!again.contains(fp)) {
+        Tables.invalidate(spark, dir, "embeddings")
+        knnBrute(spark, dir, k).write.mode("overwrite").parquet(path)
+        spark.range(1).select(lit(fp).as("fp"))
+          .coalesce(1).write.mode("overwrite").parquet(fpPath)
+      }
     }
     // GT is (queries × k) rows — driver-sized by construction, so serve
     // it RESIDENT as a LocalRelation: the per-serve broadcast then costs
@@ -424,11 +431,19 @@ object Similarity {
       }
     val centroids = stored match {
       case Some((cents, _, Some(storedFp))) if storedFp == fp => cents
-      case _ =>
-        // mismatch proves the corpus files changed: drop the memoized
-        // plan so the rebuild reads the current listing
-        Tables.invalidate(spark, dir, "embeddings")
-        writeIvfIndexOf(spark, emb(spark, dir), indexPath, fingerprint = Some(fp))
+      case _ => ServingStore.withBuildLock(indexPath) {
+        // re-probe under the lock (live-path store, r15): a waiting
+        // loser serves the winner's index instead of overwriting it
+        (try Some(readIvfModelFull(spark, indexPath))
+         catch { case e if scala.util.control.NonFatal(e) => None }) match {
+          case Some((cents, _, Some(f2))) if f2 == fp => cents
+          case _ =>
+            // mismatch proves the corpus files changed: drop the
+            // memoized plan so the rebuild reads the current listing
+            Tables.invalidate(spark, dir, "embeddings")
+            writeIvfIndexOf(spark, emb(spark, dir), indexPath, fingerprint = Some(fp))
+        }
+      }
     }
     withRecall(knnIvfIndexed(spark, dir, indexPath, centroids, k), spark, dir, k)
   }
@@ -740,10 +755,13 @@ object Similarity {
     * [[refreshIvfIndexIfStale]] bounds. */
   def appendIvfIndex(spark: SparkSession, batch: DataFrame, indexPath: String): Unit = {
     GraftFunctions.ensureRegistered(spark)
-    val (centroids, _) = readIvfModel(spark, indexPath)
-    batch
-      .withColumn("cid", GraftFunctions.graftArgminL2(col("vec"), centsLit(centroids)))
-      .write.mode("append").partitionBy("cid").parquet(indexPath)
+    // live-path mutation: serialize with rebuild/refresh/compaction (r15)
+    ServingStore.withBuildLock(indexPath) {
+      val (centroids, _) = readIvfModel(spark, indexPath)
+      batch
+        .withColumn("cid", GraftFunctions.graftArgminL2(col("vec"), centsLit(centroids)))
+        .write.mode("append").partitionBy("cid").parquet(indexPath)
+    }
   }
 
   /** Staleness-triggered retrain + compaction: when appended rows exceed
@@ -763,7 +781,8 @@ object Similarity {
     val corpus = spark.read.parquet(indexPath).select(col("vec_id"), col("vec"))
     val total = corpus.count()
     if ((total - trainedCount).toDouble < staleness * trainedCount.toDouble) false
-    else {
+    else ServingStore.withBuildLock(indexPath) {
+      // live-path retrain + swap: serialize with appends/serves (r15)
       val snap = corpus.localCheckpoint() // sever from the files we rewrite
       val centroids = ivfFit(snap, nList, iters)
       val tmp = indexPath.stripSuffix("/") + "_tmp"
@@ -1021,11 +1040,15 @@ object Similarity {
       }
     val books = stored match {
       case Some((b, Some(storedFp))) if storedFp == fp => b
-      case _ =>
-        // mismatch proves the corpus files changed: drop the memoized
-        // plan so the rebuild reads the current listing
-        Tables.invalidate(spark, dir, "embeddings")
-        writePqIndexOf(spark, emb(spark, dir), indexPath, Some(fp))
+      case _ => ServingStore.withBuildLock(indexPath) {
+        (try Some(readPqBooks(spark, indexPath))
+         catch { case e if scala.util.control.NonFatal(e) => None }) match {
+          case Some((b, Some(f2))) if f2 == fp => b
+          case _ =>
+            Tables.invalidate(spark, dir, "embeddings")
+            writePqIndexOf(spark, emb(spark, dir), indexPath, Some(fp))
+        }
+      }
     }
     withRecall(knnPqOf(spark, dir, spark.read.parquet(indexPath), books, k), spark, dir, k)
   }
@@ -1222,9 +1245,15 @@ object Similarity {
       }
     val (r, books) = stored match {
       case Some((rr, b, Some(storedFp))) if storedFp == fp => (rr, b)
-      case _ =>
-        Tables.invalidate(spark, dir, "embeddings")
-        writeOpqIndexOf(spark, emb(spark, dir), indexPath, Some(fp))
+      case _ => ServingStore.withBuildLock(indexPath) {
+        (try Some(readOpqModels(spark, indexPath))
+         catch { case e if scala.util.control.NonFatal(e) => None }) match {
+          case Some((rr, b, Some(f2))) if f2 == fp => (rr, b)
+          case _ =>
+            Tables.invalidate(spark, dir, "embeddings")
+            writeOpqIndexOf(spark, emb(spark, dir), indexPath, Some(fp))
+        }
+      }
     }
     withRecall(knnOpqOf(spark, dir, spark.read.parquet(indexPath), r, books, k),
       spark, dir, k)
@@ -1421,9 +1450,15 @@ object Similarity {
       }
     val (cents, rot, books) = stored match {
       case Some((c, r, b, Some(storedFp))) if storedFp == fp => (c, r, b)
-      case _ =>
-        Tables.invalidate(spark, dir, "embeddings")
-        writeIvfPqIndexOf(spark, emb(spark, dir), indexPath, Some(fp))
+      case _ => ServingStore.withBuildLock(indexPath) {
+        (try Some(readIvfPqModels(spark, indexPath))
+         catch { case e if scala.util.control.NonFatal(e) => None }) match {
+          case Some((c, r, b, Some(f2))) if f2 == fp => (c, r, b)
+          case _ =>
+            Tables.invalidate(spark, dir, "embeddings")
+            writeIvfPqIndexOf(spark, emb(spark, dir), indexPath, Some(fp))
+        }
+      }
     }
     withRecall(knnIvfPq(spark, dir, indexPath, cents, rot, books, k), spark, dir, k)
   }
@@ -1457,6 +1492,7 @@ object Similarity {
     val indexPath = ivfPqServePath(dir)
     require(new java.io.File(indexPath).exists(),
       s"no IVF-PQ generation at $indexPath to append into — serve once first")
+    ServingStore.withBuildLock(indexPath) {
     val (cents, rot, books, storedFp0) =
       try readIvfPqModels(spark, indexPath)
       catch {
@@ -1498,6 +1534,7 @@ object Similarity {
       Seq((-3, 0, PqM.toDouble), (-3, 1, PqK.toDouble), (-3, 2, 1.0), (-3, 4, 1.0)))
       .toSeq.toDF("cid", "pos", "w")
       .coalesce(1).write.mode("append").parquet(ivfModelPath(indexPath))
+    }
   }
 
   /** Compact an IVF-PQ generation's inverted lists back to one code
@@ -1533,7 +1570,10 @@ object Similarity {
     * for the window — a crash anywhere in it leaves a sidecar-less
     * generation the serve path rebuilds, never a half-swapped index
     * read as live. */
-  private def compactPartitionedIndex(spark: SparkSession, indexPath: String): Unit = {
+  private def compactPartitionedIndex(spark: SparkSession, indexPath: String): Unit =
+    // live-path mutation: serialize with concurrent serve rebuilds and
+    // appends under the store's build lock (r15)
+    ServingStore.withBuildLock(indexPath) {
     val modelPath = ivfModelPath(indexPath)
     val tmpPath = indexPath + "_compact_tmp"
     deleteTree(tmpPath)
@@ -1547,7 +1587,7 @@ object Similarity {
     deleteTree(indexPath)
     java.nio.file.Files.move(p(tmpPath), p(indexPath))
     java.nio.file.Files.move(p(stage), p(modelPath))
-  }
+    }
 
   /** Compact a plain-IVF generation's inverted lists back to one vector
     * file per cell — [[compactIvfPq]]'s twin for the RAW-vector index
