@@ -244,7 +244,7 @@ object StarSchema {
   /** Bumped on any change to the served fact tables' shape (columns,
     * partial-aggregation semantics) — the store key must see code
     * changes the file fingerprint cannot. */
-  private[graft] val FactLayoutVersion = 3
+  private[graft] val FactLayoutVersion = 4
 
   private[graft] def factServePath(dir: String): String =
     new java.io.File(Similarity.servePath("factlayout_", dir)).getAbsolutePath
@@ -266,10 +266,10 @@ object StarSchema {
     * co-partitioned when they are not. */
   private[graft] def factFingerprint(spark: SparkSession, dir: String,
       numBuckets: Int = FactBuckets): Long =
-    ((((Similarity.corpusFingerprint(spark, dir, "lineitem.parquet") * 31 +
+    (((((Similarity.corpusFingerprint(spark, dir, "lineitem.parquet") * 31 +
       Similarity.corpusFingerprint(spark, dir, "orders.parquet")) * 31 +
       Similarity.corpusFingerprint(spark, dir, "customer.parquet")) * 31 +
-      Similarity.corpusFingerprint(spark, dir, "nation.parquet") * 31 +
+      Similarity.corpusFingerprint(spark, dir, "nation.parquet")) * 31 +
       Similarity.corpusFingerprint(spark, dir, "region.parquet")) * 31 +
       numBuckets) * 31 + FactLayoutVersion
 
@@ -374,8 +374,12 @@ object StarSchema {
       // a fresh-looking half-written layout (r15 review; the stale-fp
       // path needs no unprove — its sidecar already mismatches)
       if (force) Dedup.deleteTree(fpPath)
-      Tables.invalidate(spark, dir, "lineitem")
-      Tables.invalidate(spark, dir, "orders")
+      // the dims too (r16 ADVICE): the rebuild BAKES region/nation
+      // attribution in via conformedDim — an in-place dim rewrite (the
+      // very staleness this fingerprint exists to catch) must not read
+      // through a plan pinned to the old dim file listing
+      Seq("lineitem", "orders", "customer", "nation", "region")
+        .foreach(Tables.invalidate(spark, dir, _))
       spark.sql(s"DROP TABLE IF EXISTS $liTable")
       spark.sql(s"DROP TABLE IF EXISTS $liMonthTable")
       spark.sql(s"DROP TABLE IF EXISTS $oTable")
@@ -529,8 +533,11 @@ object StarSchema {
     // fingerprint that did not advance must refuse BEFORE any append
     // writes, or a no-op delta would leave orphan rows behind a
     // fresh-looking stamp
-    Tables.invalidate(spark, dir, "lineitem")
-    Tables.invalidate(spark, dir, "orders")
+    // dims included (r16 ADVICE): the delta's denormalized fact rows
+    // read conformedDim — which must see the CURRENT dim files, not a
+    // memoized plan over the pre-delta listing
+    Seq("lineitem", "orders", "customer", "nation", "region")
+      .foreach(Tables.invalidate(spark, dir, _))
     val newFp = factFingerprint(spark, dir, numBuckets)
     if (newFp == storedFp) throw new ServingStore.DeltaNotLandedRefusal(
       "corpus fingerprint unchanged after the delta — land the delta " +
@@ -607,7 +614,22 @@ object StarSchema {
     * to side paths FIRST; the fingerprint sidecar is deleted before any
     * live file moves and re-stamped (same fp) only after all five
     * swapped — a crash anywhere in the window reads as unproven and the
-    * next ensure rebuilds, never a half-swapped layout. */
+    * next ensure rebuilds, never a half-swapped layout.
+    *
+    * READER-vs-COMPACT exposure (documented, like the append orphan
+    * window): the phase-2 swap deletes and moves the live directories
+    * under the BUILD lock, but serve paths ([[starJoinServed]],
+    * Stats.hdiVolatility, a registered table scan) take no lock — a
+    * query already holding the old file listing can hit a vanished
+    * path mid-swap and fail with FileNotFound. The failure is loud
+    * (never wrong data: content is identical before/after, so a retry
+    * after the swap serves correctly), and compaction is an offline
+    * maintenance op by contract — run it in the ingest window, not
+    * concurrent with serving. ServingStore generations avoid even the
+    * loud failure by keeping the previous generation alive one cycle;
+    * the fact layout trades that for in-place bucketed-table paths
+    * (catalog LOCATIONs would otherwise need per-generation
+    * re-registration in every live session). */
   def compactFactLayout(spark: SparkSession, dir: String,
       numBuckets: Int = FactBuckets): Unit = {
     ensureFactLayout(spark, dir, numBuckets)
