@@ -146,7 +146,11 @@ object Catalog {
     TableLoaders.foreach { case (name, load) =>
       load(spark, dir).createOrReplaceTempView(name)
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // the RAW constructors, not the serving-wrapped ones: a temp view
+    // must bind to THIS session's catalog, and SQL-surface users get
+    // the default execution profile (the lane is a serving-layer
+    // choice, not part of the view contract)
+    SparkEntry.rawQueries.foreach { case (name, fn) =>
       if (materializeModels || !ModelBearing(name))
         fn(spark, dir).createOrReplaceTempView(s"graft_$name")
     }

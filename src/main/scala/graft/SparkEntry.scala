@@ -12,15 +12,62 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     PricingSummary(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Two serving-layer profiles wrap the raw constructors:
+    *   - every query goes through the prepared-plan cache
+    *     ([[PlanCache]]): construction (plan assembly + store sidecar
+    *     checks) is memoized per (session, corpus stamp); execution is
+    *     never cached.
+    *   - queries in [[interactiveLane]] build against the interactive
+    *     execution profile ([[Lane]]): byte-guarded AQE-off child
+    *     session with corpus-scaled shuffle parallelism.
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = prepared
+
+  private lazy val prepared: Map[String, (SparkSession, String) => DataFrame] =
+    rawQueries.map { case (n, f) =>
+      n -> PlanCache.cached(n,
+        if (expansionClass(n)) Lane.wrapExpanding(f) else Lane.wrap(f))
+    }
+
+  /** Operators whose shuffled intermediates EXPAND well past their
+    * input (shingle/signature joins, word/ngram explosions, ANN
+    * probes, media decode): they ride the interactive lane under the
+    * tighter [[Lane.ExpandingMaxBytes]] guard, because their reduce
+    * parallelism must track the expanded intermediates, which input
+    * file stats cannot see. Everything else is input-proportional and
+    * uses the standard guard (probed per query: tools/LaneProbe —
+    * the lane won on 89 of 92 rows at sf0.1). */
+  private val expansionClass: Set[String] = Set(
+    "q_dedup_ngram", "q_dedup_minhash", "q_dedup_simhash",
+    "q_dedup_simhash_idf", "q_winnow_fingerprint", "q_text_bpe",
+    "q_vocab_top", "q_rarity_score", "q_rarity_thresholds", "q_lm_score",
+    "q_tfidf_terms", "q_collocations", "q_contamination",
+    "q_contamination_delta", "q_repetition_stats", "q_dup_spans",
+    "q_dedup_excise", "q_pack_sequences", "q_pack_bucketed",
+    "q_quality_classifier", "q_knn_brute", "q_knn_lsh", "q_knn_ivf",
+    "q_knn_pq", "q_knn_opq", "q_knn_ivfpq", "q_dedup_embedding",
+    "q_dedup_embedding_resolve", "q_dedup_embedding_cells",
+    "q_corpus_clean", "q_corpus_clean_adaptive", "q_corpus_stats",
+    "q_quality_thresholds", "q_image_phash", "q_audio_phash",
+    "q_video_mosaic", "q_image_dedup", "q_video_dedup",
+    "q_media_crossmodal")
+
+  /** The unwrapped constructors — [[Catalog.register]] builds its temp
+    * views from these so the view lands in the CALLER's session catalog
+    * (a lane-wrapped constructor returns a child-session frame, whose
+    * temp view the caller's session cannot see). */
+  private[graft] val rawQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pricing_summary" -> ((s, dir) => PricingSummary(s, dir)),
     "q_dim_build" -> ((s, dir) => StarSchema.dimBuild(s, dir)),
     "q_dedup_merge" -> ((s, dir) => StarSchema.dedupMerge(s, dir)),
     "q_date_dim" -> ((s, dir) => StarSchema.dateDim(s, dir)),
     "q_star_join" -> ((s, dir) => StarSchema.starJoinServed(s, dir)),
-    "q_price_usd" -> ((s, dir) => StarSchema.priceUsd(s, dir)),
-    "q_ml_extract" -> ((s, dir) => StarSchema.mlExtract(s, dir)),
+    // served from the fact layout's nation partials / transaction fact
+    // (r16) — the inline forms are kept as the bit-equal scratch pair
+    "q_price_usd" -> ((s, dir) => StarSchema.priceUsdServed(s, dir)),
+    "q_ml_extract" -> ((s, dir) => StarSchema.mlExtractServed(s, dir)),
     "q_unit_normalize" -> ((s, dir) => Units.unitNormalize(s, dir)),
     "q_price_per_unit" -> ((s, dir) => Units.pricePerUnit(s, dir)),
     "q_impute_mean" -> ((s, dir) => Impute.meanImpute(s, dir)),
@@ -83,7 +130,7 @@ object SparkEntry {
     "q_knn_ivf" -> ((s, dir) => Similarity.knnIvfServe(s, dir)),
     "q_dedup_embedding" -> ((s, dir) => Similarity.embeddingDedup(s, dir)),
     "q_distinct_slices" -> ((s, dir) => Catalog.distinctSlices(s, dir)),
-    "q_column_profile" -> ((s, dir) => Catalog.columnProfile(StarSchema.mlExtract(s, dir))),
+    "q_column_profile" -> ((s, dir) => Catalog.columnProfile(StarSchema.mlExtractServed(s, dir))),
     "q_contamination" -> ((s, dir) => Curation.contamination(s, dir)),
     "q_contamination_delta" -> ((s, dir) => Curation.contaminationServe(s, dir)),
     "q_repetition_stats" -> ((s, dir) => Curation.repetitionStats(s, dir)),

@@ -59,6 +59,11 @@ private[graft] object ServingStore {
   /** Delta unique keys already present in the generation: double append. */
   private[graft] final class KeysAlreadyPresentRefusal(msg: String) extends AppendRefused(msg)
 
+  /** A corpus-global model (IDF weights) has drifted past its
+    * staleness bound: serving it for one more delta would exceed the
+    * operator's quantified accuracy contract — rebuild instead. */
+  private[graft] final class ModelDriftRefusal(msg: String) extends AppendRefused(msg)
+
   /** What the sidecar proves about the store. */
   private[graft] sealed trait SidecarState
   /** Generation layout: fp + the generation directory it names. */
@@ -126,6 +131,21 @@ private[graft] object ServingStore {
   /** Age after which another builder's lock is presumed crashed and
     * taken over. Volatile so the adversarial specs can shrink it. */
   @volatile private[graft] var LockStaleMs: Long = 30L * 60 * 1000
+
+  /** Crash-point injection seam for the two-process crash harness
+    * ([[graft.tools.StoreContention]]): when the GRAFT_CRASH_POINT env
+    * var names this tag, halt the JVM on the spot — `Runtime.halt`
+    * runs no shutdown hooks and no finally blocks, the closest
+    * in-process stand-in for `kill -9` at an exact line. The points
+    * sit inside the unprove-before-mutate windows (sidecar deleted,
+    * live files half-swapped), the precise states the stores promise
+    * to recover from. Unset in production: one map lookup, no hot
+    * path. */
+  private[graft] def crashPoint(tag: String): Unit =
+    if (sys.env.get("GRAFT_CRASH_POINT").contains(tag)) {
+      Console.err.println(s"[crash-point] halting at $tag")
+      Runtime.getRuntime.halt(137)
+    }
 
   private[graft] def lockPath(path: String): java.nio.file.Path =
     java.nio.file.Paths.get(path + "_lock")
@@ -375,7 +395,11 @@ private[graft] object ServingStore {
     * input rows (media hashes, minhash/simhash/embedding-LSH
     * signatures): a store derived corpus-globally (IDF weights and the
     * signatures joined against them, hot-cell assignment masks) cannot
-    * absorb a delta row-locally — its append IS the rebuild.
+    * absorb a delta row-locally — its append IS the rebuild. (r16: the
+    * IDF store now has a BOUNDED-staleness escape,
+    * [[Dedup.appendSimhashIdf]] — delta signatures against the served
+    * stale weights while corpus growth stays inside a quantified drift
+    * bound, typed refusal beyond it.)
     *
     * DISCLOSED PRECONDITION (shared by every append API here,
     * [[Dedup.appendPostings]] included): the caller is the only agent

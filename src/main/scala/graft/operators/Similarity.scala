@@ -1585,6 +1585,9 @@ object Similarity {
     val p = java.nio.file.Paths.get(_: String)
     java.nio.file.Files.move(p(modelPath), p(stage))
     deleteTree(indexPath)
+    // harness-only kill -9 with the model staged away and the index
+    // deleted — the model-less generation the read probe must reject
+    ServingStore.crashPoint("ann.compact.midswap")
     java.nio.file.Files.move(p(tmpPath), p(indexPath))
     java.nio.file.Files.move(p(stage), p(modelPath))
     }

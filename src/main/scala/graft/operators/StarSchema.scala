@@ -244,7 +244,7 @@ object StarSchema {
   /** Bumped on any change to the served fact tables' shape (columns,
     * partial-aggregation semantics) — the store key must see code
     * changes the file fingerprint cannot. */
-  private[graft] val FactLayoutVersion = 4
+  private[graft] val FactLayoutVersion = 5
 
   private[graft] def factServePath(dir: String): String =
     new java.io.File(Similarity.servePath("factlayout_", dir)).getAbsolutePath
@@ -266,11 +266,12 @@ object StarSchema {
     * co-partitioned when they are not. */
   private[graft] def factFingerprint(spark: SparkSession, dir: String,
       numBuckets: Int = FactBuckets): Long =
-    (((((Similarity.corpusFingerprint(spark, dir, "lineitem.parquet") * 31 +
+    ((((((Similarity.corpusFingerprint(spark, dir, "lineitem.parquet") * 31 +
       Similarity.corpusFingerprint(spark, dir, "orders.parquet")) * 31 +
       Similarity.corpusFingerprint(spark, dir, "customer.parquet")) * 31 +
       Similarity.corpusFingerprint(spark, dir, "nation.parquet")) * 31 +
       Similarity.corpusFingerprint(spark, dir, "region.parquet")) * 31 +
+      Similarity.corpusFingerprint(spark, dir, "part.parquet")) * 31 +
       numBuckets) * 31 + FactLayoutVersion
 
   /** The conformed locality dim bundle (customer -> nation -> region
@@ -285,7 +286,23 @@ object StarSchema {
           col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(spark, dir)),
           col("n_regionkey") === col("r_regionkey"))
-        .select(col("c_custkey"), col("c_nationkey"), col("r_name")))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"), col("r_name")))
+
+  /** The transaction-grain fact's column expressions over
+    * (li-slim ⨝ orders-slim ⨝ conformed dim ⨝ part-brand) — ONE
+    * definition shared by the layout build and the delta append (the
+    * append-equals-rebuild bit-equality invariant). `xprice` is the
+    * raw parquet decimal, so the served `price` column is type- and
+    * bit-identical to a direct lineitem read. */
+  private def txFactCols: Seq[Column] = Seq(
+    col("l_orderkey"), col("l_linenumber"),
+    make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1))
+      .as("constructed_date"),
+    col("p_brand").as("product_name"),
+    col("n_name").as("country"),
+    col("xprice").as("price"),
+    (col("xprice") / (lit(1.0) + col("c_nationkey").cast(DoubleType) * lit(0.05)))
+      .as("price_usd"))
 
   /** Register the layout's catalog tables over existing files — the
     * DDL schema comes from the FILES, never a hand-written literal (a
@@ -378,17 +395,21 @@ object StarSchema {
       // attribution in via conformedDim — an in-place dim rewrite (the
       // very staleness this fingerprint exists to catch) must not read
       // through a plan pinned to the old dim file listing
-      Seq("lineitem", "orders", "customer", "nation", "region")
+      Seq("lineitem", "orders", "customer", "nation", "region", "part")
         .foreach(Tables.invalidate(spark, dir, _))
       spark.sql(s"DROP TABLE IF EXISTS $liTable")
       spark.sql(s"DROP TABLE IF EXISTS $liMonthTable")
       spark.sql(s"DROP TABLE IF EXISTS $oTable")
       val one = lit(1).cast(DecimalType(18, 2))
-      // one lineitem scan feeds both partial tables
+      // one lineitem scan feeds both partial tables AND the
+      // transaction-grain denormalized fact (r16): xprice keeps the
+      // RAW parquet decimal so txfact serves ml_extract's price column
+      // bit- and type-identically
       val li = Tables.lineitem(spark, dir)
-        .select(col("l_orderkey"),
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           dec4(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))).as("rev"),
           dec2(col("l_extendedprice")).as("price"),
+          col("l_extendedprice").as("xprice"),
           col("l_shipdate"))
         .localCheckpoint(eager = false)
       // per-orderkey revenue partials: orders-cardinality, the star
@@ -420,7 +441,8 @@ object StarSchema {
         liMonthTable, "l_orderkey", numBuckets, s"$path/limonth")
       writeBucketed(
         Tables.orders(spark, dir)
-          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+            col("o_totalprice"))
           .repartition(numBuckets, col("o_orderkey")),
         oTable, "o_orderkey", numBuckets, s"$path/orders")
       // DENORMALIZED facts — the reference's own architecture (dbt
@@ -448,9 +470,42 @@ object StarSchema {
           col("ship_yy"), col("ship_mm"), col("price"))
         .repartition(numBuckets)
         .write.mode("overwrite").parquet(s"$path/monthfact")
+      // TRANSACTION-grain denormalized fact (r16, the literal dbt
+      // fact_transaction shape): raw lineitem rows with the order
+      // month, brand, nation and usd conversion attached — ml_extract
+      // (and anything at its grain) serves as a pure scan. One
+      // exchange on the raw lineitem side (its rows arrive
+      // unpartitioned); the orders side is the bucketed table, the
+      // dims broadcast. The part attach is the one dim that scales
+      // with SF — at warehouse scale it becomes a bucket-local
+      // partkey join, paid once here instead of per query.
+      val partDim = broadcast(
+        Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")))
+      li.repartition(numBuckets, col("l_orderkey"))
+        .join(spark.table(oTable).hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(dim, col("o_custkey") === col("c_custkey"))
+        .join(partDim, col("l_partkey") === col("p_partkey"))
+        .select(txFactCols: _*)
+        .write.mode("overwrite").parquet(s"$path/txfact")
+      // NATION-grain order partials (r16): per-nation decimal sums of
+      // o_totalprice + order counts — price_usd (order grain, no
+      // lineitem dependency) serves as a 25-row-scale scan+rollup.
+      // Partials are decimal-associative, so append batches just lay
+      // more partial rows next to these.
+      spark.table(oTable)
+        .join(dim, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"), col("n_name"))
+        .agg(sumd2(col("o_totalprice")).cast(DecimalType(18, 2)).as("total_local"),
+          cnt.as("n_orders"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/nationfact")
       // sidecar written only after all table writes succeeded — a
-      // crash in between reads as stale and rebuilds
-      spark.range(1).select(lit(fp).as("fp"))
+      // crash in between reads as stale and rebuilds. The corpus dir
+      // rides along (the serve-path name hashes it irreversibly): the
+      // janitor ([[pruneFactLayouts]]) reads it back to judge whether
+      // the corpus still exists
+      spark.range(1).select(lit(fp).as("fp"), lit(dir).as("dir"))
         .coalesce(1).write.mode("overwrite").parquet(fpPath)
       }
     } else {
@@ -459,7 +514,7 @@ object StarSchema {
       registerFactTables(spark, dir, numBuckets)
     }
     val layout = FactLayout(liTable, liMonthTable, oTable,
-      s"$path/fact", s"$path/monthfact")
+      s"$path/fact", s"$path/monthfact", s"$path/txfact", s"$path/nationfact")
     if (factMemo.size > 256) factMemo.clear()
     factMemo.put(memoKey, (fp, layout))
     layout
@@ -469,7 +524,8 @@ object StarSchema {
     * paths ([[ensureFactLayout]]). */
   private[graft] final case class FactLayout(
       liRevTable: String, liMonthTable: String, ordersTable: String,
-      factPath: String, monthFactPath: String)
+      factPath: String, monthFactPath: String,
+      txFactPath: String, nationFactPath: String)
 
   /** Incrementally maintain the fact layout after an ingest: fold ONLY
     * the newly landed orders' partials and denormalized fact rows into
@@ -536,7 +592,7 @@ object StarSchema {
     // dims included (r16 ADVICE): the delta's denormalized fact rows
     // read conformedDim — which must see the CURRENT dim files, not a
     // memoized plan over the pre-delta listing
-    Seq("lineitem", "orders", "customer", "nation", "region")
+    Seq("lineitem", "orders", "customer", "nation", "region", "part")
       .foreach(Tables.invalidate(spark, dir, _))
     val newFp = factFingerprint(spark, dir, numBuckets)
     if (newFp == storedFp) throw new ServingStore.DeltaNotLandedRefusal(
@@ -546,12 +602,14 @@ object StarSchema {
     val one = lit(1).cast(DecimalType(18, 2))
     // one evaluation of each delta feeds the probes AND the writes
     val o = newOrders
-      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
       .localCheckpoint(eager = false)
     val li = newLineitem
-      .select(col("l_orderkey"),
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         dec4(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))).as("rev"),
         dec2(col("l_extendedprice")).as("price"),
+        col("l_extendedprice").as("xprice"),
         col("l_shipdate"))
       .localCheckpoint(eager = false)
     // order-completeness probes (delta-sized broadcasts — the
@@ -597,9 +655,25 @@ object StarSchema {
       .select(col("c_nationkey").as("nationkey"),
         col("ship_yy"), col("ship_mm"), col("price"))
       .write.mode("append").parquet(s"$path/monthfact")
+    // delta transaction-grain fact rows (same expressions as the build)
+    val partDim = broadcast(
+      Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")))
+    li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+      .join(dim, col("o_custkey") === col("c_custkey"))
+      .join(partDim, col("l_partkey") === col("p_partkey"))
+      .select(txFactCols: _*)
+      .write.mode("append").parquet(s"$path/txfact")
+    // delta nation partials: decimal-associative, one more partial row
+    // per nation lands next to the existing ones
+    o.join(dim, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("n_name"))
+      .agg(sumd2(col("o_totalprice")).cast(DecimalType(18, 2)).as("total_local"),
+        cnt.as("n_orders"))
+      .coalesce(1)
+      .write.mode("append").parquet(s"$path/nationfact")
     // every append committed: stamp the post-append fingerprint
     // (snapshotted BEFORE the writes, under the landed-delta refusal)
-    spark.range(1).select(lit(newFp).as("fp"))
+    spark.range(1).select(lit(newFp).as("fp"), lit(dir).as("dir"))
       .coalesce(1).write.mode("overwrite").parquet(fpPath)
     }
   }
@@ -644,7 +718,7 @@ object StarSchema {
       (factTableName(dir, "lirev"), "lirev", "l_orderkey"),
       (factTableName(dir, "limonth"), "limonth", "l_orderkey"),
       (factTableName(dir, "orders"), "orders", "o_orderkey"))
-    val plain = Seq("fact", "monthfact")
+    val plain = Seq("fact", "monthfact", "txfact", "nationfact")
     // phase 1: full compacted copies on side paths. Read the RAW files,
     // not the catalog table — the bucketed relation's advertised
     // partitioning would elide the one-task-per-bucket repartition
@@ -662,21 +736,35 @@ object StarSchema {
     }
     plain.foreach { sub =>
       Dedup.deleteTree(s"$path/${sub}_compact_tmp")
-      spark.read.parquet(s"$path/$sub").repartition(numBuckets)
-        .write.mode("overwrite").parquet(s"$path/${sub}_compact_tmp")
+      // nationfact is a PARTIALS store: compaction is the LSM merge —
+      // fold the per-append partial rows back to one row per nation
+      // (decimal sums are associative, so queries are equal by
+      // construction); the row-grain stores just re-pack files
+      val df = spark.read.parquet(s"$path/$sub")
+      val compacted =
+        if (sub == "nationfact")
+          df.groupBy(col("c_nationkey"), col("n_name"))
+            .agg(sum(col("total_local")).cast(DecimalType(18, 2)).as("total_local"),
+              sum(col("n_orders")).as("n_orders"))
+            .coalesce(1)
+        else df.repartition(numBuckets)
+      compacted.write.mode("overwrite").parquet(s"$path/${sub}_compact_tmp")
     }
     // phase 2: unprove, swap everything, re-register, restamp
     Dedup.deleteTree(fpPath)
     bucketed.foreach { case (table, _, _) =>
       spark.sql(s"DROP TABLE IF EXISTS $table")
     }
-    (bucketed.map(_._2) ++ plain).foreach { sub =>
+    (bucketed.map(_._2) ++ plain).zipWithIndex.foreach { case (sub, i) =>
       Dedup.deleteTree(s"$path/$sub")
       java.nio.file.Files.move(
         java.nio.file.Paths.get(s"$path/${sub}_compact_tmp"),
         java.nio.file.Paths.get(s"$path/$sub"))
+      // harness-only kill -9 with ONE live dir swapped and the rest
+      // pending — the unproven (sidecar-less) state ensure must rebuild
+      if (i == 0) ServingStore.crashPoint("fact.compact.midswap")
     }
-    spark.range(1).select(lit(fp).as("fp"))
+    spark.range(1).select(lit(fp).as("fp"), lit(dir).as("dir"))
       .coalesce(1).write.mode("overwrite").parquet(fpPath)
     }
     // the memo still holds this (fp, names) pair but the catalog entries
@@ -684,6 +772,65 @@ object StarSchema {
     // compacted files
     factMemo.clear()
     ensureFactLayout(spark, dir, numBuckets)
+  }
+
+  /** Fact-layout JANITOR (r15 watch item 2): a layout's live paths are
+    * keyed by a hash of its corpus dir, so a deleted corpus leaves an
+    * orphaned layout that nothing would ever rebuild OR reclaim — at
+    * warehouse scale that is unbounded dead storage. This pass walks
+    * the serve root, reads each layout's sidecar-stamped corpus dir,
+    * and prunes layouts whose corpus no longer exists, with the
+    * unprove-before-mutate discipline: the corpus liveness is
+    * re-probed UNDER the layout's build lock (two-session safety: a
+    * concurrent ensure either wins the lock first and serves before
+    * the prune, or blocks and then sees the unproven state), the
+    * sidecar is deleted FIRST (a crash mid-prune reads as stale, and
+    * a stale layout for a dead corpus fails loudly at rebuild — never
+    * serves half-deleted data), then the files. Sidecar-less dirs are
+    * SKIPPED, not deleted: an unreadable sidecar is also what a
+    * mid-build store looks like from outside, and the janitor must
+    * never race a builder's window (those dirs resolve next pass,
+    * once the build stamps or the corpus check can judge them).
+    * Returns one (layout, action) line per dir — a janitor that
+    * deletes silently is how warehouses lose data. */
+  def pruneFactLayouts(spark: SparkSession,
+      warehouse: String = "spark-warehouse"): Seq[(String, String)] = {
+    val root = new java.io.File(warehouse)
+    val layouts = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("factlayout_") &&
+        !f.getName.endsWith("_model") && !f.getName.contains("_lock"))
+      .sortBy(_.getName)
+    layouts.toSeq.map { f =>
+      val fpPath = f.getPath + "_model"
+      val row =
+        try Some(Similarity.readSidecarRows(spark, fpPath)(0))
+        catch { case e if scala.util.control.NonFatal(e) => None }
+      row match {
+        case None =>
+          (f.getName, "skipped: sidecar unreadable (mid-build or unproven)")
+        case Some(r) if !r.schema.fieldNames.contains("dir") =>
+          (f.getName, "skipped: legacy sidecar without a corpus stamp")
+        case Some(r) =>
+          val dir = r.getAs[String]("dir")
+          if (new java.io.File(dir).exists()) (f.getName, s"kept: corpus live at $dir")
+          else ServingStore.withBuildLock(f.getPath) {
+            // re-probe under the lock: the corpus may have been
+            // re-created (or a rival ensure may have re-stamped)
+            // between the free listing and lock acquisition
+            if (new java.io.File(dir).exists())
+              (f.getName, "kept: corpus reappeared before the lock")
+            else {
+              Dedup.deleteTree(fpPath) // unprove FIRST
+              Seq("lirev", "limonth", "orders").foreach { w =>
+                spark.sql(s"DROP TABLE IF EXISTS ${factTableName(dir, w)}")
+              }
+              Dedup.deleteTree(f.getPath)
+              factMemo.clear()
+              (f.getName, s"pruned: corpus gone from $dir")
+            }
+          }
+      }
+    }
   }
 
   /** q_star_join's SERVE path: a pure scan+rollup over
@@ -701,6 +848,34 @@ object StarSchema {
       .agg(
         sum(col("rev")).cast(DoubleType).as("revenue"),
         sum(col("n")).as("n_items"))
+  }
+
+  /** q_ml_extract's SERVE path (r16): a pure scan of the layout's
+    * transaction-grain denormalized fact — the reference's dbt
+    * fact_transaction IS this table; every join (orders, customer,
+    * nation, part) was paid once at layout time. Bit- and type-equal
+    * to the inline [[mlExtract]] (same expressions, [[txFactCols]]). */
+  def mlExtractServed(spark: SparkSession, dir: String): DataFrame = {
+    val layout = ensureFactLayout(spark, dir)
+    spark.read.parquet(layout.txFactPath)
+      .select(col("l_orderkey"), col("l_linenumber"), col("constructed_date"),
+        col("product_name"), col("country"), col("price"), col("price_usd"))
+  }
+
+  /** q_price_usd's SERVE path (r16): scan+rollup over the layout's
+    * per-nation order partials — 25-row-scale input, zero joins; the
+    * partial decimal sums regroup associatively to the flat totals, so
+    * results are bit-equal to the inline [[priceUsd]]. */
+  def priceUsdServed(spark: SparkSession, dir: String): DataFrame = {
+    val layout = ensureFactLayout(spark, dir)
+    spark.read.parquet(layout.nationFactPath)
+      .groupBy(col("n_name").as("nation_name"),
+        (lit(1.0) + col("c_nationkey").cast(DoubleType) * lit(0.05)).as("fx_rate"))
+      .agg(sum(col("total_local")).cast(DoubleType).as("total_local"),
+        sum(col("n_orders")).as("n_orders"))
+      .withColumn("total_usd", col("total_local") / col("fx_rate"))
+      .select(col("nation_name"), col("fx_rate"), col("total_local"),
+        col("total_usd"), col("n_orders"))
   }
 
   /** q_price_usd — fx conversion via a derived rate dim

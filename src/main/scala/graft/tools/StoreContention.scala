@@ -28,6 +28,21 @@ import org.apache.spark.sql.functions._
   *  - NO LOCK/TOMBSTONE LITTER: after both workers exit, no `_lock`
   *    and no `*_lock_tomb_*` path survives next to the store.
   *
+  * r16 additions (r15 verdict #2 — the locking sweep landed after the
+  * r15 contention run, so the LIVE-PATH stores had never seen a real
+  * two-JVM race):
+  *
+  *  - LIVE-PATH PHASES (4-5): two processes race the fact-layout
+  *    build, run lockstep order-complete appends, race a compaction
+  *    against a live reader (loud-failure-then-retry contract), and
+  *    race the posting-index and ANN-index ensures — cross-checked
+  *    against a cold single-process rebuild over the full corpus.
+  *  - KILL -9 CRASH INJECTION: separate JVMs are halted (137) INSIDE
+  *    the unprove-before-mutate swap windows of all three compaction
+  *    paths (GRAFT_CRASH_POINT seam), then a fresh recovery JVM must
+  *    take over the dead holders' stale locks, detect the unproven
+  *    state, rebuild, and serve results identical to pre-crash.
+  *
   * Run: `sbt 'runMain graft.tools.StoreContention'` (driver mode —
   * spawns the two workers itself; requires a prior `sbt compile`).
   * Not part of the driver contract.
@@ -39,6 +54,21 @@ object StoreContention {
 
   def main(args: Array[String]): Unit = args.toList match {
     case "worker" :: name :: base :: Nil => worker(name, base)
+    case "crashfact" :: base :: Nil =>
+      graft.operators.StarSchema.compactFactLayout(
+        GraftSession.local("graft-crashfact"), base + "/corpus")
+      sys.error("fact.compact.midswap crash point did not fire")
+    case "crashpostings" :: base :: Nil =>
+      graft.operators.Dedup.compactPostings(
+        GraftSession.local("graft-crashpostings"), base + "/corpus")
+      sys.error("postings.compact.midswap crash point did not fire")
+    case "crashann" :: base :: Nil =>
+      val s = GraftSession.local("graft-crashann")
+      graft.operators.Similarity.knnIvfServe(s, base + "/corpus").count()
+      graft.operators.Similarity.compactIvf(s,
+        graft.operators.Similarity.ivfServePath(base + "/corpus"))
+      sys.error("ann.compact.midswap crash point did not fire")
+    case "recover" :: base :: Nil => recover(base)
     case _ => driver()
   }
 
@@ -51,16 +81,51 @@ object StoreContention {
     require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(classes)),
       s"run from the repo root after `sbt compile` (missing $classes)")
     val cp = classes + ":/opt/spark/jars/*"
-    def spawn(name: String): Process = {
+    def spawn(mode: String, extra: Seq[String],
+        env: Map[String, String] = Map.empty): Process = {
       val pb = new ProcessBuilder(
-        "java", "-Xmx4g",
-        "--add-exports=java.base/sun.nio.ch=ALL-UNNAMED",
-        "-cp", cp, "graft.tools.StoreContention", "worker", name, base)
+        (Seq("java", "-Xmx4g",
+          "--add-exports=java.base/sun.nio.ch=ALL-UNNAMED",
+          "-cp", cp, "graft.tools.StoreContention", mode) ++ extra): _*)
+      env.foreach { case (k, v) => pb.environment().put(k, v); () }
       pb.redirectErrorStream(true)
-      pb.redirectOutput(java.io.File.createTempFile(s"contend_$name", ".log"))
+      pb.redirectOutput(java.io.File.createTempFile(s"contend_$mode", ".log"))
       pb.start()
     }
-    val a = spawn("a"); val b = spawn("b")
+    // corpus prep for the LIVE-PATH phases (r15 verdict #2): a real
+    // TPC-H-shaped corpus the workers will race fact-layout builds,
+    // order-complete appends, postings/ANN ensures and a compaction
+    // over — plus the two delta slices and a full-corpus twin for the
+    // cold-rebuild cross-check
+    val prep = GraftSession.local("graft-contend-prep")
+    val corpus = base + "/corpus"
+    val cold = base + "/coldcorpus"
+    val sfSrc = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.col
+    Seq("customer", "nation", "region", "part", "supplier",
+      "documents", "embeddings").foreach { t =>
+      val df = prep.read.parquet(s"$sfSrc/$t.parquet")
+      df.write.mode("overwrite").parquet(s"$corpus/$t.parquet")
+      df.write.mode("overwrite").parquet(s"$cold/$t.parquet")
+    }
+    val orders = prep.read.parquet(s"$sfSrc/orders.parquet").localCheckpoint()
+    val lineitem = prep.read.parquet(s"$sfSrc/lineitem.parquet").localCheckpoint()
+    val cuts = orders.stat.approxQuantile("o_orderkey", Array(0.6, 0.8), 0.0)
+    orders.filter(col("o_orderkey") <= cuts(0))
+      .write.mode("overwrite").parquet(s"$corpus/orders.parquet")
+    lineitem.filter(col("l_orderkey") <= cuts(0))
+      .write.mode("overwrite").parquet(s"$corpus/lineitem.parquet")
+    Seq(("d1", cuts(0), cuts(1)), ("d2", cuts(1), Double.MaxValue)).foreach {
+      case (tag, lo, hi) =>
+        orders.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi)
+          .write.mode("overwrite").parquet(s"$base/${tag}_orders.parquet")
+        lineitem.filter(col("l_orderkey") > lo && col("l_orderkey") <= hi)
+          .write.mode("overwrite").parquet(s"$base/${tag}_lineitem.parquet")
+    }
+    orders.write.mode("overwrite").parquet(s"$cold/orders.parquet")
+    lineitem.write.mode("overwrite").parquet(s"$cold/lineitem.parquet")
+    prep.stop()
+    val a = spawn("worker", Seq("a", base)); val b = spawn("worker", Seq("b", base))
     val okA = a.waitFor(15, java.util.concurrent.TimeUnit.MINUTES) && a.exitValue() == 0
     val okB = b.waitFor(15, java.util.concurrent.TimeUnit.MINUTES) && b.exitValue() == 0
     a.destroyForcibly(); b.destroyForcibly()
@@ -89,7 +154,67 @@ object StoreContention {
       s"stamped generation inconsistent: ${rows.length} rows for fp $fp")
     println(s"[contend] PASS: 2-process ensure/append/reader contention clean " +
       s"(final fp $fp, ${rows.length} rows, ${gens.size} generations)")
+
+    // ---- live-path phases' cross-process audit (r15 verdict #2) ----
+    def readFlag(n: String): String = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(base, n)), "UTF-8")
+    Seq("phase4_sig", "phase4b_sig", "phase4c_sig", "phase5_ngram", "phase5_ivf")
+      .foreach { tag =>
+        require(readFlag(s"${tag}_a") == readFlag(s"${tag}_b"),
+          s"$tag diverged between the two processes: " +
+            s"${readFlag(s"${tag}_a")} vs ${readFlag(s"${tag}_b")}")
+      }
+    require(readFlag("phase4b_sig_a") == readFlag("phase4c_sig_a"),
+      "compaction changed the fact layout's results")
+    // cold-rebuild cross-check: one fresh build over the FULL corpus
+    // must match the two-process append chain bit-for-bit
+    val corpusDir = base + "/corpus"
+    val coldSig = {
+      val (n, h) = Golden.checksum(
+        graft.operators.StarSchema.starJoinServed(spark, cold))
+      s"$n|$h"
+    }
+    require(coldSig == readFlag("phase4b_sig_a"),
+      s"two-process append chain diverged from a cold rebuild: " +
+        s"$coldSig vs ${readFlag("phase4b_sig_a")}")
+    // no lock litter on any live-path store
+    val livePaths = Seq(
+      graft.operators.StarSchema.factServePath(corpusDir),
+      graft.operators.Dedup.postingsServePath(corpusDir),
+      graft.operators.Similarity.ivfServePath(corpusDir))
+    livePaths.foreach { p =>
+      require(!java.nio.file.Files.exists(ServingStore.lockPath(p)),
+        s"build lock litter survived at $p")
+    }
+    println("[contend] PASS: live-path fact/postings/ANN contention clean " +
+      "(append chain == cold rebuild, compaction invariant, no lock litter)")
     spark.stop()
+
+    // ---- kill -9 crash injection at the unprove-before-mutate points ----
+    // each scenario: spawn a process that halts (137) INSIDE a compact
+    // swap window, then a FRESH recovery JVM (takeover after the lock
+    // goes stale) must serve results identical to the pre-crash state.
+    Seq("crashfact", "crashpostings", "crashann").foreach { mode =>
+      val c = spawn(mode, Seq(base), env = Map("GRAFT_CRASH_POINT" -> (mode match {
+        case "crashfact" => "fact.compact.midswap"
+        case "crashpostings" => "postings.compact.midswap"
+        case _ => "ann.compact.midswap"
+      })))
+      val done = c.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)
+      val code = if (done) c.exitValue() else { c.destroyForcibly(); -1 }
+      require(code == 137, s"$mode: expected halt(137) at the crash point, got $code")
+      println(s"[contend] $mode halted mid-swap as injected")
+    }
+    val r = spawn("recover", Seq(base))
+    require(r.waitFor(20, java.util.concurrent.TimeUnit.MINUTES) && r.exitValue() == 0,
+      "recovery JVM failed — see /tmp/contend_recover*.log")
+    val recovered = readFlag("recover_sig")
+    val expected = Seq(readFlag("phase4c_sig_a"), readFlag("phase5_ngram_a"),
+      readFlag("phase5_ivf_a")).mkString(";")
+    require(recovered == expected,
+      s"post-crash recovery diverged from pre-crash state:\n  got  $recovered\n  want $expected")
+    println("[contend] PASS: kill-9 at fact/postings/ANN mid-swap windows — " +
+      "unproven state rebuilt, results identical, locks taken over")
   }
 
   // ------------------------------------------------------------ worker
@@ -198,6 +323,116 @@ object StoreContention {
     // rebuild once more so the driver audit sees a clean stamped
     // generation (both processes race it; either's build is fine)
     serveAndCheck(spark, store, 300L)
+
+    // ------------------------------------------------ live-path phases
+    // (r15 verdict #2: the fact layout, posting index and ANN index
+    // mutate LIVE paths under the build lock — the very stores the r15
+    // locking sweep covered, never before exercised across two JVMs)
+    import graft.operators.{Dedup, Similarity, StarSchema}
+    val corpus = base + "/corpus"
+    def writeFlag(n: String, v: String): Unit =
+      java.nio.file.Files.write(flags.resolve(n), v.getBytes("UTF-8"))
+    def starSig(): String = {
+      val (n, h) = Golden.checksum(StarSchema.starJoinServed(spark, corpus))
+      s"$n|$h"
+    }
+    def handshake(tag: String): Unit = {
+      touch(flags.resolve(s"${tag}_$name"))
+      await(flags.resolve(s"${tag}_${if (name == "a") "b" else "a"}"))
+    }
+    // phase 4a — both processes race the fact-layout build; the loser
+    // must wait out the winner's lock and register the winner's layout
+    writeFlag(s"phase4_sig_$name", starSig())
+    handshake("phase4")
+    // phase 4b — order-complete delta appends, lockstep (the append
+    // protocol's staleness proof needs the exact stored fp, so the
+    // chain is sequenced; the LOCK across two JVMs is what's under test)
+    def land(tag: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      val o = spark.read.parquet(s"$base/${tag}_orders.parquet").localCheckpoint()
+      val li = spark.read.parquet(s"$base/${tag}_lineitem.parquet").localCheckpoint()
+      o.write.mode("append").parquet(s"$corpus/orders.parquet")
+      li.write.mode("append").parquet(s"$corpus/lineitem.parquet")
+      (li, o)
+    }
+    if (name == "a") {
+      val preFp = StarSchema.factFingerprint(spark, corpus)
+      val (li, o) = land("d1")
+      StarSchema.appendFactLayout(spark, corpus, li, o, Some(preFp))
+      touch(flags.resolve("append4_a"))
+      await(flags.resolve("append4_b"))
+    } else {
+      await(flags.resolve("append4_a"))
+      val preFp = StarSchema.factFingerprint(spark, corpus)
+      val (li, o) = land("d2")
+      StarSchema.appendFactLayout(spark, corpus, li, o, Some(preFp))
+      touch(flags.resolve("append4_b"))
+    }
+    writeFlag(s"phase4b_sig_$name", starSig())
+    handshake("phase4b")
+    // phase 4c — compaction vs a live reader: `a` compacts while `b`
+    // polls the serve path. The documented contract: a reader mid-swap
+    // may fail LOUDLY (FileNotFound) but never serve wrong data — so
+    // `b` retries on failure and must converge to the identical sig.
+    if (name == "a") {
+      StarSchema.compactFactLayout(spark, corpus)
+      touch(flags.resolve("compact4_done"))
+    } else {
+      var done = false
+      while (!done) {
+        try { starSig(); () }
+        catch { case scala.util.control.NonFatal(_) => Thread.sleep(100) }
+        done = java.nio.file.Files.exists(flags.resolve("compact4_done"))
+      }
+    }
+    def sigWithRetry(): String = {
+      var out: Option[String] = None
+      var tries = 0
+      while (out.isEmpty) {
+        try out = Some(starSig())
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            tries += 1
+            require(tries < 100, s"serve never recovered after compaction: $e")
+            Thread.sleep(200)
+        }
+      }
+      out.get
+    }
+    writeFlag(s"phase4c_sig_$name", sigWithRetry())
+    handshake("phase4c")
+    // phase 5 — posting-index and ANN-index build races (cold stores,
+    // both processes ensure concurrently; serve twice for stability)
+    val n1 = Dedup.ngramJaccardServe(spark, corpus).count()
+    require(n1 == Dedup.ngramJaccardServe(spark, corpus).count(),
+      "ngram serve unstable across calls")
+    writeFlag(s"phase5_ngram_$name", n1.toString)
+    handshake("phase5n")
+    val k1 = Similarity.knnIvfServe(spark, corpus).count()
+    require(k1 == Similarity.knnIvfServe(spark, corpus).count(),
+      "ivf serve unstable across calls")
+    writeFlag(s"phase5_ivf_$name", k1.toString)
+    handshake("phase5v")
+    spark.stop()
+  }
+
+  // ----------------------------------------------------------- recover
+
+  /** Fresh-JVM recovery after the injected kill -9s: shrink the lock
+    * staleness bound so the dead holders' locks age out, then serve all
+    * three crashed stores — each must detect its unproven state,
+    * take the stale lock over, rebuild, and return the pre-crash
+    * results (written for the driver to compare). */
+  private def recover(base: String): Unit = {
+    import graft.operators.{Dedup, Similarity, StarSchema}
+    val spark = GraftSession.local("graft-contend-recover")
+    ServingStore.LockStaleMs = 3000
+    Thread.sleep(4000)
+    val corpus = base + "/corpus"
+    val (n, h) = Golden.checksum(StarSchema.starJoinServed(spark, corpus))
+    val ngram = Dedup.ngramJaccardServe(spark, corpus).count()
+    val ivf = Similarity.knnIvfServe(spark, corpus).count()
+    java.nio.file.Files.write(java.nio.file.Paths.get(base, "recover_sig"),
+      s"$n|$h;$ngram;$ivf".getBytes("UTF-8"))
     spark.stop()
   }
 }

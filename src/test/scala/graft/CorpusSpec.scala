@@ -196,6 +196,71 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       f"cells blocking recall $cellsRecall%.3f < 0.9 against ${exact.size} exact pairs")
   }
 
+  test("idf-simhash drift valve: stale weights serve bounded deltas, typed refusal past the bound") {
+    import operators.{Dedup, ServingStore, Similarity}
+    val dir = java.nio.file.Files.createTempDirectory("graftidfvalve").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet").localCheckpoint()
+    val n = docs.count()
+    // ~6% delta: inside the SimhashIdfMaxGrowth=0.10 staleness bound
+    val cut = docs.stat.approxQuantile("doc_id", Array(0.94), 0.0)(0)
+    val base = docs.filter(col("doc_id") <= cut)
+    val delta = docs.filter(col("doc_id") > cut).localCheckpoint()
+    base.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // full build over the base corpus (weights + signatures)
+    val basePairs = Dedup.simhashIdfDedup(spark, dir).count()
+    val wPath = Dedup.idfWeightsServePath(dir)
+    val wBefore = ServingStore.readSidecar(spark, "simhash-idf-weights", wPath)
+      .getOrElse(fail("no weight generation after the full build"))
+    val preFp = Similarity.corpusFingerprint(spark, dir, "documents.parquet")
+    // land the bounded delta and append THROUGH the valve
+    delta.write.mode("append").parquet(s"$dir/documents.parquet")
+    Dedup.appendSimhashIdf(spark, dir, delta, preFp)
+    // the valve's whole point: the WEIGHT generation did not move
+    assert(ServingStore.readSidecar(spark, "simhash-idf-weights", wPath)
+      .contains(wBefore),
+      "bounded append must serve the STALE weight generation, not retrain")
+    // the serve path picks the appended signatures up without a rebuild
+    // (sigs store restamped to the post-delta fingerprint) and still
+    // does not touch the weights
+    val servedPairs = Dedup.simhashIdfDedup(spark, dir).count()
+    assert(servedPairs >= basePairs, "appended corpus lost served pairs")
+    assert(ServingStore.readSidecar(spark, "simhash-idf-weights", wPath)
+      .contains(wBefore), "serve after append retrained the weights")
+    // QUANTIFIED drift: signatures under the stale weights vs a fresh
+    // full retrain over the post-delta corpus — the staleness the
+    // bound admits must leave the overwhelming share of signatures
+    // bit-identical (the SimhashIdfMaxGrowth scaladoc's figure)
+    val sigsGen = ServingStore.readSidecar(spark, "simhash-idf-sigs",
+      Similarity.servePath("simhash_idf_sigs_", dir))
+      .getOrElse(fail("no signature generation after append"))._2
+    val served = spark.read.parquet(sigsGen)
+      .select(col("doc_id"), col("simhash").as("served"))
+    Tables.invalidate(spark, dir, "documents")
+    val fresh = Dedup.simhashIdfSignatures(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("simhash").as("fresh"))
+    val joined = served.join(fresh, Seq("doc_id")).localCheckpoint()
+    val total = joined.count().toDouble
+    val same = joined.filter(col("served") === col("fresh")).count()
+    info(f"drift-valve signature stability at growth ${ (n - base.count()).toDouble / base.count() }%.3f: " +
+      f"$same of ${total.toLong} (${same / total}%.4f)")
+    assert(same / total >= 0.95,
+      f"stale-weight signatures drifted past the bound's contract: ${same / total}%.4f < 0.95")
+    // past the bound: a >10%-growth delta draws the TYPED refusal and
+    // the serve path then retrains under the lock
+    val big = docs.select((col("doc_id") + 10000000L).as("doc_id"),
+      col("text"), col("lang"), col("source"), col("n_chars"))
+      .limit((n / 5).toInt).localCheckpoint()
+    val preFp2 = Similarity.corpusFingerprint(spark, dir, "documents.parquet")
+    big.write.mode("append").parquet(s"$dir/documents.parquet")
+    intercept[ServingStore.ModelDriftRefusal] {
+      Dedup.appendSimhashIdf(spark, dir, big, preFp2)
+    }
+    Dedup.simhashIdfDedup(spark, dir).count()
+    assert(!ServingStore.readSidecar(spark, "simhash-idf-weights", wPath)
+      .contains(wBefore),
+      "post-refusal serve must RETRAIN the weights for the grown corpus")
+  }
+
   test("text dedup blockers: minhash banding recall vs exact Jaccard ground truth") {
     // r14 verdict #4: the embedding blockers carry a quantified recall
     // spec; extend the discipline to the text blockers. Ground truth is

@@ -2492,6 +2492,91 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("fact SERVE layout: ml_extract and price_usd serve join-free and bit-equal to inline") {
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // ml_extract: pure scan of the transaction-grain fact — zero
+      // joins, zero exchanges (the dbt fact_transaction discipline)
+      val ml = operators.StarSchema.mlExtractServed(spark, sf)
+      val mlPlan = ml.queryExecution.executedPlan.toString
+      assert(!mlPlan.contains("Join"), s"served ml_extract joins per-query:\n$mlPlan")
+      assert(!mlPlan.contains("Exchange"), s"served ml_extract shuffles:\n$mlPlan")
+      val key = Seq("l_orderkey", "l_linenumber")
+      def mlMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.toSeq.drop(2)).toMap
+      val gotMl = mlMap(ml)
+      val wantMl = mlMap(operators.StarSchema.mlExtract(spark, sf))
+      assert(gotMl.size == wantMl.size && gotMl == wantMl,
+        "served ml_extract diverged from the inline form")
+      // schema too (the oracle compare is schema-sensitive): same
+      // names, same types, incl. the raw lineitem decimal for price
+      assert(ml.schema.map(f => (f.name, f.dataType)) ==
+        operators.StarSchema.mlExtract(spark, sf).schema.map(f => (f.name, f.dataType)),
+        s"served ml_extract schema drifted: ${ml.schema} ")
+      // price_usd: 25-row-scale scan+rollup over the nation partials
+      val pu = operators.StarSchema.priceUsdServed(spark, sf)
+      val puPlan = pu.queryExecution.executedPlan.toString
+      assert(!puPlan.contains("Join"), s"served price_usd joins per-query:\n$puPlan")
+      def puMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      assert(puMap(pu) == puMap(operators.StarSchema.priceUsd(spark, sf)),
+        "served price_usd diverged from the inline form (partial sums must regroup exactly)")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+    }
+  }
+
+  test("interactive lane: child session profile, byte guards, shared serving catalog") {
+    // the lane engages below the guard: AQE off, corpus-scaled shuffle
+    // partitions, same shared SparkContext and external catalog
+    val lane = Lane.sessionFor(spark, sf)
+    assert(lane ne spark, "tiny corpus must route to the interactive child session")
+    assert(lane.conf.get("spark.sql.adaptive.enabled") == "false")
+    val parts = lane.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(parts >= 1 && parts <= GraftSession.cpus.toInt,
+      s"lane partitions $parts outside [1, cpus]")
+    assert(lane.sparkContext eq spark.sparkContext)
+    // memoized: same profile object on re-entry
+    assert(Lane.sessionFor(spark, sf) eq lane)
+    // above the guard the parent session serves unchanged (scale
+    // safety: a 100 TB corpus must never ride the interactive lane)
+    assert(Lane.sessionFor(spark, sf, maxBytes = 1L) eq spark)
+    // results through the lane are the results: flagship bit-parity
+    val got = tools.Golden.checksum(operators.PricingSummary(lane, sf))
+    val want = tools.Golden.checksum(operators.PricingSummary(spark, sf))
+    assert(got == want, "lane execution changed query results")
+  }
+
+  test("prepared-plan cache: stamp-keyed reuse, corpus swap invalidates") {
+    val dirA = java.nio.file.Files.createTempDirectory("graftplancache").toString
+    def land(t: String): Unit =
+      spark.read.parquet(s"$sf/$t.parquet").write.mode("overwrite").parquet(s"$dirA/$t.parquet")
+    Seq("region", "nation").foreach(land)
+    var builds = 0
+    val fn = PlanCache.cached("spec_dim", (s, d) => {
+      builds += 1
+      Tables.nation(s, d).join(Tables.region(s, d),
+        col("n_regionkey") === col("r_regionkey")).select(col("n_name"), col("r_name"))
+    })
+    val df1 = fn(spark, dirA)
+    val df2 = fn(spark, dirA)
+    assert(builds == 1 && (df1 eq df2), "unchanged corpus must serve the memoized plan")
+    // a corpus change (new file bytes) must rebuild — stale plans over
+    // swapped corpora are the failure mode the stamp exists to catch
+    Thread.sleep(1100) // mtime granularity
+    spark.read.parquet(s"$sf/nation.parquet").limit(10)
+      .write.mode("overwrite").parquet(s"$dirA/nation.parquet")
+    Tables.invalidate(spark, dirA, "nation")
+    val df3 = fn(spark, dirA)
+    assert(builds == 2, "corpus swap must miss the plan cache")
+    assert(df3.count() <= 10)
+    // explicit invalidation (store maintenance hook) forces a rebuild
+    PlanCache.invalidate()
+    fn(spark, dirA)
+    assert(builds == 3, "PlanCache.invalidate must drop memoized plans")
+  }
+
   test("BarrierStorageSpec: localCheckpoint barrier blocks stay bounded across suite passes") {
     // the r14 watch item: scoredDocs and the band-mask frame pin
     // executor storage via localCheckpoint(eager=false) with no stated
@@ -2529,7 +2614,7 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
       df.write.mode(if (first) "overwrite" else "append").parquet(s"$dir/$t.parquet")
     val dirA = java.nio.file.Files.createTempDirectory("graftfactappend").toString
     val dirC = java.nio.file.Files.createTempDirectory("graftfactcold").toString
-    Seq("customer", "nation", "region").foreach { t =>
+    Seq("customer", "nation", "region", "part").foreach { t =>
       copy(t, sf, dirA); copy(t, sf, dirC)
     }
     val orders = Tables.orders(spark, sf).localCheckpoint()
@@ -2589,6 +2674,46 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getLong(0) == fpBefore, "compaction changed the fingerprint")
   }
 
+  test("fact layout janitor: prunes dead-corpus layouts, keeps live, skips unproven") {
+    import operators.{Dedup, StarSchema}
+    def mkCorpus(): String = {
+      val d = java.nio.file.Files.createTempDirectory("graftjanitor").toString
+      Seq("customer", "nation", "region", "part", "orders", "lineitem").foreach { t =>
+        spark.read.parquet(s"$sf/$t.parquet")
+          .write.mode("overwrite").parquet(s"$d/$t.parquet")
+      }
+      d
+    }
+    val live = mkCorpus(); val dead = mkCorpus()
+    StarSchema.ensureFactLayout(spark, live)
+    StarSchema.ensureFactLayout(spark, dead)
+    val liveSig = tools.Golden.checksum(StarSchema.starJoinServed(spark, live))
+    val liveName = new java.io.File(StarSchema.factServePath(live)).getName
+    val deadName = new java.io.File(StarSchema.factServePath(dead)).getName
+    Dedup.deleteTree(dead) // the corpus vanishes; its layout is now orphaned
+    val report = StarSchema.pruneFactLayouts(spark).toMap
+    assert(report(deadName).startsWith("pruned"), s"dead layout: ${report.get(deadName)}")
+    assert(report(liveName).startsWith("kept"), s"live layout: ${report.get(liveName)}")
+    assert(!new java.io.File(StarSchema.factServePath(dead)).exists(),
+      "pruned layout files survived")
+    assert(!new java.io.File(StarSchema.factServePath(dead) + "_model").exists(),
+      "pruned layout sidecar survived")
+    // the live layout still serves, bit-identically
+    assert(tools.Golden.checksum(StarSchema.starJoinServed(spark, live)) == liveSig,
+      "janitor disturbed a live layout")
+    // idempotent: the pruned layout is simply absent from the next pass
+    assert(!StarSchema.pruneFactLayouts(spark).toMap.contains(deadName))
+    // an unproven (sidecar-less) dir — what a rival's MID-BUILD store
+    // looks like from outside — is skipped, never deleted
+    val fake = new java.io.File("spark-warehouse/factlayout_specmidbuild_000000")
+    assert(fake.mkdirs())
+    try {
+      val r3 = StarSchema.pruneFactLayouts(spark).toMap
+      assert(r3(fake.getName).startsWith("skipped"), s"mid-build dir: ${r3.get(fake.getName)}")
+      assert(fake.exists(), "janitor deleted an unproven (possibly mid-build) layout")
+    } finally { Dedup.deleteTree(fake.getPath) }
+  }
+
   test("fact sink: streamed order batches equal a cold rebuild, landing race repairs") {
     import graft.streaming.FactSink
     import operators.StarSchema
@@ -2616,13 +2741,13 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
       tools.Golden.checksum(operators.Stats.hdiVolatility(spark, dir)))
     // cold reference over the full corpus
     val dirC = java.nio.file.Files.createTempDirectory("graftfactsinkcold").toString
-    Seq("customer", "nation", "region").foreach(copy(_, dirC))
+    Seq("customer", "nation", "region", "part").foreach(copy(_, dirC))
     land(dirC, "orders", orders, first = true)
     land(dirC, "lineitem", lineitem, first = true)
     val cold = sig(dirC)
     // streamed: land each batch's files, then the sink folds them
     val dirS = java.nio.file.Files.createTempDirectory("graftfactsink").toString
-    Seq("customer", "nation", "region").foreach(copy(_, dirS))
+    Seq("customer", "nation", "region", "part").foreach(copy(_, dirS))
     (0 to 2).foreach { i =>
       land(dirS, "orders", oB(i), first = i == 0)
       land(dirS, "lineitem", liB(i), first = i == 0)
@@ -2637,7 +2762,7 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     // append is refused, and the sink must repair via forced rebuild,
     // not mark the batch applied with its rows missing
     val dirR = java.nio.file.Files.createTempDirectory("graftfactsinkrace").toString
-    Seq("customer", "nation", "region").foreach(copy(_, dirR))
+    Seq("customer", "nation", "region", "part").foreach(copy(_, dirR))
     land(dirR, "orders", oB(0), first = true)
     land(dirR, "lineitem", liB(0), first = true)
     FactSink.applyFactBatch(oB(0), 0, dirR)
