@@ -36,6 +36,7 @@ import sys, os, json, subprocess
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF01 = "/root/testdata/sf0.1"
 SF1 = "/tmp/sf1"
+SF10 = "/tmp/sf10"
 
 
 def run(cmd, **kw):
@@ -56,11 +57,18 @@ def main():
         # --keep-sf1 is the explicit escape for fast iteration
         if "--keep-sf1" not in sys.argv[2:] or not os.path.isdir(SF1):
             run(["sbt", "-batch", f"runMain graft.tools.MakeSf {SF01} {SF1} 10"], env=env)
+        if "--sf10" in sys.argv[2:] and (
+                "--keep-sf1" not in sys.argv[2:] or not os.path.isdir(SF10)):
+            run(["sbt", "-batch", f"runMain graft.tools.MakeSf {SF01} {SF10} 100"], env=env)
 
-        # 2. correctness at sf1
+        # 2. correctness at sf1 (and, with --sf10, at the 100x tier)
         if not skip_verify:
             run(["sbt", "-batch", f"runMain graft.Verify {SF1} /tmp/verify_sf1"], env=env)
             run(["python3", "tools/check_oracle.py", SF1, "/tmp/verify_sf1"])
+            if "--sf10" in sys.argv[2:]:
+                run(["sbt", "-batch", f"runMain graft.Verify {SF10} /tmp/verify_sf10"],
+                    env=env)
+                run(["python3", "tools/check_oracle.py", SF10, "/tmp/verify_sf10"])
 
         # 3. two-JVM store-contention invariants (asserted inside the tool;
         # a nonzero exit fails the round via check=True)
@@ -77,39 +85,67 @@ def main():
     if not gate_only and not os.path.exists(oracle):
         sys.exit(f"[round-close] {oracle} missing — run without --skip-verify "
                  "once (graft.Verify writes it) before measuring")
+    tiers = [(SF01, "sf01"), (SF1, "sf1")]
+    if "--sf10" in sys.argv[2:]:
+        tiers.append((SF10, "sf10"))
     pairs = {}
-    for sf_dir, label in [(SF01, "sf01"), (SF1, "sf1")]:
+    for sf_dir, label in tiers:
         duck = f"tools/baseline_duckdb_{label}_{tag}.json"
         graft = f"tools/bench_{label}_{tag}_interleaved.json"
         if not gate_only:
             run(["python3", "tools/measure_baseline.py", sf_dir, oracle, duck, graft],
                 env=env)
         pairs[label] = (json.load(open(duck)), json.load(open(graft))["queries"])
+    if gate_only and "--sf10" not in sys.argv[2:] and \
+            os.path.exists(f"tools/baseline_duckdb_sf10_{tag}.json"):
+        tiers.append((SF10, "sf10"))
+        pairs["sf10"] = (
+            json.load(open(f"tools/baseline_duckdb_sf10_{tag}.json")),
+            json.load(open(f"tools/bench_sf10_{tag}_interleaved.json"))["queries"])
 
-    # 5. growth gate
+    # 5. growth gate — applied on each consecutive tier step (sf0.1->sf1,
+    # and sf1->sf10 when the 100x tier ran)
     d01, g01 = pairs["sf01"]
     d1, g1 = pairs["sf1"]
     bad = []
-    for q in sorted(g1):
-        if (q not in d1 or q not in g01 or q not in d01 or
-                g01[q] <= 0 or d1[q] <= 0 or d01[q] <= 0):
-            continue
-        ratio1 = g1[q] / d1[q]
-        ratio01 = g01[q] / d01[q]
-        growth = g1[q] / g01[q]
-        deteriorated = ratio1 > 2.0 and ratio01 > 0 and ratio1 > 1.5 * ratio01
-        material = d1[q] >= 0.05 and g1[q] >= 0.5
-        if deteriorated and material:
-            bad.append((q, ratio1, ratio1 / ratio01))
-            print(f"[round-close] GATE FAIL {q}: {ratio1:.2f}x DuckDB at sf1 "
-                  f"({g1[q]:.2f}s), ratio deteriorated {ratio1 / ratio01:.2f}x "
-                  f"from sf0.1's {ratio01:.2f}x")
-        elif deteriorated:
-            print(f"[round-close] info {q}: ratio {ratio01:.2f}x -> {ratio1:.2f}x "
-                  f"below the materiality floor (duck {d1[q]:.3f}s, graft {g1[q]:.3f}s)")
-        elif growth > 3.0:
-            print(f"[round-close] info {q}: grew {growth:.2f}x from sf0.1 "
-                  f"(ratio {ratio01:.2f}x -> {ratio1:.2f}x — data-proportional)")
+    steps = [("sf01", "sf1")] + ([("sf1", "sf10")] if "sf10" in pairs else [])
+    for lo, hi in steps:
+        dl, gl = pairs[lo]
+        dh, gh = pairs[hi]
+        for q in sorted(gh):
+            if (q not in dh or q not in gl or q not in dl or
+                    gl[q] <= 0 or dh[q] <= 0 or dl[q] <= 0):
+                continue
+            ratio_h = gh[q] / dh[q]
+            ratio_l = gl[q] / dl[q]
+            growth = gh[q] / gl[q]
+            deteriorated = ratio_h > 2.0 and ratio_l > 0 and ratio_h > 1.5 * ratio_l
+            material = dh[q] >= 0.05 and gh[q] >= 0.5
+            if deteriorated and material:
+                bad.append((q, ratio_h, ratio_h / ratio_l))
+                print(f"[round-close] GATE FAIL {q}: {ratio_h:.2f}x DuckDB at {hi} "
+                      f"({gh[q]:.2f}s), ratio deteriorated {ratio_h / ratio_l:.2f}x "
+                      f"from {lo}'s {ratio_l:.2f}x")
+            elif deteriorated:
+                print(f"[round-close] info {q}: ratio {ratio_l:.2f}x -> {ratio_h:.2f}x "
+                      f"({lo}->{hi}) below the materiality floor "
+                      f"(duck {dh[q]:.3f}s, graft {gh[q]:.3f}s)")
+            elif growth > 3.0:
+                print(f"[round-close] info {q}: grew {growth:.2f}x from {lo} "
+                      f"(ratio {ratio_l:.2f}x -> {ratio_h:.2f}x — data-proportional)")
+    # 3-point scaling exponents (the whole point of the 100x tier:
+    # slope of log(time) over the two decades, per engine)
+    exponents = {}
+    if "sf10" in pairs:
+        import math
+        d10, g10 = pairs["sf10"]
+        for q in sorted(g10):
+            if q in g01 and g01[q] > 0 and g10[q] > 0:
+                e_g = math.log(g10[q] / g01[q]) / math.log(100.0)
+                e_d = (math.log(d10[q] / d01[q]) / math.log(100.0)
+                       if q in d10 and q in d01 and d01[q] > 0 and d10[q] > 0 else None)
+                exponents[q] = {"graft": round(e_g, 3),
+                                "duckdb": None if e_d is None else round(e_d, 3)}
     tot01 = sum(g01[q] / d01[q] for q in g01 if q in d01 and d01[q] > 0)
     n01 = sum(1 for q in g01 if q in d01 and d01[q] > 0)
     tot1 = sum(g1[q] / d1[q] for q in g1 if q in d1 and d1[q] > 0)
@@ -131,6 +167,17 @@ def main():
             {"query": q, "sf1_ratio": round(r, 2), "ratio_deterioration": round(g, 2)}
             for q, r, g in bad],
     }
+    if "sf10" in pairs:
+        d10, g10 = pairs["sf10"]
+        tot10 = sum(g10[q] / d10[q] for q in g10 if q in d10 and d10[q] > 0)
+        n10 = sum(1 for q in g10 if q in d10 and d10[q] > 0)
+        summary.update({
+            "sf10_total_graft": round(sum(v for q, v in g10.items() if q in d10), 2),
+            "sf10_total_duckdb": round(sum(v for q, v in d10.items() if q in g10), 2),
+            "sf10_suite_graft_all": round(sum(g10.values()), 2),
+            "sf10_mean_ratio": round(tot10 / max(n10, 1), 3),
+            "scaling_exponents_sf01_to_sf10": exponents,
+        })
     out = f"tools/round_close_{tag}.json"
     json.dump(summary, open(out, "w"), indent=1)
     print(f"[round-close] {out}: {json.dumps(summary)}")
