@@ -55,18 +55,21 @@ object Lane {
   /** One shuffle partition per this many corpus bytes in the lane. */
   private val BytesPerPartition: Long = 16L * 1024 * 1024
 
-  /** Total on-disk bytes of the corpus dir's parquet payload, memoized —
-    * a driver-side file listing, the same stats the scan planner reads. */
-  private val dirBytes = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private[graft] def corpusBytes(dir: String): Long =
-    dirBytes.computeIfAbsent(dir, d => {
-      def size(f: java.io.File): Long =
-        if (f.isDirectory) { val c = f.listFiles(); if (c == null) 0L else c.map(size).sum }
-        else f.length()
-      val root = new java.io.File(d)
-      val files = Option(root.listFiles()).getOrElse(Array.empty)
-      files.filter(f => f.getName.endsWith(".parquet")).map(size).sum
-    })
+  /** Total on-disk bytes of the corpus dir's parquet payload — a
+    * driver-side file listing, the same stats the scan planner reads.
+    * Computed FRESH on every probe (r16 review: a memo here would pin
+    * the lane decision and partition sizing to the corpus's size at
+    * first contact — a corpus grown past the guard would keep riding
+    * the interactive profile). The walk is a few dozen stat calls; the
+    * probe only runs on prepared-plan-cache misses. */
+  private[graft] def corpusBytes(dir: String): Long = {
+    def size(f: java.io.File): Long =
+      if (f.isDirectory) { val c = f.listFiles(); if (c == null) 0L else c.map(size).sum }
+      else f.length()
+    val root = new java.io.File(dir)
+    val files = Option(root.listFiles()).getOrElse(Array.empty)
+    files.filter(f => f.getName.endsWith(".parquet")).map(size).sum
+  }
 
   /** Child sessions keyed weakly on the parent (stopped sessions stay
     * collectable — the [[Tables]] discipline) and on the quantized

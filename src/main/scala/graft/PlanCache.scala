@@ -61,6 +61,11 @@ object PlanCache {
       perSession.get((name, dir)) match {
         case Some((s, df)) if s == stamp => df
         case _ =>
+          // a stamp miss proves the corpus files changed: the rebuild
+          // must not read through table plans pinned to the old
+          // listing (in ANY session — the constructor may build in an
+          // interactive-lane child)
+          Tables.invalidateDir(dir)
           val df = f(spark, dir)
           perSession.put((name, dir), (stamp, df))
           df

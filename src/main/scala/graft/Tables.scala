@@ -48,6 +48,21 @@ object Tables {
     if (m != null) { m.remove((dir, name)); () }
   }
 
+  /** Drop every session's memoized plans over `dir` — the prepared-plan
+    * cache calls this on a corpus-stamp miss (r16 review: a stamp miss
+    * proves the dir's files changed, and rebuilding the query through
+    * plans pinned to the OLD listing would silently miss the delta,
+    * then be cached under the NEW stamp as if validated). All sessions,
+    * because the rebuild may run in an interactive-lane child whose
+    * memo is separate from the caller's. */
+  private[graft] def invalidateDir(dir: String): Unit = plans.synchronized {
+    val it = plans.values().iterator()
+    while (it.hasNext) {
+      val m = it.next()
+      m.keys.filter(_._1 == dir).foreach(m.remove)
+    }
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "customer")

@@ -463,6 +463,9 @@ object Dedup {
     spark.range(1).select(lit(fp).as("fp"))
       .coalesce(1).write.mode("overwrite").parquet(fpPath)
     }
+    // live files rewritten under an unchanged corpus stamp: memoized
+    // prepared plans pin the old listing — drop them (r16 review)
+    graft.PlanCache.invalidate()
   }
 
   private[graft] def deleteTree(p: String): Unit = {
@@ -1261,7 +1264,14 @@ object Dedup {
       throw new ServingStore.ModelDriftRefusal(
         s"weights generation at $wGen predates the drift valve (no " +
           "n_docs): rebuild via the serve path once, then append deltas")
-    val nBuild = weights.select(max(col("n_docs"))).head().getLong(0)
+    val nBuildRow = weights.select(max(col("n_docs"))).head()
+    // zero-row weights (every term pruned as df==1 or boilerplate) give
+    // a NULL max — there is no training size to bound drift against
+    if (nBuildRow.isNullAt(0)) throw new ServingStore.ModelDriftRefusal(
+      s"weights generation at $wGen is empty (no term cleared the df " +
+        "filters): no training size to bound drift against — rebuild " +
+        "via the serve path over the grown corpus")
+    val nBuild = nBuildRow.getLong(0)
     // the delta has landed (precondition), so the corpus table counts
     // the post-delta total
     Tables.invalidate(spark, dir, "documents")

@@ -1570,7 +1570,7 @@ object Similarity {
     * for the window — a crash anywhere in it leaves a sidecar-less
     * generation the serve path rebuilds, never a half-swapped index
     * read as live. */
-  private def compactPartitionedIndex(spark: SparkSession, indexPath: String): Unit =
+  private def compactPartitionedIndex(spark: SparkSession, indexPath: String): Unit = {
     // live-path mutation: serialize with concurrent serve rebuilds and
     // appends under the store's build lock (r15)
     ServingStore.withBuildLock(indexPath) {
@@ -1591,6 +1591,10 @@ object Similarity {
     java.nio.file.Files.move(p(tmpPath), p(indexPath))
     java.nio.file.Files.move(p(stage), p(modelPath))
     }
+    // live files rewritten under an unchanged corpus stamp: memoized
+    // prepared plans pin the old listing — drop them (r16 review)
+    graft.PlanCache.invalidate()
+  }
 
   /** Compact a plain-IVF generation's inverted lists back to one vector
     * file per cell — [[compactIvfPq]]'s twin for the RAW-vector index

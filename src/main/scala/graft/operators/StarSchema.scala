@@ -496,7 +496,7 @@ object StarSchema {
       spark.table(oTable)
         .join(dim, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_nationkey"), col("n_name"))
-        .agg(sumd2(col("o_totalprice")).cast(DecimalType(18, 2)).as("total_local"),
+        .agg(sum(dec2(col("o_totalprice"))).cast(DecimalType(18, 2)).as("total_local"),
           cnt.as("n_orders"))
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$path/nationfact")
@@ -505,7 +505,7 @@ object StarSchema {
       // rides along (the serve-path name hashes it irreversibly): the
       // janitor ([[pruneFactLayouts]]) reads it back to judge whether
       // the corpus still exists
-      spark.range(1).select(lit(fp).as("fp"), lit(dir).as("dir"))
+      spark.range(1).select(lit(fp).as("fp"), lit(dir).as("dir"), lit(FactLayoutVersion).as("ver"))
         .coalesce(1).write.mode("overwrite").parquet(fpPath)
       }
     } else {
@@ -566,14 +566,30 @@ object StarSchema {
     // ServingStore.append discipline): the layout mutates live paths,
     // so a concurrent ensure/append/compact must serialize with it
     ServingStore.withBuildLock(path) {
-    val storedFp =
-      try Similarity.readSidecarRows(spark, fpPath)(0).getLong(0)
+    val sidecarRow =
+      try Similarity.readSidecarRows(spark, fpPath)(0)
       catch {
         case e if scala.util.control.NonFatal(e) =>
           throw new IllegalStateException(
             s"fact-layout sidecar at $fpPath unreadable — run ensureFactLayout " +
               "(full rebuild) instead of appending into an unproven generation", e)
       }
+    val storedFp = sidecarRow.getLong(0)
+    // SHAPE refusal (r16 review): an append into a layout built by an
+    // older engine version would parquet-CREATE the table dirs that
+    // version never wrote (txfact/nationfact) holding only the delta's
+    // rows, then stamp a current-version fingerprint over them — the
+    // served extract would silently hold delta-only data. The version
+    // check is structural, independent of expectedFp (the FactSink
+    // repair path appends without one).
+    val storedVer =
+      if (sidecarRow.schema.fieldNames.contains("ver")) sidecarRow.getAs[Int]("ver")
+      else -1
+    if (storedVer != FactLayoutVersion) throw new ServingStore.StaleStoreRefusal(
+      s"fact layout at $path was built by layout version $storedVer " +
+        s"(current $FactLayoutVersion): its table shape predates this " +
+        "engine — rebuild with ensureFactLayout, never append a delta " +
+        "into a legacy shape")
     expectedFp.foreach(f => if (storedFp != f) throw new ServingStore.StaleStoreRefusal(
       s"fact layout at $path was built for a different corpus state " +
         s"(stored fp $storedFp != pre-append fp $f): the layout is stale " +
@@ -667,13 +683,13 @@ object StarSchema {
     // per nation lands next to the existing ones
     o.join(dim, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_nationkey"), col("n_name"))
-      .agg(sumd2(col("o_totalprice")).cast(DecimalType(18, 2)).as("total_local"),
+      .agg(sum(dec2(col("o_totalprice"))).cast(DecimalType(18, 2)).as("total_local"),
         cnt.as("n_orders"))
       .coalesce(1)
       .write.mode("append").parquet(s"$path/nationfact")
     // every append committed: stamp the post-append fingerprint
     // (snapshotted BEFORE the writes, under the landed-delta refusal)
-    spark.range(1).select(lit(newFp).as("fp"), lit(dir).as("dir"))
+    spark.range(1).select(lit(newFp).as("fp"), lit(dir).as("dir"), lit(FactLayoutVersion).as("ver"))
       .coalesce(1).write.mode("overwrite").parquet(fpPath)
     }
   }
@@ -764,13 +780,17 @@ object StarSchema {
       // pending — the unproven (sidecar-less) state ensure must rebuild
       if (i == 0) ServingStore.crashPoint("fact.compact.midswap")
     }
-    spark.range(1).select(lit(fp).as("fp"), lit(dir).as("dir"))
+    spark.range(1).select(lit(fp).as("fp"), lit(dir).as("dir"), lit(FactLayoutVersion).as("ver"))
       .coalesce(1).write.mode("overwrite").parquet(fpPath)
     }
     // the memo still holds this (fp, names) pair but the catalog entries
     // are gone — drop it so the next ensure re-registers over the
-    // compacted files
+    // compacted files; the prepared-plan cache pins the OLD file
+    // listing under an unchanged corpus stamp, so it must drop too
+    // (r16 review: the invalidate contract without this call left a
+    // permanent FileNotFound on the serving surface after compaction)
     factMemo.clear()
+    graft.PlanCache.invalidate()
     ensureFactLayout(spark, dir, numBuckets)
   }
 
@@ -826,6 +846,7 @@ object StarSchema {
               }
               Dedup.deleteTree(f.getPath)
               factMemo.clear()
+              graft.PlanCache.invalidate()
               (f.getName, s"pruned: corpus gone from $dir")
             }
           }

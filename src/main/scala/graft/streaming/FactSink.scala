@@ -89,6 +89,16 @@ object FactSink {
           verifyCoveredOrRepair("keys already present")
         case _: ServingStore.DeltaNotLandedRefusal =>
           verifyCoveredOrRepair("fingerprint unchanged")
+        case e: ServingStore.StaleStoreRefusal =>
+          // legacy-shape layout (r16 version check): an append would
+          // create delta-only table dirs behind a fresh stamp — the
+          // repair is a full rebuild over the landed corpus (the
+          // current fingerprint includes the layout version, so the
+          // legacy stamp reads stale and ensure rebuilds), which
+          // covers this batch's already-landed files
+          logger.warn(s"fact sink: batch $batchId append refused " +
+            s"(${e.getMessage}) — rebuilding the layout at the current shape")
+          StarSchema.ensureFactLayout(spark, dir)
       }
     }
     java.nio.file.Files.write(markerPath(dir),

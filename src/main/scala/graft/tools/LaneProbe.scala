@@ -20,7 +20,10 @@ object LaneProbe {
     println(f"[lane] ${"query"}%-26s default   lane   delta")
     var sumD = 0.0; var sumL = 0.0
     names.foreach { name =>
-      val fn = SparkEntry.queries(name)
+      // the RAW constructor: SparkEntry.queries is lane-wrapped, so
+      // using it for the default arm would A/B the lane against itself
+      // (r16 review)
+      val fn = SparkEntry.rawQueries(name)
       val laneSession = Lane.sessionFor(spark, dir)
       try {
         fn(spark, dir).count(); fn(laneSession, dir).count() // warm both

@@ -2672,6 +2672,20 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sig(dirA) == before, "compaction changed query results")
     assert(operators.Similarity.readSidecarRows(spark, layoutPath + "_model")(0)
       .getLong(0) == fpBefore, "compaction changed the fingerprint")
+    // LEGACY-SHAPE refusal (r16 review): a sidecar without the layout
+    // version stamp marks a layout whose table set predates this
+    // engine — appending would parquet-CREATE the newer tables with
+    // delta-only rows behind a fresh stamp. Must refuse structurally,
+    // without expectedFp (the FactSink repair path passes none).
+    spark.range(1).select(lit(fpBefore).as("fp"))
+      .coalesce(1).write.mode("overwrite").parquet(layoutPath + "_model")
+    land(dirA, "orders", oDelta.limit(0), first = false) // any landed change
+    val legacy = intercept[IllegalArgumentException] {
+      StarSchema.appendFactLayout(spark, dirA,
+        liDelta.limit(0), oDelta.limit(0))
+    }
+    assert(legacy.getMessage.contains("layout version"),
+      s"unexpected refusal: ${legacy.getMessage}")
   }
 
   test("fact layout janitor: prunes dead-corpus layouts, keeps live, skips unproven") {

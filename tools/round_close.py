@@ -97,8 +97,8 @@ def main():
                 env=env)
         pairs[label] = (json.load(open(duck)), json.load(open(graft))["queries"])
     if gate_only and "--sf10" not in sys.argv[2:] and \
-            os.path.exists(f"tools/baseline_duckdb_sf10_{tag}.json"):
-        tiers.append((SF10, "sf10"))
+            os.path.exists(f"tools/baseline_duckdb_sf10_{tag}.json") and \
+            os.path.exists(f"tools/bench_sf10_{tag}_interleaved.json"):
         pairs["sf10"] = (
             json.load(open(f"tools/baseline_duckdb_sf10_{tag}.json")),
             json.load(open(f"tools/bench_sf10_{tag}_interleaved.json"))["queries"])
