@@ -110,11 +110,18 @@ object Stats {
     // Final 25-row correlation: quantize the derived doubles with floor()
     // (exact on binary doubles, engine-portable) so the corr inputs are
     // integers and the sums stay order-independent.
+    // The quantized Pearson runs in DECIMAL(38,0) (int128-class), not
+    // LONG: at sf10 the per-nation quantized volatility reaches ~3e9,
+    // so n*sxx and sx*sx pass 9.2e18 and a LongType multiply overflows
+    // under ANSI (found by the r16 100x tier). Decimal keeps every
+    // intermediate exact to 1e38 — two more data decades of headroom —
+    // and the oracle mirrors it with HUGEINT, so the final
+    // integer-to-double casts stay bit-identical.
     vol
       .join(hdi, col("nationkey") === col("hk"))
       .select(
-        floor(col("volatility")).cast(LongType).as("qv"),
-        floor(col("hdi_proxy")).cast(LongType).as("qh"))
+        floor(col("volatility")).cast(DecimalType(19, 0)).as("qv"),
+        floor(col("hdi_proxy")).cast(DecimalType(19, 0)).as("qh"))
       .agg(
         cnt.as("n_nations"),
         sum(col("qv")).as("sx"),
@@ -160,9 +167,9 @@ object Stats {
       |  FROM vol JOIN hdi ON nationkey = hk
       |)
       |SELECT COUNT(*) AS n_nations,
-      |  CAST(COUNT(*) * CAST(SUM(qv * qh) AS BIGINT) - CAST(SUM(qv) AS BIGINT) * CAST(SUM(qh) AS BIGINT) AS DOUBLE)
-      |  / (SQRT(CAST(COUNT(*) * CAST(SUM(qv * qv) AS BIGINT) - CAST(SUM(qv) AS BIGINT) * CAST(SUM(qv) AS BIGINT) AS DOUBLE))
-      |     * SQRT(CAST(COUNT(*) * CAST(SUM(qh * qh) AS BIGINT) - CAST(SUM(qh) AS BIGINT) * CAST(SUM(qh) AS BIGINT) AS DOUBLE)))
+      |  CAST(CAST(COUNT(*) AS HUGEINT) * SUM(CAST(qv AS HUGEINT) * CAST(qh AS HUGEINT)) - SUM(CAST(qv AS HUGEINT)) * SUM(CAST(qh AS HUGEINT)) AS DOUBLE)
+      |  / (SQRT(CAST(CAST(COUNT(*) AS HUGEINT) * SUM(CAST(qv AS HUGEINT) * CAST(qv AS HUGEINT)) - SUM(CAST(qv AS HUGEINT)) * SUM(CAST(qv AS HUGEINT)) AS DOUBLE))
+      |     * SQRT(CAST(CAST(COUNT(*) AS HUGEINT) * SUM(CAST(qh AS HUGEINT) * CAST(qh AS HUGEINT)) - SUM(CAST(qh AS HUGEINT)) * SUM(CAST(qh AS HUGEINT)) AS DOUBLE)))
       |  AS corr_hdi_volatility
       |FROM q""".stripMargin
 
