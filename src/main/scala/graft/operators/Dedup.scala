@@ -1609,19 +1609,73 @@ object Dedup {
   def dedupResolveServe(spark: SparkSession, dir: String): DataFrame =
     resolveComponents(ngramJaccardServe(spark, dir))
 
-  val dedupResolveOracle: String = {
-    val pairsSql = ngramJaccardOracle.replace("\n", "\n  ")
-    s"""WITH RECURSIVE pairs AS (
-       |  $pairsSql
-       |), edges AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-       |  UNION ALL
-       |  SELECT doc_b AS src, doc_a AS dst FROM pairs
-       |), reach(src, dst) AS (
-       |  SELECT DISTINCT src, src FROM edges
-       |  UNION
-       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-       |)
-       |SELECT src AS doc_id, MIN(dst) AS canonical_id FROM reach GROUP BY src""".stripMargin
-  }
+  /** The whole oracle runs on the DISTINCT-TEXT graph, not the doc
+    * graph (r16, found by the sf10 gate): exact copies collapse to one
+    * representative per text (the group's min doc_id) BEFORE the
+    * shingle self-join and the recursive reach — the doc-graph form
+    * explodes on duplicate-heavy corpora (a k-copy clique contributes
+    * k^2 pair rows, k^2 reach rows and k-degree join fan-out per
+    * iteration; DuckDB spilled past the 66 GB disk at sf10's 100-copy
+    * cliques). Semantics preserved exactly:
+    *  - the hot-shingle cap counts document frequency with each text
+    *    WEIGHTED by its copy count (SUM(n_copies) > cap == the
+    *    doc-level COUNT(*) > cap);
+    *  - per-doc shingle sets and jaccard are copy-invariant, so a
+    *    cross-text pair exists iff its representative pair does;
+    *  - same-text copies are jaccard-1.0 pairs whenever the text keeps
+    *    >= 1 surviving shingle, which is the n_copies >= 2 member arm;
+    *  - a component over docs is a component over distinct texts
+    *    expanded, and its min doc_id is the min of its rep ids (each
+    *    rep IS its group's min). */
+  val dedupResolveOracle: String =
+    """WITH RECURSIVE grp AS (
+      |  SELECT text, MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
+      |  FROM documents GROUP BY text
+      |), docrep AS (
+      |  SELECT d.doc_id, g.rep_id FROM documents d JOIN grp g USING (text)
+      |), words AS (
+      |  SELECT rep_id, n_copies,
+      |    STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'), ' ') AS w
+      |  FROM grp
+      |), sh0 AS (
+      |  SELECT DISTINCT rep_id, n_copies, shingle FROM (
+      |    SELECT rep_id, n_copies,
+      |      UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - 4),
+      |        i -> ARRAY_TO_STRING(w[i:i+4], ' '))) AS shingle
+      |    FROM words WHERE LEN(w) >= 5
+      |  )
+      |), sh AS (
+      |  SELECT rep_id, shingle FROM sh0
+      |  WHERE shingle NOT IN (
+      |    SELECT shingle FROM sh0 GROUP BY shingle HAVING SUM(n_copies) > 100)
+      |), sizes AS (
+      |  SELECT rep_id, COUNT(*) AS n_shingles FROM sh GROUP BY rep_id
+      |), rpairs AS (
+      |  SELECT a.rep_id AS ra, b.rep_id AS rb, COUNT(*) AS shared
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.rep_id < b.rep_id
+      |  GROUP BY 1, 2
+      |), redges0 AS (
+      |  SELECT ra AS src, rb AS dst FROM rpairs
+      |  JOIN sizes x ON ra = x.rep_id
+      |  JOIN sizes y ON rb = y.rep_id
+      |  WHERE CAST(shared AS DOUBLE)
+      |    / CAST(x.n_shingles + y.n_shingles - shared AS DOUBLE) >= 0.8
+      |), member AS (
+      |  SELECT DISTINCT rep_id FROM (
+      |    SELECT src AS rep_id FROM redges0
+      |    UNION ALL SELECT dst AS rep_id FROM redges0
+      |    UNION ALL SELECT g.rep_id FROM grp g
+      |      JOIN sizes s ON g.rep_id = s.rep_id WHERE g.n_copies >= 2
+      |  )
+      |), redges AS (
+      |  SELECT src, dst FROM redges0 UNION ALL SELECT dst, src FROM redges0
+      |), reach(src, dst) AS (
+      |  SELECT rep_id, rep_id FROM member
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN redges e ON r.dst = e.src
+      |), repcanon AS (
+      |  SELECT src AS rep_id, MIN(dst) AS canon FROM reach GROUP BY src
+      |)
+      |SELECT dr.doc_id, rc.canon AS canonical_id
+      |FROM docrep dr JOIN repcanon rc ON dr.rep_id = rc.rep_id""".stripMargin
 }
