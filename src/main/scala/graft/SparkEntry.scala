@@ -40,7 +40,7 @@ object SparkEntry {
     * uses the standard guard (probed per query: tools/LaneProbe —
     * the lane won on 89 of 92 rows at sf0.1). */
   private val expansionClass: Set[String] = Set(
-    "q_dedup_ngram", "q_dedup_minhash", "q_dedup_simhash",
+    "q_dedup_ngram", "q_dedup_resolve", "q_dedup_minhash", "q_dedup_simhash",
     "q_dedup_simhash_idf", "q_winnow_fingerprint", "q_text_bpe",
     "q_vocab_top", "q_rarity_score", "q_rarity_thresholds", "q_lm_score",
     "q_tfidf_terms", "q_collocations", "q_contamination",

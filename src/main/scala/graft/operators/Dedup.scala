@@ -1220,14 +1220,17 @@ object Dedup {
   }
 
   /** Staleness bound for the IDF drift valve: the served weight
-    * generation may lag the corpus by at most this growth fraction.
-    * At growth g every term present through the whole window drifts by
-    * at most |Δidf| = |log(N'/N) − log(df'/df)| ≤ log(1+g) ≈ 0.095 —
-    * under 5% of a mid-vocabulary weight (log(N/df) ≈ 2.3 at
-    * df = N/10), and a 64-bit majority-vote signature flips a bit only
-    * when the aggregate drift across a document's whole vocabulary
-    * crosses zero (measured: ≥98% of signatures unchanged at the
-    * bound, CorpusSpec's drift-valve spec). */
+    * generation may lag the corpus by at most this growth fraction,
+    * in EITHER direction (a delta that nets out to deletions shifts
+    * df/N just as a growth does, so the valve bounds |growth|).
+    * The corpus-size term of the drift is analytically bounded:
+    * |log(N'/N)| ≤ log(1+g) ≈ 0.095 at g = 0.10. The df term is NOT —
+    * a rare term the delta saturates (df' = df + gN) can drift by
+    * multiples of that — so the accuracy claim rests on the MEASURED
+    * gate, not the analytic one: a 64-bit majority-vote signature
+    * flips a bit only when the aggregate drift across a document's
+    * whole vocabulary crosses zero, and CorpusSpec's drift-valve spec
+    * pins ≥95% of signatures unchanged under a within-bound delta. */
   val SimhashIdfMaxGrowth: Double = 0.10
 
   /** The IDF-simhash REFRESH VALVE (r15 verdict #5): the one signature
@@ -1277,10 +1280,13 @@ object Dedup {
     Tables.invalidate(spark, dir, "documents")
     val nNow = Tables.documents(spark, dir).count()
     val growth = (nNow - nBuild).toDouble / nBuild
-    if (growth > SimhashIdfMaxGrowth) throw new ServingStore.ModelDriftRefusal(
+    // |growth|: a delta that REPLACES or deletes documents (nNow <=
+    // nBuild) drifts df/N exactly like net growth does — net-zero size
+    // is no staleness alibi
+    if (math.abs(growth) > SimhashIdfMaxGrowth) throw new ServingStore.ModelDriftRefusal(
       f"IDF weights were trained on $nBuild docs; the corpus now holds " +
-        f"$nNow (growth $growth%.3f > $SimhashIdfMaxGrowth%.2f): the " +
-        "staleness bound is exhausted — rebuild (serve simhashIdfDedup " +
+        f"$nNow (|growth| ${math.abs(growth)}%.3f > $SimhashIdfMaxGrowth%.2f): " +
+        "the staleness bound is exhausted — rebuild (serve simhashIdfDedup " +
         "against the new corpus) instead of appending")
     ServingStore.append(spark, "simhash-idf-sigs", sigsPath,
       expectedFp = expectedFp,

@@ -2577,6 +2577,61 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(builds == 3, "PlanCache.invalidate must drop memoized plans")
   }
 
+  test("prepared-plan cache: a layout the stamp cannot see never caches (no stale serve)") {
+    // r16 audit: dirStamp folds only top-level `*.parquet` entries — a
+    // corpus laid out any other way would stamp CONSTANT and serve
+    // stale plans silently. The hardening: an empty walk yields
+    // NoStamp, which bypasses memoization entirely.
+    val dir = java.nio.file.Files.createTempDirectory("graftplannostamp").toString
+    spark.read.parquet(s"$sf/nation.parquet")
+      .write.mode("overwrite").parquet(s"$dir/nation_tbl") // non-standard name
+    assert(PlanCache.dirStamp(dir) == PlanCache.NoStamp,
+      "a dir with no *.parquet tables must stamp NoStamp")
+    var builds = 0
+    val fn = PlanCache.cached("spec_nostamp", (s, d) => {
+      builds += 1
+      s.read.parquet(s"$d/nation_tbl")
+    })
+    val n1 = fn(spark, dir).count()
+    val n2 = fn(spark, dir).count()
+    assert(builds == 2, "NoStamp corpora must rebuild on every call, never memoize")
+    assert(n1 == n2)
+    // in-place overwrite: the next serve must see the new content —
+    // the exact silent-stale-serve scenario the bypass closes
+    spark.read.parquet(s"$sf/nation.parquet").limit(5)
+      .write.mode("overwrite").parquet(s"$dir/nation_tbl")
+    val n3 = fn(spark, dir).count()
+    assert(builds == 3 && n3 <= 5,
+      s"stale serve over an unstampable layout: got $n3 rows from the old generation")
+  }
+
+  test("prepared-plan cache + lane: concurrent two-session serve race") {
+    // two sessions x four threads each racing the SAME cached query
+    // over the same corpus: no exceptions, bit-identical results, and
+    // the memo converges to one plan per session
+    val sessions = Seq(spark, spark.newSession())
+    val fn = PlanCache.cached("spec_race",
+      Lane.wrap((s, d) => Tables.nation(s, d).join(Tables.region(s, d),
+        col("n_regionkey") === col("r_regionkey")).select(col("n_name"), col("r_name"))))
+    val want = tools.Golden.checksum(fn(spark, sf))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (0 until 8).map { i =>
+        val sess = sessions(i % 2)
+        pool.submit(new java.util.concurrent.Callable[AnyRef] {
+          def call(): AnyRef = tools.Golden.checksum(fn(sess, sf))
+        })
+      }
+      val got = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(got.forall(_ == want), "racing serves must return identical results")
+      // after the race settles, each session serves its memoized plan
+      sessions.foreach { s =>
+        val a = fn(s, sf); val b = fn(s, sf)
+        assert(a eq b, "post-race serves must hit the per-session memo")
+      }
+    } finally pool.shutdownNow()
+  }
+
   test("BarrierStorageSpec: localCheckpoint barrier blocks stay bounded across suite passes") {
     // the r14 watch item: scoredDocs and the band-mask frame pin
     // executor storage via localCheckpoint(eager=false) with no stated

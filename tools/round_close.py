@@ -4,15 +4,17 @@ three real scale bugs that sf0.1 hid for 13 rounds, so every round now
 re-runs it.
 
 Steps (all artifacts land in tools/ with the round suffix):
-  1. regenerate the sf1 corpus (MakeSf 10x replication of sf0.1)
+  1. regenerate the sf1 AND sf10 corpora (MakeSf 10x/100x replication
+     of sf0.1) — the 100x tier is standing as of r17 (--no-sf10 to skip)
   2. graft.Verify at sf1 + check_oracle -> hard correctness gate
   3. StoreContention: the two-JVM ensure/append/reader race over one
      serving store, its invariants require()'d in-process (r14 verdict
      #6 — a tool a human remembers to run is not a gate)
   4. interleaved same-window pair at sf0.1 AND sf1 (measure_baseline)
-  5. the growth gate: any query that is ALL of (>2x DuckDB at sf1,
-     ratio deteriorated >1.5x from its own sf0.1 ratio, DuckDB >=50ms,
-     graft >=0.5s) FAILS the round.
+  5. the growth gate, applied per tier step (sf0.1->sf1 and sf1->sf10):
+     any query that is ALL of (>2x DuckDB at the upper tier, ratio
+     deteriorated >1.5x from its own lower-tier ratio, DuckDB >=50ms,
+     graft >=0.5s) FAILS the round; failures carry the tier label.
      (Raw graft-time growth alone is not the signal: on a true
      data-proportional row BOTH engines grow ~10x and the ratio stays
      flat — r14's q_sample_stratified grew 3.6x with a stable 4.2x
@@ -48,6 +50,9 @@ def main():
     tag = sys.argv[1]
     skip_verify = "--skip-verify" in sys.argv[2:]
     gate_only = "--gate-only" in sys.argv[2:]
+    # the 100x tier is a STANDING gate (r16 verdict #4); --no-sf10 is the
+    # explicit escape for fast iteration (--sf10 still accepted, now a no-op)
+    sf10 = "--no-sf10" not in sys.argv[2:]
     env = dict(os.environ, SPARK_GRAFT_CPUS="32")
     contention = "skipped"
 
@@ -57,7 +62,7 @@ def main():
         # --keep-sf1 is the explicit escape for fast iteration
         if "--keep-sf1" not in sys.argv[2:] or not os.path.isdir(SF1):
             run(["sbt", "-batch", f"runMain graft.tools.MakeSf {SF01} {SF1} 10"], env=env)
-        if "--sf10" in sys.argv[2:] and (
+        if sf10 and (
                 "--keep-sf1" not in sys.argv[2:] or not os.path.isdir(SF10)):
             run(["sbt", "-batch", f"runMain graft.tools.MakeSf {SF01} {SF10} 100"], env=env)
 
@@ -65,7 +70,7 @@ def main():
         if not skip_verify:
             run(["sbt", "-batch", f"runMain graft.Verify {SF1} /tmp/verify_sf1"], env=env)
             run(["python3", "tools/check_oracle.py", SF1, "/tmp/verify_sf1"])
-            if "--sf10" in sys.argv[2:]:
+            if sf10:
                 run(["sbt", "-batch", f"runMain graft.Verify {SF10} /tmp/verify_sf10"],
                     env=env)
                 run(["python3", "tools/check_oracle.py", SF10, "/tmp/verify_sf10"])
@@ -86,7 +91,7 @@ def main():
         sys.exit(f"[round-close] {oracle} missing — run without --skip-verify "
                  "once (graft.Verify writes it) before measuring")
     tiers = [(SF01, "sf01"), (SF1, "sf1")]
-    if "--sf10" in sys.argv[2:]:
+    if sf10:
         tiers.append((SF10, "sf10"))
     pairs = {}
     for sf_dir, label in tiers:
@@ -96,7 +101,7 @@ def main():
             run(["python3", "tools/measure_baseline.py", sf_dir, oracle, duck, graft],
                 env=env)
         pairs[label] = (json.load(open(duck)), json.load(open(graft))["queries"])
-    if gate_only and "--sf10" not in sys.argv[2:] and \
+    if gate_only and not sf10 and \
             os.path.exists(f"tools/baseline_duckdb_sf10_{tag}.json") and \
             os.path.exists(f"tools/bench_sf10_{tag}_interleaved.json"):
         pairs["sf10"] = (
@@ -122,7 +127,7 @@ def main():
             deteriorated = ratio_h > 2.0 and ratio_l > 0 and ratio_h > 1.5 * ratio_l
             material = dh[q] >= 0.05 and gh[q] >= 0.5
             if deteriorated and material:
-                bad.append((q, ratio_h, ratio_h / ratio_l))
+                bad.append((q, hi, ratio_h, ratio_h / ratio_l))
                 print(f"[round-close] GATE FAIL {q}: {ratio_h:.2f}x DuckDB at {hi} "
                       f"({gh[q]:.2f}s), ratio deteriorated {ratio_h / ratio_l:.2f}x "
                       f"from {lo}'s {ratio_l:.2f}x")
@@ -164,8 +169,9 @@ def main():
         "sf01_mean_ratio": round(tot01 / max(n01, 1), 3),
         "sf1_mean_ratio": round(tot1 / max(n1, 1), 3),
         "growth_gate_failures": [
-            {"query": q, "sf1_ratio": round(r, 2), "ratio_deterioration": round(g, 2)}
-            for q, r, g in bad],
+            {"query": q, "tier": t, "ratio": round(r, 2),
+             "ratio_deterioration": round(g, 2)}
+            for q, t, r, g in bad],
     }
     if "sf10" in pairs:
         d10, g10 = pairs["sf10"]
