@@ -193,6 +193,36 @@ object Dedup {
     s"graft_postings_$digest"
   }
 
+  /** Member map of the posting generation's DISTINCT-TEXT collapse:
+    * (doc_id, cdoc) rows mapping every document to its text class's
+    * STORED key — the min doc_id of the class at the time the class was
+    * first indexed. The stored key is stable under append (documents
+    * are only ever added), but is NOT guaranteed to stay the class
+    * minimum (a later delta may carry a smaller id), so query plans
+    * recompute the true class id as min(doc_id) per cdoc. */
+  private[graft] def postingsMembersPath(dir: String): String =
+    postingsServePath(dir) + "_members"
+
+  /** Rep-posting table of the collapse: the postings of ONE
+    * representative document per distinct text, same (doc_id, h) schema
+    * and h-bucketing as the full table — the candidate self-join runs
+    * over THIS table, so its cost scales with distinct texts, not
+    * documents (a k-copy clique costs 1 posting set here, not k, and
+    * its k² output pairs are recovered by a member-map expansion). */
+  private[graft] def postingsRepPath(dir: String): String =
+    postingsServePath(dir) + "_rep"
+
+  private[graft] def postingsRepTableName(dir: String): String =
+    postingsTableName(dir) + "_rep"
+
+  private def registerPostingTable(spark: SparkSession, table: String,
+      path: String, numBuckets: Int): Unit =
+    if (!spark.catalog.tableExists(table))
+      spark.sql(
+        s"""CREATE TABLE $table (doc_id BIGINT, h BIGINT) USING parquet
+           |CLUSTERED BY (h) SORTED BY (h) INTO $numBuckets BUCKETS
+           |LOCATION '$path'""".stripMargin)
+
   /** Ensure a FRESH posting-index generation exists for `dir` and is
     * registered in the session catalog; returns the table name.
     *
@@ -221,37 +251,48 @@ object Dedup {
           None
       }
     val storedFp = readStoredFp()
-    if (!storedFp.contains(fp)) {
+    // a pre-collapse generation (valid fp, no member map / rep table —
+    // r16-built) is incomplete for the serving plan: rebuild it
+    def complete(): Boolean =
+      new java.io.File(postingsMembersPath(dir)).exists() &&
+        new java.io.File(postingsRepPath(dir)).exists()
+    if (!storedFp.contains(fp) || !complete()) {
       // stale or absent: rebuild under the store's BUILD LOCK (r15 —
       // unlike ServingStore generations, this table overwrites a LIVE
       // path, so two sessions ensuring the same stale index must not
       // both build; the loser re-checks under the lock and registers
       // the winner's index instead)
       ServingStore.withBuildLock(path) {
-        if (readStoredFp().contains(fp)) ()
+        if (readStoredFp().contains(fp) && complete()) ()
         else {
           // drop the memoized plan pinned to the old file listing
           Tables.invalidate(spark, dir, "documents")
           spark.sql(s"DROP TABLE IF EXISTS $table")
-          writeBucketedPostings(spark, Tables.documents(spark, dir), table, path, numBuckets)
-          // sidecar written only after the table write succeeded: a crash
-          // in between leaves a missing/stale sidecar -> rebuild, never a
-          // fresh-looking stale index
+          spark.sql(s"DROP TABLE IF EXISTS ${postingsRepTableName(dir)}")
+          val docs = Tables.documents(spark, dir)
+          writeBucketedPostings(spark, docs, table, path, numBuckets)
+          // distinct-text collapse, computed ONCE at index time: the
+          // member map (doc_id -> class key) and the rep-posting table
+          // (one posting set per distinct text). The class key is the
+          // min doc_id per text at build time.
+          import org.apache.spark.sql.expressions.Window
+          docs.select(col("doc_id"),
+              min(col("doc_id")).over(Window.partitionBy(col("text"))).as("cdoc"))
+            .write.mode("overwrite").parquet(postingsMembersPath(dir))
+          val repIds = spark.read.parquet(postingsMembersPath(dir))
+            .filter(col("doc_id") === col("cdoc")).select(col("doc_id"))
+          writeBucketedPostings(spark, docs.join(repIds, "doc_id"),
+            postingsRepTableName(dir), postingsRepPath(dir), numBuckets)
+          // sidecar written only after every table write succeeded: a
+          // crash in between leaves a missing/stale sidecar -> rebuild,
+          // never a fresh-looking stale index
           spark.range(1).select(lit(fp).as("fp"))
             .coalesce(1).write.mode("overwrite").parquet(fpPath)
         }
       }
-      if (!spark.catalog.tableExists(table))
-        spark.sql(
-          s"""CREATE TABLE $table (doc_id BIGINT, h BIGINT) USING parquet
-             |CLUSTERED BY (h) SORTED BY (h) INTO $numBuckets BUCKETS
-             |LOCATION '$path'""".stripMargin)
-    } else if (!spark.catalog.tableExists(table)) {
-      spark.sql(
-        s"""CREATE TABLE $table (doc_id BIGINT, h BIGINT) USING parquet
-           |CLUSTERED BY (h) SORTED BY (h) INTO $numBuckets BUCKETS
-           |LOCATION '$path'""".stripMargin)
     }
+    registerPostingTable(spark, table, path, numBuckets)
+    registerPostingTable(spark, postingsRepTableName(dir), postingsRepPath(dir), numBuckets)
     table
   }
 
@@ -310,15 +351,40 @@ object Dedup {
       s"posting generation at $path was built for a different corpus state " +
         s"(stored fp $storedFp != pre-append fp $f): the index is stale and " +
         "must be rebuilt with ensurePostings, not appended into"))
-    if (!spark.catalog.tableExists(table))
-      spark.sql(
-        s"""CREATE TABLE $table (doc_id BIGINT, h BIGINT) USING parquet
-           |CLUSTERED BY (h) SORTED BY (h) INTO $numBuckets BUCKETS
-           |LOCATION '$path'""".stripMargin)
+    require(new java.io.File(postingsMembersPath(dir)).exists() &&
+      new java.io.File(postingsRepPath(dir)).exists(),
+      s"posting generation at $path predates the distinct-text collapse " +
+        "(no member map / rep table): rebuild with ensurePostings before appending")
+    registerPostingTable(spark, table, path, numBuckets)
     shingleHashes(newDocs)
       .write.mode("append").format("parquet")
       .bucketBy(numBuckets, "h").sortBy("h")
       .option("path", path).saveAsTable(table)
+    // collapse maintenance: assign each delta doc to its text class —
+    // an EXISTING class when the text matches a pre-append rep's text
+    // (exact string join, no hashes), a NEW class keyed by the delta
+    // group's min doc_id otherwise. Rep-ness is append-stable: docs are
+    // only ever added, so an existing class's stored key never moves,
+    // and only new-class reps contribute rep postings.
+    val membersPath = postingsMembersPath(dir)
+    val repTexts = Tables.documents(spark, dir)
+      .join(spark.read.parquet(membersPath)
+        .filter(col("doc_id") === col("cdoc")).select(col("cdoc")),
+        col("doc_id") === col("cdoc"))
+      .select(col("cdoc"), col("text"))
+    val matched = newDocs.select(col("doc_id"), col("text"))
+      .join(repTexts, "text").select(col("doc_id"), col("cdoc"))
+    val unmatched = newDocs
+      .join(repTexts.select(col("text")), Seq("text"), "left_anti")
+      .withColumn("cdoc", min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("text"))))
+    matched.unionAll(unmatched.select(col("doc_id"), col("cdoc")))
+      .write.mode("append").parquet(membersPath)
+    registerPostingTable(spark, postingsRepTableName(dir), postingsRepPath(dir), numBuckets)
+    shingleHashes(unmatched.filter(col("doc_id") === col("cdoc")))
+      .write.mode("append").format("parquet")
+      .bucketBy(numBuckets, "h").sortBy("h")
+      .option("path", postingsRepPath(dir)).saveAsTable(postingsRepTableName(dir))
     // the delta files are already in `dir`: re-list it and stamp the
     // sidecar with the post-append fingerprint
     Tables.invalidate(spark, dir, "documents")
@@ -393,15 +459,86 @@ object Dedup {
     spark.read.parquet(path)
   }
 
-  /** q_dedup_ngram SERVING path: exact n-gram Jaccard verified over the
-    * PERSISTED bucketed posting index — the text scan, shingle kernel and
-    * posting shuffle are paid once at index time ([[ensurePostings]]),
-    * and every query run is bucket-local on `h` (the discipline that took
-    * q_knn_ivf 3.8 s -> 0.4 s, applied to the dedup family). Results are
-    * bit-identical to [[ngramJaccard]] (shared verifier tail). */
+  /** The collapse-served candidate machinery shared by
+    * [[ngramJaccardServe]] and [[dedupResolveServe]]:
+    *
+    *   - `docClass` — (doc_id, class_id): every document mapped to its
+    *     text class's TRUE id (the class's min doc_id, recomputed from
+    *     the member map because stored keys can lag an append);
+    *   - `repJaccard` — (ca, cb, shared, jaccard): thresholded exact
+    *     Jaccard over class REPRESENTATIVES (cross-class pairs only);
+    *   - `selfCls` — (class_id, n_shingles): classes holding >= 2 copies
+    *     of a text that keeps >= 1 surviving (non-hot) shingle — the
+    *     classes whose members pair with each other at jaccard 1.0.
+    *
+    * Exactness (the same argument as [[dedupResolveOracle]]'s collapse):
+    * identical texts have identical shingle sets, so doc-level Jaccard
+    * is class-invariant; the hot cap keeps counting doc-level df (the
+    * FULL posting table feeds it, bucket-local); and every doc-level
+    * pair is either a cross-class pair (recovered by expanding the rep
+    * pair over both member lists) or a same-class pair (jaccard 1.0 with
+    * shared = the class's surviving-set size). The candidate self-join —
+    * the only superlinear step — runs over the rep table, so its
+    * Σ df² cost scales with DISTINCT texts: on a k-copy corpus that is
+    * k² cheaper than the doc-level join (sf10's 100-copy cliques took
+    * the doc-level serve to 76 s; the expansion emits the same 23.5M
+    * pairs from sf0.1-sized joins). A minhash-band blocker was
+    * considered for this step and rejected: banding is probabilistic
+    * (a J = 0.8 pair escapes 8x4 bands ~1.5% of the time) and this
+    * operator's contract is exact. */
+  private[graft] def collapsedNgramParts(spark: SparkSession, dir: String,
+      threshold: Double): (DataFrame, DataFrame, DataFrame) = {
+    val table = ensurePostings(spark, dir)
+    val members = spark.read.parquet(postingsMembersPath(dir))
+    val cls = members.groupBy(col("cdoc"))
+      .agg(min(col("doc_id")).as("class_id"), count(lit(1)).as("csize"))
+    val docClass = members.join(cls.select(col("cdoc"), col("class_id")), "cdoc")
+      .select(col("doc_id"), col("class_id"))
+    // hot cap over the FULL doc-level table (df counts documents);
+    // candidates over the rep table — both bucket-local on h
+    val sh = spark.table(postingsRepTableName(dir))
+      .join(hotShingles(spark.table(table)), Seq("h"), "left_anti")
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val rj = jaccardPairsFrom(sh, threshold) // cdoc-level (doc_a, doc_b, shared, jaccard)
+    val repJaccard = rj
+      .join(cls.select(col("cdoc").as("doc_a"), col("class_id").as("ca")), "doc_a")
+      .join(cls.select(col("cdoc").as("doc_b"), col("class_id").as("cb")), "doc_b")
+      .select(col("ca"), col("cb"), col("shared"), col("jaccard"))
+    val selfCls = cls.filter(col("csize") >= 2)
+      .join(sizes.withColumnRenamed("doc_id", "cdoc"), "cdoc")
+      .select(col("class_id"), col("n_shingles"))
+    (docClass, repJaccard, selfCls)
+  }
+
+  /** q_dedup_ngram SERVING path: exact n-gram Jaccard over the PERSISTED
+    * collapse layout — the text scan, shingle kernel, posting shuffle
+    * AND the distinct-text collapse are paid once at index time
+    * ([[ensurePostings]]); the candidate join is bucket-local on `h`
+    * over the rep table (distinct texts, not documents), and duplicate
+    * cliques are recovered by member-map expansion. Results are
+    * bit-identical to [[ngramJaccard]] (see [[collapsedNgramParts]] for
+    * the exactness argument; CorpusSpec pins equality on plain and
+    * duplicate-heavy corpora). */
   def ngramJaccardServe(spark: SparkSession, dir: String,
-      threshold: Double = 0.8): DataFrame =
-    ngramJaccardBucketed(spark, ensurePostings(spark, dir), threshold)
+      threshold: Double = 0.8): DataFrame = {
+    val (docClass, repJaccard, selfCls) = collapsedNgramParts(spark, dir, threshold)
+    val cross = repJaccard
+      .join(docClass.select(col("class_id").as("ca"), col("doc_id").as("da")), "ca")
+      .join(docClass.select(col("class_id").as("cb"), col("doc_id").as("db")), "cb")
+      .select(
+        least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        col("shared"), col("jaccard"))
+    val selfPairs = docClass.as("x")
+      .join(docClass.as("y"),
+        col("x.class_id") === col("y.class_id") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.class_id").as("class_id"),
+        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .join(selfCls, "class_id")
+      .select(col("doc_a"), col("doc_b"),
+        col("n_shingles").as("shared"), lit(1.0).as("jaccard"))
+    cross.unionAll(selfPairs)
+  }
 
   /** Compact a posting generation back to ONE file per bucket.
     *
@@ -426,14 +563,12 @@ object Dedup {
       numBuckets: Int = PostingsBuckets): Unit = {
     val table = ensurePostings(spark, dir, numBuckets)
     val path = postingsServePath(dir)
+    val repTable = postingsRepTableName(dir)
+    val repPath = postingsRepPath(dir)
     val fpPath = path + "_model"
     // live-path mutation: serialize with concurrent ensure/append (r15)
     ServingStore.withBuildLock(path) {
     val fp = Similarity.readSidecarRows(spark, fpPath)(0).getLong(0)
-    val tmpPath = path + "_compact_tmp"
-    val tmpTable = table + "_compact_tmp"
-    spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
-    deleteTree(tmpPath)
     // one-file-per-bucket rides the task←→bucket alignment: an explicit
     // repartition on h uses the same murmur3-pmod placement as the
     // bucket-id assignment, so each of the numBuckets tasks holds
@@ -442,24 +577,34 @@ object Dedup {
     // makes EnsureRequirements elide this exact shuffle and hand the
     // writer the scan's size-based splits instead (several buckets per
     // task → several files per bucket, the fragmentation we're undoing).
-    spark.read.parquet(path)
-      .repartition(numBuckets, col("h"))
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(numBuckets, "h").sortBy("h")
-      .option("path", tmpPath).saveAsTable(tmpTable)
-    spark.sql(s"DROP TABLE IF EXISTS $tmpTable") // catalog entry only; files stay
+    // Both h-bucketed tables (doc-level and rep) compact in one swap
+    // window; fragmented appends hit both the same way.
+    def writeCompacted(srcPath: String, tmpPath: String, tmpTable: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+      deleteTree(tmpPath)
+      spark.read.parquet(srcPath)
+        .repartition(numBuckets, col("h"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(numBuckets, "h").sortBy("h")
+        .option("path", tmpPath).saveAsTable(tmpTable)
+      spark.sql(s"DROP TABLE IF EXISTS $tmpTable") // catalog entry only; files stay
+    }
+    writeCompacted(path, path + "_compact_tmp", table + "_compact_tmp")
+    writeCompacted(repPath, repPath + "_compact_tmp", repTable + "_compact_tmp")
     deleteTree(fpPath) // unprove BEFORE touching live files
     spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS $repTable")
     deleteTree(path)
+    deleteTree(repPath)
     // harness-only kill -9 with the live index GONE and the compacted
     // copy not yet moved in — the unproven state ensure must rebuild
     ServingStore.crashPoint("postings.compact.midswap")
     java.nio.file.Files.move(
-      java.nio.file.Paths.get(tmpPath), java.nio.file.Paths.get(path))
-    spark.sql(
-      s"""CREATE TABLE $table (doc_id BIGINT, h BIGINT) USING parquet
-         |CLUSTERED BY (h) SORTED BY (h) INTO $numBuckets BUCKETS
-         |LOCATION '$path'""".stripMargin)
+      java.nio.file.Paths.get(path + "_compact_tmp"), java.nio.file.Paths.get(path))
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(repPath + "_compact_tmp"), java.nio.file.Paths.get(repPath))
+    registerPostingTable(spark, table, path, numBuckets)
+    registerPostingTable(spark, repTable, repPath, numBuckets)
     spark.range(1).select(lit(fp).as("fp"))
       .coalesce(1).write.mode("overwrite").parquet(fpPath)
     }
@@ -1609,11 +1754,24 @@ object Dedup {
   def dedupResolve(spark: SparkSession, dir: String): DataFrame =
     resolveComponents(ngramJaccard(Tables.documents(spark, dir)))
 
-  /** q_dedup_resolve SERVING path — [[dedupResolve]] with candidate pairs
-    * from the persisted posting index ([[ngramJaccardServe]]) instead of
-    * a from-scratch shingle scan + posting shuffle. */
-  def dedupResolveServe(spark: SparkSession, dir: String): DataFrame =
-    resolveComponents(ngramJaccardServe(spark, dir))
+  /** q_dedup_resolve SERVING path — connected components over the
+    * CLASS graph (one node per distinct text: cross-class jaccard edges
+    * plus self-loop members for duplicated texts with surviving
+    * shingles), expanded to documents through the member map afterward —
+    * exactly [[dedupResolveOracle]]'s formulation. Resolving on the doc
+    * graph would feed a k-copy clique's k² pair rows and k-degree join
+    * fan-out into every star-contraction round; on the class graph the
+    * clique is ONE node, and the component minimum over class ids IS the
+    * component minimum over doc ids (each class id is its class's min,
+    * up to the query-time re-min over the member map). */
+  def dedupResolveServe(spark: SparkSession, dir: String): DataFrame = {
+    val (docClass, repJaccard, selfCls) = collapsedNgramParts(spark, dir, 0.8)
+    val edges = repJaccard.select(col("ca").as("doc_a"), col("cb").as("doc_b"))
+      .unionAll(selfCls.select(col("class_id").as("doc_a"), col("class_id").as("doc_b")))
+    val canon = resolveComponents(edges)
+      .select(col("doc_id").as("class_id"), col("canonical_id"))
+    docClass.join(canon, "class_id").select(col("doc_id"), col("canonical_id"))
+  }
 
   /** The whole oracle runs on the DISTINCT-TEXT graph, not the doc
     * graph (r16, found by the sf10 gate): exact copies collapse to one

@@ -677,6 +677,34 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       "serve after append rebuilt the doc-stats sidecar")
   }
 
+  test("collapse serve: duplicate-heavy corpus equals the doc-level formulation exactly") {
+    // the r17 distinct-text collapse exists for THIS shape (sf10's
+    // 100-copy cliques): k-copy corpora must serve the identical pair
+    // set — cross-class pairs expanded over both member lists, k-copy
+    // cliques as jaccard-1.0 self pairs — and the class-graph resolve
+    // must equal the doc-graph resolve
+    val tmp = java.nio.file.Files.createTempDirectory("graftdupheavy").toString
+    val docs = graft.Tables.documents(spark, sf)
+    (0 until 5).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val direct = pairSet(operators.Dedup.ngramJaccard(spark, tmp))
+    val served = pairSet(operators.Dedup.ngramJaccardServe(spark, tmp))
+    assert(served == direct,
+      s"collapse serve diverged on a 5-copy corpus: ${served.size} vs ${direct.size} pairs")
+    // every doc has 4 exact copies: the self arm must be present and
+    // dominated by jaccard-1.0 rows
+    assert(served.count(_._4 == 1.0) >= 10 * served.size / 20,
+      "duplicate cliques missing from the served pair set")
+    val rDirect = operators.Dedup.dedupResolve(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rServed = operators.Dedup.dedupResolveServe(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rServed == rDirect, "class-graph resolve diverged from doc-graph resolve")
+  }
+
   test("postings compaction: fragmented buckets collapse to one file each, content unchanged") {
     val tmp = java.nio.file.Files.createTempDirectory("graftcompact").toString
     val docs = graft.Tables.documents(spark, sf)

@@ -2403,7 +2403,12 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
       val exchanges = df.queryExecution.executedPlan.collect {
         case e: ShuffleExchangeExec => e
       }
-      assert(exchanges.size <= 5, s"serve-path h-side exchanges crept back in " +
+      // r17 collapse serve: the class-map joins and pair expansions add
+      // exchanges, but every one is keyed on class/pair ids over streams
+      // that scale with DISTINCT texts (or output pairs) — the invariant
+      // this spec protects is the h side staying bucket-local, asserted
+      // below; the count is a creep tripwire only
+      assert(exchanges.size <= 18, s"serve-path exchanges crept back in " +
         s"(${exchanges.size}):\n" + df.queryExecution.executedPlan)
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange hashpartitioning(h#"),
