@@ -233,10 +233,14 @@ object SparkEntry {
     "q_lm_score" -> Curation.lmScoreOracle,
     "q_tfidf_terms" -> Curation.tfidfTermsOracle,
     "q_collocations" -> Curation.collocationsOracle,
-    "q_pii_scrub" -> Curation.piiScrubOracle
+    "q_pii_scrub" -> Curation.piiScrubOracle,
+    // r17: first-fit packing IS SQL-expressible — a recursive CTE
+    // replays the group-local packer with list-typed bin state
+    "q_pack_sequences" -> TextAnalysis.packSequencesOracle,
+    "q_pack_bucketed" -> TextAnalysis.packBucketedOracle
     // q_dedup_minhash, q_dedup_simhash, q_knn_lsh, q_knn_ivf, q_knn_pq,
-    // q_knn_ivfpq, q_dedup_embedding, q_winnow_fingerprint, q_pack_sequences,
-    // q_pack_bucketed, q_text_bpe, q_image_dedup, q_video_dedup,
+    // q_knn_ivfpq, q_dedup_embedding, q_winnow_fingerprint,
+    // q_text_bpe, q_image_dedup, q_video_dedup,
     // q_media_crossmodal: not SQL-expressible
     // (xxhash64 signatures / LSH plane constants / trained model state /
     // iterative BPE merge learning); q_quality_classifier: iterative

@@ -791,4 +791,55 @@ object TextAnalysis {
       .toDF()
       .select(col("doc_id"), col("n_tokens"), col("bin_id"), col("bin_fill"))
   }
+
+  /** Exact DuckDB oracle for the pack family (r16 verdict #8 asked for
+    * partial invariant checks; full first-fit turns out expressible):
+    * a recursive CTE carries each group's open-bin fills as a BIGINT
+    * list and replays first-fit one doc per iteration — recursion depth
+    * is bounded by [[PackGroupSize]], not corpus size, because groups
+    * advance in lockstep. `ordering` is the within-group placement
+    * order (doc_id for first-fit, n DESC/doc_id for
+    * first-fit-decreasing). Not-found probes read COALESCE(pos,0)=0:
+    * DuckDB's list_position yields 0/NULL for absent. Token counts are
+    * the q_text_tokens oracle's proven n_bpe_tokens expression. */
+  private def packOracle(ordering: String): String = {
+    val pos = "list_position(list_transform(f.fills, x -> x + s.n <= " +
+      s"$PackBudget), true)"
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id,
+       |    CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INT) AS n,
+       |    doc_id // $PackGroupSize AS grp
+       |  FROM documents
+       |), seq AS (
+       |  SELECT doc_id, n, grp,
+       |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY $ordering) AS rn
+       |  FROM toks
+       |), fit AS (
+       |  SELECT grp, CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS fills,
+       |         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INT) AS n_tokens,
+       |         CAST(NULL AS BIGINT) AS bin_id, CAST(NULL AS BIGINT) AS bin_fill
+       |  FROM (SELECT DISTINCT grp FROM seq)
+       |  UNION ALL
+       |  SELECT s.grp, s.rn,
+       |    CASE WHEN COALESCE($pos, 0) = 0
+       |         THEN list_append(f.fills, CAST(s.n AS BIGINT))
+       |         ELSE list_transform(f.fills, (x, i) ->
+       |           CASE WHEN i = list_position(list_transform(f.fills, y -> y + s.n <= $PackBudget), true)
+       |                THEN x + s.n ELSE x END)
+       |    END,
+       |    s.doc_id, s.n,
+       |    s.grp * ${1L << 20} + CAST(
+       |      CASE WHEN COALESCE($pos, 0) = 0
+       |           THEN LEN(f.fills)
+       |           ELSE $pos - 1 END AS BIGINT),
+       |    CASE WHEN COALESCE($pos, 0) = 0
+       |         THEN CAST(s.n AS BIGINT)
+       |         ELSE f.fills[$pos] + s.n END
+       |  FROM fit f JOIN seq s ON s.grp = f.grp AND s.rn = f.rn + 1
+       |)
+       |SELECT doc_id, n_tokens, bin_id, bin_fill FROM fit WHERE rn > 0""".stripMargin
+  }
+
+  val packSequencesOracle: String = packOracle("doc_id")
+  val packBucketedOracle: String = packOracle("n DESC, doc_id")
 }
