@@ -252,10 +252,20 @@ object Dedup {
       }
     val storedFp = readStoredFp()
     // a pre-collapse generation (valid fp, no member map / rep table —
-    // r16-built) is incomplete for the serving plan: rebuild it
+    // r16-built) is incomplete for the serving plan: rebuild it. The
+    // probe requires COMMITTED DATA (>= 1 non-marker file), not a bare
+    // directory: the collapse-upgrade rebuild runs under a still-valid
+    // fp, so a dir Spark created at job setup (or a crash between the
+    // member and rep commits) must read incomplete — an exists() probe
+    // would let a lock-free reader register a dataless rep table and
+    // serve silently empty pairs (r17 review).
+    def hasData(p: String): Boolean = {
+      val fs = new java.io.File(p).listFiles()
+      fs != null && fs.exists(f =>
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    }
     def complete(): Boolean =
-      new java.io.File(postingsMembersPath(dir)).exists() &&
-        new java.io.File(postingsRepPath(dir)).exists()
+      hasData(postingsMembersPath(dir)) && hasData(postingsRepPath(dir))
     if (!storedFp.contains(fp) || !complete()) {
       // stale or absent: rebuild under the store's BUILD LOCK (r15 —
       // unlike ServingStore generations, this table overwrites a LIVE
@@ -327,7 +337,20 @@ object Dedup {
     * Crash safety matches the build path: the sidecar advances only
     * after the append commits, so a crash in between leaves a stale
     * sidecar and the next ensure falls back to a full rebuild — never a
-    * fresh-looking index missing rows. */
+    * fresh-looking index missing rows.
+    *
+    * Reader consistency across the MULTI-artifact commit (postings,
+    * member map, rep postings, doc stats — sequential commits inside
+    * this lock): every serve CONSTRUCTION re-runs [[ensurePostings]],
+    * whose fingerprint compares the sidecar against the post-delta
+    * corpus listing — mid-append the two differ (the delta landed
+    * first, the sidecar advances last), so a construction racing this
+    * append takes the locked path and blocks until the append is
+    * whole; a plan constructed BEFORE the delta landed pinned every
+    * artifact's pre-append file listing and reads the self-consistent
+    * pre-append state. The torn-read exposure is therefore the same
+    * landing-race instant the pre-r17 postings+docstats pair already
+    * had, not a new window per artifact. */
   def appendPostings(spark: SparkSession, dir: String, newDocs: DataFrame,
       numBuckets: Int = PostingsBuckets,
       expectedFp: Option[Long] = None): String = {
@@ -529,8 +552,13 @@ object Dedup {
         least(col("da"), col("db")).as("doc_a"),
         greatest(col("da"), col("db")).as("doc_b"),
         col("shared"), col("jaccard"))
-    val selfPairs = docClass.as("x")
-      .join(docClass.as("y"),
+    // restrict members to qualifying classes BEFORE the k² self-join:
+    // an all-hot k-copy clique (every shingle past the cap) has no
+    // surviving shingles and must cost nothing, not k² discarded rows
+    // (r17 review)
+    val selfMembers = docClass.join(selfCls.select(col("class_id")), "class_id")
+    val selfPairs = selfMembers.as("x")
+      .join(selfMembers.as("y"),
         col("x.class_id") === col("y.class_id") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.class_id").as("class_id"),
         col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

@@ -705,6 +705,29 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rServed == rDirect, "class-graph resolve diverged from doc-graph resolve")
   }
 
+  test("collapse upgrade: a dataless rep dir under a valid fp reads incomplete and rebuilds") {
+    // the r17 review hole: the collapse-upgrade rebuild runs while the
+    // fp sidecar stays VALID, so a crash between the member and rep
+    // commits (or a racing reader probing bare exists()) could register
+    // a dataless rep table and serve silently empty pairs. The fix
+    // probes committed data files; this simulates the crash state.
+    val tmp = java.nio.file.Files.createTempDirectory("graftupgrade").toString
+    graft.Tables.documents(spark, sf)
+      .write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = pairSet(operators.Dedup.ngramJaccardServe(spark, tmp, threshold = 0.3))
+    assert(want.nonEmpty, "premise: the corpus has near-dup pairs at t=0.3")
+    // crash state: rep dir exists but holds no committed data files;
+    // fp sidecar still proves the generation
+    val repDir = new java.io.File(operators.Dedup.postingsRepPath(tmp))
+    repDir.listFiles.filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+      .foreach(f => assert(f.delete(), s"could not empty $f"))
+    spark.sql(s"DROP TABLE IF EXISTS ${operators.Dedup.postingsRepTableName(tmp)}")
+    assert(pairSet(operators.Dedup.ngramJaccardServe(spark, tmp, threshold = 0.3)) == want,
+      "a dataless rep dir served empty/wrong pairs instead of triggering a rebuild")
+  }
+
   test("postings compaction: fragmented buckets collapse to one file each, content unchanged") {
     val tmp = java.nio.file.Files.createTempDirectory("graftcompact").toString
     val docs = graft.Tables.documents(spark, sf)

@@ -100,6 +100,13 @@ def main():
         if not gate_only:
             run(["python3", "tools/measure_baseline.py", sf_dir, oracle, duck, graft],
                 env=env)
+        if gate_only and label == "sf10" and not (
+                os.path.exists(duck) and os.path.exists(graft)):
+            # re-gating a round measured before the sf10 tier stood:
+            # gate on the tiers that exist instead of dying on the open()
+            print(f"[round-close] {tag} has no sf10 artifacts — gating "
+                  "on sf0.1/sf1 only")
+            continue
         pairs[label] = (json.load(open(duck)), json.load(open(graft))["queries"])
     if gate_only and not sf10 and \
             os.path.exists(f"tools/baseline_duckdb_sf10_{tag}.json") and \
