@@ -38,6 +38,15 @@ def main(sf_dir, oracle_path, duck_out, graft_out):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(oracle_path))
 
+    # Correctness-only oracles (r17): the pack family's DuckDB oracle is
+    # an exact recursive first-fit REPLAY — 4s at sf0.01 but 40-280s at
+    # the bench tiers, all recursion machinery rather than a native
+    # engine baseline. Timing it would gift graft hundreds of fake
+    # seconds per window, so the pair excludes it; correctness still
+    # gates on it via check_oracle at every tier.
+    CORRECTNESS_ONLY = {"q_pack_sequences", "q_pack_bucketed"}
+    oracle = {k: (None if k in CORRECTNESS_ONLY else v) for k, v in oracle.items()}
+
     proc = start_pipe(sf_dir)
     errors = {}
     d_samples = {}   # name -> [sec]
@@ -46,7 +55,7 @@ def main(sf_dir, oracle_path, duck_out, graft_out):
         proc.stdin.write("list\n")
         proc.stdin.flush()
         names = sorted(wait_for(proc, "[pipe] LIST").split()[2:])
-        oracled = [n for n in names if n in oracle]
+        oracled = [n for n in names if oracle.get(n) is not None]
         # one warm suite pass per engine (pays generation builds + JIT
         # outside every measured round)
         for name in names:
