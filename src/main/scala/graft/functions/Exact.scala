@@ -25,8 +25,12 @@ object Exact {
   /** Cast to exact decimal with 4-decimal scale (derived products). */
   def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
 
-  /** Exact decimal sum surfaced as DOUBLE (decimal -> nearest double is
-    * deterministic and identical in Spark and DuckDB). */
+  /** Exact decimal sum surfaced as DOUBLE. Spark's Decimal.toDouble is
+    * correctly rounded (BigDecimal); DuckDB's direct decimal->double
+    * cast is NOT once the decimal's unscaled units exceed 2^53 (int128
+    * storage path double-rounds — observed one ulp high at sf10's
+    * scale-6 sum_charge, r17), so oracles for high-scale fact sums
+    * convert via a VARCHAR round-trip (strtod is correctly rounded). */
   def sumd2(c: Column): Column = sum(dec2(c)).cast(DoubleType)
 
   def sumd4(c: Column): Column = sum(dec4(c)).cast(DoubleType)

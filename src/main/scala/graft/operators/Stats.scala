@@ -154,7 +154,7 @@ object Stats {
       |  FROM (
       |    SELECT nationkey, COUNT(*) AS n_months,
       |      CAST(SUM(m_rev) AS DOUBLE) AS sp,
-      |      CAST(SUM(CAST(CAST(m_rev AS DECIMAL(19,2)) * CAST(m_rev AS DECIMAL(19,2)) AS DECIMAL(38,4))) AS DOUBLE) AS spp
+      |      CAST(CAST(SUM(CAST(CAST(m_rev AS DECIMAL(19,2)) * CAST(m_rev AS DECIMAL(19,2)) AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS spp
       |    FROM monthly GROUP BY nationkey
       |  )
       |), hdi AS (
