@@ -884,9 +884,20 @@ object Multimodal {
       .select(col("media_id"), col("frame_idx"), col("hash").as("phash"))
   }
 
-  /** [[imageDedup]] served from the persisted hash generation. */
+  /** [[imageDedup]] served from the persisted hash generation, through
+    * the DISTINCT-SIGNATURE collapse ([[Dedup.collapsedHammingPairs]],
+    * r18): replicated ingests (identical payloads → identical dHash)
+    * collapse to one representative per distinct hash before the
+    * pigeonhole join, so a k-copy asset costs one candidate row instead
+    * of k quadratic ones, and its k² clique pairs come from the
+    * member-map expansion — the same exactness argument (and the same
+    * spec pin, serve == inline on a duplicate-heavy corpus) as the text
+    * simhash serve. */
   def imageDedupServe(spark: SparkSession, dir: String): DataFrame =
-    imageDedupFrom(imageHashesServe(spark, dir))
+    Dedup.collapsedHammingPairs(
+      imageHashesServe(spark, dir)
+        .select(col("media_id").as("doc_id"), col("phash").as("simhash")))
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"), col("hamming"))
 
   /** [[videoDedup]] served from the persisted hash generation. */
   def videoDedupServe(spark: SparkSession, dir: String, every: Int = 2,

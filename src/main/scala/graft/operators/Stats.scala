@@ -153,13 +153,13 @@ object Stats {
       |      / (CAST(n_months AS DOUBLE) * (CAST(n_months AS DOUBLE) - 1.0)), 0.0)) ELSE 0.0 END AS volatility
       |  FROM (
       |    SELECT nationkey, COUNT(*) AS n_months,
-      |      CAST(SUM(m_rev) AS DOUBLE) AS sp,
+      |      CAST(CAST(SUM(m_rev) AS VARCHAR) AS DOUBLE) AS sp,
       |      CAST(CAST(SUM(CAST(CAST(m_rev AS DECIMAL(19,2)) * CAST(m_rev AS DECIMAL(19,2)) AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS spp
       |    FROM monthly GROUP BY nationkey
       |  )
       |), hdi AS (
       |  SELECT c_nationkey AS hk,
-      |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS hdi_proxy
+      |    CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS hdi_proxy
       |  FROM customer GROUP BY c_nationkey
       |), q AS (
       |  SELECT CAST(FLOOR(volatility) AS BIGINT) AS qv,
@@ -183,11 +183,11 @@ object Stats {
       |  ELSE NULL END AS corr_disc_qty
       |FROM (
       |  SELECT p_brand AS brand, COUNT(*) AS n,
-      |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-      |    CAST(SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(22,4))) AS DOUBLE) AS sxy,
-      |    CAST(SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(22,4))) AS DOUBLE) AS sxx,
-      |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(22,4))) AS DOUBLE) AS syy
+      |    CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx,
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sy,
+      |    CAST(CAST(SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(22,4))) AS VARCHAR) AS DOUBLE) AS sxy,
+      |    CAST(CAST(SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(22,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+      |    CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(22,4))) AS VARCHAR) AS DOUBLE) AS syy
       |  FROM lineitem JOIN part ON l_partkey = p_partkey
       |  GROUP BY p_brand
       |)""".stripMargin

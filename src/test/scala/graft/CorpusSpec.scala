@@ -705,6 +705,62 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rServed == rDirect, "class-graph resolve diverged from doc-graph resolve")
   }
 
+  test("signature collapse serve: duplicate-heavy corpus equals the doc-level form exactly") {
+    // the r18 distinct-SIGNATURE collapse (minhash / simhash / IDF):
+    // k-copy corpora must serve the identical pair set — cross-class
+    // pairs expanded over both member lists, k-copy cliques as
+    // est-1.0 / hamming-0 self pairs
+    val tmp = java.nio.file.Files.createTempDirectory("graftsigdup").toString
+    val docs = graft.Tables.documents(spark, sf)
+    (0 until 5).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    val full = graft.Tables.documents(spark, tmp)
+
+    def mSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val mDirect = mSet(operators.Dedup.minhashDedup(full))
+    val mServed = mSet(operators.Dedup.minhashDedup(spark, tmp))
+    assert(mServed == mDirect,
+      s"minhash collapse diverged on a 5-copy corpus: ${mServed.size} vs ${mDirect.size}")
+    assert(mServed.count(_._3 == 1.0) >= 5000,
+      "duplicate cliques missing from the served minhash pair set")
+
+    def hSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sDirect = hSet(operators.Dedup.simhashDedup(full))
+    val sServed = hSet(operators.Dedup.simhashDedup(spark, tmp))
+    assert(sServed == sDirect,
+      s"simhash collapse diverged on a 5-copy corpus: ${sServed.size} vs ${sDirect.size}")
+    assert(sServed.count(_._3 == 0) >= 5000,
+      "duplicate cliques missing from the served simhash pair set")
+
+    val iDirect = hSet(operators.Dedup.simhashIdfDedup(full))
+    val iServed = hSet(operators.Dedup.simhashIdfDedup(spark, tmp))
+    assert(iServed == iDirect,
+      s"IDF-simhash collapse diverged on a 5-copy corpus: ${iServed.size} vs ${iDirect.size}")
+  }
+
+  test("image collapse serve: duplicate-heavy media corpus equals the doc-level form") {
+    // replicated document ids derive replicated media payloads
+    // (identical payload → identical dHash), so the media twin of the
+    // duplicate-heavy shape exercises the same collapse
+    val tmp = java.nio.file.Files.createTempDirectory("graftimgdup").toString
+    val docs = graft.Tables.documents(spark, sf)
+    (0 until 3).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    def hSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val direct = hSet(operators.Multimodal.imageDedup(
+      spark, operators.Multimodal.corpus(spark, tmp)))
+    val served = hSet(operators.Multimodal.imageDedupServe(spark, tmp))
+    assert(served == direct,
+      s"image collapse diverged on a 3-copy corpus: ${served.size} vs ${direct.size}")
+    assert(served.count(_._3 == 0) > 0,
+      "replicated payload cliques missing from the served image pair set")
+  }
+
   test("collapse upgrade: a dataless rep dir under a valid fp reads incomplete and rebuilds") {
     // the r17 review hole: the collapse-upgrade rebuild runs while the
     // fp sidecar stays VALID, so a crash between the member and rep
