@@ -541,6 +541,132 @@ object Multimodal {
     * hubs, not near-dups — dropped from pairing. */
   val FrameHashCap = 64
 
+  /** DISTINCT-HASH-SET collapse for video dedup (r18, the
+    * [[Dedup.collapsedHammingPairs]] move for the frame-overlap join):
+    * [[videoDedupFrom]] depends on a video only through its distinct
+    * frame-hash SET, so videos with equal sets are interchangeable —
+    * the frame-keyed self-join runs over one representative per
+    * distinct set, cross-class pairs expand rep pairs over both member
+    * lists (shared/n counts are set-determined), and same-class pairs
+    * share their full surviving set (always past the
+    * `least(minShared, n, n)` threshold at n >= 1).
+    *
+    * This is also the sf10 VACUITY fix: exact replication puts every
+    * frame hash in >= k videos, so at k > [[FrameHashCap]] the
+    * doc-level census drops EVERY hash and the inline form silently
+    * emits zero pairs — precisely the giant-duplicate-cluster failure
+    * the r13 star valve exists to prevent in the banding families. The
+    * collapsed census counts distinct SETS (rep-hot ⊆ doc-hot), so a
+    * replicated corpus keeps its full pair set; bit-equal to
+    * [[videoDedupFrom]] wherever the doc-level census engages no cap
+    * (spec-pinned, duplicate-heavy corpus included). */
+  private[operators] def videoDedupCollapsed(frameHashes: DataFrame,
+      minShared: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashes = frameHashes
+      .select(col("media_id"), col("phash")).distinct()
+      .localCheckpoint(eager = false)
+    val members = hashes.groupBy(col("media_id"))
+      .agg(sort_array(collect_set(col("phash"))).as("hset"))
+      .withColumn("class_id",
+        min(col("media_id")).over(Window.partitionBy(col("hset"))))
+      .select(col("media_id"), col("class_id"))
+      .localCheckpoint(eager = false)
+    val repHashes = hashes.join(
+      members.filter(col("media_id") === col("class_id")).select(col("media_id")),
+      "media_id")
+      .localCheckpoint(eager = false)
+    val hot = repHashes.groupBy(col("phash")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > FrameHashCap)
+      .select(col("phash"))
+    val kept = repHashes.join(hot, Seq("phash"), "left_anti")
+      .localCheckpoint(eager = false)
+    val counts = kept.groupBy(col("media_id")).agg(count(lit(1)).as("n_hashes"))
+    val repPairs = kept
+      .join(kept.select(col("media_id").as("media_b"), col("phash")), Seq("phash"))
+      .filter(col("media_id") < col("media_b"))
+      .groupBy(col("media_id").as("media_a"), col("media_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .join(counts.select(col("media_id").as("media_a"), col("n_hashes").as("n_a")),
+        Seq("media_a"))
+      .join(counts.select(col("media_id").as("media_b"), col("n_hashes").as("n_b")),
+        Seq("media_b"))
+      .filter(col("shared_frames") >= least(lit(minShared), col("n_a"), col("n_b")))
+      .select(col("media_a"), col("media_b"), col("shared_frames"))
+    val cross = repPairs
+      .join(members.select(col("class_id").as("media_a"), col("media_id").as("da")),
+        "media_a")
+      .join(members.select(col("class_id").as("media_b"), col("media_id").as("db")),
+        "media_b")
+      .select(
+        least(col("da"), col("db")).as("media_a"),
+        greatest(col("da"), col("db")).as("media_b"),
+        col("shared_frames"))
+    val dupMembers = members.join(
+      members.groupBy(col("class_id")).agg(count(lit(1)).as("csize"))
+        .filter(col("csize") >= 2).select(col("class_id")), "class_id")
+    // inner join onto counts: a class whose every hash went hot at rep
+    // level has no surviving set and pairs on nothing — the same n = 0
+    // exclusion the inline join shape produces
+    val self = dupMembers.as("x")
+      .join(dupMembers.as("y"),
+        col("x.class_id") === col("y.class_id") && col("x.media_id") < col("y.media_id"))
+      .select(col("x.class_id").as("class_id"),
+        col("x.media_id").as("media_a"), col("y.media_id").as("media_b"))
+      .join(counts.select(col("media_id").as("class_id"), col("n_hashes")), "class_id")
+      .select(col("media_a"), col("media_b"), col("n_hashes").as("shared_frames"))
+    cross.unionByName(self)
+  }
+
+  /** [[crossModalFrom]] through the collapse: images collapse on their
+    * phash (the census never counts images, so this side is exact
+    * unconditionally); videos collapse on their (phash -> first
+    * frame_idx) MAP — n_matching_frames needs the hash set but
+    * first_frame_idx needs the per-hash minimum index, so the class key
+    * carries both. Same census argument as [[videoDedupCollapsed]]. */
+  private[operators] def crossModalCollapsed(imageHashes: DataFrame,
+      frameHashes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val imgs = imageHashes
+      .select(col("media_id").as("image_id"), col("phash"))
+      .withColumn("class_img",
+        min(col("image_id")).over(Window.partitionBy(col("phash"))))
+      .localCheckpoint(eager = false)
+    val imgMembers = imgs.select(col("image_id"), col("class_img"))
+    val repImgs = imgs.filter(col("image_id") === col("class_img"))
+      .select(col("class_img").as("image_id"), col("phash"))
+    val frames = frameHashes
+      .groupBy(col("media_id").as("video_id"), col("phash"))
+      .agg(min(col("frame_idx")).as("frame_idx"))
+      .localCheckpoint(eager = false)
+    val vidMembers = frames
+      .groupBy(col("video_id"))
+      .agg(sort_array(collect_list(struct(col("phash"), col("frame_idx")))).as("fset"))
+      .withColumn("class_vid",
+        min(col("video_id")).over(Window.partitionBy(col("fset"))))
+      .select(col("video_id"), col("class_vid"))
+      .localCheckpoint(eager = false)
+    val repFrames = frames.join(
+      vidMembers.filter(col("video_id") === col("class_vid")).select(col("video_id")),
+      "video_id")
+    val hot = repFrames.groupBy(col("phash")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > FrameHashCap)
+      .select(col("phash"))
+    val repPairs = repImgs
+      .join(repFrames.join(hot, Seq("phash"), "left_anti"), Seq("phash"))
+      .groupBy(col("image_id"), col("video_id"))
+      .agg(
+        count(lit(1)).as("n_matching_frames"),
+        min(col("frame_idx")).as("first_frame_idx"))
+    repPairs
+      .join(imgMembers.select(col("class_img").as("image_id"), col("image_id").as("ia")),
+        "image_id")
+      .join(vidMembers.select(col("class_vid").as("video_id"), col("video_id").as("va")),
+        "video_id")
+      .select(col("ia").as("image_id"), col("va").as("video_id"),
+        col("n_matching_frames"), col("first_frame_idx"))
+  }
+
   /** Image↔video CROSS-MODAL matches: an image pairs with a video when
     * its perceptual hash equals any sampled frame's hash — the
     * thumbnail / poster / frame-extract duplication mode a multimodal
@@ -899,14 +1025,16 @@ object Multimodal {
         .select(col("media_id").as("doc_id"), col("phash").as("simhash")))
       .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"), col("hamming"))
 
-  /** [[videoDedup]] served from the persisted hash generation. */
+  /** [[videoDedup]] served from the persisted hash generation, through
+    * the distinct-hash-set collapse ([[videoDedupCollapsed]]). */
   def videoDedupServe(spark: SparkSession, dir: String, every: Int = 2,
       minShared: Int = 2): DataFrame =
-    videoDedupFrom(frameHashesServe(spark, dir, every), minShared)
+    videoDedupCollapsed(frameHashesServe(spark, dir, every), minShared)
 
-  /** [[crossModalMatches]] served from the persisted hash generation. */
+  /** [[crossModalMatches]] served from the persisted hash generation,
+    * through the collapse ([[crossModalCollapsed]]). */
   def crossModalServe(spark: SparkSession, dir: String, every: Int = 2): DataFrame =
-    crossModalFrom(imageHashesServe(spark, dir), frameHashesServe(spark, dir, every))
+    crossModalCollapsed(imageHashesServe(spark, dir), frameHashesServe(spark, dir, every))
 
   /** Split a payload of back-to-back binary PPMs at real frame
     * boundaries; None unless the WHOLE payload parses as PPM frames.

@@ -752,13 +752,55 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       .write.mode("overwrite").parquet(tmp + "/documents.parquet")
     def hSet(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    val direct = hSet(operators.Multimodal.imageDedup(
-      spark, operators.Multimodal.corpus(spark, tmp)))
+    val media = operators.Multimodal.corpus(spark, tmp).localCheckpoint()
+    val direct = hSet(operators.Multimodal.imageDedup(spark, media))
     val served = hSet(operators.Multimodal.imageDedupServe(spark, tmp))
     assert(served == direct,
       s"image collapse diverged on a 3-copy corpus: ${served.size} vs ${direct.size}")
     assert(served.count(_._3 == 0) > 0,
       "replicated payload cliques missing from the served image pair set")
+    // video and crossmodal ride the same corpus: set-collapse and
+    // map-collapse must equal the doc-level forms while the doc-level
+    // census stays under FrameHashCap (3 copies)
+    def vSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val vDirect = vSet(operators.Multimodal.videoDedup(spark, media))
+    val vServed = vSet(operators.Multimodal.videoDedupServe(spark, tmp))
+    assert(vServed == vDirect,
+      s"video collapse diverged on a 3-copy corpus: ${vServed.size} vs ${vDirect.size}")
+    assert(vServed.nonEmpty, "replicated video cliques missing")
+    def xSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val xDirect = xSet(operators.Multimodal.crossModalMatches(spark, media))
+    val xServed = xSet(operators.Multimodal.crossModalServe(spark, tmp))
+    assert(xServed == xDirect,
+      s"crossmodal collapse diverged on a 3-copy corpus: ${xServed.size} vs ${xDirect.size}")
+  }
+
+  test("video collapse serve: replication past FrameHashCap stays lossless") {
+    // the sf10 vacuity shape: at k copies > FrameHashCap (64) the
+    // doc-level census drops EVERY frame hash and the inline form
+    // silently emits zero pairs; the collapsed census counts distinct
+    // hash SETS, so the replicated corpus keeps its full pair set
+    val tmp = java.nio.file.Files.createTempDirectory("graftvidcap").toString
+    val k = operators.Multimodal.FrameHashCap + 6 // 70 copies
+    val base = graft.Tables.documents(spark, sf)
+      .orderBy(col("doc_id")).limit(20).localCheckpoint()
+    (0 until k).map(i => base.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    val media = operators.Multimodal.corpus(spark, tmp).localCheckpoint()
+    val inline = operators.Multimodal.videoDedup(spark, media).count()
+    assert(inline == 0L,
+      s"premise drifted: doc-level census no longer saturates at $k copies ($inline pairs)")
+    val served = operators.Multimodal.videoDedupServe(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every base video's k replicas form a clique: k*(k-1)/2 pairs each
+    val vids = operators.Multimodal.frameHashes(spark, media).toDF()
+      .select(col("media_id")).distinct().count()
+    assert(vids > 0, "premise: the base slice derives at least one video")
+    assert(served.size >= (vids / k * (k.toLong * (k - 1) / 2)).toInt,
+      s"collapse under-emitted on the saturated corpus: ${served.size} pairs from $vids videos")
   }
 
   test("collapse upgrade: a dataless rep dir under a valid fp reads incomplete and rebuilds") {
