@@ -198,10 +198,41 @@ object Dedup {
     * STORED key — the min doc_id of the class at the time the class was
     * first indexed. The stored key is stable under append (documents
     * are only ever added), but is NOT guaranteed to stay the class
-    * minimum (a later delta may carry a smaller id), so query plans
-    * recompute the true class id as min(doc_id) per cdoc. */
+    * minimum (a later delta may carry a smaller id); the TRUE class id
+    * lives in the class sidecar ([[postingsClassesPath]]), refreshed on
+    * every append. */
   private[graft] def postingsMembersPath(dir: String): String =
     postingsServePath(dir) + "_members"
+
+  /** Class sidecar of the collapse: (cdoc, class_id, csize) — one row
+    * per DISTINCT TEXT carrying the class's true id (min member doc_id)
+    * and member count, pre-materialized at index time so query plans
+    * skip the doc-level groupBy recompute and the planner sees parquet
+    * stats (class-cardinality → static broadcast) instead of an
+    * unknown-size aggregate (r17 verdict #3: the recompute and its SMJ
+    * risk were the serve constants the collapse added at small SFs). */
+  private[graft] def postingsClassesPath(dir: String): String =
+    postingsServePath(dir) + "_cls"
+
+  /** Recompute the class sidecar from the committed member map — the
+    * build step shared by [[ensurePostings]] (fresh build) and
+    * [[appendPostings]] (refresh after the delta's member rows land;
+    * O(distinct texts) output rewritten via a tmp-swap so a crash
+    * leaves either the old or the new sidecar, never a torn one — and
+    * the fp stamp that follows only after this commit turns any
+    * mid-swap crash into a full rebuild). */
+  private def writeClassSidecar(spark: SparkSession, dir: String): Unit = {
+    val clsPath = postingsClassesPath(dir)
+    val tmp = clsPath + "_tmp"
+    deleteTree(tmp)
+    spark.read.parquet(postingsMembersPath(dir))
+      .groupBy(col("cdoc"))
+      .agg(min(col("doc_id")).as("class_id"), count(lit(1)).as("csize"))
+      .write.mode("overwrite").parquet(tmp)
+    deleteTree(clsPath)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(clsPath))
+  }
 
   /** Rep-posting table of the collapse: the postings of ONE
     * representative document per distinct text, same (doc_id, h) schema
@@ -267,7 +298,8 @@ object Dedup {
       }
     val storedFp = readStoredFp()
     def complete(): Boolean =
-      hasData(postingsMembersPath(dir)) && hasData(postingsRepPath(dir))
+      hasData(postingsMembersPath(dir)) && hasData(postingsRepPath(dir)) &&
+        hasData(postingsClassesPath(dir))
     if (!storedFp.contains(fp) || !complete()) {
       // stale or absent: rebuild under the store's BUILD LOCK (r15 —
       // unlike ServingStore generations, this table overwrites a LIVE
@@ -295,6 +327,7 @@ object Dedup {
             .filter(col("doc_id") === col("cdoc")).select(col("doc_id"))
           writeBucketedPostings(spark, docs.join(repIds, "doc_id"),
             postingsRepTableName(dir), postingsRepPath(dir), numBuckets)
+          writeClassSidecar(spark, dir)
           // sidecar written only after every table write succeeded: a
           // crash in between leaves a missing/stale sidecar -> rebuild,
           // never a fresh-looking stale index
@@ -382,7 +415,8 @@ object Dedup {
     // into that state would index only the delta's rep postings and
     // stamp the generation fresh, silently losing every cross-class
     // pair that involves a pre-existing class
-    require(hasData(postingsMembersPath(dir)) && hasData(postingsRepPath(dir)),
+    require(hasData(postingsMembersPath(dir)) && hasData(postingsRepPath(dir)) &&
+      hasData(postingsClassesPath(dir)),
       s"posting generation at $path has no committed collapse artifacts " +
         "(pre-collapse build, or a crash between the member and rep " +
         "commits): rebuild with ensurePostings before appending")
@@ -416,6 +450,11 @@ object Dedup {
       .write.mode("append").format("parquet")
       .bucketBy(numBuckets, "h").sortBy("h")
       .option("path", postingsRepPath(dir)).saveAsTable(postingsRepTableName(dir))
+    // class sidecar refresh: true class ids can change under a delta
+    // that undercuts a stored key, and csize grows — recompute from the
+    // appended member map (O(distinct texts) output; the fp stamp below
+    // only lands after this commits, so a crash here means full rebuild)
+    writeClassSidecar(spark, dir)
     // the delta files are already in `dir`: re-list it and stamp the
     // sidecar with the post-append fingerprint
     Tables.invalidate(spark, dir, "documents")
@@ -521,8 +560,11 @@ object Dedup {
       threshold: Double): (DataFrame, DataFrame, DataFrame) = {
     val table = ensurePostings(spark, dir)
     val members = spark.read.parquet(postingsMembersPath(dir))
-    val cls = members.groupBy(col("cdoc"))
-      .agg(min(col("doc_id")).as("class_id"), count(lit(1)).as("csize"))
+    // (cdoc, class_id, csize) pre-materialized at index time: no
+    // doc-level groupBy recompute per query, and the planner sees
+    // parquet stats (class-cardinality) → the cls joins below broadcast
+    // statically instead of risking aggregate-derived SMJs (r17 #3)
+    val cls = spark.read.parquet(postingsClassesPath(dir))
     val docClass = members.join(cls.select(col("cdoc"), col("class_id")), "cdoc")
       .select(col("doc_id"), col("class_id"))
     // hot cap over the FULL doc-level table (df counts documents);
