@@ -2407,7 +2407,12 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
       // exchanges, but every one is keyed on class/pair ids over streams
       // that scale with DISTINCT texts (or output pairs) — the invariant
       // this spec protects is the h side staying bucket-local, asserted
-      // below; the count is a creep tripwire only
+      // below. The bound is the MEASURED plan count (18, `runMain
+      // graft.tools.Probe exchanges` on the r18 class-sidecar plan under
+      // these exact no-broadcast/no-AQE conditions — r17 ADVICE asked
+      // for measured+margin; measured leaves zero creep headroom, which
+      // is the point: planning is deterministic with AQE off, so any
+      // new exchange fires this assert and must re-justify the budget)
       assert(exchanges.size <= 18, s"serve-path exchanges crept back in " +
         s"(${exchanges.size}):\n" + df.queryExecution.executedPlan)
       val plan = df.queryExecution.executedPlan.toString
