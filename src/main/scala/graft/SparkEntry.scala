@@ -237,14 +237,22 @@ object SparkEntry {
     // r17: first-fit packing IS SQL-expressible — a recursive CTE
     // replays the group-local packer with list-typed bin state
     "q_pack_sequences" -> TextAnalysis.packSequencesOracle,
-    "q_pack_bucketed" -> TextAnalysis.packBucketedOracle
-    // q_dedup_minhash, q_dedup_simhash, q_knn_lsh, q_knn_ivf, q_knn_pq,
-    // q_knn_ivfpq, q_dedup_embedding, q_winnow_fingerprint,
-    // q_text_bpe, q_image_dedup, q_video_dedup,
-    // q_media_crossmodal: not SQL-expressible
-    // (xxhash64 signatures / LSH plane constants / trained model state /
-    // iterative BPE merge learning); q_quality_classifier: iterative
-    // gradient descent. Driver records rows-only checks, specs carry
-    // correctness.
+    "q_pack_bucketed" -> TextAnalysis.packBucketedOracle,
+    // r18: the LSH family IS SQL-expressible — the hyperplanes are
+    // fixed code constants (not trained state), embedded as literals;
+    // the embedding pair is branch-scoped to the LSH tier (Verify omits
+    // it past LshSaturationBound, where the query runs k-means cells)
+    "q_knn_lsh" -> Similarity.knnLshOracle,
+    "q_dedup_embedding" -> Similarity.embeddingDedupOracle,
+    "q_dedup_embedding_resolve" -> Similarity.embeddingDedupResolveOracle
+    // Still not SQL-expressible: q_dedup_minhash, q_dedup_simhash,
+    // q_dedup_simhash_idf, q_winnow_fingerprint (xxhash64 signatures —
+    // DuckDB has no compatible hash); q_knn_ivf, q_knn_pq, q_knn_opq,
+    // q_knn_ivfpq, q_dedup_embedding_cells (k-means/codebook model
+    // state trained by the engine — an oracle embedding it would verify
+    // the engine against its own output); q_text_bpe (iterative merge
+    // learning); q_quality_classifier (IRLS needs bit-identical exp()
+    // across engines); the media family (pure-JVM codec decode).
+    // Driver records rows-only checks, pins + specs carry correctness.
   )
 }

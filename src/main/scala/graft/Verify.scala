@@ -30,7 +30,22 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // BRANCH-SCOPED oracles (r18): the embedding-dedup oracles replay
+    // the LSH-banded branch, which is what the registered query RUNS at
+    // or under LshSaturationBound vectors; past the bound the query
+    // switches to k-means cells blocking, whose trained centroids a
+    // standalone SQL cannot reproduce — the dump omits the two entries
+    // there (the gate then records the rows-only check, exactly the
+    // pre-oracle state), instead of failing on an inapplicable oracle.
+    val pastLshBound =
+      try spark.read.parquet(s"$sfDir/embeddings.parquet").count() >
+        graft.operators.Similarity.LshSaturationBound
+      catch { case e if scala.util.control.NonFatal(e) => false }
+    val oracles =
+      if (pastLshBound)
+        SparkEntry.oracleSql -- Seq("q_dedup_embedding", "q_dedup_embedding_resolve")
+      else SparkEntry.oracleSql
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -298,6 +298,171 @@ object Similarity {
     withRecall(topkRanked(scored, k), spark, dir, k)
   }
 
+  // ---------------------------------------- LSH-family DuckDB oracles
+
+  /** The 32 hyperplanes as a DuckDB VALUES literal — (p, w) rows in
+    * plane order (band = p / PlanesPerBand, r = p % PlanesPerBand).
+    * The planes are FIXED CODE CONSTANTS (seeded at class-load,
+    * [[graft.functions.Hyperplanes]]), not trained state, so embedding
+    * them keeps the oracle independent of anything the engine computed:
+    * this is what upgrades the LSH family from pinned to exact-oracled
+    * where the k-means families (IVF/PQ/OPQ — data-trained model state)
+    * cannot be. Double.toString is shortest-round-trip and DuckDB's
+    * strtod is correctly rounded, so the embedded constants parse to
+    * the exact doubles the kernel multiplies; sign and weakest-margin
+    * decisions then agree bit-for-bit (the [[knnBruteOracle]] empirical
+    * precedent: DuckDB's list kernels accumulate doubles left-to-right
+    * like the fused graft kernels). */
+  private lazy val planesSqlValues: String =
+    (0 until LshBands * PlanesPerBand).map { p =>
+      val ws = (0 until Dim).map(i =>
+        graft.functions.Hyperplanes.flat(p * Dim + i).toString).mkString(",")
+      s"($p, [$ws]::DOUBLE[])"
+    }.mkString(",\n")
+
+  /** Shared oracle prelude: per-vector per-band sign-packed buckets
+    * (bit r set iff the dot with plane r is strictly positive — the
+    * kernel's `d > 0`) plus the band's min |dot| for multi-probe. */
+  private def lshBandsSql: String =
+    s"""WITH planes(p, w) AS (VALUES
+       |$planesSqlValues
+       |), emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), dots AS (
+       |  SELECT e.vec_id, pl.p // $PlanesPerBand AS band, pl.p % $PlanesPerBand AS r,
+       |    list_dot_product(e.v, pl.w) AS d
+       |  FROM emb e CROSS JOIN planes pl
+       |), bands AS (
+       |  SELECT vec_id, band,
+       |    CAST(SUM(CASE WHEN d > 0 THEN (1 << r) ELSE 0 END) AS INT) AS bucket,
+       |    MIN(ABS(d)) AS min_abs
+       |  FROM dots GROUP BY vec_id, band
+       |)""".stripMargin
+
+  /** DuckDB oracle for [[knnLsh]]: replays the hyperplane bucketing,
+    * the query-side multi-probe (weakest-|margin| bit flip; the kernel
+    * keeps the FIRST min under strict <, which is MIN(r) over the
+    * minima), candidate generation, exact clamped cosine, the
+    * (cosine DESC, neighbor_id) ranking, and recall@k against the
+    * brute top-k — bit parity end to end. */
+  val knnLshOracle: String =
+    s"""${lshBandsSql}, weakest AS (
+       |  SELECT d.vec_id, d.band, MIN(d.r) AS wr
+       |  FROM dots d JOIN bands b ON d.vec_id = b.vec_id AND d.band = b.band
+       |  WHERE ABS(d.d) = b.min_abs
+       |  GROUP BY d.vec_id, d.band
+       |), qprobe AS (
+       |  SELECT b.vec_id AS query_id, b.band, b.bucket AS pb,
+       |    xor(b.bucket, (1 << w.wr)) AS ab
+       |  FROM bands b JOIN weakest w ON b.vec_id = w.vec_id AND b.band = w.band
+       |  WHERE b.vec_id < 8
+       |), cand AS (
+       |  SELECT DISTINCT q.query_id, c.vec_id
+       |  FROM bands c JOIN qprobe q
+       |    ON c.band = q.band AND (c.bucket = q.pb OR c.bucket = q.ab)
+       |  WHERE c.vec_id <> q.query_id
+       |), scored AS (
+       |  SELECT cand.query_id, cand.vec_id AS neighbor_id,
+       |    GREATEST(LEAST(list_cosine_similarity(qe.v, ne.v), 1.0), -1.0) AS cosine
+       |  FROM cand
+       |  JOIN emb qe ON qe.vec_id = cand.query_id
+       |  JOIN emb ne ON ne.vec_id = cand.vec_id
+       |), topk AS (
+       |  SELECT query_id, neighbor_id, cosine, rk FROM (
+       |    SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS INT) AS rk
+       |    FROM scored
+       |  ) WHERE rk <= 10
+       |), gt AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        GREATEST(LEAST(list_cosine_similarity(q.v, e.v), 1.0), -1.0) DESC,
+       |        e.vec_id) AS brk
+       |    FROM emb e JOIN emb q ON q.vec_id < 8 AND e.vec_id <> q.vec_id
+       |  ) WHERE brk <= 10
+       |)
+       |SELECT t.query_id, t.neighbor_id, t.cosine, t.rk,
+       |  CAST(SUM(CASE WHEN g.query_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY t.query_id) AS DOUBLE) / 10.0 AS recall_at_k
+       |FROM topk t LEFT JOIN gt g
+       |  ON t.query_id = g.query_id AND t.neighbor_id = g.neighbor_id""".stripMargin
+
+  /** DuckDB oracle for [[embeddingDedup]]'s LSH branch: primary-bucket
+    * blocking with the [[Dedup.BandBucketCap]] semantics reproduced as
+    * SETS (survivor pairs = sharing >= 1 non-hot band; hot buckets
+    * contribute their min-id representative star restricted to pairs
+    * with NO surviving shared band — the exactly-once emission is a
+    * streaming optimization, the SET is what the gate compares), then
+    * the exact clamped-cosine threshold.
+    *
+    * BRANCH SCOPE: valid on corpora at or under
+    * [[LshSaturationBound]] vectors — past it the registered query
+    * switches to the k-means cells blocking, whose trained centroids a
+    * standalone SQL cannot reproduce; the round-close gate skips this
+    * oracle on tiers past the bound (documented there), while the
+    * driver's sf0.01 gate and the sf0.1 corpus sit inside it. */
+  /** Candidate + thresholded-pair CTE chain shared by the two embedding
+    * oracles (`recursive` prepends the keyword the reach CTE needs —
+    * DuckDB requires it on the WITH that opens the whole chain). */
+  private def embeddingDedupCandSql(recursive: Boolean): String =
+    s"""${if (recursive) lshBandsSql.replaceFirst("WITH ", "WITH RECURSIVE ")
+          else lshBandsSql}, pop AS (
+       |  SELECT band, bucket, COUNT(*) AS nb FROM bands GROUP BY band, bucket
+       |), hot AS (
+       |  SELECT band, bucket FROM pop WHERE nb > ${Dedup.BandBucketCap}
+       |), spairs AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bands a
+       |  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       |    AND a.vec_id < b.vec_id
+       |  ANTI JOIN hot h ON a.band = h.band AND a.bucket = h.bucket
+       |), reps AS (
+       |  SELECT b.band, b.bucket, MIN(b.vec_id) AS rep
+       |  FROM bands b JOIN hot h ON b.band = h.band AND b.bucket = h.bucket
+       |  GROUP BY b.band, b.bucket
+       |), starr AS (
+       |  SELECT DISTINCT r.rep AS vec_a, m.vec_id AS vec_b
+       |  FROM bands m
+       |  JOIN hot h ON m.band = h.band AND m.bucket = h.bucket
+       |  JOIN reps r ON m.band = r.band AND m.bucket = r.bucket
+       |  WHERE m.vec_id <> r.rep
+       |    AND NOT EXISTS (SELECT 1 FROM spairs s
+       |      WHERE s.vec_a = r.rep AND s.vec_b = m.vec_id)
+       |), cand AS (
+       |  SELECT vec_a, vec_b FROM spairs UNION SELECT vec_a, vec_b FROM starr
+       |), pairs AS (
+       |  SELECT c.vec_a, c.vec_b, cosine FROM (
+       |    SELECT c.vec_a, c.vec_b,
+       |      GREATEST(LEAST(list_cosine_similarity(ea.v, eb.v), 1.0), -1.0) AS cosine
+       |    FROM cand c
+       |    JOIN emb ea ON ea.vec_id = c.vec_a
+       |    JOIN emb eb ON eb.vec_id = c.vec_b
+       |  ) c WHERE cosine >= 0.45
+       |)""".stripMargin
+
+  val embeddingDedupOracle: String =
+    s"""${embeddingDedupCandSql(recursive = false)}
+       |SELECT vec_a, vec_b, cosine FROM pairs""".stripMargin
+
+  /** DuckDB oracle for [[embeddingDedupResolve]]: connected components
+    * over the [[embeddingDedupOracle]] pair set by recursive reach
+    * (the [[Dedup.dedupResolveOracle]] pattern) — every endpoint gets
+    * its component's min vec_id. Same branch scope as the pair oracle. */
+  val embeddingDedupResolveOracle: String =
+    s"""${embeddingDedupCandSql(recursive = true)}, member AS (
+       |  SELECT DISTINCT v FROM (
+       |    SELECT vec_a AS v FROM pairs UNION ALL SELECT vec_b AS v FROM pairs)
+       |), redges AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+       |  UNION ALL SELECT vec_b, vec_a FROM pairs
+       |), reach(src, dst) AS (
+       |  SELECT v, v FROM member
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN redges e ON r.dst = e.src
+       |)
+       |SELECT src AS vec_id, MIN(dst) AS canonical_id FROM reach GROUP BY src""".stripMargin
+
   // ------------------------------------------------------------------ IVF
 
   val IvfNList = 16

@@ -36,10 +36,10 @@ object Golden {
 
   /** The driver-untested (`no_oracle`) query set QueriesSpec pins. */
   val NoOracle: Seq[String] = Seq(
-    "q_audio_phash", "q_dedup_embedding", "q_dedup_embedding_cells",
-    "q_dedup_embedding_resolve", "q_dedup_minhash", "q_dedup_simhash",
+    "q_audio_phash", "q_dedup_embedding_cells",
+    "q_dedup_minhash", "q_dedup_simhash",
     "q_dedup_simhash_idf", "q_image_dedup", "q_image_phash", "q_knn_ivf",
-    "q_knn_ivfpq", "q_knn_lsh", "q_knn_opq", "q_knn_pq",
+    "q_knn_ivfpq", "q_knn_opq", "q_knn_pq",
     "q_media_crossmodal",
     "q_quality_classifier", "q_text_bpe", "q_video_dedup",
     "q_video_mosaic", "q_winnow_fingerprint")

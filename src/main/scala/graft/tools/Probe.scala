@@ -19,6 +19,11 @@ import org.apache.spark.sql.functions._
   *   qt        — quality-thresholds stage decomposition
   *   fusion    — cosine-fusion rule on/off timings
   *   barrier   — localCheckpoint pinned-storage bound over suite passes
+  *   skew      — valve gate over a `MakeSf ... skew` corpus: candidate
+  *               bounds asserted, drop accounting + dedup timings as
+  *               one JSON line (round_close embeds it)
+  *   pins      — (rows, checksum) generator for pins outside the
+  *               no-oracle family
   *   exchanges — ShuffleExchange count of the collapse-serve plan under
   *               the PlatformSpec tripwire's conditions (no broadcast,
   *               no AQE) — the measurement the tripwire bound is set by
@@ -40,6 +45,7 @@ object Probe {
       case "barrier" => barrier()
       case "exchanges" => exchanges(rest)
       case "pins" => pins(rest)
+      case "skew" => skew(rest)
       case other =>
         System.err.println(s"unknown probe mode '$other'"); sys.exit(2)
     }
@@ -250,6 +256,54 @@ object Probe {
     }
     System.gc(); Thread.sleep(2000)
     report("after gc settle")
+    spark.stop()
+  }
+
+  /** Skew-tier valve gate (r17 verdict #5) over a `MakeSf ... skew`
+    * corpus: mutated replicas are DISTINCT texts, so they bypass the
+    * collapses and land on the hot-cap valves — this gate measures the
+    * candidate-join row counts the caps actually allow and ASSERTS the
+    * bound each valve contracts (capped Σdf² <= cap × posting rows),
+    * with the observed-drop accounting printed, then runs the dedup
+    * family end to end and reports wall times + output rows as one
+    * JSON line for round_close to embed. */
+  private def skew(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/sf1skew")
+    val spark = GraftSession.local("graft-skew-probe")
+    import graft.operators.Dedup
+    // posting candidate census, computed independently of the query
+    // plan through the same hot filter the operators apply
+    val table = Dedup.ensurePostings(spark, dir)
+    val dfs = spark.table(table).groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    val row = dfs.agg(
+      sum(col("df")).as("postings"),
+      sum(col("df") * col("df")).as("uncapped_cand"),
+      sum(when(col("df") <= Dedup.HotShingleCap, col("df") * col("df"))
+        .otherwise(0L)).as("capped_cand"),
+      sum(when(col("df") > Dedup.HotShingleCap, lit(1L)).otherwise(0L)).as("hot_shingles"),
+      sum(when(col("df") > Dedup.HotShingleCap, col("df")).otherwise(0L)).as("dropped_postings"))
+      .head()
+    val postings = row.getLong(0)
+    val uncapped = row.getLong(1)
+    val capped = row.getLong(2)
+    require(capped <= postings * Dedup.HotShingleCap,
+      s"posting candidate bound violated: $capped > $postings x ${Dedup.HotShingleCap}")
+    def timed(name: String): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, dir).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val qs = Seq("q_dedup_ngram", "q_dedup_resolve", "q_dedup_minhash",
+      "q_dedup_simhash", "q_dup_spans").map { n =>
+      val (s, rows) = timed(n)
+      f""""$n":{"sec":$s%.2f,"rows":$rows}"""
+    }
+    println(s"""[skewgate] {"postings":$postings,"uncapped_cand":$uncapped,""" +
+      s""""capped_cand":$capped,"hot_shingles":${row.getLong(3)},""" +
+      s""""dropped_postings":${row.getLong(4)},""" +
+      s""""cand_bound":${postings * Dedup.HotShingleCap},""" +
+      qs.mkString(",") + "}")
     spark.stop()
   }
 

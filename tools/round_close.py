@@ -81,6 +81,27 @@ def main():
             run(["sbt", "-batch", "runMain graft.tools.StoreContention"], env=env)
             contention = "pass"
 
+    # 3b. OPTIONAL skew tier (r17 verdict #5): mutated replicas are
+    # distinct texts, so they bypass the collapses and land on the
+    # hot-cap valves — the gate asserts the candidate-join bounds and
+    # records drop accounting + dedup wall times (graft.tools.Probe skew)
+    skew_summary = None
+    if "--skew" in sys.argv[2:] and not gate_only:
+        SFSKEW = "/tmp/sf1skew"
+        run(["sbt", "-batch", f"runMain graft.tools.MakeSf {SF01} {SFSKEW} 10 skew"],
+            env=env)
+        p = subprocess.run(
+            ["sbt", "-batch", f"runMain graft.tools.Probe skew {SFSKEW}"],
+            check=True, cwd=REPO, env=env, capture_output=True, text=True)
+        for line in p.stdout.splitlines():
+            if line.startswith("[skewgate] "):
+                skew_summary = json.loads(line[len("[skewgate] "):])
+        if skew_summary is None:
+            sys.exit("[round-close] skew gate produced no [skewgate] line")
+    elif gate_only and os.path.exists(f"tools/round_close_{tag}.json"):
+        skew_summary = json.load(open(f"tools/round_close_{tag}.json")) \
+            .get("skew_tier")
+
     if gate_only and os.path.exists(f"tools/round_close_{tag}.json"):
         contention = json.load(open(f"tools/round_close_{tag}.json")) \
             .get("store_contention", contention)
@@ -179,6 +200,7 @@ def main():
             {"query": q, "tier": t, "ratio": round(r, 2),
              "ratio_deterioration": round(g, 2)}
             for q, t, r, g in bad],
+        "skew_tier": skew_summary if skew_summary is not None else "skipped",
     }
     if "sf10" in pairs:
         d10, g10 = pairs["sf10"]
