@@ -1496,9 +1496,9 @@ object Dedup {
       }
       signaturesFromSets(sets, weights).write.mode("overwrite").parquet(gen)
     }
-    // distinct-signature collapse (r18): same exactness argument as
-    // [[simhashDedup]]'s serve — spec-pinned equal to the inline form
-    collapsedHammingPairs(sigs)
+    // exact-parity distinct-signature collapse (r18): bit-equal to the
+    // inline form at every corpus — see [[collapsedHammingPairsExact]]
+    collapsedHammingPairsExact(sigs)
   }
 
   /** Staleness bound for the IDF drift valve: the served weight
@@ -1664,7 +1664,12 @@ object Dedup {
       .filter(col("hamming") <= HammingMax)
   }
 
-  /** DISTINCT-SIGNATURE collapse for the hamming family (r18 — the
+  /** DISTINCT-SIGNATURE collapse for the hamming family — the LOSSLESS
+    * form, used by the perceptual-hash serves ([[Multimodal
+    * .imageDedupServe]]) where a signature class is a true duplicate
+    * clique; the TEXT simhash serves use [[collapsedHammingPairsExact]]
+    * instead (bit-parity with the inline valve semantics — see its
+    * scaladoc for why the two families diverge). (r18 — the
     * [[collapsedNgramParts]] move applied to every signature dedup):
     * [[chunkedHammingPairs]] depends on a row only through its
     * `simhash`, so rows sharing a signature are interchangeable — the
@@ -1722,16 +1727,123 @@ object Dedup {
     cross.unionByName(self)
   }
 
+  /** EXACT-PARITY collapse for the TEXT simhash family: the same
+    * distinct-signature collapse as [[collapsedHammingPairs]], but with
+    * the doc-WEIGHTED chunk census (hot set identical to the inline
+    * form's) and the self-pair arm filtered by the class's survival
+    * mask — so the output is bit-equal to [[chunkedHammingPairs]] over
+    * the doc-level signatures at EVERY corpus, caps engaged or not.
+    *
+    * Why this family gets parity rather than the lossless expansion
+    * the minhash/image serves use (r18, found by the sf10 pair): a
+    * 64-bit text simhash on a low-entropy corpus CONFLATES distinct
+    * documents — sf10 holds 3 897 distinct signatures over 4 992
+    * distinct texts with one 24 900-doc signature class — so the
+    * lossless self-expansion manufactures O(Σk²) signature-collision
+    * pairs (385M at sf10, 178 s to emit) that the operator's own
+    * precision note disclaims ([[HammingMax]]: low-entropy corpora
+    * admit many non-duplicate pairs). The inline valve semantics ARE
+    * this operator's contract; the collapse here is purely a cost
+    * optimization (the pigeonhole join runs over 3 897 rep rows
+    * instead of 500 k docs). The minhash serve keeps the lossless
+    * form because its 32-slot class key effectively identifies the
+    * TEXT (self pairs are true est-1.0 duplicates); the image serve
+    * keeps it because equal dHash of replicated payloads IS the
+    * duplication signal. */
+  private[operators] def collapsedHammingPairsExact(sigs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m0 = sigs
+      .withColumn("class_id",
+        min(col("doc_id")).over(Window.partitionBy(col("simhash"))))
+      .localCheckpoint(eager = false)
+    val members = m0.select(col("doc_id"), col("class_id"))
+    val cls = m0.groupBy(col("class_id"), col("simhash"))
+      .agg(count(lit(1)).as("csize"))
+      .localCheckpoint(eager = false)
+    val chunkCols = (0 until Chunks).map { c =>
+      struct(lit(c).as("c"),
+        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("v"))
+    }
+    val chunked = cls
+      .select(col("class_id"), col("simhash"), col("csize"),
+        explode(array(chunkCols: _*)).as("ch"))
+      .select(col("class_id"), col("simhash"), col("csize"),
+        col("ch.c").as("c"), col("ch.v").as("v"))
+      .localCheckpoint(eager = false)
+    // the census counts DOCUMENTS (Σ csize), so the hot set is the
+    // inline form's hot set exactly; drops observed as in the inline
+    val hot = chunked.groupBy(col("c"), col("v"))
+      .agg(sum(col("csize")).as("df"))
+      .filter(col("df") > SimHashChunkCap)
+      .observe(s"simhash_hot_drops_${nextObsId()}",
+        count(lit(1)).as("hot_buckets"),
+        coalesce(sum(col("df")), lit(0L)).as("dropped_chunk_rows"))
+      .select(col("c"), col("v"))
+    val bitOf = (1 until Chunks).foldLeft(when(col("c") === 0, 1L)) {
+      (acc, c) => acc.when(col("c") === c, 1L << c)
+    }
+    // per-CLASS survival mask — identical to every member's inline mask
+    // (chunk values and bucket hotness are signature-determined)
+    val withMask = chunked
+      .join(hot, Seq("c", "v"), "left_anti")
+      .groupBy(col("class_id"), col("simhash"), col("csize"))
+      .agg(sum(bitOf).as("mask"))
+      .localCheckpoint(eager = false)
+    val restream = withMask
+      .select(col("class_id"), col("simhash"), col("mask"),
+        explode(array(chunkCols: _*)).as("ch"))
+      .select(col("class_id"), col("simhash"), col("mask"),
+        col("ch.c").as("c"), col("ch.v").as("v"))
+      .filter(col("mask").bitwiseAND(bitOf) =!= 0L)
+      .localCheckpoint(eager = false)
+    def chunkOf(sig: Column, cp: Int): Column =
+      shiftrightunsigned(sig, cp * 16).bitwiseAND(lit(0xFFFFL))
+    val firstShared = (0 until Chunks).map { cp =>
+      when(lit(cp) < col("c"),
+        !((chunkOf(col("simhash"), cp) === chunkOf(col("simhash_b"), cp)) &&
+          (col("mask").bitwiseAND(lit(1L << cp)) =!= 0L)))
+        .otherwise(lit(true))
+    }.reduce(_ && _)
+    val repPairs = restream
+      .join(
+        restream.select(col("class_id").as("class_b"),
+          col("simhash").as("simhash_b"), col("c"), col("v")),
+        Seq("c", "v"))
+      .filter(col("class_id") < col("class_b"))
+      .filter(firstShared)
+      .select(col("class_id").as("ca"), col("class_b").as("cb"),
+        bit_count(col("simhash").bitwiseXOR(col("simhash_b"))).as("hamming"))
+      .filter(col("hamming") <= HammingMax)
+    val cross = repPairs
+      .join(members.select(col("class_id").as("ca"), col("doc_id").as("da")), "ca")
+      .join(members.select(col("class_id").as("cb"), col("doc_id").as("db")), "cb")
+      .select(
+        least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        col("hamming"))
+    // same-class pairs share all four chunks: emitted by the inline
+    // form iff at least one of them survives the census — mask != 0
+    val dupMembers = members.join(
+      withMask.filter(col("csize") >= 2 && col("mask") =!= 0L)
+        .select(col("class_id")), "class_id")
+    val self = dupMembers.as("x")
+      .join(dupMembers.as("y"),
+        col("x.class_id") === col("y.class_id") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0).as("hamming"))
+    cross.unionByName(self)
+  }
+
   /** Dir-serving form: the per-doc simhash signatures persist as a
     * fingerprint-keyed generation (same rationale as the IDF variant
     * above — a signature is a pure per-document function, so the corpus
     * scan + signature kernel amortize across a corpus generation and
     * the per-query cost is the pairing alone), and the pairing runs
-    * over the DISTINCT-SIGNATURE collapse ([[collapsedHammingPairs]] —
-    * spec-pinned equal to the doc-level form, duplicate-heavy corpus
-    * included). */
+    * over the EXACT-PARITY distinct-signature collapse
+    * ([[collapsedHammingPairsExact]] — bit-equal to the doc-level form
+    * at every corpus, caps engaged or not; spec-pinned). */
   def simhashDedup(spark: SparkSession, dir: String): DataFrame =
-    collapsedHammingPairs(serveSimhashSigs(spark, dir))
+    collapsedHammingPairsExact(serveSimhashSigs(spark, dir))
 
   /** Serve-or-build the plain-simhash signature generation — shared by
     * the dedup serve and [[graft.streaming.SigSink]]. `force` as in
