@@ -44,7 +44,10 @@ def main(sf_dir, oracle_path, duck_out, graft_out):
     # engine baseline. Timing it would gift graft hundreds of fake
     # seconds per window, so the pair excludes it; correctness still
     # gates on it via check_oracle at every tier.
-    CORRECTNESS_ONLY = {"q_pack_sequences", "q_pack_bucketed"}
+    # q_dedup_embedding_resolve: r18, same recursion-machinery argument
+    # (see measure_baseline.py)
+    CORRECTNESS_ONLY = {"q_pack_sequences", "q_pack_bucketed",
+                        "q_dedup_embedding_resolve"}
     oracle = {k: (None if k in CORRECTNESS_ONLY else v) for k, v in oracle.items()}
 
     proc = start_pipe(sf_dir)
