@@ -25,15 +25,25 @@ Steps (all artifacts land in tools/ with the round suffix):
      because DuckDB's own 10 ms times halved between windows. Rows
      with >3x raw growth or sub-floor deterioration are still
      reported informationally.)
+  5b. the NO-ORACLE growth gate (r18 verdict #2: a 38x regression in
+     q_dedup_simhash — a non-oracled row — failed zero gates because
+     the ratio gate needs a DuckDB denominator). Every query WITHOUT a
+     DuckDB time in a tier's pair is compared against the PRIOR
+     round's committed interleaved pair at the same tier: >2x its
+     prior-round time with the same materiality floors (prior >=50ms,
+     current >=0.5s) FAILS the round. Prior defaults to the highest
+     committed bench_sf01_r*_interleaved.json below this tag;
+     override with --prior rN.
 
 Pass --gate-only to recompute step 5 from the existing tools/ artifacts
-without re-measuring.
+without re-measuring; --out PATH redirects the summary (so re-gating a
+past round for demonstration never clobbers its committed artifact).
 
 Usage: python3 tools/round_close.py <round-tag> [--skip-verify]
 Exit 0 = gates green.  Assumes compiled classes (sbt compile) and
 /root/testdata/sf0.1.
 """
-import sys, os, json, subprocess
+import sys, os, json, subprocess, re, glob
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF01 = "/root/testdata/sf0.1"
@@ -44,6 +54,32 @@ SF10 = "/tmp/sf10"
 def run(cmd, **kw):
     print(f"[round-close] $ {' '.join(cmd)}", flush=True)
     subprocess.run(cmd, check=True, cwd=REPO, **kw)
+
+
+def prior_tag(tag):
+    """Highest committed round below this tag that has an sf0.1 pair."""
+    m = re.fullmatch(r"r(\d+)", tag)
+    cur = int(m.group(1)) if m else None
+    best = None
+    for f in glob.glob(os.path.join(REPO, "tools",
+                                    "bench_sf01_r*_interleaved.json")):
+        mm = re.search(r"bench_sf01_r(\d+)_interleaved", f)
+        if mm:
+            n = int(mm.group(1))
+            if (cur is None or n < cur) and (best is None or n > best):
+                best = n
+    return None if best is None else f"r{best}"
+
+
+def arg_value(flag):
+    for a in sys.argv[2:]:
+        if a.startswith(flag + "="):
+            return a[len(flag) + 1:]
+    if flag in sys.argv[2:]:
+        i = sys.argv.index(flag)
+        if i + 1 < len(sys.argv):
+            return sys.argv[i + 1]
+    return None
 
 
 def main():
@@ -166,6 +202,40 @@ def main():
             elif growth > 3.0:
                 print(f"[round-close] info {q}: grew {growth:.2f}x from {lo} "
                       f"(ratio {ratio_l:.2f}x -> {ratio_h:.2f}x — data-proportional)")
+
+    # 5b. no-oracle growth gate: rows with no DuckDB denominator compare
+    # against the PRIOR round's committed pair at the same tier (r18
+    # verdict #2 — the 178s simhash regression sat in a no-oracle row
+    # and failed zero gates). Floors mirror the oracled gate's.
+    prior = arg_value("--prior") or prior_tag(tag)
+    bad_no_oracle = []
+    if prior is None:
+        print("[round-close] no prior round pair found — no-oracle gate skipped")
+    for label in pairs:
+        pf = os.path.join(REPO, "tools",
+                          f"bench_{label}_{prior}_interleaved.json") \
+            if prior else None
+        if not pf or not os.path.exists(pf):
+            if prior:
+                print(f"[round-close] {prior} has no {label} pair — "
+                      "no-oracle gate skips the tier")
+            continue
+        pg = json.load(open(pf))["queries"]
+        dh, gh = pairs[label]
+        for q in sorted(gh):
+            if q in dh or q not in pg or pg[q] <= 0:
+                continue
+            growth = gh[q] / pg[q]
+            material = pg[q] >= 0.05 and gh[q] >= 0.5
+            if growth > 2.0 and material:
+                bad_no_oracle.append((q, label, growth, pg[q], gh[q]))
+                print(f"[round-close] GATE FAIL (no-oracle) {q}: {gh[q]:.2f}s "
+                      f"at {label} is {growth:.2f}x the {prior} pair's "
+                      f"{pg[q]:.2f}s")
+            elif growth > 2.0:
+                print(f"[round-close] info (no-oracle) {q}: {growth:.2f}x vs "
+                      f"{prior} at {label} below the materiality floor "
+                      f"(prior {pg[q]:.3f}s, now {gh[q]:.3f}s)")
     # 3-point scaling exponents (the whole point of the 100x tier:
     # slope of log(time) over the two decades, per engine)
     exponents = {}
@@ -199,7 +269,12 @@ def main():
         "growth_gate_failures": [
             {"query": q, "tier": t, "ratio": round(r, 2),
              "ratio_deterioration": round(g, 2)}
-            for q, t, r, g in bad],
+            for q, t, r, g in bad] + [
+            {"query": q, "tier": t, "kind": "no_oracle_vs_prior",
+             "prior": prior, "growth": round(g, 2),
+             "prior_sec": round(p, 3), "now_sec": round(n, 3)}
+            for q, t, g, p, n in bad_no_oracle],
+        "no_oracle_gate_prior": prior,
         "skew_tier": skew_summary if skew_summary is not None else "skipped",
     }
     if "sf10" in pairs:
@@ -213,11 +288,12 @@ def main():
             "sf10_mean_ratio": round(tot10 / max(n10, 1), 3),
             "scaling_exponents_sf01_to_sf10": exponents,
         })
-    out = f"tools/round_close_{tag}.json"
+    out = arg_value("--out") or f"tools/round_close_{tag}.json"
     json.dump(summary, open(out, "w"), indent=1)
     print(f"[round-close] {out}: {json.dumps(summary)}")
-    if bad:
-        print(f"[round-close] FAILED: {len(bad)} growth-gate rows")
+    if bad or bad_no_oracle:
+        print(f"[round-close] FAILED: {len(bad)} growth-gate rows, "
+              f"{len(bad_no_oracle)} no-oracle rows")
         return 1
     print("[round-close] gates green")
     return 0
