@@ -244,15 +244,28 @@ object SparkEntry {
     // it past LshSaturationBound, where the query runs k-means cells)
     "q_knn_lsh" -> Similarity.knnLshOracle,
     "q_dedup_embedding" -> Similarity.embeddingDedupOracle,
-    "q_dedup_embedding_resolve" -> Similarity.embeddingDedupResolveOracle
-    // Still not SQL-expressible: q_dedup_minhash, q_dedup_simhash,
-    // q_dedup_simhash_idf, q_winnow_fingerprint (xxhash64 signatures —
-    // DuckDB has no compatible hash); q_knn_ivf, q_knn_pq, q_knn_opq,
-    // q_knn_ivfpq, q_dedup_embedding_cells (k-means/codebook model
-    // state trained by the engine — an oracle embedding it would verify
-    // the engine against its own output); q_text_bpe (iterative merge
-    // learning); q_quality_classifier (IRLS needs bit-identical exp()
-    // across engines); the media family (pure-JVM codec decode).
-    // Driver records rows-only checks, pins + specs carry correctness.
+    "q_dedup_embedding_resolve" -> Similarity.embeddingDedupResolveOracle,
+    // r19: CHECKER oracles for the trained-state ANN serves — the
+    // k-means/codebook model cannot be replayed by standalone SQL, but
+    // every claim in an emitted row can be independently re-derived
+    // from the corpus: DuckDB recomputes each emitted pair's exact
+    // cosine, re-ranks the emitted set, and recomputes recall@k vs
+    // brute truth over the engine's OWN output rows (graft.Verify
+    // substitutes the dump's result directory for the path token).
+    // Correctness-only in the bench pair (the leading marker line —
+    // see Similarity.CheckerMarker).
+    "q_knn_ivf" -> Similarity.annCheckerOracle("q_knn_ivf"),
+    "q_knn_pq" -> Similarity.annCheckerOracle("q_knn_pq"),
+    "q_knn_opq" -> Similarity.annCheckerOracle("q_knn_opq"),
+    "q_knn_ivfpq" -> Similarity.annCheckerOracle("q_knn_ivfpq"),
+    "q_dedup_embedding_cells" -> Similarity.cellsCheckerOracle
+    // Still not SQL-expressible, even as a checker: q_dedup_minhash,
+    // q_dedup_simhash, q_dedup_simhash_idf, q_winnow_fingerprint
+    // (xxhash64 signatures — DuckDB has no compatible hash, so not even
+    // the emitted signature values can be re-derived); q_text_bpe
+    // (iterative merge learning); q_quality_classifier (IRLS needs
+    // bit-identical exp() across engines); the media family (pure-JVM
+    // codec decode). Driver records rows-only checks, pins + specs
+    // carry correctness.
   )
 }

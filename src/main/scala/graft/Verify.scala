@@ -37,16 +37,28 @@ object Verify {
     // standalone SQL cannot reproduce — the dump omits the two entries
     // there (the gate then records the rows-only check, exactly the
     // pre-oracle state), instead of failing on an inapplicable oracle.
+    // The branch probe must FAIL LOUDLY on a read error over an existing
+    // table (r18 advice): swallowing it into `false` would silently
+    // include the branch-scoped oracles on a past-bound corpus and fail
+    // the gate on an inapplicable oracle. Only a genuinely absent
+    // embeddings table defaults to the LSH branch (trivially under
+    // bound: no vectors at all).
+    val embPath = s"$sfDir/embeddings.parquet"
     val pastLshBound =
-      try spark.read.parquet(s"$sfDir/embeddings.parquet").count() >
-        graft.operators.Similarity.LshSaturationBound
-      catch { case e if scala.util.control.NonFatal(e) => false }
+      new java.io.File(embPath).exists() &&
+        spark.read.parquet(embPath).count() >
+          graft.operators.Similarity.LshSaturationBound
     val oracles =
       if (pastLshBound)
         SparkEntry.oracleSql -- Seq("q_dedup_embedding", "q_dedup_embedding_resolve")
       else SparkEntry.oracleSql
+    // Checker oracles read the engine's own dump back: resolve their
+    // path token to THIS run's absolute result directory.
+    val outAbs = Paths.get(outDir).toAbsolutePath.toString
     val json = oracles
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace(graft.operators.Similarity.GraftOutToken, outAbs))}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -463,6 +463,91 @@ object Similarity {
        |)
        |SELECT src AS vec_id, MIN(dst) AS canonical_id FROM reach GROUP BY src""".stripMargin
 
+  // ------------------------------------------------ ANN checker oracles
+
+  /** Placeholder [[graft.Verify]] substitutes with the absolute result
+    * directory when dumping oracle_sql.json — a checker oracle reads the
+    * engine's OWN emitted rows back. Verify is the only writer of the
+    * dump, so the token never reaches DuckDB unresolved. */
+  val GraftOutToken = "__GRAFT_OUT__"
+
+  /** Marker line [[graft.Verify]] keeps at the head of every checker
+    * oracle; tools/measure_baseline.py excludes marked oracles from the
+    * interleaved pair's DuckDB column (a checker re-reads graft's output
+    * and re-runs a brute scan — timing it as a "baseline" would gift
+    * graft fake seconds; correctness-only, like the pack-family replay
+    * oracles). */
+  val CheckerMarker = "-- graft:checker (validity oracle over the engine's emitted rows)"
+
+  /** CHECKER oracle for the trained-state ANN serves (q_knn_ivf /
+    * q_knn_pq / q_knn_opq / q_knn_ivfpq). The k-means / codebook model
+    * state cannot be replayed by standalone SQL — an oracle embedding
+    * engine-trained constants would verify the engine against its own
+    * output — but every CLAIM an emitted row makes can be re-derived
+    * from the corpus alone: DuckDB recomputes each emitted
+    * (query, neighbor) pair's exact clamped cosine from the embeddings
+    * table (bit parity per [[knnBruteOracle]]'s accumulation-order
+    * note), re-ranks the emitted set by (cosine DESC, neighbor_id) —
+    * the top-k prefix ordering, so ranks within the emitted set equal
+    * ranks among all candidates — and recomputes recall_at_k as the
+    * emitted neighbor set's overlap with the brute-force top-k truth
+    * ([[ensureGroundTruth]] semantics, ties by neighbor_id). The
+    * driver's rows/schema/hash compare then passes iff the engine's
+    * cosines are bit-equal to recomputation, its ranking is consistent
+    * with its own scores, and its recall figure is honest. WHICH
+    * neighbors the index shortlists stays the model's choice — that is
+    * the approximation recall measures — but everything the row asserts
+    * about them is hash-gated. Valid at every SF and on both branches
+    * (nothing here depends on [[LshSaturationBound]]). */
+  def annCheckerOracle(name: String): String =
+    s"""$CheckerMarker
+       |WITH o AS (
+       |  SELECT query_id, neighbor_id
+       |  FROM read_parquet('$GraftOutToken/$name/*.parquet')
+       |), emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), re AS (
+       |  SELECT o.query_id, o.neighbor_id,
+       |    GREATEST(LEAST(list_cosine_similarity(qe.v, ne.v), 1.0), -1.0) AS cosine
+       |  FROM o
+       |  JOIN emb qe ON qe.vec_id = o.query_id
+       |  JOIN emb ne ON ne.vec_id = o.neighbor_id
+       |), gt AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        GREATEST(LEAST(list_cosine_similarity(q.v, e.v), 1.0), -1.0) DESC,
+       |        e.vec_id) AS brk
+       |    FROM emb e JOIN emb q ON q.vec_id < 8 AND e.vec_id <> q.vec_id
+       |  ) WHERE brk <= 10
+       |)
+       |SELECT r.query_id, r.neighbor_id, r.cosine,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY r.query_id
+       |    ORDER BY r.cosine DESC, r.neighbor_id) AS INT) AS rk,
+       |  CAST(SUM(CASE WHEN g.query_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY r.query_id) AS DOUBLE) / 10.0 AS recall_at_k
+       |FROM re r LEFT JOIN gt g
+       |  ON r.query_id = g.query_id AND r.neighbor_id = g.neighbor_id""".stripMargin
+
+  /** CHECKER oracle for [[embeddingDedupCells]] (same contract as
+    * [[annCheckerOracle]]): the dedup quantizer's trained centroids pick
+    * WHICH pairs surface, but each emitted pair's cosine is an exact
+    * claim about two corpus vectors — recomputed here bit-equal from the
+    * embeddings table. */
+  val cellsCheckerOracle: String =
+    s"""$CheckerMarker
+       |WITH o AS (
+       |  SELECT vec_a, vec_b
+       |  FROM read_parquet('$GraftOutToken/q_dedup_embedding_cells/*.parquet')
+       |), emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |)
+       |SELECT o.vec_a, o.vec_b,
+       |  GREATEST(LEAST(list_cosine_similarity(ea.v, eb.v), 1.0), -1.0) AS cosine
+       |FROM o
+       |JOIN emb ea ON ea.vec_id = o.vec_a
+       |JOIN emb eb ON eb.vec_id = o.vec_b""".stripMargin
+
   // ------------------------------------------------------------------ IVF
 
   val IvfNList = 16

@@ -110,9 +110,15 @@ def main(sf_dir, oracle_path, duck_out, graft_out):
     # in 0.4s — same recursion-machinery argument. q_knn_lsh and
     # q_dedup_embedding stay TIMED: their oracle SQL is the same
     # blocking+rank work graft does, a fair native baseline.
+    # Checker oracles (r19) self-identify with a leading marker line:
+    # they read graft's output parquet back and re-run a brute-force
+    # recomputation, so timing them as a "baseline" would gift graft
+    # fake seconds — correctness-only, same argument as the pack family.
     CORRECTNESS_ONLY = {"q_pack_sequences", "q_pack_bucketed",
                         "q_dedup_embedding_resolve"}
-    oracle = {k: (None if k in CORRECTNESS_ONLY else v) for k, v in oracle.items()}
+    oracle = {k: (None if k in CORRECTNESS_ONLY
+                  or (v or "").startswith("-- graft:checker") else v)
+              for k, v in oracle.items()}
 
     # graft warm pass for ALL queries first (pays one-per-corpus-generation
     # sidecar builds outside every measured window), then per-query A/B.
