@@ -27,10 +27,22 @@ object Dedup {
     * `graft_shingle_set` function, the aggregate reference formulation
     * and the DuckDB oracle must all shingle at the same n. */
   val ShingleN: Int = graft.functions.MinHashKernel.ShingleN
+  /** Test-flag override for the hot-cap valves (r18 verdict #3: the
+    * skew gate's committed run never engaged a valve, so the
+    * drop-accounting path it exists to exercise went untested). The
+    * caps are QUERY-TIME filters — no persisted generation embeds them
+    * — so a lowered cap never poisons a serving store; the oracle SQL
+    * generators read the same vals in the same JVM, so oracle and
+    * engine stay consistent under an override. Production leaves the
+    * envs unset and gets the code constants. */
+  private def envCap(name: String, default: Int): Int =
+    sys.env.get(name).map(_.toInt).getOrElse(default)
+
   /** Shingles appearing in more docs than this are dropped from candidate
     * generation (stopword-phrase guard; the cap is part of the operator's
-    * contract and mirrored in the oracle). */
-  val HotShingleCap = 100
+    * contract and mirrored in the oracle). Override:
+    * GRAFT_HOT_SHINGLE_CAP (skew gate only — see [[envCap]]). */
+  val HotShingleCap: Int = envCap("GRAFT_HOT_SHINGLE_CAP", 100)
 
   /** Shingles reduced to 64-bit hashes BEFORE the join passes — the
     * shuffle then moves 8-byte keys instead of ~40-byte strings, and all
@@ -984,8 +996,9 @@ object Dedup {
     * STAR (bucket-min id x each member, O(B)) instead of being dropped
     * (r13 advice: an empty candidate set from a giant exact-duplicate
     * cluster silently keeps every copy downstream); the cap'd expansion
-    * loss is also observed via the hot-drops metric. */
-  val BandBucketCap = 500
+    * loss is also observed via the hot-drops metric. Override:
+    * GRAFT_BAND_BUCKET_CAP (skew gate only — see [[envCap]]). */
+  val BandBucketCap: Int = envCap("GRAFT_BAND_BUCKET_CAP", 500)
 
   /** Exactly-once banded pair candidates over any (id, bks) frame —
     * the shared core of [[minhashDedup]] and
@@ -1337,8 +1350,9 @@ object Dedup {
     * bounds any bucket's pair fan-out to cap²; drops are recorded as a
     * named observation. A pair loses candidacy only if ALL of its shared
     * chunks are hot, so near-identical docs (sharing 4 chunks) survive
-    * unless the whole corpus is degenerate. */
-  val SimHashChunkCap = 500
+    * unless the whole corpus is degenerate. Override:
+    * GRAFT_SIMHASH_CHUNK_CAP (skew gate only — see [[envCap]]). */
+  val SimHashChunkCap: Int = envCap("GRAFT_SIMHASH_CHUNK_CAP", 500)
 
   /** Per-document 64-bit SimHash: per bit, the sign of the sum of ±1
     * contributions from each distinct word's hash. Computed by the

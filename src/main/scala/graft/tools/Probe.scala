@@ -259,19 +259,28 @@ object Probe {
     spark.stop()
   }
 
-  /** Skew-tier valve gate (r17 verdict #5) over a `MakeSf ... skew`
-    * corpus: mutated replicas are DISTINCT texts, so they bypass the
-    * collapses and land on the hot-cap valves — this gate measures the
-    * candidate-join row counts the caps actually allow and ASSERTS the
-    * bound each valve contracts (capped Σdf² <= cap × posting rows),
-    * with the observed-drop accounting printed, then runs the dedup
-    * family end to end and reports wall times + output rows as one
-    * JSON line for round_close to embed. */
+  /** Skew-tier valve gate (r17 verdict #5; r18 verdict #3 hardening)
+    * over a `MakeSf ... skew` corpus: mutated replicas are DISTINCT
+    * texts, so they bypass the collapses and land on the hot-cap
+    * valves. The gate censuses all THREE valves (posting shingles,
+    * simhash chunk buckets, minhash band buckets) through the same hot
+    * filters the operators apply, ASSERTS each bound (capped Σdf² <=
+    * cap × rows), and — when the caps are lowered via the
+    * GRAFT_*_CAP envs (round_close passes them; r18's committed run
+    * showed the default caps never bind on this corpus, so the
+    * drop-accounting path went untested) — REQUIRES that the
+    * shingle valve demonstrably engaged (nonzero hot buckets AND
+    * nonzero dropped rows AND capped < uncapped) and that the dedup
+    * family still emits rows end to end THROUGH the engaged valves.
+    * All drop accounting + wall times land in one [skewgate] JSON line
+    * for round_close to embed. */
   private def skew(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/sf1skew")
     val spark = GraftSession.local("graft-skew-probe")
     import graft.operators.Dedup
-    // posting candidate census, computed independently of the query
+    val overridden = Seq("GRAFT_HOT_SHINGLE_CAP", "GRAFT_SIMHASH_CHUNK_CAP",
+      "GRAFT_BAND_BUCKET_CAP").exists(sys.env.contains)
+    // 1. posting-shingle census, computed independently of the query
     // plan through the same hot filter the operators apply
     val table = Dedup.ensurePostings(spark, dir)
     val dfs = spark.table(table).groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -287,22 +296,73 @@ object Probe {
     val postings = row.getLong(0)
     val uncapped = row.getLong(1)
     val capped = row.getLong(2)
+    val hotShingles = row.getLong(3)
+    val droppedPostings = row.getLong(4)
     require(capped <= postings * Dedup.HotShingleCap,
       s"posting candidate bound violated: $capped > $postings x ${Dedup.HotShingleCap}")
+    // 2. simhash chunk census — the doc-level form the inline valve
+    // filters on ([[Dedup.chunkedHammingPairs]]): one row per (doc,
+    // chunk), hotness per 16-bit (c, v) bucket
+    val sigs = Dedup.serveSimhashSigs(spark, dir)
+    val chunkCensus = sigs.select(col("doc_id"),
+        explode(array((0 until Dedup.Chunks).map(c =>
+          struct(lit(c).as("c"),
+            shiftrightunsigned(col("simhash"), c * 16)
+              .bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("ch"))
+      .groupBy(col("ch.c").as("c"), col("ch.v").as("v"))
+      .agg(count(lit(1)).as("df"))
+      .agg(
+        sum(when(col("df") > Dedup.SimHashChunkCap, lit(1L)).otherwise(0L)).as("hot"),
+        sum(when(col("df") > Dedup.SimHashChunkCap, col("df")).otherwise(0L)).as("dropped"),
+        max(col("df")).as("max_df"))
+      .head()
+    // 3. minhash band-bucket census — the [[Dedup.firstSharedBandPairs]]
+    // hot probe's census over the served signature generation
+    val msigs = Dedup.serveMinhashSigs(spark, dir)
+    val bandCols = (0 until Dedup.Bands).map { b =>
+      xxhash64((0 until Dedup.RowsPerBand)
+        .map(r => col(s"sig_${b * Dedup.RowsPerBand + r}")): _*)
+    }
+    val bandCensus = msigs
+      .select(posexplode(array(bandCols: _*)))
+      .toDF("band", "bucket")
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("df"))
+      .agg(
+        sum(when(col("df") > Dedup.BandBucketCap, lit(1L)).otherwise(0L)).as("hot"),
+        sum(when(col("df") > Dedup.BandBucketCap, col("df")).otherwise(0L)).as("dropped"),
+        max(col("df")).as("max_df"))
+      .head()
+    if (overridden) {
+      require(hotShingles > 0 && droppedPostings > 0 && capped < uncapped,
+        s"cap override set but the shingle valve never engaged " +
+          s"(hot=$hotShingles dropped=$droppedPostings capped=$capped " +
+          s"uncapped=$uncapped) — the skew corpus or the override is wrong")
+    }
     def timed(name: String): (Double, Long) = {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, dir).count()
       ((System.nanoTime() - t0) / 1e9, n)
     }
-    val qs = Seq("q_dedup_ngram", "q_dedup_resolve", "q_dedup_minhash",
-      "q_dedup_simhash", "q_dup_spans").map { n =>
-      val (s, rows) = timed(n)
+    val timings = Seq("q_dedup_ngram", "q_dedup_resolve", "q_dedup_minhash",
+      "q_dedup_simhash", "q_dup_spans").map { n => (n, timed(n)) }
+    if (overridden) timings.foreach { case (n, (_, rows)) =>
+      require(rows > 0, s"$n emitted 0 rows through the engaged valves — " +
+        "a cap drop path is silently swallowing the corpus (the r17 " +
+        "FrameHashCap vacuity shape)")
+    }
+    val qs = timings.map { case (n, (s, rows)) =>
       f""""$n":{"sec":$s%.2f,"rows":$rows}"""
     }
     println(s"""[skewgate] {"postings":$postings,"uncapped_cand":$uncapped,""" +
-      s""""capped_cand":$capped,"hot_shingles":${row.getLong(3)},""" +
-      s""""dropped_postings":${row.getLong(4)},""" +
+      s""""capped_cand":$capped,"hot_shingles":$hotShingles,""" +
+      s""""dropped_postings":$droppedPostings,""" +
       s""""cand_bound":${postings * Dedup.HotShingleCap},""" +
+      s""""caps":{"shingle":${Dedup.HotShingleCap},"chunk":${Dedup.SimHashChunkCap},""" +
+      s""""band":${Dedup.BandBucketCap},"overridden":$overridden},""" +
+      s""""simhash_chunks":{"hot":${chunkCensus.getLong(0)},""" +
+      s""""dropped":${chunkCensus.getLong(1)},"max_df":${chunkCensus.getLong(2)}},""" +
+      s""""minhash_bands":{"hot":${bandCensus.getLong(0)},""" +
+      s""""dropped":${bandCensus.getLong(1)},"max_df":${bandCensus.getLong(2)}},""" +
       qs.mkString(",") + "}")
     spark.stop()
   }

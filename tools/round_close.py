@@ -126,9 +126,18 @@ def main():
         SFSKEW = "/tmp/sf1skew"
         run(["sbt", "-batch", f"runMain graft.tools.MakeSf {SF01} {SFSKEW} 10 skew"],
             env=env)
+        # r18 verdict #3: the default caps never bind on this corpus
+        # (shingle df maxes at ~37 vs cap 100), so the committed r18 run
+        # asserted a trivially-true bound. Lowered caps force the valves
+        # to ENGAGE — the probe then requires nonzero drop accounting
+        # and that the dedup family still emits through the engaged
+        # valves. Caps are query-time only (no store embeds them).
+        skew_env = dict(env, GRAFT_HOT_SHINGLE_CAP="20",
+                        GRAFT_SIMHASH_CHUNK_CAP="20",
+                        GRAFT_BAND_BUCKET_CAP="20")
         p = subprocess.run(
             ["sbt", "-batch", f"runMain graft.tools.Probe skew {SFSKEW}"],
-            check=True, cwd=REPO, env=env, capture_output=True, text=True)
+            check=True, cwd=REPO, env=skew_env, capture_output=True, text=True)
         for line in p.stdout.splitlines():
             if line.startswith("[skewgate] "):
                 skew_summary = json.loads(line[len("[skewgate] "):])
