@@ -1158,7 +1158,15 @@ object Dedup {
   }
 
   /** q_dedup_minhash — LSH banding: docs sharing any band bucket become
-    * candidates; estimated Jaccard = fraction of equal signature slots. */
+    * candidates; estimated Jaccard = fraction of equal signature slots.
+    *
+    * CONTRACT ASYMMETRY vs the serve path (r18 advice): this inline
+    * form keeps the doc-level band census (hot buckets degrade to the
+    * representative star), while the dir serve runs the lossless
+    * distinct-signature collapse — equal output wherever no
+    * [[BandBucketCap]] engages (spec-pinned), a strict SUPERSET from
+    * the serve on replication past the cap (serve ⊇ inline; direction
+    * spec-asserted at the mechanism level in CorpusSpec). */
   def minhashDedup(docs: DataFrame, threshold: Double = 0.5): DataFrame =
     // the signature frame feeds the banding AND both verifier sides —
     // truncate lineage so the per-row signature kernel runs once
@@ -1600,8 +1608,17 @@ object Dedup {
   /** Chunked pigeonhole near-dup join over any (doc_id, simhash) frame. */
   /** Pigeonhole near-pair search over any (doc_id, simhash) signature
     * frame — shared by the text simhash family and the multimodal
-    * perceptual-hash dedup ([[Multimodal.imageDedup]]). */
-  private[operators] def chunkedHammingPairs(sigs0: DataFrame): DataFrame = {
+    * perceptual-hash dedup ([[Multimodal.imageDedup]]).
+    *
+    * `obsPrefix` names the drop observation: the DOC-level callers keep
+    * the standing `simhash_hot_drops_` prefix, while
+    * [[collapsedHammingPairs]] runs this over one representative per
+    * distinct signature and passes a `_rep_` prefix — its census counts
+    * DISTINCT SIGNATURES, not documents, and a metric consumer summing
+    * "dropped_chunk_rows" across the two meanings would silently
+    * under-count serve-path drops (r18 advice). */
+  private[graft] def chunkedHammingPairs(sigs0: DataFrame,
+      obsPrefix: String = "simhash_hot_drops_"): DataFrame = {
     // The chunk stream feeds the hot-bucket frequency pass AND the
     // survival anti-join, and the surviving stream (with its per-doc
     // survival mask) feeds BOTH sides of the pigeonhole self-join —
@@ -1621,7 +1638,7 @@ object Dedup {
     val hot = chunked0.groupBy(col("c"), col("v")).agg(count(lit(1)).as("df"))
       .filter(col("df") > SimHashChunkCap)
       .select(col("c"), col("v"), col("df"))
-      .observe(s"simhash_hot_drops_${obsId.incrementAndGet()}",
+      .observe(s"$obsPrefix${obsId.incrementAndGet()}",
         count(lit(1)).as("hot_buckets"),
         coalesce(sum(col("df")), lit(0L)).as("dropped_chunk_rows"))
       .select(col("c"), col("v"))
@@ -1711,7 +1728,7 @@ object Dedup {
     * (r17 verdict: the valve's drops are the defect this fixes; the
     * cap's purpose — bounding the join's quadratic blowup — binds on
     * distinct signatures, which is what the rep census counts). */
-  private[operators] def collapsedHammingPairs(sigs: DataFrame): DataFrame = {
+  private[graft] def collapsedHammingPairs(sigs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // one shuffle on the 64-bit signature; map-side partial min/first
     // collapses duplicate-heavy partitions before the exchange
@@ -1720,9 +1737,13 @@ object Dedup {
         min(col("doc_id")).over(Window.partitionBy(col("simhash"))))
       .localCheckpoint(eager = false)
     val members = m0.select(col("doc_id"), col("class_id"))
+    // rep-level census: the drop observation counts DISTINCT SIGNATURES
+    // here, so it carries a disclosing prefix instead of silently
+    // changing the doc-level metric's meaning (r18 advice)
     val repPairs = chunkedHammingPairs(
       m0.filter(col("doc_id") === col("class_id"))
-        .select(col("class_id").as("doc_id"), col("simhash")))
+        .select(col("class_id").as("doc_id"), col("simhash")),
+      obsPrefix = "simhash_rep_hot_drops_")
     val cross = repPairs
       .join(members.select(col("class_id").as("doc_a"), col("doc_id").as("da")), "doc_a")
       .join(members.select(col("class_id").as("doc_b"), col("doc_id").as("db")), "doc_b")

@@ -458,7 +458,15 @@ object Multimodal {
     * through the SAME capped pigeonhole chunk join the text simhash
     * family uses ([[Dedup.chunkedHammingPairs]] — scale shape and
     * hot-bucket discipline included). At 100 TB this is the image-side
-    * dedup pass a multimodal corpus build runs next to text near-dup. */
+    * dedup pass a multimodal corpus build runs next to text near-dup.
+    *
+    * CONTRACT ASYMMETRY vs the serve path (r18 advice): this inline
+    * form keeps the doc-level census valves, while [[imageDedupServe]]
+    * runs the lossless distinct-signature collapse — equal output
+    * wherever no hot cap engages (spec-pinned), a strict SUPERSET from
+    * the serve once replication pushes a chunk bucket past
+    * [[Dedup.SimHashChunkCap]] (serve ⊇ inline; the direction is
+    * spec-asserted at the mechanism level in CorpusSpec). */
   def imageDedup(spark: SparkSession, media: DataFrame): DataFrame =
     imageDedupFrom(imageHashes(media.sparkSession, media).toDF())
 
@@ -496,7 +504,13 @@ object Multimodal {
     * more than [[FrameHashCap]] videos is dropped (observed via the
     * count column, not silent): universal boilerplate frames (black
     * frames, logo cards) would otherwise quadratically explode the
-    * candidate set. */
+    * candidate set.
+    *
+    * CONTRACT ASYMMETRY vs the serve path (r18 advice): past
+    * [[FrameHashCap]] replication this inline census drops EVERY frame
+    * hash and emits zero pairs, while [[videoDedupServe]]'s
+    * hash-SET collapse keeps the full clique set — serve ⊇ inline,
+    * equal under-cap (both directions spec-pinned in CorpusSpec). */
   def videoDedup(spark: SparkSession, media: DataFrame, every: Int = 2,
       minShared: Int = 2): DataFrame =
     videoDedupFrom(frameHashes(spark, media, every).toDF(), minShared)

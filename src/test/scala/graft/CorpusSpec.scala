@@ -803,6 +803,48 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"collapse under-emitted on the saturated corpus: ${served.size} pairs from $vids videos")
   }
 
+  test("lossless collapse past the caps emits a SUPERSET of the inline valve output") {
+    // r18 advice: the cap-vacuity fixes ride the collapse (serve)
+    // paths only; inline doc-level forms keep the census valves, so
+    // once a cap engages the two diverge — by CONTRACT in one
+    // direction only (serve ⊇ inline). Pinned here at the mechanism
+    // level with planted signature frames (no corpus IO): k docs over
+    // ONE signature, k past the cap.
+    import spark.implicits._
+
+    // hamming family: all 4 chunk buckets go hot at k > SimHashChunkCap
+    // -> inline survival masks zero out and it emits NOTHING; the
+    // collapse's self arm keeps the full clique
+    val hk = operators.Dedup.SimHashChunkCap + 10
+    val hsigs = (0L until hk.toLong).map((_, 0x1234567890abcdefL))
+      .toDF("doc_id", "simhash").localCheckpoint()
+    val hInline = operators.Dedup.chunkedHammingPairs(hsigs).count()
+    assert(hInline == 0L,
+      s"premise drifted: chunk census no longer saturates at $hk copies ($hInline pairs)")
+    val hCollapsed = operators.Dedup.collapsedHammingPairs(hsigs).count()
+    assert(hCollapsed == hk.toLong * (hk - 1) / 2,
+      s"hamming collapse lost clique pairs: $hCollapsed of ${hk.toLong * (hk - 1) / 2}")
+
+    // minhash family: every band bucket goes hot at k > BandBucketCap
+    // -> inline degrades to the representative STAR (k-1 pairs, the
+    // r13 no-silent-drop valve); the collapse keeps the full clique —
+    // star ⊂ clique, never the reverse
+    val mk = operators.Dedup.BandBucketCap + 10
+    val sigCols = col("id").as("doc_id") +: (0 until operators.Dedup.MinHashK)
+      .map(j => lit(j * 1000L + 7).as(s"sig_$j"))
+    val msigs = spark.range(mk.toLong).select(sigCols: _*).localCheckpoint()
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mInline = pairSet(operators.Dedup.minhashDedupFromSigs(msigs))
+    val mCollapsed = pairSet(operators.Dedup.minhashDedupCollapsed(msigs))
+    assert(mInline.size == mk - 1,
+      s"premise drifted: band star no longer ${mk - 1} pairs (${mInline.size})")
+    assert(mCollapsed.size == mk * (mk - 1) / 2,
+      s"minhash collapse lost clique pairs: ${mCollapsed.size}")
+    assert(mInline.subsetOf(mCollapsed),
+      "divergence direction violated: inline emitted a pair the collapse lost")
+  }
+
   test("collapse upgrade: a dataless rep dir under a valid fp reads incomplete and rebuilds") {
     // the r17 review hole: the collapse-upgrade rebuild runs while the
     // fp sidecar stays VALID, so a crash between the member and rep
