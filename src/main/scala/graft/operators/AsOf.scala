@@ -100,18 +100,16 @@ object AsOf {
       .drop("_series")
   }
 
-  /** q_asof_rates — line items priced with the latest quarterly reference
-    * rate (per brand) published on-or-before their ship month. The
-    * reference series is brand x quarter (dim-sized by construction), so
-    * this runs the broadcast form: the 600k-row fact side is never
-    * shuffled or sorted. */
-  def asofRates(spark: SparkSession, dir: String): DataFrame = {
+  /** The fact frame [[asofRates]] attaches over (lineitem ⋈ part,
+    * month-indexed) — shared by the persisted series build and the
+    * per-query attach. */
+  private def rateFacts(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables
       .lineitem(spark, dir)
       .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice"), col("l_shipdate"))
     val p = broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")))
-    val facts = li
+    li
       .join(p, col("l_partkey") === col("p_partkey"))
       .select(
         col("p_brand").as("brand"),
@@ -120,7 +118,59 @@ object AsOf {
         col("l_orderkey"),
         col("l_linenumber"),
         col("l_extendedprice").as("price"))
-    // quarterly reference series: mean price per brand in months 1/4/7/10
+  }
+
+  private[graft] def rateSeriesServePath(dir: String): String =
+    Similarity.servePath("asof_rates_series_", dir)
+
+  /** Ensure a fresh persisted quarterly rate SERIES for `dir` (r18
+    * verdict #6: q_asof_rates was the suite's largest correct graft row
+    * at sf10 — 12.3 s — because the series aggregation re-scanned the
+    * whole fact side on EVERY query, doubling the one fact-volume pass
+    * the attach itself needs). The series is brand × quarter (dim-sized
+    * by construction), so its build — one fact scan + one map-side-
+    * combinable aggregate — amortizes across a corpus generation under
+    * the [[ensureResolvedEnrichment]] discipline (fingerprint keyed on
+    * BOTH source tables, crash-safe sidecar ordering), and every serve
+    * pays only the broadcast as-of attach over a single fact scan.
+    * Doubles round-trip parquet exactly and the decimal-exact mean is
+    * order-independent, so the served series is bit-equal to the
+    * from-scratch aggregate (spec-pinned). */
+  private[graft] def ensureRateSeries(spark: SparkSession, dir: String): DataFrame = {
+    val path = rateSeriesServePath(dir)
+    val fp = Similarity.corpusFingerprint(spark, dir, "lineitem.parquet") * 31 +
+      Similarity.corpusFingerprint(spark, dir, "part.parquet")
+    ServingStore.ensure(spark, "asof-rate-series", path, fp) { gen =>
+      Tables.invalidate(spark, dir, "lineitem")
+      Tables.invalidate(spark, dir, "part")
+      rateFacts(spark, dir)
+        .filter(pmod(col("t"), lit(3)) === 0)
+        .groupBy(col("brand"), col("t"))
+        .agg(meanOf(sum(dec2(col("price"))).cast(DoubleType), cnt).as("rate"))
+        .coalesce(1).write.mode("overwrite").parquet(gen)
+    }
+  }
+
+  /** q_asof_rates — line items priced with the latest quarterly reference
+    * rate (per brand) published on-or-before their ship month. The
+    * reference series is brand x quarter (dim-sized by construction), so
+    * this runs the broadcast form: the fact side is never shuffled or
+    * sorted, and the series itself serves from its persisted generation
+    * ([[ensureRateSeries]]) — the whole per-query plan is ONE fact scan
+    * with broadcast joins. */
+  def asofRates(spark: SparkSession, dir: String): DataFrame = {
+    val rates = ensureRateSeries(spark, dir)
+    asofJoinBroadcast(rateFacts(spark, dir), rates, "brand", "t", "rate")
+      .filter(col("rate").isNotNull)
+      .select(col("l_orderkey"), col("l_linenumber"), col("brand"), col("t"),
+        col("price"), col("rate"),
+        (col("price") / col("rate")).as("price_rel"))
+  }
+
+  /** From-scratch form of [[asofRates]] (series aggregated in-plan) —
+    * the spec pins store-served == from-scratch. */
+  private[graft] def asofRatesFromScratch(spark: SparkSession, dir: String): DataFrame = {
+    val facts = rateFacts(spark, dir)
     val rates = facts
       .filter(pmod(col("t"), lit(3)) === 0)
       .groupBy(col("brand"), col("t"))

@@ -1226,13 +1226,17 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sigCols = (0 until MinHashK).map(j => col(s"sig_$j"))
-    // one shuffle of the (doc_id, 32-int) sig table keyed on the full
-    // signature vector (no hashed key: a 64-bit class-key collision
+    // served generations carry the class key PERSISTED ([[withSigClass]],
+    // r18 verdict #5) — the collapse is then a pure scan; ad-hoc frames
+    // pay one shuffle of the (doc_id, 32-int) sig table keyed on the
+    // full signature vector (no hashed key: a 64-bit class-key collision
     // would silently merge two DIFFERENT signatures into one class and
     // fabricate est-1.0 pairs; the grouped key is exact)
-    val m0 = sigs
-      .withColumn("class_id", min(col("doc_id")).over(Window.partitionBy(sigCols: _*)))
-      .localCheckpoint(eager = false)
+    val m0 =
+      if (sigs.columns.contains("class_id")) sigs
+      else sigs
+        .withColumn("class_id", min(col("doc_id")).over(Window.partitionBy(sigCols: _*)))
+        .localCheckpoint(eager = false)
     val members = m0.select(col("doc_id"), col("class_id"))
     val repPairs = minhashDedupFromSigs(
       m0.filter(col("doc_id") === col("class_id"))
@@ -1256,6 +1260,46 @@ object Dedup {
     cross.unionByName(self)
   }
 
+  /** The signature-class key PERSISTED into a signature generation at
+    * build time (r18 verdict #5: the collapse window-grouped per query,
+    * one avoidable shuffle of the sig table per serve — with the key in
+    * the generation the collapse is a pure scan). The key is min doc_id
+    * per distinct signature; the collapse only needs MEMBERSHIP (a
+    * class_id names a row of its own class, for rep selection) and
+    * per-signature CONSISTENCY (equal signatures share one class_id) —
+    * pair outputs normalize order themselves, so the choice of member
+    * never reaches the output. */
+  private[graft] def withSigClass(sigs: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    sigs.withColumn("class_id",
+      min(col("doc_id")).over(Window.partitionBy(keys.map(col): _*)))
+  }
+
+  /** Class assignment for APPENDED signature rows against the previous
+    * generation: a delta signature that already has a class joins it
+    * (per-signature all-or-none, so no split classes); a new signature
+    * classes on the delta's own min doc_id. Membership + consistency
+    * are preserved across any append sequence by induction — an
+    * existing class_id names a row still in the store, a new one names
+    * a delta row being merged. Cost rides the append's full-generation
+    * rewrite (one shuffle join of delta vs distinct prev signatures —
+    * data-proportional next to the rewrite itself). */
+  private[graft] def classifyDeltaSigs(prev: DataFrame, delta: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val classes = prev
+      .select((keys.map(col) :+ col("class_id")): _*).distinct()
+      .withColumnRenamed("class_id", "prior_class")
+    delta.join(classes, keys, "left")
+      .withColumn("class_id",
+        coalesce(col("prior_class"),
+          min(col("doc_id")).over(Window.partitionBy(keys.map(col): _*))))
+      .drop("prior_class")
+  }
+
+  private[graft] val MinhashSigKeys: Seq[String] =
+    (0 until MinHashK).map(j => s"sig_$j")
+
   /** Dir-serving form: the per-doc minhash signatures persist as a
     * fingerprint-keyed generation — the last signature family without
     * one (simhash, IDF-simhash and the embedding LSH bands all persist
@@ -1265,7 +1309,8 @@ object Dedup {
     * estimate-verify run over the DISTINCT-SIGNATURE collapse
     * ([[minhashDedupCollapsed]] — spec-pinned serve == inline,
     * duplicate-heavy corpus included); integer signatures round-trip
-    * parquet exactly. */
+    * parquet exactly. The generation carries the persisted class key
+    * ([[withSigClass]]), so the collapse never shuffles at serve time. */
   def minhashDedup(spark: SparkSession, dir: String): DataFrame =
     minhashDedupCollapsed(serveMinhashSigs(spark, dir))
 
@@ -1280,7 +1325,7 @@ object Dedup {
     val path = Similarity.servePath("minhash_sigs_", dir)
     val build = (gen: String) => {
       Tables.invalidate(spark, dir, "documents")
-      minhashSignatures(Tables.documents(spark, dir))
+      withSigClass(minhashSignatures(Tables.documents(spark, dir)), MinhashSigKeys)
         .write.mode("overwrite").parquet(gen)
     }
     if (force) ServingStore.rebuild(spark, "minhash-sigs", path, fp)(build)
@@ -1290,8 +1335,9 @@ object Dedup {
   /** Bumped on any change to minhash signature semantics (the kernel's
     * coefficient table, K, shingling) — the store key must see code
     * changes the file fingerprint cannot ([[Multimodal.HashStoreVersion]]
-    * convention). */
-  private[graft] val MinhashSigStoreVersion = 1
+    * convention). v2: the generation carries the persisted class key
+    * ([[withSigClass]]). */
+  private[graft] val MinhashSigStoreVersion = 2
 
   /** The fingerprint the minhash signature generation is keyed by —
     * callers snapshot it BEFORE landing a delta. */
@@ -1299,8 +1345,9 @@ object Dedup {
     Similarity.corpusFingerprint(spark, dir, "documents.parquet") * 31 +
       MinhashSigStoreVersion
 
-  /** Bumped on any change to plain-simhash signature semantics. */
-  private[graft] val SimhashSigStoreVersion = 1
+  /** Bumped on any change to plain-simhash signature semantics.
+    * v2: the generation carries the persisted class key. */
+  private[graft] val SimhashSigStoreVersion = 2
 
   /** The fingerprint the simhash signature generation is keyed by. */
   def simhashSigsFingerprint(spark: SparkSession, dir: String): Long =
@@ -1322,6 +1369,8 @@ object Dedup {
         Tables.invalidate(spark, dir, "documents")
         minhashSigsFingerprint(spark, dir)
       },
+      merge = (prev, d) =>
+        prev.unionByName(classifyDeltaSigs(prev, d, MinhashSigKeys)),
       uniqueKey = Some("doc_id"))
 
   /** Incremental ingest for the plain simhash signature store — same
@@ -1338,6 +1387,8 @@ object Dedup {
         Tables.invalidate(spark, dir, "documents")
         simhashSigsFingerprint(spark, dir)
       },
+      merge = (prev, d) =>
+        prev.unionByName(classifyDeltaSigs(prev, d, Seq("simhash"))),
       uniqueKey = Some("doc_id"))
 
   // ---------------------------------------------------------------- SimHash
@@ -1490,6 +1541,19 @@ object Dedup {
     * both join sides were aggregate-derived) and the per-query corpus df
     * pass amortizes across a corpus generation; spec-pinned row-equal to
     * the inline form. */
+  /** Bumped on any change to IDF-simhash signature-GENERATION layout
+    * (the weights store keeps the raw corpus fingerprint — weights
+    * semantics are unchanged). v2: the generation carries the persisted
+    * class key ([[withSigClass]]). */
+  private[graft] val SimhashIdfSigStoreVersion = 2
+
+  /** The fingerprint the IDF-simhash signature generation is keyed by —
+    * [[appendSimhashIdf]] derives its stamps from the same formula. */
+  private[graft] def simhashIdfSigsFingerprint(spark: SparkSession,
+      dir: String): Long =
+    Similarity.corpusFingerprint(spark, dir, "documents.parquet") * 31 +
+      SimhashIdfSigStoreVersion
+
   def simhashIdfDedup(spark: SparkSession, dir: String): DataFrame = {
     val path = idfWeightsServePath(dir)
     val fp = Similarity.corpusFingerprint(spark, dir, "documents.parquet")
@@ -1503,7 +1567,8 @@ object Dedup {
     // writes leaves the sigs sidecar stale -> sigs rebuild, weights
     // serve (never a fresh-looking half-built pair).
     val sigs = ServingStore.ensure(spark, "simhash-idf-sigs",
-      Similarity.servePath("simhash_idf_sigs_", dir), fp) { gen =>
+      Similarity.servePath("simhash_idf_sigs_", dir),
+      fp * 31 + SimhashIdfSigStoreVersion) { gen =>
       // on a stale store, invalidate the memoized documents plan BEFORE
       // building the shared sets frame (the r11 review caught the
       // reverse order pinning a pre-change file listing on the
@@ -1516,7 +1581,8 @@ object Dedup {
       val weights = ServingStore.ensure(spark, "simhash-idf-weights", path, fp) { wgen =>
         idfWeightsOf(sets).write.mode("overwrite").parquet(wgen)
       }
-      signaturesFromSets(sets, weights).write.mode("overwrite").parquet(gen)
+      withSigClass(signaturesFromSets(sets, weights), Seq("simhash"))
+        .write.mode("overwrite").parquet(gen)
     }
     // exact-parity distinct-signature collapse (r18): bit-equal to the
     // inline form at every corpus — see [[collapsedHammingPairsExact]]
@@ -1592,10 +1658,15 @@ object Dedup {
         f"$nNow (|growth| ${math.abs(growth)}%.3f > $SimhashIdfMaxGrowth%.2f): " +
         "the staleness bound is exhausted — rebuild (serve simhashIdfDedup " +
         "against the new corpus) instead of appending")
+    // the caller's contract stays "pass the pre-delta DOCUMENTS
+    // fingerprint"; the store's stamps carry the generation-layout
+    // version term, derived here from the same formula the serve uses
     ServingStore.append(spark, "simhash-idf-sigs", sigsPath,
-      expectedFp = expectedFp,
+      expectedFp = expectedFp * 31 + SimhashIdfSigStoreVersion,
       delta = signaturesFromSets(wordSets(newDocs), weights),
-      postFp = () => Similarity.corpusFingerprint(spark, dir, "documents.parquet"),
+      postFp = () => simhashIdfSigsFingerprint(spark, dir),
+      merge = (prev, d) =>
+        prev.unionByName(classifyDeltaSigs(prev, d, Seq("simhash"))),
       uniqueKey = Some("doc_id"))
   }
 
@@ -1730,12 +1801,15 @@ object Dedup {
     * distinct signatures, which is what the rep census counts). */
   private[graft] def collapsedHammingPairs(sigs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // one shuffle on the 64-bit signature; map-side partial min/first
-    // collapses duplicate-heavy partitions before the exchange
-    val m0 = sigs
-      .withColumn("class_id",
-        min(col("doc_id")).over(Window.partitionBy(col("simhash"))))
-      .localCheckpoint(eager = false)
+    // persisted class key -> pure scan; ad-hoc frames pay one shuffle
+    // on the 64-bit signature (map-side partial min collapses
+    // duplicate-heavy partitions before the exchange)
+    val m0 =
+      if (sigs.columns.contains("class_id")) sigs
+      else sigs
+        .withColumn("class_id",
+          min(col("doc_id")).over(Window.partitionBy(col("simhash"))))
+        .localCheckpoint(eager = false)
     val members = m0.select(col("doc_id"), col("class_id"))
     // rep-level census: the drop observation counts DISTINCT SIGNATURES
     // here, so it carries a disclosing prefix instead of silently
@@ -1787,10 +1861,13 @@ object Dedup {
     * duplication signal. */
   private[operators] def collapsedHammingPairsExact(sigs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val m0 = sigs
-      .withColumn("class_id",
-        min(col("doc_id")).over(Window.partitionBy(col("simhash"))))
-      .localCheckpoint(eager = false)
+    // persisted class key -> pure scan (see [[withSigClass]])
+    val m0 =
+      if (sigs.columns.contains("class_id")) sigs
+      else sigs
+        .withColumn("class_id",
+          min(col("doc_id")).over(Window.partitionBy(col("simhash"))))
+        .localCheckpoint(eager = false)
     val members = m0.select(col("doc_id"), col("class_id"))
     val cls = m0.groupBy(col("class_id"), col("simhash"))
       .agg(count(lit(1)).as("csize"))
@@ -1889,7 +1966,7 @@ object Dedup {
     val path = Similarity.servePath("simhash_sigs_", dir)
     val build = (gen: String) => {
       Tables.invalidate(spark, dir, "documents")
-      simhashSignatures(Tables.documents(spark, dir))
+      withSigClass(simhashSignatures(Tables.documents(spark, dir)), Seq("simhash"))
         .write.mode("overwrite").parquet(gen)
     }
     if (force) ServingStore.rebuild(spark, "simhash-sigs", path, fp)(build)

@@ -1593,6 +1593,28 @@ class PlatformSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"enrich attach fact join should broadcast:\n$plan")
   }
 
+  test("asof rates: store-served series equals the from-scratch aggregate") {
+    // r18 verdict #6: the series aggregation re-scanned the fact side on
+    // every query; it now serves from a persisted generation — bit-equal
+    // by the enrich-attach argument (decimal-exact order-independent
+    // mean, doubles round-trip parquet)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    assert(rows(operators.AsOf.asofRates(spark, sf)) ==
+      rows(operators.AsOf.asofRatesFromScratch(spark, sf)),
+      "persisted rate-series serve diverged from the in-plan aggregate")
+    // serve plan shape: no fact-side hash exchange — the only exchange
+    // is the dim-sized series collapsing per-key inside the broadcast
+    // as-of build side
+    val plan = operators.AsOf.asofRates(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1,
+      s"asof rates serve should only shuffle the dim series, saw $exchanges:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"asof rates fact join should broadcast:\n$plan")
+  }
+
   test("streaming contamination sink: overlapping benchmark batches fold to the union screen") {
     import graft.streaming.ContaminationSink
     GraftFunctions.ensureRegistered(spark)
