@@ -46,9 +46,14 @@ def main(sf_dir, oracle_path, duck_out, graft_out):
     # gates on it via check_oracle at every tier.
     # q_dedup_embedding_resolve: r18, same recursion-machinery argument
     # (see measure_baseline.py)
+    # Checker oracles (r19) self-identify with a leading marker line —
+    # excluded for the same reason (they read graft's output back and
+    # re-run a brute recomputation; see measure_baseline.py).
     CORRECTNESS_ONLY = {"q_pack_sequences", "q_pack_bucketed",
                         "q_dedup_embedding_resolve"}
-    oracle = {k: (None if k in CORRECTNESS_ONLY else v) for k, v in oracle.items()}
+    oracle = {k: (None if k in CORRECTNESS_ONLY
+                  or (v or "").startswith("-- graft:checker") else v)
+              for k, v in oracle.items()}
 
     proc = start_pipe(sf_dir)
     errors = {}
