@@ -1227,15 +1227,21 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val sigCols = (0 until MinHashK).map(j => col(s"sig_$j"))
     // served generations carry the class key PERSISTED ([[withSigClass]],
-    // r18 verdict #5) — the collapse is then a pure scan; ad-hoc frames
-    // pay one shuffle of the (doc_id, 32-int) sig table keyed on the
-    // full signature vector (no hashed key: a 64-bit class-key collision
+    // r18 verdict #5) — no per-query class shuffle; ad-hoc frames pay
+    // one shuffle of the (doc_id, 32-int) sig table keyed on the full
+    // signature vector (no hashed key: a 64-bit class-key collision
     // would silently merge two DIFFERENT signatures into one class and
-    // fabricate est-1.0 pairs; the grouped key is exact)
+    // fabricate est-1.0 pairs; the grouped key is exact). BOTH branches
+    // checkpoint: m0 feeds members twice, the rep stream and the
+    // dup-class census, and the bare known-small scan let the planner
+    // broadcast each derivation separately — five broadcast-exchange
+    // driver collects per serve, measured +0.37s at sf1 (r19; the
+    // checkpoint restores the one-materialization plan the r18 window
+    // form had, without its shuffle).
     val m0 =
-      if (sigs.columns.contains("class_id")) sigs
-      else sigs
-        .withColumn("class_id", min(col("doc_id")).over(Window.partitionBy(sigCols: _*)))
+      (if (sigs.columns.contains("class_id")) sigs
+       else sigs
+         .withColumn("class_id", min(col("doc_id")).over(Window.partitionBy(sigCols: _*))))
         .localCheckpoint(eager = false)
     val members = m0.select(col("doc_id"), col("class_id"))
     val repPairs = minhashDedupFromSigs(
@@ -1801,14 +1807,16 @@ object Dedup {
     * distinct signatures, which is what the rep census counts). */
   private[graft] def collapsedHammingPairs(sigs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // persisted class key -> pure scan; ad-hoc frames pay one shuffle
-    // on the 64-bit signature (map-side partial min collapses
-    // duplicate-heavy partitions before the exchange)
+    // persisted class key -> no per-query class shuffle; ad-hoc frames
+    // pay one shuffle on the 64-bit signature (map-side partial min
+    // collapses duplicate-heavy partitions before the exchange). Both
+    // branches checkpoint — see [[minhashDedupCollapsed]]'s broadcast-
+    // churn note (r19).
     val m0 =
-      if (sigs.columns.contains("class_id")) sigs
-      else sigs
-        .withColumn("class_id",
-          min(col("doc_id")).over(Window.partitionBy(col("simhash"))))
+      (if (sigs.columns.contains("class_id")) sigs
+       else sigs
+         .withColumn("class_id",
+           min(col("doc_id")).over(Window.partitionBy(col("simhash")))))
         .localCheckpoint(eager = false)
     val members = m0.select(col("doc_id"), col("class_id"))
     // rep-level census: the drop observation counts DISTINCT SIGNATURES
@@ -1861,12 +1869,14 @@ object Dedup {
     * duplication signal. */
   private[operators] def collapsedHammingPairsExact(sigs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // persisted class key -> pure scan (see [[withSigClass]])
+    // persisted class key -> no per-query class shuffle (see
+    // [[withSigClass]]); both branches checkpoint — see
+    // [[minhashDedupCollapsed]]'s broadcast-churn note (r19)
     val m0 =
-      if (sigs.columns.contains("class_id")) sigs
-      else sigs
-        .withColumn("class_id",
-          min(col("doc_id")).over(Window.partitionBy(col("simhash"))))
+      (if (sigs.columns.contains("class_id")) sigs
+       else sigs
+         .withColumn("class_id",
+           min(col("doc_id")).over(Window.partitionBy(col("simhash")))))
         .localCheckpoint(eager = false)
     val members = m0.select(col("doc_id"), col("class_id"))
     val cls = m0.groupBy(col("class_id"), col("simhash"))
