@@ -258,14 +258,20 @@ object SparkEntry {
     "q_knn_pq" -> Similarity.annCheckerOracle("q_knn_pq"),
     "q_knn_opq" -> Similarity.annCheckerOracle("q_knn_opq"),
     "q_knn_ivfpq" -> Similarity.annCheckerOracle("q_knn_ivfpq"),
-    "q_dedup_embedding_cells" -> Similarity.cellsCheckerOracle
+    "q_dedup_embedding_cells" -> Similarity.cellsCheckerOracle,
+    // q_text_bpe (r20): checker oracle — the trained merge table is
+    // model state (Verify substitutes it in as VALUES rows, the BPE twin
+    // of the __GRAFT_OUT__ token), and DuckDB replays ENCODING from
+    // scratch with a recursive CTE, re-deriving every emitted token
+    // count from the corpus + table. Correctness-only in the bench pair
+    // (leading marker line).
+    "q_text_bpe" -> TextAnalysis.textBpeCheckerOracle
     // Still not SQL-expressible, even as a checker: q_dedup_minhash,
     // q_dedup_simhash, q_dedup_simhash_idf, q_winnow_fingerprint
     // (xxhash64 signatures — DuckDB has no compatible hash, so not even
-    // the emitted signature values can be re-derived); q_text_bpe
-    // (iterative merge learning); q_quality_classifier (IRLS needs
-    // bit-identical exp() across engines); the media family (pure-JVM
-    // codec decode). Driver records rows-only checks, pins + specs
-    // carry correctness.
+    // the emitted signature values can be re-derived);
+    // q_quality_classifier (IRLS needs bit-identical exp() across
+    // engines); the media family (pure-JVM codec decode). Driver records
+    // rows-only checks, pins + specs carry correctness.
   )
 }

@@ -43,21 +43,43 @@ object Verify {
     // the gate on an inapplicable oracle. Only a genuinely absent
     // embeddings table defaults to the LSH branch (trivially under
     // bound: no vectors at all).
+    // Existence probes via Hadoop FileSystem, not java.io.File (r19
+    // ADVICE): a non-local sfDir (hdfs/s3) would make File.exists()
+    // return false and silently select the LSH branch on a past-bound
+    // corpus — the exact inapplicable-oracle failure the probe avoids.
+    def hadoopExists(p: String): Boolean = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+    }
     val embPath = s"$sfDir/embeddings.parquet"
     val pastLshBound =
-      new java.io.File(embPath).exists() &&
+      hadoopExists(embPath) &&
         spark.read.parquet(embPath).count() >
           graft.operators.Similarity.LshSaturationBound
-    val oracles =
+    val oracles0 =
       if (pastLshBound)
         SparkEntry.oracleSql -- Seq("q_dedup_embedding", "q_dedup_embedding_resolve")
       else SparkEntry.oracleSql
+    // The BPE checker oracle needs the trained merge table substituted
+    // in as VALUES rows (deterministic training — identical to the
+    // table the query itself trains). A corpus that trains ZERO merges
+    // cannot render a VALUES list; the entry drops to the pre-checker
+    // rows-only state instead of emitting invalid SQL.
+    val bpeMerges =
+      if (oracles0.contains("q_text_bpe") && hadoopExists(s"$sfDir/documents.parquet"))
+        graft.operators.TextAnalysis.bpeModelMerges(spark, sfDir)
+      else Array.empty[String]
+    val bpeValues = bpeMerges.zipWithIndex
+      .map { case (m, i) => s"($i, '${m.replace("'", "''")}')" }.mkString(", ")
+    val oracles =
+      if (bpeMerges.nonEmpty) oracles0 else oracles0 - "q_text_bpe"
     // Checker oracles read the engine's own dump back: resolve their
     // path token to THIS run's absolute result directory.
     val outAbs = Paths.get(outDir).toAbsolutePath.toString
     val json = oracles
       .map { case (k, v) =>
-        s"${q(k)}: ${q(v.replace(graft.operators.Similarity.GraftOutToken, outAbs))}"
+        s"${q(k)}: ${q(v.replace(graft.operators.Similarity.GraftOutToken, outAbs)
+          .replace(graft.operators.TextAnalysis.BpeMergesToken, bpeValues))}"
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -1255,11 +1255,14 @@ object Dedup {
         least(col("da"), col("db")).as("doc_a"),
         greatest(col("da"), col("db")).as("doc_b"),
         col("est_jaccard"))
-    val dupMembers = members
-      .join(members.groupBy(col("class_id")).agg(count(lit(1)).as("csize"))
-        .filter(col("csize") >= 2).select(col("class_id")), "class_id")
-    val self = dupMembers.as("x")
-      .join(dupMembers.as("y"),
+    // self arm: members join themselves on class equality directly —
+    // size-1 classes match nothing, so the former csize>=2 prefilter
+    // (a groupBy shuffle + an extra join per serve) bought no output
+    // reduction, only probe savings an O(1) hash probe already gives
+    // (r19 verdict #7: the expansion stages owned the serve's constant;
+    // the mh probe put ~80ms of the sf0.1 serve in this arm)
+    val self = members.as("x")
+      .join(members.as("y"),
         col("x.class_id") === col("y.class_id") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         lit(1.0).as("est_jaccard"))
@@ -1833,11 +1836,11 @@ object Dedup {
         least(col("da"), col("db")).as("doc_a"),
         greatest(col("da"), col("db")).as("doc_b"),
         col("hamming"))
-    val dupMembers = members
-      .join(members.groupBy(col("class_id")).agg(count(lit(1)).as("csize"))
-        .filter(col("csize") >= 2).select(col("class_id")), "class_id")
-    val self = dupMembers.as("x")
-      .join(dupMembers.as("y"),
+    // direct class-equality self-join: size-1 classes match nothing, so
+    // the csize>=2 prefilter's groupBy shuffle + extra join bought no
+    // output reduction (r20, the minhash serve's mh-probe finding)
+    val self = members.as("x")
+      .join(members.as("y"),
         col("x.class_id") === col("y.class_id") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         lit(0).as("hamming"))
@@ -2197,12 +2200,52 @@ object Dedup {
     * component minimum over doc ids (each class id is its class's min,
     * up to the query-time re-min over the member map). */
   def dedupResolveServe(spark: SparkSession, dir: String): DataFrame = {
-    val (docClass, repJaccard, selfCls) = collapsedNgramParts(spark, dir, 0.8)
-    val edges = repJaccard.select(col("ca").as("doc_a"), col("cb").as("doc_b"))
-      .unionAll(selfCls.select(col("class_id").as("doc_a"), col("class_id").as("doc_b")))
-    val canon = resolveComponents(edges)
-      .select(col("doc_id").as("class_id"), col("canonical_id"))
+    ensurePostings(spark, dir) // member/class sidecars fresh for THIS corpus
+    val canon = ensureResolveCanon(spark, dir)
+    val members = spark.read.parquet(postingsMembersPath(dir))
+    val cls = spark.read.parquet(postingsClassesPath(dir))
+    val docClass = members.join(cls.select(col("cdoc"), col("class_id")), "cdoc")
+      .select(col("doc_id"), col("class_id"))
     docClass.join(canon, "class_id").select(col("doc_id"), col("canonical_id"))
+  }
+
+  /** Bumped on any change to resolution semantics, the edge
+    * construction, or [[ResolveThreshold]]. */
+  private[graft] val ResolveCanonStoreVersion = 1
+
+  /** The jaccard threshold the resolve family is defined at — part of
+    * the canon generation's identity (the store path carries it too). */
+  private[graft] val ResolveThreshold = 0.8
+
+  /** The resolved component map (class_id -> canonical_id) PERSISTED per
+    * posting-index generation (r20; q_dedup_resolve sat two rounds past
+    * its 0.1s done-bar because every serve re-ran the rep-level
+    * candidate join + union-find — the same derived-state shape as
+    * r19's asof rate series). Resolution is a pure function of the
+    * posting generation at a fixed threshold, so it is paid once per
+    * corpus generation; the per-query plan is sidecar scans + two
+    * broadcast joins, zero candidate machinery. Keyed on the same
+    * corpus fingerprint as the posting index: an append re-stamps that
+    * fingerprint, so the canon REBUILDS — component structure is not
+    * incrementally maintainable (a delta doc can merge two existing
+    * components), which is exactly the staleness the key must see. */
+  private[graft] def ensureResolveCanon(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Similarity.corpusFingerprint(spark, dir, "documents.parquet") * 31 +
+      ResolveCanonStoreVersion
+    ServingStore.ensure(spark, "resolve-canon",
+      Similarity.servePath(s"resolve_canon_t${(ResolveThreshold * 100).toInt}_", dir),
+      fp) { gen =>
+      val (_, repJaccard, selfCls) =
+        collapsedNgramParts(spark, dir, ResolveThreshold)
+      val edges = repJaccard.select(col("ca").as("doc_a"), col("cb").as("doc_b"))
+        .unionAll(selfCls.select(col("class_id").as("doc_a"), col("class_id").as("doc_b")))
+      // no coalesce: the size-adaptive resolver can return a distributed
+      // star-contraction labeling at scale — the writer keeps its
+      // parallelism, and the serve-side join broadcasts by file stats
+      resolveComponents(edges)
+        .select(col("doc_id").as("class_id"), col("canonical_id"))
+        .write.mode("overwrite").parquet(gen)
+    }
   }
 
   /** The whole oracle runs on the DISTINCT-TEXT graph, not the doc

@@ -616,14 +616,14 @@ object Multimodal {
         least(col("da"), col("db")).as("media_a"),
         greatest(col("da"), col("db")).as("media_b"),
         col("shared_frames"))
-    val dupMembers = members.join(
-      members.groupBy(col("class_id")).agg(count(lit(1)).as("csize"))
-        .filter(col("csize") >= 2).select(col("class_id")), "class_id")
+    // direct class-equality self-join: size-1 classes match nothing, so
+    // the former csize>=2 prefilter's groupBy shuffle + extra join
+    // bought no output reduction (r20, the minhash mh-probe finding).
     // inner join onto counts: a class whose every hash went hot at rep
     // level has no surviving set and pairs on nothing — the same n = 0
     // exclusion the inline join shape produces
-    val self = dupMembers.as("x")
-      .join(dupMembers.as("y"),
+    val self = members.as("x")
+      .join(members.as("y"),
         col("x.class_id") === col("y.class_id") && col("x.media_id") < col("y.media_id"))
       .select(col("x.class_id").as("class_id"),
         col("x.media_id").as("media_a"), col("y.media_id").as("media_b"))

@@ -129,12 +129,21 @@ object Similarity {
       .toDF("query_id", "neighbor_id", "cosine", "rk")
   }
 
-  /** q_knn_brute — exact cosine top-k for a query subset (vec_id < 8)
-    * against the whole corpus. */
-  def knnBrute(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  /** The ANN ladder's query subset bound and depth, shared by EVERY
+    * engine entry point AND interpolated into every generated oracle SQL
+    * (r19 ADVICE: the checker oracles hardcoded `vec_id < 8` / `k = 10`
+    * independently of the engine defaults, so a future k or query-set
+    * change would silently desynchronize oracle from engine — with one
+    * shared constant pair they cannot drift). */
+  val KnnQueryBound = 8
+  val KnnK = 10
+
+  /** q_knn_brute — exact cosine top-k for a query subset
+    * (vec_id < [[KnnQueryBound]]) against the whole corpus. */
+  def knnBrute(spark: SparkSession, dir: String, k: Int = KnnK): DataFrame = {
     val corpus = emb(spark, dir)
     val queries = broadcast(
-      corpus.filter(col("vec_id") < 8)
+      corpus.filter(col("vec_id") < KnnQueryBound)
         .select(col("vec_id").as("query_id"), col("vec").as("qvec")))
     val scored = corpus
       .join(queries, col("vec_id") =!= col("query_id"))
@@ -152,9 +161,9 @@ object Similarity {
     * from sqrt rounding — surfaced by the replicated sf1 corpus), and
     * ties rank deterministically by neighbor_id. */
   val knnBruteOracle: String =
-    """WITH q AS (
+    s"""WITH q AS (
       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
-      |  FROM embeddings WHERE vec_id < 8
+      |  FROM embeddings WHERE vec_id < $KnnQueryBound
       |), scored AS (
       |  SELECT q.query_id, e.vec_id AS neighbor_id,
       |    GREATEST(LEAST(
@@ -166,7 +175,7 @@ object Similarity {
       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
       |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rk
       |  FROM scored
-      |) WHERE rk <= 10""".stripMargin
+      |) WHERE rk <= $KnnK""".stripMargin
 
   // ------------------------------------------------- recall vs ground truth
 
@@ -183,7 +192,7 @@ object Similarity {
     * (ground truth is computed once and versioned with the corpus, e.g.
     * the published BIGANN GT files), NOT a per-query brute scan. */
   private[graft] def ensureGroundTruth(spark: SparkSession, dir: String,
-      k: Int = 10): DataFrame = {
+      k: Int = KnnK): DataFrame = {
     val path = gtServePath(dir, k)
     val fpPath = path + "_model"
     val fp = corpusFingerprint(spark, dir)
@@ -228,7 +237,7 @@ object Similarity {
     * cardinality is preserved exactly (left-join + group on the approx
     * side only). */
   private[graft] def withRecall(approx: DataFrame, spark: SparkSession,
-      dir: String, k: Int = 10): DataFrame = {
+      dir: String, k: Int = KnnK): DataFrame = {
     // Recall rides the SINGLE search pass: a broadcast left-join marks
     // each emitted row as a ground-truth hit, and a window partitioned
     // by query_id turns the marks into the per-query recall. The earlier
@@ -269,13 +278,13 @@ object Similarity {
     * any LSH band bucket with the query (multi-probe on the query side:
     * primary bucket plus the weakest-margin bit flip); ranked by true
     * cosine via the bounded-heap aggregator. */
-  def knnLsh(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  def knnLsh(spark: SparkSession, dir: String, k: Int = KnnK): DataFrame = {
     val corpus = emb(spark, dir)
     val corpusBands = banded(corpus, "vec", "vec_id")
     // the query subset is TINY (8 rows) — broadcast exactly this subset,
     // never the full corpus renamed as a query side
     val queries = corpus
-      .filter(col("vec_id") < 8)
+      .filter(col("vec_id") < KnnQueryBound)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
     val queryBands = queries
       .select(
@@ -355,7 +364,7 @@ object Similarity {
        |  SELECT b.vec_id AS query_id, b.band, b.bucket AS pb,
        |    xor(b.bucket, (1 << w.wr)) AS ab
        |  FROM bands b JOIN weakest w ON b.vec_id = w.vec_id AND b.band = w.band
-       |  WHERE b.vec_id < 8
+       |  WHERE b.vec_id < $KnnQueryBound
        |), cand AS (
        |  SELECT DISTINCT q.query_id, c.vec_id
        |  FROM bands c JOIN qprobe q
@@ -372,19 +381,19 @@ object Similarity {
        |    SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
        |      ORDER BY cosine DESC, neighbor_id) AS INT) AS rk
        |    FROM scored
-       |  ) WHERE rk <= 10
+       |  ) WHERE rk <= $KnnK
        |), gt AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
        |        GREATEST(LEAST(list_cosine_similarity(q.v, e.v), 1.0), -1.0) DESC,
        |        e.vec_id) AS brk
-       |    FROM emb e JOIN emb q ON q.vec_id < 8 AND e.vec_id <> q.vec_id
-       |  ) WHERE brk <= 10
+       |    FROM emb e JOIN emb q ON q.vec_id < $KnnQueryBound AND e.vec_id <> q.vec_id
+       |  ) WHERE brk <= $KnnK
        |)
        |SELECT t.query_id, t.neighbor_id, t.cosine, t.rk,
        |  CAST(SUM(CASE WHEN g.query_id IS NOT NULL THEN 1 ELSE 0 END)
-       |    OVER (PARTITION BY t.query_id) AS DOUBLE) / 10.0 AS recall_at_k
+       |    OVER (PARTITION BY t.query_id) AS DOUBLE) / $KnnK.0 AS recall_at_k
        |FROM topk t LEFT JOIN gt g
        |  ON t.query_id = g.query_id AND t.neighbor_id = g.neighbor_id""".stripMargin
 
@@ -498,7 +507,10 @@ object Similarity {
     * neighbors the index shortlists stays the model's choice — that is
     * the approximation recall measures — but everything the row asserts
     * about them is hash-gated. Valid at every SF and on both branches
-    * (nothing here depends on [[LshSaturationBound]]). */
+    * (nothing here depends on [[LshSaturationBound]]). The query-subset
+    * bound and k interpolate from [[KnnQueryBound]]/[[KnnK]] — the same
+    * constants every engine entry point defaults to — so the checker
+    * cannot silently desynchronize from the engine (r19 ADVICE). */
   def annCheckerOracle(name: String): String =
     s"""$CheckerMarker
        |WITH o AS (
@@ -518,14 +530,14 @@ object Similarity {
        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
        |        GREATEST(LEAST(list_cosine_similarity(q.v, e.v), 1.0), -1.0) DESC,
        |        e.vec_id) AS brk
-       |    FROM emb e JOIN emb q ON q.vec_id < 8 AND e.vec_id <> q.vec_id
-       |  ) WHERE brk <= 10
+       |    FROM emb e JOIN emb q ON q.vec_id < $KnnQueryBound AND e.vec_id <> q.vec_id
+       |  ) WHERE brk <= $KnnK
        |)
        |SELECT r.query_id, r.neighbor_id, r.cosine,
        |  CAST(ROW_NUMBER() OVER (PARTITION BY r.query_id
        |    ORDER BY r.cosine DESC, r.neighbor_id) AS INT) AS rk,
        |  CAST(SUM(CASE WHEN g.query_id IS NOT NULL THEN 1 ELSE 0 END)
-       |    OVER (PARTITION BY r.query_id) AS DOUBLE) / 10.0 AS recall_at_k
+       |    OVER (PARTITION BY r.query_id) AS DOUBLE) / $KnnK.0 AS recall_at_k
        |FROM re r LEFT JOIN gt g
        |  ON r.query_id = g.query_id AND r.neighbor_id = g.neighbor_id""".stripMargin
 
@@ -650,7 +662,7 @@ object Similarity {
     * ranks only those candidates by true cosine. At corpus scale the
     * inverted lists are the partitioning (write-time `partitionBy(cid)`),
     * so a probe touches NProbe/NList of the data. */
-  def knnIvf(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  def knnIvf(spark: SparkSession, dir: String, k: Int = KnnK): DataFrame = {
     val corpus = emb(spark, dir)
     knnIvfOf(corpus, ivfFit(corpus), k)
   }
@@ -669,7 +681,7 @@ object Similarity {
     * fit, and the persisted f64 model round-trips exactly through
     * parquet). The freshness probe is ONE sidecar read whose centroids
     * are reused for the search itself. */
-  def knnIvfServe(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  def knnIvfServe(spark: SparkSession, dir: String, k: Int = KnnK): DataFrame = {
     val indexPath = ivfServePath(dir)
     val fp = corpusFingerprint(spark, dir)
     val stored =
@@ -846,7 +858,7 @@ object Similarity {
   }
 
   private[graft] def knnIvfOf(corpus: DataFrame, centroids: Array[Array[Double]],
-      k: Int = 10, marginProbes: Boolean = true): DataFrame = {
+      k: Int = KnnK, marginProbes: Boolean = true): DataFrame = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
     val listed = corpus.withColumn("cid",
       GraftFunctions.graftArgminL2(col("vec"), centsLit(centroids)))
@@ -854,7 +866,7 @@ object Similarity {
       if (marginProbes) probeIdxByMargin(centroids, col("qvec"), IvfNProbe)
       else probeIdxByDistance(centroids, col("qvec"), IvfNProbe)
     val queries = corpus
-      .filter(col("vec_id") < 8)
+      .filter(col("vec_id") < KnnQueryBound)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
       .withColumn("probe_cid", explode(probeIdx))
     val scored = listed
@@ -1104,11 +1116,11 @@ object Similarity {
     * Results are identical to [[knnIvf]] over the same corpus and
     * quantizer. */
   def knnIvfIndexed(spark: SparkSession, dir: String, indexPath: String,
-      centroids: Array[Array[Double]], k: Int = 10): DataFrame = {
+      centroids: Array[Array[Double]], k: Int = KnnK): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
     import spark.implicits._
     val probed = emb(spark, dir)
-      .filter(col("vec_id") < 8)
+      .filter(col("vec_id") < KnnQueryBound)
       .select(col("vec_id"), col("vec")).collect()
       .map { r =>
         val q = r.getSeq[Float](1).toArray
@@ -1192,7 +1204,7 @@ object Similarity {
       books: Array[Array[Array[Double]]], k: Int): DataFrame = {
     val corpus = emb(spark, dir)
     val queries = broadcast(
-      corpus.filter(col("vec_id") < 8)
+      corpus.filter(col("vec_id") < KnnQueryBound)
         .select(col("vec_id").as("query_id"), col("vec").as("qvec")))
     val adc = coded
       .withColumn("recon", pqReconCol(books))
@@ -1220,7 +1232,7 @@ object Similarity {
 
   /** q_knn_pq from-scratch form (train + encode + search in one call) —
     * the reference the serve path is spec-checked against. */
-  def knnPq(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  def knnPq(spark: SparkSession, dir: String, k: Int = KnnK): DataFrame = {
     val corpus = emb(spark, dir)
     val books = pqFit(corpus)
     knnPqOf(spark, dir, corpus.select(col("vec_id"), pqCodesCol(books).as("codes")),
@@ -1278,7 +1290,7 @@ object Similarity {
     * rebuilds). Results are bit-identical to [[knnPq]]: the f64 model
     * round-trips parquet exactly and encoding is deterministic
     * (first-wins argmin). */
-  def knnPqServe(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  def knnPqServe(spark: SparkSession, dir: String, k: Int = KnnK): DataFrame = {
     val indexPath = pqServePath(dir)
     val fp = corpusFingerprint(spark, dir)
     val stored =
@@ -1458,7 +1470,7 @@ object Similarity {
       k: Int): DataFrame = {
     val corpus = emb(spark, dir)
     val queries = broadcast(
-      corpus.filter(col("vec_id") < 8)
+      corpus.filter(col("vec_id") < KnnQueryBound)
         .select(col("vec_id").as("query_id"), col("vec").as("qvec")))
     val rq = broadcast(
       queries.select(col("query_id"), rotateCol(r, col("qvec")).as("rqvec")))
@@ -1472,7 +1484,7 @@ object Similarity {
 
   /** q_knn_opq from-scratch form — the reference the serve path is
     * spec-checked against. */
-  def knnOpq(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  def knnOpq(spark: SparkSession, dir: String, k: Int = KnnK): DataFrame = {
     val corpus = emb(spark, dir)
     val (r, books) = opqFit(corpus)
     val coded = corpus
@@ -1483,7 +1495,7 @@ object Similarity {
 
   /** q_knn_opq SERVING path — same fingerprint-keyed generation
     * discipline as [[knnPqServe]]. */
-  def knnOpqServe(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  def knnOpqServe(spark: SparkSession, dir: String, k: Int = KnnK): DataFrame = {
     val indexPath = opqServePath(dir)
     val fp = corpusFingerprint(spark, dir)
     val stored =
@@ -1638,14 +1650,14 @@ object Similarity {
     * the 8 query rows and O(queries x shortlist) re-rank lookups. */
   def knnIvfPq(spark: SparkSession, dir: String, indexPath: String,
       centroids: Array[Array[Double]], rot: Array[Array[Double]],
-      books: Array[Array[Array[Double]]], k: Int = 10): DataFrame = {
+      books: Array[Array[Array[Double]]], k: Int = KnnK): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
     import spark.implicits._
     val corpus = emb(spark, dir)
     // ONE collect serves probing AND the query frames (knnIvfIndexed's
     // shape) — no second corpus scan for the same 8 rows
     val probed = corpus
-      .filter(col("vec_id") < 8)
+      .filter(col("vec_id") < KnnQueryBound)
       .select(col("vec_id"), col("vec")).collect()
       .map { r =>
         val q = r.getSeq[Float](1).toArray
@@ -1688,7 +1700,7 @@ object Similarity {
 
   /** q_knn_ivfpq SERVING path — same fingerprint-keyed generation
     * discipline as the flat PQ and IVF serves. */
-  def knnIvfPqServe(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  def knnIvfPqServe(spark: SparkSession, dir: String, k: Int = KnnK): DataFrame = {
     val indexPath = ivfPqServePath(dir)
     val fp = corpusFingerprint(spark, dir)
     val stored =

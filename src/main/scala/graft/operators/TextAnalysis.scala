@@ -72,6 +72,83 @@ object TextAnalysis {
         typedlit(merges.toSeq)).as("n_bpe_tokens"))
   }
 
+  /** Placeholder [[graft.Verify]] substitutes with the trained merge
+    * table rendered as SQL VALUES rows `(rank, 'a b'), ...` — the BPE
+    * twin of [[Similarity.GraftOutToken]]: checker oracles read model
+    * state back from the engine (here via literal substitution; training
+    * is deterministic, so Verify's re-train equals the query's own
+    * table) and re-derive every emitted CLAIM independently. */
+  val BpeMergesToken = "__GRAFT_BPE_MERGES__"
+
+  /** The trained merge table for `dir`'s corpus — what [[graft.Verify]]
+    * substitutes into [[textBpeCheckerOracle]]. Deterministic, so it is
+    * bit-identical to the table [[textBpe]] trains for the same dir. */
+  def bpeModelMerges(spark: SparkSession, dir: String): Array[String] =
+    bpeTrain(docs(spark, dir))
+
+  /** CHECKER oracle for [[textBpe]] (r19 verdict #5; the
+    * [[Similarity.annCheckerOracle]] contract): the merge table is model
+    * state — standalone SQL cannot replay the frequency-driven training
+    * loop — but given that table, every emitted token count is an exact,
+    * corpus-derivable claim. DuckDB replays ENCODING from scratch: each
+    * distinct word splits into code-point symbols, and a recursive CTE
+    * applies the merges IN RANK ORDER, one rank per recursion step.
+    * In-rank-order application is equivalent to the kernel's greedy
+    * lowest-rank-present loop ([[graft.functions.BpeKernel.countWord]])
+    * because a merge's output symbol can only appear in HIGHER-ranked
+    * pairs (the training loop learns a pair only after its constituents
+    * exist), so by the time rank r applies, every lower rank is already
+    * exhausted and none can re-arise. Each step merges all left-to-right
+    * non-overlapping occurrences — exactly the kernel's scan — via
+    * string `replace` over a double-space-delimited symbol string
+    * (every symbol wrapped in single spaces, so a pattern can only match
+    * whole symbols, and overlapping runs like `a a a` under pair `a a`
+    * resolve left-to-right: replace consumes its match and continues
+    * AFTER it, the same cursor-advance as the kernel). Symbols never
+    * contain whitespace (words are whitespace-split), which is the same
+    * invariant that lets merges serialize as "a b" strings. Final count
+    * per word = symbol count; per doc = sum over its word OCCURRENCES
+    * (empty-text docs keep an explicit 0 via the left join). Validated
+    * bit-exact against the kernel at sf0.01 before commit; the marker
+    * line keeps it out of the timed baseline column. */
+  val textBpeCheckerOracle: String =
+    s"""${Similarity.CheckerMarker}
+       |WITH RECURSIVE m AS (
+       |  SELECT * FROM (VALUES $BpeMergesToken) AS t(rank, pair)
+       |), nm AS (SELECT COUNT(*) AS n FROM m),
+       |w AS (
+       |  SELECT DISTINCT word FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+       |    FROM documents
+       |  ) WHERE word <> ''
+       |),
+       |s(word, syms, r) AS (
+       |  SELECT word,
+       |    ' ' || array_to_string(regexp_extract_all(word, '.'), '  ') || ' ', 0
+       |  FROM w
+       |  UNION ALL
+       |  SELECT s.word,
+       |    replace(s.syms,
+       |      ' ' || split_part(m.pair, ' ', 1) || '  ' || split_part(m.pair, ' ', 2) || ' ',
+       |      ' ' || split_part(m.pair, ' ', 1) || split_part(m.pair, ' ', 2) || ' '),
+       |    s.r + 1
+       |  FROM s JOIN m ON m.rank = s.r
+       |),
+       |f AS (
+       |  SELECT word, len(string_split(trim(syms), '  ')) AS n
+       |  FROM s, nm WHERE s.r = nm.n
+       |),
+       |docw AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+       |  FROM documents
+       |)
+       |SELECT doc.doc_id, CAST(COALESCE(SUM(f.n), 0) AS INT) AS n_bpe_tokens
+       |FROM documents doc
+       |LEFT JOIN (SELECT doc_id, word FROM docw WHERE word <> '') d
+       |  ON d.doc_id = doc.doc_id
+       |LEFT JOIN f ON f.word = d.word
+       |GROUP BY doc.doc_id""".stripMargin
+
   /** q_dedup_exact — exact content dedup via md5 hash: every hash group's
     * canonical (min) doc id and copy count. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =

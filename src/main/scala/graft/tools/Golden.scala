@@ -34,15 +34,14 @@ object Golden {
     (lines.length.toLong, md.digest().take(8).map(b => f"$b%02x").mkString)
   }
 
-  /** The driver-untested (`no_oracle`) query set QueriesSpec pins. */
-  val NoOracle: Seq[String] = Seq(
-    "q_audio_phash", "q_dedup_embedding_cells",
-    "q_dedup_minhash", "q_dedup_simhash",
-    "q_dedup_simhash_idf", "q_image_dedup", "q_image_phash", "q_knn_ivf",
-    "q_knn_ivfpq", "q_knn_opq", "q_knn_pq",
-    "q_media_crossmodal",
-    "q_quality_classifier", "q_text_bpe", "q_video_dedup",
-    "q_video_mosaic", "q_winnow_fingerprint")
+  /** The driver-untested (`no_oracle`) query set QueriesSpec pins —
+    * DERIVED from the registration maps (r20: the hand-maintained list
+    * had drifted to the r18 state, still carrying the five rows the r19
+    * checker oracles moved out), so the generator and the pin-set test
+    * can never disagree about membership. */
+  def NoOracle: Seq[String] =
+    (graft.SparkEntry.queries.keySet -- graft.SparkEntry.oracleSql.keySet)
+      .toSeq.sorted
 
   /** The corpus the COMMITTED pins bind: QueriesSpec's pin map was
     * generated at exactly this scale factor and asserts it runs against

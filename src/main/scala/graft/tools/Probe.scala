@@ -40,6 +40,7 @@ object Probe {
       case "recall" => recall(rest)
       case "resolve" => resolve()
       case "lm" => lm()
+      case "mh" => mh(rest)
       case "qt" => qt()
       case "fusion" => fusion()
       case "barrier" => barrier()
@@ -136,6 +137,49 @@ object Probe {
       time(s"emb_pairs_$i")(Similarity.embeddingDedup(spark, dir).count())
       time(s"emb_resolve_$i")(Similarity.embeddingDedupResolve(spark, dir).count())
     }
+    spark.stop()
+  }
+
+  /** Stage-cost decomposition for the minhash serve (r19 verdict #7:
+    * 0.232s at sf0.1 vs r17's 0.155s — find which expansion stage owns
+    * the constant). Replicates [[Dedup.minhashDedupCollapsed]]'s
+    * internals over ONE shared hot checkpoint so each arm times its own
+    * marginal work, not a fresh materialization. */
+  private def mh(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.local("graft-mh-probe")
+    def time(name: String, iters: Int = 5)(f: => Long): Unit = {
+      f // warm
+      val ts = (1 to iters).map { _ =>
+        val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)
+      }
+      println(f"[mhprobe] $name%-24s med=${ts.map(_._1).sorted.apply(iters / 2)}%.3f  rows=${ts.head._2}")
+    }
+    val full = SparkEntry.queries("q_dedup_minhash")(spark, dir)
+    time("full_served_plan")(full.count())
+    val sigs = Dedup.serveMinhashSigs(spark, dir)
+    time("sig_scan")(sigs.count())
+    val m0 = sigs.localCheckpoint(eager = true)
+    time("checkpoint_scan")(m0.count())
+    val sigCols = (0 until Dedup.MinHashK).map(j => col(s"sig_$j"))
+    val reps = m0.filter(col("doc_id") === col("class_id"))
+      .select(col("class_id").as("doc_id") +: sigCols: _*)
+    val repPairs = Dedup.minhashDedupFromSigs(reps, 0.5)
+    time("rep_pairs")(repPairs.count())
+    val members = m0.select(col("doc_id"), col("class_id"))
+    val cross = repPairs
+      .join(members.select(col("class_id").as("doc_a"), col("doc_id").as("da")), "doc_a")
+      .join(members.select(col("class_id").as("doc_b"), col("doc_id").as("db")), "doc_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("est_jaccard"))
+    time("cross_expand")(cross.count())
+    val self = members.as("x")
+      .join(members.as("y"),
+        col("x.class_id") === col("y.class_id") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(1.0).as("est_jaccard"))
+    time("self_expand")(self.count())
+    time("union_all")(cross.unionByName(self).count())
     spark.stop()
   }
 
@@ -333,10 +377,25 @@ object Probe {
         max(col("df")).as("max_df"))
       .head()
     if (overridden) {
+      // PER-VALVE engagement (r19 ADVICE: the single shingle require let
+      // the band valve ride the gate without ever engaging — its r19 run
+      // showed max_df 18 vs cap 20, drop path untested; and a future
+      // corpus change could silently un-engage the chunk valve too).
+      // Every overridden cap must demonstrably BIND: nonzero hot buckets
+      // and nonzero dropped rows, per valve.
       require(hotShingles > 0 && droppedPostings > 0 && capped < uncapped,
         s"cap override set but the shingle valve never engaged " +
           s"(hot=$hotShingles dropped=$droppedPostings capped=$capped " +
           s"uncapped=$uncapped) — the skew corpus or the override is wrong")
+      require(chunkCensus.getLong(0) > 0 && chunkCensus.getLong(1) > 0,
+        s"cap override set but the simhash chunk valve never engaged " +
+          s"(hot=${chunkCensus.getLong(0)} dropped=${chunkCensus.getLong(1)} " +
+          s"max_df=${chunkCensus.getLong(2)} cap=${Dedup.SimHashChunkCap})")
+      require(bandCensus.getLong(0) > 0 && bandCensus.getLong(1) > 0,
+        s"cap override set but the minhash band valve never engaged " +
+          s"(hot=${bandCensus.getLong(0)} dropped=${bandCensus.getLong(1)} " +
+          s"max_df=${bandCensus.getLong(2)} cap=${Dedup.BandBucketCap}) — " +
+          "lower GRAFT_BAND_BUCKET_CAP below the corpus's band max_df")
     }
     def timed(name: String): (Double, Long) = {
       val t0 = System.nanoTime()

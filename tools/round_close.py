@@ -35,9 +35,17 @@ Steps (all artifacts land in tools/ with the round suffix):
      committed bench_sf01_r*_interleaved.json below this tag;
      override with --prior rN.
 
+  5c. adjacency adjudication (r19 verdict #2): every no-oracle gate
+     failure is automatically re-probed SOLO (fresh JVM, 2 warms +
+     5 samples); {pair_sec, prior_sec, solo_median, verdict} lands in
+     the artifact. solo within the 2x threshold -> adjacency_cleared
+     (recorded, not round-failing); still past it -> confirmed (fails).
+     --no-adjudicate restores the raw gate.
+
 Pass --gate-only to recompute step 5 from the existing tools/ artifacts
-without re-measuring; --out PATH redirects the summary (so re-gating a
-past round for demonstration never clobbers its committed artifact).
+without re-measuring (5c still re-probes live if the tier dir exists);
+--out PATH redirects the summary (so re-gating a past round for
+demonstration never clobbers its committed artifact).
 
 Usage: python3 tools/round_close.py <round-tag> [--skip-verify]
 Exit 0 = gates green.  Assumes compiled classes (sbt compile) and
@@ -57,18 +65,53 @@ def run(cmd, **kw):
 
 
 def prior_tag(tag):
-    """Highest committed round below this tag that has an sf0.1 pair."""
+    """Highest committed round below this tag that has an sf0.1 pair.
+
+    Non-r<N> tags are REJECTED (r19 ADVICE): with cur=None the scan used
+    to pick the highest committed round, which can be the current run's
+    own pair — the no-oracle gate then compared the round against itself
+    (growth 1.0) and passed vacuously. An ad-hoc tag must name its
+    comparison base explicitly with --prior rN.
+    """
     m = re.fullmatch(r"r(\d+)", tag)
-    cur = int(m.group(1)) if m else None
+    if not m:
+        sys.exit(f"[round-close] tag {tag!r} is not r<N> — the no-oracle "
+                 "gate cannot infer a prior round (it might self-compare); "
+                 "pass --prior rN explicitly")
+    cur = int(m.group(1))
     best = None
     for f in glob.glob(os.path.join(REPO, "tools",
                                     "bench_sf01_r*_interleaved.json")):
         mm = re.search(r"bench_sf01_r(\d+)_interleaved", f)
         if mm:
             n = int(mm.group(1))
-            if (cur is None or n < cur) and (best is None or n > best):
+            if n < cur and (best is None or n > best):
                 best = n
     return None if best is None else f"r{best}"
+
+
+def solo_probe(sf_dir, query, warms=2, samples=5):
+    """Solo re-probe of one query (the probe_sig_pack protocol, now a
+    gate step — r19 verdict #2): a fresh BenchPipe JVM on the tier, 2
+    warm runs, then the median of 5 timed runs. Distinguishes a real
+    regression from pair-window adjacency (the r19 q_pack_bucketed
+    failure was cleared only by a hand-run side-file probe the gate's
+    artifact never saw)."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from measure_baseline import start_pipe, pipe_cmd
+    proc = start_pipe(sf_dir)
+    try:
+        for _ in range(warms):
+            pipe_cmd(proc, "warm", query)
+        ts = sorted(pipe_cmd(proc, "time", query) for _ in range(samples))
+        return ts[len(ts) // 2]
+    finally:
+        try:
+            proc.stdin.write("quit\n")
+            proc.stdin.flush()
+            proc.wait(timeout=120)
+        except Exception:
+            proc.kill()
 
 
 def arg_value(flag):
@@ -132,9 +175,14 @@ def main():
         # to ENGAGE — the probe then requires nonzero drop accounting
         # and that the dedup family still emits through the engaged
         # valves. Caps are query-time only (no store embeds them).
+        # Band cap 10, not 20 (r19 verdict #4 / ADVICE): the skew
+        # corpus's minhash band max_df is ~18, so at 20 the band valve
+        # never bound and its drop-accounting path was the only one the
+        # gate had never taken; at 10 all THREE valves demonstrably
+        # engage, and the probe now requires nonzero drops per valve.
         skew_env = dict(env, GRAFT_HOT_SHINGLE_CAP="20",
                         GRAFT_SIMHASH_CHUNK_CAP="20",
-                        GRAFT_BAND_BUCKET_CAP="20")
+                        GRAFT_BAND_BUCKET_CAP="10")
         p = subprocess.run(
             ["sbt", "-batch", f"runMain graft.tools.Probe skew {SFSKEW}"],
             check=True, cwd=REPO, env=skew_env, capture_output=True, text=True)
@@ -245,6 +293,42 @@ def main():
                 print(f"[round-close] info (no-oracle) {q}: {growth:.2f}x vs "
                       f"{prior} at {label} below the materiality floor "
                       f"(prior {pg[q]:.3f}s, now {gh[q]:.3f}s)")
+    # 5c. adjacency adjudication (r19 verdict #2): a no-oracle failure is
+    # either a real regression or pair-window adjacency — the r19 run had
+    # one of each, distinguished only by a hand-run probe in a side file.
+    # Each failure is now auto-re-probed SOLO in a fresh JVM (2 warms +
+    # 5 samples) and the {failure, solo_median, verdict} triple lands in
+    # the gate's own artifact: solo within the gate's 2x threshold of the
+    # prior clears the row as adjacency; solo still past it confirms the
+    # regression and fails the round.
+    tier_dirs = {"sf01": SF01, "sf1": SF1, "sf10": SF10}
+    adjudicated = []
+    confirmed_no_oracle = []
+    if bad_no_oracle and "--no-adjudicate" not in sys.argv[2:]:
+        for q, label, growth, p, n in bad_no_oracle:
+            d = tier_dirs[label]
+            if not os.path.isdir(d):
+                adjudicated.append({"query": q, "tier": label,
+                                    "pair_sec": round(n, 3), "prior_sec": round(p, 3),
+                                    "growth": round(growth, 2), "solo_median": None,
+                                    "verdict": "unadjudicated (tier dir missing)"})
+                confirmed_no_oracle.append((q, label, growth, p, n))
+                continue
+            print(f"[round-close] adjudicating {q}@{label}: solo re-probe "
+                  f"(pair {n:.2f}s vs prior {p:.2f}s)")
+            solo = solo_probe(d, q)
+            verdict = "adjacency_cleared" if solo <= 2.0 * p else "confirmed"
+            adjudicated.append({"query": q, "tier": label,
+                                "pair_sec": round(n, 3), "prior_sec": round(p, 3),
+                                "growth": round(growth, 2),
+                                "solo_median": round(solo, 3), "verdict": verdict})
+            print(f"[round-close] adjudication {q}@{label}: solo {solo:.3f}s "
+                  f"vs prior {p:.3f}s -> {verdict}")
+            if verdict == "confirmed":
+                confirmed_no_oracle.append((q, label, growth, p, n))
+    else:
+        confirmed_no_oracle = bad_no_oracle
+
     # 3-point scaling exponents (the whole point of the 100x tier:
     # slope of log(time) over the two decades, per engine)
     exponents = {}
@@ -282,7 +366,8 @@ def main():
             {"query": q, "tier": t, "kind": "no_oracle_vs_prior",
              "prior": prior, "growth": round(g, 2),
              "prior_sec": round(p, 3), "now_sec": round(n, 3)}
-            for q, t, g, p, n in bad_no_oracle],
+            for q, t, g, p, n in confirmed_no_oracle],
+        "no_oracle_adjudications": adjudicated,
         "no_oracle_gate_prior": prior,
         "skew_tier": skew_summary if skew_summary is not None else "skipped",
     }
@@ -300,10 +385,17 @@ def main():
     out = arg_value("--out") or f"tools/round_close_{tag}.json"
     json.dump(summary, open(out, "w"), indent=1)
     print(f"[round-close] {out}: {json.dumps(summary)}")
-    if bad or bad_no_oracle:
+    if bad or confirmed_no_oracle:
         print(f"[round-close] FAILED: {len(bad)} growth-gate rows, "
-              f"{len(bad_no_oracle)} no-oracle rows")
+              f"{len(confirmed_no_oracle)} no-oracle rows "
+              f"({len(bad_no_oracle) - len(confirmed_no_oracle)} further "
+              "adjudicated as adjacency)")
         return 1
+    if len(bad_no_oracle) > len(confirmed_no_oracle):
+        print(f"[round-close] {len(bad_no_oracle) - len(confirmed_no_oracle)} "
+              "no-oracle failure(s) adjudicated as pair-window adjacency "
+              "(solo re-probe within the gate threshold) — recorded in the "
+              "artifact, not round-failing")
     print("[round-close] gates green")
     return 0
 
