@@ -376,6 +376,46 @@ object GraftProps extends Properties("graft") {
         got == want
     }
 
+  // SQL-replay twin of the r20 BPE checker oracle: the DuckDB recursive
+  // CTE applies merges IN RANK ORDER, one rank per step, each step a
+  // left-to-right consume-and-continue `replace` over the
+  // double-space-delimited symbol string (every symbol wrapped in
+  // single spaces). java String.replace has exactly DuckDB replace's
+  // semantics (non-overlapping, continue after the replacement), so
+  // this reimplements the oracle's mechanics verbatim.
+  private def sqlReplayCountWord(word: String, merges: List[String]): Int = {
+    if (word.isEmpty) return 0
+    var s = " " + word.map(_.toString).mkString("  ") + " "
+    merges.foreach { m =>
+      val Array(a, b) = m.split(" ", 2)
+      s = s.replace(" " + a + "  " + b + " ", " " + a + b + " ")
+    }
+    s.trim.split("  ", -1).length
+  }
+
+  /** Pins the two claims the r20 BPE checker oracle's exactness rests
+    * on, against the greedy kernel: (1) in-rank-order application ≡
+    * greedy lowest-rank-present encoding, and (2) one `replace` pass ≡
+    * the kernel's all-occurrences left-to-right scan (self-overlap runs
+    * like `aaa` under pair `a a` included — the {a,b,c} word alphabet
+    * generates them constantly). The merge tables are TRAINED, not
+    * arbitrary: equivalence (1) holds because a merge's output symbol
+    * can only appear in higher-ranked pairs, which is a TRAINING
+    * invariant (a pair is learned only after its constituents exist) —
+    * an arbitrary table can violate it, and the oracle only ever
+    * consumes tables Verify trains. */
+  property("r20 BPE checker replay (rank-order string replace) matches the greedy kernel") =
+    forAll(
+      Gen.listOfN(10, Gen.zip(bpeWordGen, Gen.chooseNum(1L, 9L))),
+      Gen.listOfN(10, bpeWordGen)) { (trainWcs, testWords) =>
+      val merges = functions.BpeKernel
+        .train(trainWcs.filter(_._1.nonEmpty), 12).toList
+      val ranks = functions.BpeKernel.buildRanks(merges.toArray)
+      testWords.forall { w =>
+        sqlReplayCountWord(w, merges) == functions.BpeKernel.countWord(w, ranks)
+      }
+    }
+
   property("bpe training learns the most frequent pair first and is deterministic") =
     forAll(Gen.listOfN(8, Gen.zip(bpeWordGen.suchThat(_.length >= 2), Gen.chooseNum(1L, 9L)))) {
       wcs =>
