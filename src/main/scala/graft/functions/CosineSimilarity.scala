@@ -169,6 +169,7 @@ object GraftFunctions {
   val TopKTermName = "graft_topk_term"
   val WordCountsName = "graft_word_counts"
   val BigramCountsName = "graft_bigram_counts"
+  val BigramHashCountsName = "graft_bigram_hash_counts"
   val WinnowName = "graft_winnow"
   val GramCountsName = "graft_gram_counts"
   val CoverageName = "graft_coverage"
@@ -282,6 +283,10 @@ object GraftFunctions {
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       BigramCountsName,
       (exprs: Seq[Expression]) => BigramCounts(exprs.head),
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      BigramHashCountsName,
+      (exprs: Seq[Expression]) => BigramHashCounts(exprs.head),
       "built-in")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       WinnowName,

@@ -1006,6 +1006,94 @@ case class BigramCounts(child: Expression) extends TextKernelExpr {
     copy(child = newChild)
 }
 
+/** Distinct adjacent-token-pair HASHES with multiplicities — the
+  * [[BigramCountsKernel]] shape with the pair already reduced to the
+  * (xxhash64(a), xxhash64(b)) key the LM-score serve joins on (r21).
+  *
+  * The column formulation of the scoring stream (split + transform +
+  * sequence + explode of per-position structs) runs interpreted
+  * higher-order functions per element on the serve's hot path and emits
+  * one row per bigram OCCURRENCE; this kernel emits one row per DISTINCT
+  * pair with its count `m`, computed in one scan projection — the
+  * downstream sums recover occurrence totals exactly as Σ m·c
+  * (integer arithmetic, so bit-identical — [[graft.operators.Curation
+  * .lmScore]]). Hashing matches `xxhash64(word)` byte-for-byte
+  * ([[TextNorm.xxh64]]); pairs colliding on both hashes merge here
+  * exactly as the hash-keyed join already merged them downstream.
+  * Tokenization is [[TextNorm.wordsDirect]] — the wsTokens column
+  * semantics, GraftProps-pinned. */
+object BigramHashCountsKernel {
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  val schema: DataType = ArrayType(
+    StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false),
+      StructField("m", LongType, nullable = false))),
+    containsNull = false)
+
+  def compute(text: UTF8String): GenericArrayData = {
+    val words = TextNorm.wordsDirect(text.toString)
+    val n = words.length
+    if (n < 2) return new GenericArrayData(new Array[Any](0))
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = TextNorm.xxh64(words(i)); i += 1 }
+    // open-addressing (a, b) -> m; capacity is a power of two >= 2x the
+    // pair count, so no rehash is ever needed; m == 0 marks an empty
+    // slot (live entries always have m >= 1)
+    var cap = 8
+    while (cap < (n - 1) * 2) cap <<= 1
+    val ka = new Array[Long](cap)
+    val kb = new Array[Long](cap)
+    val ms = new Array[Long](cap)
+    var size = 0
+    i = 0
+    while (i < n - 1) {
+      val a = hs(i); val b = hs(i + 1)
+      var h = a * 31L + b
+      h ^= (h >>> 33)
+      var j = h.toInt & (cap - 1)
+      var done = false
+      while (!done) {
+        if (ms(j) == 0L) {
+          ka(j) = a; kb(j) = b; ms(j) = 1L; size += 1; done = true
+        } else if (ka(j) == a && kb(j) == b) {
+          ms(j) += 1L; done = true
+        } else j = (j + 1) & (cap - 1)
+      }
+      i += 1
+    }
+    val out = new Array[Any](size)
+    var k = 0
+    i = 0
+    while (i < cap) {
+      if (ms(i) != 0L) {
+        out(k) = org.apache.spark.sql.catalyst.InternalRow(ka(i), kb(i), ms(i))
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** graft_bigram_hash_counts(text): ARRAY<STRUCT<a bigint, b bigint,
+  * m bigint>> — see [[BigramHashCountsKernel]]. */
+case class BigramHashCounts(child: Expression) extends TextKernelExpr {
+  override def dataType: DataType = BigramHashCountsKernel.schema
+  override def prettyName: String = "graft_bigram_hash_counts"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BigramHashCountsKernel.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BigramHashCountsKernel.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** graft_word_counts(text): ARRAY<STRUCT<term string, tf bigint>> of the
   * document's distinct whitespace tokens with occurrence counts (see
   * [[WordCountsKernel]]). */

@@ -827,13 +827,13 @@ object Curation {
     */
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
     val (bcTable, pcTable) = ensureLmStats(spark, dir)
-    lmScoreServe(bigramStream(Tables.documents(spark, dir)),
+    lmScoreServeCounted(bigramHashCounts(Tables.documents(spark, dir)),
       spark.table(bcTable), spark.table(pcTable))
   }
 
   /** The per-doc positional bigram-hash stream of a (doc_id, text)
     * frame — shared by the LM-stats build and the scoring serve. */
-  private def bigramStream(d: DataFrame): DataFrame = {
+  private[graft] def bigramStream(d: DataFrame): DataFrame = {
     val words = split(regexp_replace(trim(col("text")), "\\s+", " "), " ")
     val hashes = transform(words, w => xxhash64(w))
     // one index pass (element_at over the hash array) instead of two
@@ -862,6 +862,37 @@ object Curation {
         sum(col("c_a")).as("support_den"),
         (sum(col("c_ab")).cast(DoubleType) / sum(col("c_a")).cast(DoubleType))
           .as("lm_support"),
+        min(col("c_ab")).as("min_support"))
+
+  /** The per-doc DISTINCT bigram-hash stream with multiplicities —
+    * [[graft.functions.BigramHashCountsKernel]] in the scan projection
+    * (r21): the serve's hot loop drops the interpreted higher-order
+    * transform/sequence chain and shrinks the joined stream to one row
+    * per distinct pair. */
+  private[graft] def bigramHashCounts(d: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(d.sparkSession)
+    d.select(col("doc_id"), explode(call_function(
+        graft.functions.GraftFunctions.BigramHashCountsName, col("text"))).as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"),
+        col("bg.m").as("m"))
+  }
+
+  /** [[lmScoreServe]] over the multiplicity-carrying stream: occurrence
+    * totals recovered exactly as Σ m·c (integer sums — bit-identical to
+    * the per-occurrence form; min over distinct pairs equals min over
+    * occurrences). The coalesce keeps n_bigrams non-nullable, matching
+    * the count(*) form's schema. */
+  private def lmScoreServeCounted(big: DataFrame, bc: DataFrame, pc: DataFrame): DataFrame =
+    big
+      .join(bc, Seq("a", "b"))
+      .join(pc, Seq("a"))
+      .groupBy(col("doc_id"))
+      .agg(
+        coalesce(sum(col("m")), lit(0L)).as("n_bigrams"),
+        sum(col("m") * col("c_ab")).as("support_num"),
+        sum(col("m") * col("c_a")).as("support_den"),
+        (sum(col("m") * col("c_ab")).cast(DoubleType) /
+          sum(col("m") * col("c_a")).cast(DoubleType)).as("lm_support"),
         min(col("c_ab")).as("min_support"))
 
   /** DataFrame core of [[lmScore]] — any (doc_id, text) frame, counts
@@ -918,13 +949,17 @@ object Curation {
       Tables.invalidate(spark, dir, "documents")
       spark.sql(s"DROP TABLE IF EXISTS $bcTable")
       spark.sql(s"DROP TABLE IF EXISTS $pcTable")
-      val big = bigramStream(Tables.documents(spark, dir))
+      // kernel stream (r21): per-doc distinct pairs with multiplicities;
+      // Σ m over a pair == the per-occurrence count(*), bit-identical
+      // integer totals with less exploded volume through the exchange
+      val big = bigramHashCounts(Tables.documents(spark, dir))
         .localCheckpoint(eager = false)
-      big.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      big.groupBy(col("a"), col("b"))
+        .agg(coalesce(sum(col("m")), lit(0L)).as("c_ab"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(LmBuckets, "a").sortBy("a")
         .option("path", bcPath).saveAsTable(bcTable)
-      big.groupBy(col("a")).agg(count(lit(1)).as("c_a"))
+      big.groupBy(col("a")).agg(coalesce(sum(col("m")), lit(0L)).as("c_a"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(LmBuckets, "a").sortBy("a")
         .option("path", pcPath).saveAsTable(pcTable)

@@ -226,24 +226,54 @@ object Dedup {
   private[graft] def postingsClassesPath(dir: String): String =
     postingsServePath(dir) + "_cls"
 
-  /** Recompute the class sidecar from the committed member map — the
+  /** Doc→class sidecar of the collapse: (doc_id, class_id) — the member
+    * map already joined to the TRUE class id, pre-materialized at index
+    * time (r21). Every collapse serve (`q_dedup_ngram`'s expansion arms,
+    * `q_dedup_resolve`'s doc expansion) starts from this map; deriving
+    * it per query as members ⋈ classes gave the planner a join-output
+    * frame whose product size estimate can never broadcast — the r20
+    * serve planned the expansion joins as SortMergeJoins at sf0.01-0.1
+    * (three SMJs + two exchanges at sf0.1, the round's one in-window
+    * regression). As a bare parquet scan the planner sees real stats:
+    * static broadcast while the map is small, sort-merge exactly when
+    * the corpus outgrows it — the scale-adaptive choice, decided by
+    * stats instead of hints. */
+  private[graft] def postingsDocClassPath(dir: String): String =
+    postingsServePath(dir) + "_docclass"
+
+  /** Recompute the class sidecars from the committed member map — the
     * build step shared by [[ensurePostings]] (fresh build) and
     * [[appendPostings]] (refresh after the delta's member rows land;
-    * O(distinct texts) output rewritten via a tmp-swap so a crash
-    * leaves either the old or the new sidecar, never a torn one — and
-    * the fp stamp that follows only after this commit turns any
+    * O(distinct texts) + O(docs) output rewritten via tmp-swaps so a
+    * crash leaves either the old or the new sidecar, never a torn one —
+    * and the fp stamp that follows only after this commit turns any
     * mid-swap crash into a full rebuild). */
   private def writeClassSidecar(spark: SparkSession, dir: String): Unit = {
     val clsPath = postingsClassesPath(dir)
     val tmp = clsPath + "_tmp"
     deleteTree(tmp)
-    spark.read.parquet(postingsMembersPath(dir))
+    val members = spark.read.parquet(postingsMembersPath(dir))
+    members
       .groupBy(col("cdoc"))
       .agg(min(col("doc_id")).as("class_id"), count(lit(1)).as("csize"))
       .write.mode("overwrite").parquet(tmp)
     deleteTree(clsPath)
     java.nio.file.Files.move(
       java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(clsPath))
+    // doc→class map, resolved through the just-committed class sidecar
+    // (the stored cdoc key is append-stable but not the true min — see
+    // [[postingsMembersPath]]); same tmp-swap discipline, written after
+    // the classes commit so it only ever joins a complete sidecar
+    val dcPath = postingsDocClassPath(dir)
+    val dcTmp = dcPath + "_tmp"
+    deleteTree(dcTmp)
+    members
+      .join(spark.read.parquet(clsPath).select(col("cdoc"), col("class_id")), "cdoc")
+      .select(col("doc_id"), col("class_id"))
+      .write.mode("overwrite").parquet(dcTmp)
+    deleteTree(dcPath)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(dcTmp), java.nio.file.Paths.get(dcPath))
   }
 
   /** Rep-posting table of the collapse: the postings of ONE
@@ -311,7 +341,7 @@ object Dedup {
     val storedFp = readStoredFp()
     def complete(): Boolean =
       hasData(postingsMembersPath(dir)) && hasData(postingsRepPath(dir)) &&
-        hasData(postingsClassesPath(dir))
+        hasData(postingsClassesPath(dir)) && hasData(postingsDocClassPath(dir))
     if (!storedFp.contains(fp) || !complete()) {
       // stale or absent: rebuild under the store's BUILD LOCK (r15 —
       // unlike ServingStore generations, this table overwrites a LIVE
@@ -428,7 +458,7 @@ object Dedup {
     // stamp the generation fresh, silently losing every cross-class
     // pair that involves a pre-existing class
     require(hasData(postingsMembersPath(dir)) && hasData(postingsRepPath(dir)) &&
-      hasData(postingsClassesPath(dir)),
+      hasData(postingsClassesPath(dir)) && hasData(postingsDocClassPath(dir)),
       s"posting generation at $path has no committed collapse artifacts " +
         "(pre-collapse build, or a crash between the member and rep " +
         "commits): rebuild with ensurePostings before appending")
@@ -571,14 +601,16 @@ object Dedup {
   private[graft] def collapsedNgramParts(spark: SparkSession, dir: String,
       threshold: Double): (DataFrame, DataFrame, DataFrame) = {
     val table = ensurePostings(spark, dir)
-    val members = spark.read.parquet(postingsMembersPath(dir))
     // (cdoc, class_id, csize) pre-materialized at index time: no
     // doc-level groupBy recompute per query, and the planner sees
     // parquet stats (class-cardinality) → the cls joins below broadcast
     // statically instead of risking aggregate-derived SMJs (r17 #3)
     val cls = spark.read.parquet(postingsClassesPath(dir))
-    val docClass = members.join(cls.select(col("cdoc"), col("class_id")), "cdoc")
-      .select(col("doc_id"), col("class_id"))
+    // (doc_id, class_id) likewise pre-materialized (r21): the per-query
+    // members ⋈ cls derivation carried a join-output size estimate that
+    // planned the expansion joins as SortMergeJoins — the scan's real
+    // stats let them broadcast below the threshold and SMJ above it
+    val docClass = spark.read.parquet(postingsDocClassPath(dir))
     // hot cap over the FULL doc-level table (df counts documents);
     // candidates over the rep table — both bucket-local on h
     val sh = spark.table(postingsRepTableName(dir))
@@ -619,8 +651,17 @@ object Dedup {
     // surviving shingles and must cost nothing, not k² discarded rows
     // (r17 review)
     val selfMembers = docClass.join(selfCls.select(col("class_id")), "class_id")
+    // SHUFFLE_HASH, not sort-merge, for the equality pairing (r20 verdict
+    // #1): a self-join's size estimate is the product of two identical
+    // sides, so it can never broadcast by stats, and the static lane
+    // profile (AQE off) planned it as an SMJ whose sort buys nothing —
+    // both sides arrive co-partitioned on class_id from one reused
+    // exchange, and the build side is one partition's slice of the
+    // class-filtered member map (bounded by reduce parallelism that
+    // tracks corpus size, so the hash build stays per-task-sized at any
+    // scale).
     val selfPairs = selfMembers.as("x")
-      .join(selfMembers.as("y"),
+      .join(selfMembers.as("y").hint("shuffle_hash"),
         col("x.class_id") === col("y.class_id") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.class_id").as("class_id"),
         col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -2202,11 +2243,11 @@ object Dedup {
   def dedupResolveServe(spark: SparkSession, dir: String): DataFrame = {
     ensurePostings(spark, dir) // member/class sidecars fresh for THIS corpus
     val canon = ensureResolveCanon(spark, dir)
-    val members = spark.read.parquet(postingsMembersPath(dir))
-    val cls = spark.read.parquet(postingsClassesPath(dir))
-    val docClass = members.join(cls.select(col("cdoc"), col("class_id")), "cdoc")
-      .select(col("doc_id"), col("class_id"))
-    docClass.join(canon, "class_id").select(col("doc_id"), col("canonical_id"))
+    // (doc_id, class_id) served from the pre-materialized sidecar (r21):
+    // one join instead of two per serve, with parquet stats the planner
+    // can broadcast on (the members ⋈ cls derivation could not)
+    spark.read.parquet(postingsDocClassPath(dir))
+      .join(canon, "class_id").select(col("doc_id"), col("canonical_id"))
   }
 
   /** Bumped on any change to resolution semantics, the edge
@@ -2230,8 +2271,14 @@ object Dedup {
     * incrementally maintainable (a delta doc can merge two existing
     * components), which is exactly the staleness the key must see. */
   private[graft] def ensureResolveCanon(spark: SparkSession, dir: String): DataFrame = {
-    val fp = Similarity.corpusFingerprint(spark, dir, "documents.parquet") * 31 +
-      ResolveCanonStoreVersion
+    // HotShingleCap is part of the canon's identity (ADVICE r20): the
+    // component edges run through the query-time hot-shingle valve, so a
+    // canon built under an env-overridden cap (the skew gate runs at cap
+    // 20) must not be silently reused by default-cap runs on the same
+    // dir — caps stay query-time-only precisely because no store embeds
+    // one without keying on it.
+    val fp = (Similarity.corpusFingerprint(spark, dir, "documents.parquet") * 31 +
+      ResolveCanonStoreVersion) * 31 + HotShingleCap
     ServingStore.ensure(spark, "resolve-canon",
       Similarity.servePath(s"resolve_canon_t${(ResolveThreshold * 100).toInt}_", dir),
       fp) { gen =>

@@ -55,9 +55,21 @@ object Incremental {
         col("l_extendedprice").as("price"),
         col("l_shipdate"))
     val cutoff = lit("1999-01-01").cast(TimestampType)
-    val history = partialMonthly(base.filter(col("l_shipdate") < cutoff))
-    val delta = partialMonthly(base.filter(col("l_shipdate") >= cutoff))
-    merge(Seq(history, delta))
+    // ONE fact scan (r21): the two halves' independent partials ride a
+    // single aggregation keyed by the half flag — bit-identical to
+    // aggregating each filtered half separately (decimal partials are
+    // exact, so per-(group, half) sums equal the per-half aggregation
+    // whatever the scan order), and [[merge]] then folds the halves
+    // together exactly as before. The filter-twice form planned two
+    // full lineitem scans + two partial-agg chains for the same rows
+    // (plans/r21/q_incremental_merge_before.txt).
+    val halves = base
+      .groupBy(col("brand"), col("year"), col("month"),
+        (col("l_shipdate") < cutoff).as("history"))
+      .agg(
+        sum(dec2(col("price"))).cast(DecimalType(28, 2)).as("sum_dec"),
+        cnt.as("n"))
+    merge(Seq(halves))
       .select(
         col("brand"), col("year"), col("month"),
         col("sum_dec").cast(DoubleType).as("sum_price"),

@@ -110,7 +110,13 @@ object TextAnalysis {
     * per word = symbol count; per doc = sum over its word OCCURRENCES
     * (empty-text docs keep an explicit 0 via the left join). Validated
     * bit-exact against the kernel at sf0.01 before commit; the marker
-    * line keeps it out of the timed baseline column. */
+    * line keeps it out of the timed baseline column.
+    *
+    * The split uses the EXPLICIT class `[ \t\n\f\r\x0b]+` — Java's ASCII
+    * `\s`, which the engine's [[wsTokens]] splits on — because RE2's
+    * `\s` omits U+000B (ADVICE r20): a vertical-tab document would
+    * otherwise tokenize differently in the checker than in the engine
+    * and false-fail a correct result. */
   val textBpeCheckerOracle: String =
     s"""${Similarity.CheckerMarker}
        |WITH RECURSIVE m AS (
@@ -118,7 +124,7 @@ object TextAnalysis {
        |), nm AS (SELECT COUNT(*) AS n FROM m),
        |w AS (
        |  SELECT DISTINCT word FROM (
-       |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+       |    SELECT unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\f\\r\\x0b]+')) AS word
        |    FROM documents
        |  ) WHERE word <> ''
        |),
@@ -139,7 +145,7 @@ object TextAnalysis {
        |  FROM s, nm WHERE s.r = nm.n
        |),
        |docw AS (
-       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\f\\r\\x0b]+')) AS word
        |  FROM documents
        |)
        |SELECT doc.doc_id, CAST(COALESCE(SUM(f.n), 0) AS INT) AS n_bpe_tokens

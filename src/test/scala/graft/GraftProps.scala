@@ -116,6 +116,22 @@ object GraftProps extends Properties("graft") {
       kern == agg
     }
 
+  property("bigram hash-count kernel matches the positional column stream") =
+    forAll(Gen.listOfN(6, textGen)) { texts =>
+      val df = docsDf(texts)
+      // (doc, a, b) -> multiplicity: the kernel's distinct-pairs-with-m
+      // rows must equal the per-occurrence column stream folded by count
+      // (the r21 lm-score serve rides the kernel; lmScoreOf stays on the
+      // column form as the independent reference)
+      val occ = operators.Curation.bigramStream(df).collect()
+        .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), 1L))
+        .groupMapReduce(_._1)(_._2)(_ + _)
+      val kern = operators.Curation.bigramHashCounts(df).collect()
+        .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+        .toMap
+      occ == kern
+    }
+
   property("shingle-set kernel matches the explode+distinct formulation") =
     forAll(Gen.listOfN(6, textGen)) { texts =>
       val df = docsDf(texts)
@@ -385,7 +401,14 @@ object GraftProps extends Properties("graft") {
   // this reimplements the oracle's mechanics verbatim.
   private def sqlReplayCountWord(word: String, merges: List[String]): Int = {
     if (word.isEmpty) return 0
-    var s = " " + word.map(_.toString).mkString("  ") + " "
+    // initial symbols are CODE POINTS (ADVICE r20): the kernel and the
+    // DuckDB oracle (`regexp_extract_all(word, '.')` — RE2 matches a
+    // code point) both split by code point, so the replay must too or
+    // the property's domain silently excludes supplementary-plane chars
+    import scala.jdk.CollectionConverters._
+    val cps = word.codePoints().iterator().asScala
+      .map(cp => new String(Character.toChars(cp))).toSeq
+    var s = " " + cps.mkString("  ") + " "
     merges.foreach { m =>
       val Array(a, b) = m.split(" ", 2)
       s = s.replace(" " + a + "  " + b + " ", " " + a + b + " ")

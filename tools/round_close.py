@@ -10,6 +10,11 @@ Steps (all artifacts land in tools/ with the round suffix):
   3. StoreContention: the two-JVM ensure/append/reader race over one
      serving store, its invariants require()'d in-process (r14 verdict
      #6 — a tool a human remembers to run is not a gate)
+  3a. whole-suite plan-shape audit (r21, r20 verdict #1): Explain
+     --audit and --audit-raw at sf0.01, diffed per query against
+     tools/plan_audit_expected.json — any smj/bnlj/cart count above
+     the committed expectation fails the round (--skip-plan-audit to
+     skip)
   4. interleaved same-window pair at sf0.1 AND sf1 (measure_baseline)
   5. the growth gate, applied per tier step (sf0.1->sf1 and sf1->sf10):
      any query that is ALL of (>2x DuckDB at the upper tier, ratio
@@ -114,6 +119,54 @@ def solo_probe(sf_dir, query, warms=2, samples=5):
             proc.kill()
 
 
+AUDIT_RE = re.compile(
+    r"^(q_\S+)\s+exch=\s*(\d+) bcast=\s*(\d+) smj=\s*(\d+) bnlj=\s*(\d+) "
+    r"cart=\s*(\d+) sort=\s*(\d+)")
+
+
+def run_plan_audit(env, sf_dir="/root/testdata/sf0.01"):
+    """Run graft.tools.Explain --audit / --audit-raw and diff the
+    smj/bnlj/cart counts per query against the committed expectation
+    (tools/plan_audit_expected.json). Only those three operators gate:
+    exch/bcast/sort counts shift harmlessly with corpus size, but a new
+    sort-merge join, nested-loop join or cartesian product in a
+    dim-scale plan is exactly the silent shape regression r20 shipped."""
+    expected = json.load(open(os.path.join(REPO, "tools",
+                                           "plan_audit_expected.json")))
+    result = {"failures": [], "improvements": []}
+    for mode, key in [("--audit", "lane"), ("--audit-raw", "raw")]:
+        p = subprocess.run(
+            ["sbt", "-batch", f"runMain graft.tools.Explain {mode} {sf_dir}"],
+            check=True, cwd=REPO, env=env, capture_output=True, text=True)
+        seen = {}
+        for line in p.stdout.splitlines():
+            m = AUDIT_RE.match(line.strip())
+            if m:
+                seen[m.group(1)] = {"smj": int(m.group(4)),
+                                    "bnlj": int(m.group(5)),
+                                    "cart": int(m.group(6))}
+        exp = expected.get(key, {})
+        for q in sorted(set(exp) | set(seen)):
+            if q not in seen:
+                result["failures"].append(f"{key}/{q}: missing from audit")
+                continue
+            e = exp.get(q, {"smj": 0, "bnlj": 0, "cart": 0})
+            for op in ("smj", "bnlj", "cart"):
+                if seen[q][op] > e[op]:
+                    result["failures"].append(
+                        f"{key}/{q}: {op}={seen[q][op]} > expected {e[op]}")
+                elif seen[q][op] < e[op]:
+                    result["improvements"].append(
+                        f"{key}/{q}: {op}={seen[q][op]} < expected {e[op]} "
+                        "(re-pin tools/plan_audit_expected.json)")
+        result[f"{key}_queries"] = len(seen)
+    if not result["failures"]:
+        print(f"[round-close] plan audit green "
+              f"({result['lane_queries']}/{result['raw_queries']} rows, "
+              f"{len(result['improvements'])} improvements)")
+    return result
+
+
 def arg_value(flag):
     for a in sys.argv[2:]:
         if a.startswith(flag + "="):
@@ -159,6 +212,29 @@ def main():
         if "--skip-contention" not in sys.argv[2:]:
             run(["sbt", "-batch", "runMain graft.tools.StoreContention"], env=env)
             contention = "pass"
+
+    # 3a. whole-suite plan-shape gate (r20 verdict #1: the r20 self-arm
+    # rewrite shipped a new SortMergeJoin into q_dedup_ngram's lane plan
+    # and the committed zero-SMJ claim went stale with no alarm — the
+    # audit existed but nothing ran it). Both execution profiles audit at
+    # sf0.01 and diff against tools/plan_audit_expected.json: any query
+    # whose smj/bnlj/cart count EXCEEDS the committed expectation fails
+    # the round; a count BELOW it is an improvement (reported, and the
+    # expectation should be re-pinned). --skip-plan-audit is the fast-
+    # iteration escape; gate-only reruns skip it (no live Spark).
+    plan_audit = "skipped"
+    if not gate_only and "--skip-plan-audit" not in sys.argv[2:]:
+        plan_audit = run_plan_audit(env)
+        if plan_audit["failures"]:
+            for f in plan_audit["failures"]:
+                print(f"[round-close] PLAN-AUDIT FAIL {f}")
+            json.dump({"round": tag, "plan_audit": plan_audit},
+                      open(f"tools/round_close_{tag}.json", "w"), indent=1)
+            sys.exit(f"[round-close] plan audit failed "
+                     f"({len(plan_audit['failures'])} rows) — artifact written")
+    elif gate_only and os.path.exists(f"tools/round_close_{tag}.json"):
+        plan_audit = json.load(open(f"tools/round_close_{tag}.json")) \
+            .get("plan_audit", plan_audit)
 
     # 3b. OPTIONAL skew tier (r17 verdict #5): mutated replicas are
     # distinct texts, so they bypass the collapses and land on the
@@ -316,7 +392,20 @@ def main():
                 continue
             print(f"[round-close] adjudicating {q}@{label}: solo re-probe "
                   f"(pair {n:.2f}s vs prior {p:.2f}s)")
-            solo = solo_probe(d, q)
+            # a probe that ERRORS (BenchPipe prints ERROR -> RuntimeError,
+            # or the JVM fails to start) must not abort the whole
+            # round_close before the summary artifact lands (ADVICE r20):
+            # record the row as unadjudicated and keep it round-failing,
+            # so the gate still fails loudly WITH its artifact written
+            try:
+                solo = solo_probe(d, q)
+            except Exception as e:
+                adjudicated.append({"query": q, "tier": label,
+                                    "pair_sec": round(n, 3), "prior_sec": round(p, 3),
+                                    "growth": round(growth, 2), "solo_median": None,
+                                    "verdict": f"unadjudicated (probe error: {e})"})
+                confirmed_no_oracle.append((q, label, growth, p, n))
+                continue
             verdict = "adjacency_cleared" if solo <= 2.0 * p else "confirmed"
             adjudicated.append({"query": q, "tier": label,
                                 "pair_sec": round(n, 3), "prior_sec": round(p, 3),
@@ -349,6 +438,7 @@ def main():
     summary = {
         "round": tag,
         "store_contention": contention,
+        "plan_audit": plan_audit,
         # totals over the ORACLED intersection only, so the two columns
         # divide; the all-queries graft suite time rides separately
         "sf01_total_graft": round(sum(v for q, v in g01.items() if q in d01), 2),
