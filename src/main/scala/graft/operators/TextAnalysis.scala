@@ -749,8 +749,18 @@ object TextAnalysis {
   def corpusMix(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    // min_src via an unpartitioned window over the SOURCE-cardinality
+    // counts frame (r21): the crossJoin(broadcast(counts.agg(min)))
+    // form re-derived counts from a second documents scan + aggregate
+    // chain per serve (plans/r21/q_corpus_mix_before.txt — three
+    // documents scans for one query). The single-partition window is
+    // the audited dim-scale shape (GraftSession note): counts is
+    // bounded by the source dimension, never fact volume.
     val rates = counts
-      .crossJoin(broadcast(counts.agg(min(col("n_src")).as("min_src"))))
+      .withColumn("min_src", min(col("n_src")).over(
+        org.apache.spark.sql.expressions.Window.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
       .select(
         col("source"),
         least(lit(1.0),
